@@ -1,0 +1,96 @@
+"""Shared builder helpers — cross-engine hash-stability primitives.
+
+The driver compares every declared query against a DuckDB oracle with an
+order-insensitive VALUE-HASH (SURVEY.md §5.1), so float outputs must be
+bit-identical across engines. Three hazards and their fixes:
+
+1. ``SUM(double)`` is summation-order-dependent (Spark partial-aggregates
+   per partition, DuckDB per thread). Fix: sum in exact DECIMAL — decimal
+   addition is associative, so the result is independent of partitioning.
+
+2. Casting a COMPUTED double (e.g. ``price * (1-disc)``) to decimal differs
+   between engines at rounding ties: Spark goes through Java's
+   ``BigDecimal.valueOf`` (shortest decimal repr, HALF_UP) while DuckDB
+   rounds the exact binary value. Products of short-decimal inputs land on
+   exact ties constantly (measured: 0.01 drift on TPC-H Q1 at sf0.01).
+   Fix: cast only RAW columns to decimal — every measure column in the
+   testdata is an exact 2-decimal value (verified for all 10 tables), so
+   the scale-2 cast has no ties — then keep ALL arithmetic in decimal.
+
+3. ``ROUND(double, n)`` at an exact decimal tie differs the same way.
+   Fix for ratios/averages: add a 1e-9 epsilon before rounding — both
+   engines compute the same IEEE double, the nudge clears any short-rational
+   tie (the dangerous set) by far more than double-repr ambiguity (~1e-12
+   for values < 1e5), and biases ties deterministically up in BOTH engines.
+
+Decimal width discipline: raw casts use DECIMAL(12,2); one product gives
+(25,4), a second factor gives (38,6) — exactly at Spark's 38-digit cap with
+zero precision loss. Never chain a third decimal multiplication.
+
+At 100 TB this costs nothing: decimal(12,2) sums use Spark's unscaled-Long
+fast path inside whole-stage codegen, with map-side partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEC = "decimal(12,2)"
+EPS = 1e-9
+
+
+def dec(col: Column | str) -> Column:
+    """Exact decimal view of a raw 2-decimal-valued double column (or of a
+    double expression whose true value has ≤2 decimals, e.g. ``1 - disc``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(DEC)
+
+
+def dsum(col: Column | str, alias: str, scale: int = 2) -> Column:
+    """Exact decimal sum → round (decimal-space HALF_UP, both engines
+    agree — verified) → double."""
+    return F.round(F.sum(dec(col) if isinstance(col, str) else col), scale).cast(
+        "double"
+    ).alias(alias)
+
+
+def davg(col: Column | str, alias: str, scale: int = 6) -> Column:
+    """Deterministic average: exact decimal sum → double, / count,
+    epsilon-nudge, round."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(F.sum(dec(c)).cast("double") / F.count(c) + EPS, scale).alias(
+        alias
+    )
+
+
+def fround(col: Column, alias: str, scale: int = 6) -> Column:
+    """Epsilon-nudged double rounding for ratio-like outputs computed
+    identically (IEEE) in both engines. Not for plain per-row 2-decimal
+    passthroughs — those need no rounding at all."""
+    return F.round(col + EPS, scale).alias(alias)
+
+
+# --- DuckDB oracle twins ----------------------------------------------------
+
+
+def sql_dec(expr: str) -> str:
+    return f"CAST({expr} AS DECIMAL(12,2))"
+
+
+def sql_dsum(expr: str, alias: str, scale: int = 2, raw: bool = True) -> str:
+    """Oracle twin of dsum. ``raw=True`` wraps expr in the decimal cast;
+    pass ``raw=False`` when expr is already a decimal product."""
+    inner = sql_dec(expr) if raw else expr
+    return f"CAST(ROUND(SUM({inner}), {scale}) AS DOUBLE) AS {alias}"
+
+
+def sql_davg(expr: str, alias: str, scale: int = 6) -> str:
+    return (
+        f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(12,2))) AS DOUBLE)"
+        f" / COUNT({expr}) + {EPS}, {scale}) AS {alias}"
+    )
+
+
+def sql_fround(expr: str, alias: str, scale: int = 6) -> str:
+    return f"ROUND({expr} + {EPS}, {scale}) AS {alias}"

@@ -1,0 +1,120 @@
+"""Sources and sinks (SURVEY.md §2.1).
+
+Scale notes (100 TB): a table here is one parquet file per scale factor, but
+every loader goes through ``spark.read.parquet`` which handles
+directory-of-files layouts identically, so at cluster scale the same code
+reads a partitioned lake directory. Column pruning and predicate pushdown
+are preserved by returning lazy DataFrames and never calling actions here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at ANY scale factor (region and
+# nation are fixed-size; customer/supplier/part grow with sf but stay tiny
+# relative to the facts — at 100 TB the facts are lineitem/orders/events, and
+# these dims remain broadcastable or at worst shuffle-joined by AQE).
+BROADCAST_DIMS = frozenset({"region", "nation"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy parquet scan of one table. Filters/projections applied by the
+    caller push down into this scan (verified in tests/test_explain.py).
+
+    ``events.ts`` is TIMESTAMP(NANOS) at rest, which Spark's vectorized
+    parquet reader rejects; we read it as nanos-since-epoch longs and
+    truncate to µs — byte-identical to DuckDB's own ns→µs truncation of the
+    same file (verified), so oracle hashes agree.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for the SQL surface."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+# ---------------------------------------------------------------------------
+# Declared queries (§2.1)
+# ---------------------------------------------------------------------------
+
+
+def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full scan of lineitem, stable column order."""
+    return load_table(spark, sf_dir, "lineitem")
+
+
+def q_scan_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection-only scan — Catalyst prunes the parquet ReadSchema to
+    exactly these three columns (asserted in tests/test_explain.py)."""
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_shipdate"
+    )
+
+
+def q_scan_all_tables_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row count of each of the 10 tables as (table_name, n_rows).
+
+    Catalog-surface query: at lake scale each count() is a metadata-only
+    parquet footer read (Spark's LocalLimit/statistics fast path), so this
+    stays cheap even over 100 TB of files.
+    """
+    parts = [
+        load_table(spark, sf_dir, name)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(F.lit(name).alias("table_name"), "n_rows")
+        for name in TABLES
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def write_partitioned(df: DataFrame, path: str, partition_col: str) -> None:
+    """Lake sink: partitioned parquet write (smoke-tested, not driver-scored).
+
+    At scale this is the canonical lake layout — one directory per partition
+    value enables partition pruning for downstream readers.
+    """
+    df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+
+
+QUERIES = {
+    "q_scan_parquet": q_scan_parquet,
+    "q_scan_projected": q_scan_projected,
+    "q_scan_all_tables_counts": q_scan_all_tables_counts,
+}
+
+ORACLES = {
+    "q_scan_parquet": "SELECT * FROM lineitem",
+    "q_scan_projected": "SELECT l_orderkey, l_quantity, l_shipdate FROM lineitem",
+    "q_scan_all_tables_counts": " UNION ALL ".join(
+        f"SELECT '{name}' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows FROM {name}"
+        for name in TABLES
+    ),
+}
