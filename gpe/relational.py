@@ -78,10 +78,492 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+# ---------------------------------------------------------------------------
+# §2.2 Projection / filter / predicates
+# ---------------------------------------------------------------------------
+
+
+def q_project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Computed columns: revenue = price*(1-disc), decimal-exact round."""
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = dec("l_extendedprice") * dec(1 - F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(revenue, 2).cast("double").alias("revenue"),
+        F.round(dec("l_extendedprice") * dec("l_tax"), 2)
+        .cast("double")
+        .alias("tax_amount"),
+    )
+
+
+def q_filter_conj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped conjunctive predicate; returns qualifying rows.
+
+    All three predicates push down to the parquet scan (row-group skipping
+    on l_shipdate min/max at scale)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount").between(0.03, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_shipdate")
+
+
+def q_filter_disj_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_returnflag").isin("A", "R")) | (F.col("l_quantity") > 45)
+    ).select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+
+
+def q_filter_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.filter(
+        (F.col("p_type").like("PROMO%")) & (F.col("p_name").contains("a"))
+    ).select("p_partkey", "p_name", "p_type")
+
+
+def q_filter_between_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderdate").between(
+            F.lit("1997-01-01").cast("timestamp"),
+            F.lit("1997-12-31").cast("timestamp"),
+        )
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+
+
+def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN tiering + coalesce/nullif coverage."""
+    o = load_table(spark, sf_dir, "orders")
+    tier = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "medium")
+        .when(F.col("o_totalprice") < 300000, "large")
+        .otherwise("jumbo")
+    )
+    return o.select(
+        "o_orderkey",
+        tier.alias("price_tier"),
+        # nullif→coalesce round-trip: 'F' status maps to fallback
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("F")), F.lit("final"))
+        .alias("status_label"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 Joins (equi)
+# ---------------------------------------------------------------------------
+
+
+def q_join_inner_bcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ customer with an explicit broadcast hint on the dim side.
+
+    At 100 TB: customer is the small side of a star join — broadcasting it
+    avoids shuffling the orders fact entirely (verified BroadcastHashJoin in
+    tests/test_explain.py)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(
+        F.broadcast(c), o.o_custkey == c.c_custkey, "inner"
+    ).select("o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_mktsegment")
+
+
+def q_join_inner_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem ⋈ orders fact-fact join — no hint: Spark picks sort-merge,
+    AQE may convert to broadcast at small sf. Both keys cluster by orderkey
+    so the shuffle is the minimal co-partitioning exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    return li.join(o, li.l_orderkey == o.o_orderkey, "inner").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "o_orderdate", "o_orderpriority"
+    )
+
+
+def q_join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue per nation for ASIA customers.
+
+    lineitem ⋈ orders (shuffle) then broadcast dims customer/nation/region.
+    One big-table scan, one fact shuffle, rest map-side — the canonical
+    star-join plan at scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    revenue = dec("l_extendedprice") * dec(1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
+        .orderBy("n_name")
+    )
+
+
+def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All customers with their order counts including zero."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer over a partially-overlapping derived pair: per-customer
+    order counts in 1995 vs 1996. Null-free output via coalesce for
+    cross-engine dtype stability."""
+    o = load_table(spark, sf_dir, "orders")
+    y95 = (
+        o.filter(F.year("o_orderdate") == 1995)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_1995"))
+    )
+    y96 = (
+        o.filter(F.year("o_orderdate") == 1996)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_1996"))
+    )
+    # USING-column full join: Spark emits o_custkey pre-coalesced across sides
+    return y95.join(y96, "o_custkey", "full").select(
+        F.col("o_custkey").alias("custkey"),
+        F.coalesce("n_1995", F.lit(0)).alias("n_1995"),
+        F.coalesce("n_1996", F.lit(0)).alias("n_1996"),
+    )
+
+
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers having ≥1 URGENT order (left semi — no row multiplication,
+    the build side only carries the key at scale)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no order above 400000."""
+    c = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def q_join_cross_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-small cartesian: region × nation (25×5 rows)."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+# ---------------------------------------------------------------------------
+# §2.4 Aggregation (basics)
+# ---------------------------------------------------------------------------
+
+
+def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global aggregates over lineitem revenue — no grouping, partial
+    aggregation reduces each partition to one row before the single-row
+    final combine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = dec("l_extendedprice") * dec(1 - F.col("l_discount"))
+    return li.agg(
+        F.round(F.sum(revenue), 2).cast("double").alias("total_revenue"),
+        davg("l_quantity", "avg_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch distinct — rows-only check (sketches differ across
+    engines by design; SURVEY.md §2.4)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+        .orderBy("event_type")
+    )
+
+
+def q_agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two distinct aggregates in one pass (Spark expands to a single
+    shuffle with grouping-id replication — still one scan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Groups filtered post-aggregation (HAVING). Filter applies to the
+    exact decimal sum BEFORE rounding so both engines gate identically."""
+    ev = load_table(spark, sf_dir, "events")
+    summed = ev.groupBy("event_type").agg(F.sum(dec("value")).alias("_sv"))
+    return (
+        summed.filter(F.col("_sv") > 50000)
+        .select(
+            "event_type", F.round("_sv", 2).cast("double").alias("sum_value")
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 Sort / limit / set ops
+# ---------------------------------------------------------------------------
+
+
+def q_sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key sort + limit → TakeOrderedAndProject (top-k without a full
+    sort; each partition keeps 100 rows, driver merges). Unique tiebreak
+    (l_orderkey, l_linenumber) makes the limit deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(
+            F.desc("l_shipdate"), F.asc("l_orderkey"), F.asc("l_linenumber")
+        )
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+        .limit(100)
+    )
+
+
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    mid = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    first = ev.filter(F.col("ts") < mid)
+    second = ev.filter(F.col("ts") >= mid)
+    return first.unionByName(second).select("event_id", "ts", "event_type")
+
+
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    rich = c.filter(F.col("c_acctbal") > 5000).select("c_custkey", "c_name")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey", "c_name"
+    )
+    return rich.union(building).distinct()
+
+
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    auto = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return auto.intersect(urgent)
+
+
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.select(F.col("c_custkey").alias("custkey")).exceptAll(
+        o.select(F.col("o_custkey").alias("custkey")).distinct()
+    )
+
+
+def q_distinct_dropdup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup primitive: distinct (event_type, user_id) pairs.
+    Expressed as groupBy (deterministic) rather than dropDuplicates
+    (keep-any) per SURVEY.md §5.3 rule 4."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("event_type", "user_id").distinct()
+
+
 QUERIES = {
     "q_agg_groupby": q_agg_groupby,
+    "q_project_compute": q_project_compute,
+    "q_filter_conj": q_filter_conj,
+    "q_filter_disj_in": q_filter_disj_in,
+    "q_filter_like": q_filter_like,
+    "q_filter_between_dates": q_filter_between_dates,
+    "q_case_when": q_case_when,
+    "q_join_inner_bcast": q_join_inner_bcast,
+    "q_join_inner_shuffle": q_join_inner_shuffle,
+    "q_join_multiway_star": q_join_multiway_star,
+    "q_join_left_outer": q_join_left_outer,
+    "q_join_full_outer": q_join_full_outer,
+    "q_join_semi": q_join_semi,
+    "q_join_anti": q_join_anti,
+    "q_join_cross_limited": q_join_cross_limited,
+    "q_agg_global": q_agg_global,
+    "q_agg_count_distinct": q_agg_count_distinct,
+    "q_agg_approx_distinct": q_agg_approx_distinct,
+    "q_agg_multi_distinct": q_agg_multi_distinct,
+    "q_agg_having": q_agg_having,
+    "q_sort_multi": q_sort_multi,
+    "q_union_all": q_union_all,
+    "q_union_distinct": q_union_distinct,
+    "q_intersect": q_intersect,
+    "q_except": q_except,
+    "q_distinct_dropdup": q_distinct_dropdup,
 }
+
+_REV_DEC = f"{sql_dec('l_extendedprice')} * {sql_dec('1 - l_discount')}"
 
 ORACLES = {
     "q_agg_groupby": _Q1_ORACLE,
+    "q_project_compute": f"""
+        SELECT l_orderkey, l_linenumber,
+               CAST(ROUND({_REV_DEC}, 2) AS DOUBLE) AS revenue,
+               CAST(ROUND({sql_dec('l_extendedprice')} * {sql_dec('l_tax')}, 2)
+                    AS DOUBLE) AS tax_amount
+        FROM lineitem""",
+    "q_filter_conj": """
+        SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_shipdate
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24""",
+    "q_filter_disj_in": """
+        SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+        FROM lineitem
+        WHERE l_returnflag IN ('A', 'R') OR l_quantity > 45""",
+    "q_filter_like": """
+        SELECT p_partkey, p_name, p_type
+        FROM part
+        WHERE p_type LIKE 'PROMO%' AND p_name LIKE '%a%'""",
+    "q_filter_between_dates": """
+        SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+        FROM orders
+        WHERE o_orderdate BETWEEN TIMESTAMP '1997-01-01'
+                              AND TIMESTAMP '1997-12-31'""",
+    "q_case_when": """
+        SELECT o_orderkey,
+               CASE WHEN o_totalprice < 50000 THEN 'small'
+                    WHEN o_totalprice < 150000 THEN 'medium'
+                    WHEN o_totalprice < 300000 THEN 'large'
+                    ELSE 'jumbo' END AS price_tier,
+               COALESCE(NULLIF(o_orderstatus, 'F'), 'final') AS status_label
+        FROM orders""",
+    "q_join_inner_bcast": """
+        SELECT o_orderkey, o_totalprice, c_custkey, c_name, c_mktsegment
+        FROM orders JOIN customer ON o_custkey = c_custkey""",
+    "q_join_inner_shuffle": """
+        SELECT l_orderkey, l_linenumber, l_quantity, o_orderdate, o_orderpriority
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey""",
+    "q_join_multiway_star": f"""
+        SELECT n_name,
+               CAST(ROUND(SUM({_REV_DEC}), 2) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey  = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name
+        ORDER BY n_name""",
+    "q_join_left_outer": """
+        SELECT c_custkey, c_name, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey, c_name""",
+    "q_join_full_outer": """
+        WITH y95 AS (
+          SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_1995
+          FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995
+          GROUP BY o_custkey),
+        y96 AS (
+          SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_1996
+          FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+          GROUP BY o_custkey)
+        SELECT COALESCE(y95.o_custkey, y96.o_custkey) AS custkey,
+               COALESCE(n_1995, 0) AS n_1995,
+               COALESCE(n_1996, 0) AS n_1996
+        FROM y95 FULL OUTER JOIN y96 ON y95.o_custkey = y96.o_custkey""",
+    "q_join_semi": """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')""",
+    "q_join_anti": """
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_totalprice > 400000)""",
+    "q_join_cross_limited": """
+        SELECT r_name, n_name FROM region CROSS JOIN nation""",
+    "q_agg_global": f"""
+        SELECT CAST(ROUND(SUM({_REV_DEC}), 2) AS DOUBLE) AS total_revenue,
+               {sql_davg('l_quantity', 'avg_qty')},
+               MIN(l_extendedprice) AS min_price,
+               MAX(l_extendedprice) AS max_price,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem""",
+    "q_agg_count_distinct": """
+        SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events GROUP BY event_type ORDER BY event_type""",
+    # q_agg_approx_distinct: rows-only by design (sketches differ)
+    "q_agg_multi_distinct": """
+        SELECT l_returnflag,
+               CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_agg_having": """
+        SELECT event_type,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE)
+                 AS sum_value
+        FROM events
+        GROUP BY event_type
+        HAVING SUM(CAST(value AS DECIMAL(12,2))) > 50000
+        ORDER BY event_type""",
+    "q_sort_multi": """
+        SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
+        FROM lineitem
+        ORDER BY l_shipdate DESC, l_orderkey ASC, l_linenumber ASC
+        LIMIT 100""",
+    "q_union_all": """
+        SELECT event_id, ts, event_type FROM events
+        WHERE ts < TIMESTAMP '2024-01-15'
+        UNION ALL
+        SELECT event_id, ts, event_type FROM events
+        WHERE ts >= TIMESTAMP '2024-01-15'""",
+    "q_union_distinct": """
+        SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000
+        UNION
+        SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'""",
+    "q_intersect": """
+        SELECT c_custkey AS custkey FROM customer
+        WHERE c_mktsegment = 'AUTOMOBILE'
+        INTERSECT
+        SELECT o_custkey AS custkey FROM orders
+        WHERE o_orderpriority = '1-URGENT'""",
+    "q_except": """
+        SELECT c_custkey AS custkey FROM customer
+        EXCEPT
+        SELECT o_custkey AS custkey FROM orders""",
+    "q_distinct_dropdup": """
+        SELECT DISTINCT event_type, user_id FROM events""",
 }
