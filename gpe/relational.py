@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gpe.common import davg, dec, dsum, sql_davg, sql_dec, sql_dsum
+from gpe.common import EPS, davg, dec, dsum, sql_davg, sql_dec, sql_dsum
 from gpe.io import load_table
 
 # ---------------------------------------------------------------------------
@@ -400,8 +400,107 @@ def q_distinct_dropdup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("event_type", "user_id").distinct()
 
 
+# ---------------------------------------------------------------------------
+# §2.4 Grouping extensions: rollup / cube / grouping sets / collect / stats
+# ---------------------------------------------------------------------------
+
+
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by (returnflag, linestatus) with ROLLUP subtotals; NULL
+    subtotal keys relabeled 'ALL' (data itself is null-free)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = dec("l_extendedprice") * dec(1 - F.col("l_discount"))
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(revenue), 2).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "revenue",
+            "n_rows",
+        )
+    )
+
+
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sum(value) by CUBE(event_type, user_id % 10)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("user_bucket", F.col("user_id") % 10)
+        .cube("event_type", "user_bucket")
+        .agg(
+            F.round(F.sum(dec("value")), 2).cast("double").alias("sum_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("user_bucket", F.lit(-1)).alias("user_bucket"),
+            "sum_value",
+            "n_events",
+        )
+    )
+
+
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((returnflag), (linestatus), ()) — via the SQL
+    surface with a parameterized table ref (no temp-view name collisions)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE)
+                 AS sum_qty
+        FROM {li}
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """,
+        li=li,
+    )
+
+
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per order: sorted array of its line numbers (array output internally
+    sorted for hash stability, §5.3 rule 2)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_linenumber")).alias("line_numbers")
+    )
+
+
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag sample stddev of price + exact median of quantity.
+
+    stddev via the closed form sqrt((Σx² − (Σx)²/n)/(n−1)) over EXACT decimal
+    sums (x and x² both exact decimals) → the only float ops are the final
+    IEEE-identical double arithmetic, so no engine drift — unlike native
+    stddev_samp whose streaming accumulation differs per partitioning."""
+    li = load_table(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
+    sx = F.sum(dec("l_extendedprice")).cast("double")
+    sxx = F.sum(dec("l_extendedprice") * dec("l_extendedprice")).cast("double")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            n.alias("n_rows"),
+            F.round(
+                F.sqrt((sxx - sx * sx / n) / (n - F.lit(1))) + EPS, 6
+            ).alias("std_price"),
+            F.median("l_quantity").alias("median_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 QUERIES = {
     "q_agg_groupby": q_agg_groupby,
+    "q_agg_rollup": q_agg_rollup,
+    "q_agg_cube": q_agg_cube,
+    "q_agg_grouping_sets": q_agg_grouping_sets,
+    "q_agg_collect": q_agg_collect,
+    "q_agg_stats": q_agg_stats,
     "q_project_compute": q_project_compute,
     "q_filter_conj": q_filter_conj,
     "q_filter_disj_in": q_filter_disj_in,
@@ -433,6 +532,49 @@ _REV_DEC = f"{sql_dec('l_extendedprice')} * {sql_dec('1 - l_discount')}"
 
 ORACLES = {
     "q_agg_groupby": _Q1_ORACLE,
+    "q_agg_rollup": f"""
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               CAST(ROUND(SUM({_REV_DEC}), 2) AS DOUBLE) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q_agg_cube": """
+        SELECT COALESCE(event_type, 'ALL') AS event_type,
+               COALESCE(user_id % 10, -1) AS user_bucket,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE)
+                 AS sum_value,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events
+        GROUP BY CUBE (event_type, user_id % 10)""",
+    "q_agg_grouping_sets": """
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE)
+                 AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
+    "q_agg_collect": """
+        SELECT l_orderkey,
+               list(l_linenumber ORDER BY l_linenumber) AS line_numbers
+        FROM lineitem GROUP BY l_orderkey""",
+    "q_agg_stats": f"""
+        WITH g AS (
+          SELECT l_returnflag,
+                 COUNT(*) AS n,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                   AS sx,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                   AS sxx,
+                 MEDIAN(l_quantity) AS med
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag,
+               CAST(n AS BIGINT) AS n_rows,
+               ROUND(SQRT((sxx - sx * sx / n) / (n - 1)) + {EPS}, 6)
+                 AS std_price,
+               med AS median_qty
+        FROM g ORDER BY l_returnflag""",
     "q_project_compute": f"""
         SELECT l_orderkey, l_linenumber,
                CAST(ROUND({_REV_DEC}, 2) AS DOUBLE) AS revenue,

@@ -1,0 +1,217 @@
+"""Window-function queries (SURVEY.md §2.5).
+
+Determinism rules applied throughout (§5.3): ``row_number``/``ntile`` always
+order by a UNIQUE key chain (value, then primary key); ``rank``/
+``dense_rank``/``percent_rank`` are tie-deterministic by definition so they
+order by the value alone to actually exercise tie semantics. Running sums use
+exact decimal arithmetic so every prefix is engine-identical.
+
+Scale notes (100 TB): a window partitioned by a key is one shuffle on that
+key; frames evaluate streamingly within each partition (no materialization
+of the whole partition for running frames). Skewed partition keys (one user
+with millions of events) are the hazard — AQE cannot split a window
+partition, so upstream salting/bucketing is the mitigation for pathological
+keys; user_id/custkey here are near-uniform.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gpe.common import EPS, dec
+from gpe.io import load_table
+
+
+def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank of orders per customer by totalprice."""
+    o = load_table(spark, sf_dir, "orders")
+    w_unique = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    w_ties = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.row_number().over(w_unique).alias("rn"),
+        F.rank().over(w_ties).alias("rnk"),
+        F.dense_rank().over(w_ties).alias("drnk"),
+    )
+
+
+def q_win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer (rank + filter). At scale this is the
+    standard groupwise-top-k: one shuffle, no global sort."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event deltas: value change and µs since previous event.
+
+    Raw double subtraction is IEEE-identical across engines — no rounding
+    needed. Time delta kept in exact integer microseconds."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.col("value") - F.lag("value").over(w)).alias("value_delta"),
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias(
+            "micros_since_prev"
+        ),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+def q_win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative revenue per customer over order dates — exact decimal
+    prefix sums over a deterministic (date, orderkey) order."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.sum(dec("o_totalprice")).over(w), 2)
+        .cast("double")
+        .alias("cum_spend"),
+    )
+
+
+def q_win_moving_avg_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour trailing average of value per user — a time-RANGE frame.
+
+    Spark range frames need a numeric ordering column, so we order by epoch
+    microseconds with a [-3600e6, 0] frame — semantically identical to
+    DuckDB's RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW on
+    the µs-precision timestamp."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(
+            F.sum(dec("value")).over(w).cast("double")
+            / F.count("value").over(w)
+            + EPS,
+            6,
+        ).alias("avg_1h"),
+    )
+
+
+def q_win_ntile_pctrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile bucket (unique-ordered) + percent_rank (tie-deterministic)
+    of customers by account balance."""
+    c = load_table(spark, sf_dir, "customer")
+    w_unique = Window.orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+    w_ties = Window.orderBy(F.asc("c_acctbal"))
+    return c.select(
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(4).over(w_unique).alias("quartile"),
+        F.round(F.percent_rank().over(w_ties) + EPS, 6).alias("pct_rank"),
+    )
+
+
+def q_win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First and last event_type per user by time (frame to partition end
+    for last_value, per SQL semantics)."""
+    ev = load_table(spark, sf_dir, "events")
+    w_full = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        F.first("event_type").over(w_full).alias("first_type"),
+        F.last("event_type").over(w_full).alias("last_type"),
+    ).distinct()
+
+
+QUERIES = {
+    "q_win_rank": q_win_rank,
+    "q_win_topk_per_group": q_win_topk_per_group,
+    "q_win_lag_lead": q_win_lag_lead,
+    "q_win_running_sum": q_win_running_sum,
+    "q_win_moving_avg_time": q_win_moving_avg_time,
+    "q_win_ntile_pctrank": q_win_ntile_pctrank,
+    "q_win_first_last": q_win_first_last,
+}
+
+ORACLES = {
+    "q_win_rank": """
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey)
+                    AS INTEGER) AS rn,
+               CAST(RANK() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC) AS INTEGER) AS rnk,
+               CAST(DENSE_RANK() OVER (PARTITION BY o_custkey
+                                       ORDER BY o_totalprice DESC) AS INTEGER)
+                 AS drnk
+        FROM orders""",
+    "q_win_topk_per_group": """
+        SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey)
+                      AS INTEGER) AS rn
+          FROM orders)
+        WHERE rn <= 3""",
+    "q_win_lag_lead": """
+        SELECT user_id, event_id, ts,
+               value - LAG(value) OVER w AS value_delta,
+               date_diff('microsecond', LAG(ts) OVER w, ts) AS micros_since_prev,
+               LEAD(event_type) OVER w AS next_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+    "q_win_running_sum": """
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                          OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                          2) AS DOUBLE) AS cum_spend
+        FROM orders""",
+    "q_win_moving_avg_time": f"""
+        SELECT user_id, event_id, ts,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE)
+                     / COUNT(value) OVER w + {EPS}, 6) AS avg_1h
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW)""",
+    "q_win_ntile_pctrank": f"""
+        SELECT c_custkey, c_acctbal,
+               CAST(NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS INTEGER)
+                 AS quartile,
+               ROUND(PERCENT_RANK() OVER (ORDER BY c_acctbal) + {EPS}, 6)
+                 AS pct_rank
+        FROM customer""",
+    "q_win_first_last": """
+        SELECT DISTINCT user_id,
+               FIRST_VALUE(event_type) OVER w AS first_type,
+               LAST_VALUE(event_type) OVER w AS last_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
+}
