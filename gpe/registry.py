@@ -19,7 +19,16 @@ _MODULES = [_io, _relational]
 
 # Extended modules are imported lazily-tolerantly so a syntax error in one
 # module under development never takes down the whole registry.
-for _name in ("windows", "timeseries", "text", "dedup", "vectors", "catalog", "udf"):
+for _name in (
+    "windows",
+    "timeseries",
+    "scalars",
+    "text",
+    "dedup",
+    "vectors",
+    "catalog",
+    "udf",
+):
     try:
         _mod = __import__(f"gpe.{_name}", fromlist=[_name])
         _MODULES.append(_mod)

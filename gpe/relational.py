@@ -14,7 +14,7 @@ on this path: everything is JVM whole-stage-codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gpe.common import EPS, davg, dec, dsum, sql_davg, sql_dec, sql_dsum
@@ -268,6 +268,102 @@ def q_join_cross_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.crossJoin(n).select("r_name", "n_name")
 
 
+def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi band join: pairs of same-user events ≤ 5 minutes apart.
+
+    The user_id equality makes this an equi-join with a residual range
+    filter — Spark plans SortMergeJoin on user_id, so the cartesian blow-up
+    is bounded per user, never global. (event_id order == ts order in this
+    data; the range predicate is the semantic guard.)"""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.alias("a")
+    b = ev.alias("b")
+    diff = F.unix_micros(F.col("b.ts")) - F.unix_micros(F.col("a.ts"))
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_id") < F.col("b.event_id"))
+            & (diff >= 0)
+            & (diff <= 300_000_000),
+        )
+        .select(
+            F.col("a.user_id").alias("user_id"),
+            F.col("a.event_id").alias("a_id"),
+            F.col("b.event_id").alias("b_id"),
+            diff.alias("micros_apart"),
+        )
+    )
+
+
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of backward join: for each purchase, the latest view of the same
+    user with v.ts <= p.ts (DuckDB ASOF JOIN `>=` semantics mirrored).
+
+    Spark has no native ASOF; rather than a join + per-key max (which
+    re-shuffles the matched pairs), we use the union-scan formulation:
+    one pass over events per user ordered by time, carrying the last seen
+    view via last(ignorenulls) — a single shuffle on user_id, O(n) state,
+    no row multiplication. This is the 100 TB-safe shape."""
+    ev = load_table(spark, sf_dir, "events")
+    is_view = F.col("event_type") == "view"
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.last(F.when(is_view, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("v_event_id"),
+        F.last(F.when(is_view, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("v_ts"),
+    )
+    return (
+        carried.filter(
+            (F.col("event_type") == "purchase") & F.col("v_event_id").isNotNull()
+        )
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+            "v_event_id",
+            "v_ts",
+        )
+    )
+
+
+def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join: events against a derived calendar-day
+    interval table [day, day+1). The interval table is tiny (≤31 rows) →
+    broadcast nested-loop is the right plan and stays right at 100 TB
+    (intervals grow with time span, not data volume)."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    days = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias(
+            "day_start"
+        )
+    ).withColumn("day_end", F.col("day_start") + F.expr("INTERVAL 1 DAY"))
+    return (
+        F.broadcast(days)
+        .join(ev, (ev.ts >= days.day_start) & (ev.ts < days.day_end))
+        .groupBy("day_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.4 Aggregation (basics)
 # ---------------------------------------------------------------------------
@@ -515,6 +611,9 @@ QUERIES = {
     "q_join_semi": q_join_semi,
     "q_join_anti": q_join_anti,
     "q_join_cross_limited": q_join_cross_limited,
+    "q_join_theta_range": q_join_theta_range,
+    "q_join_asof": q_join_asof,
+    "q_join_interval": q_join_interval,
     "q_agg_global": q_agg_global,
     "q_agg_count_distinct": q_agg_count_distinct,
     "q_agg_approx_distinct": q_agg_approx_distinct,
@@ -657,6 +756,38 @@ ORACLES = {
                             AND o_totalprice > 400000)""",
     "q_join_cross_limited": """
         SELECT r_name, n_name FROM region CROSS JOIN nation""",
+    "q_join_theta_range": """
+        SELECT a.user_id AS user_id,
+               a.event_id AS a_id,
+               b.event_id AS b_id,
+               date_diff('microsecond', a.ts, b.ts) AS micros_apart
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND a.event_id < b.event_id
+         AND date_diff('microsecond', a.ts, b.ts) BETWEEN 0 AND 300000000""",
+    "q_join_asof": """
+        SELECT p.event_id AS p_event_id,
+               p.user_id AS user_id,
+               p.ts AS p_ts,
+               v.event_id AS v_event_id,
+               v.ts AS v_ts
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON p.user_id = v.user_id AND p.ts >= v.ts""",
+    "q_join_interval": """
+        WITH bounds AS (
+          SELECT date_trunc('day', MIN(ts)) AS d0,
+                 date_trunc('day', MAX(ts)) AS d1
+          FROM events),
+        days AS (
+          SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day_start
+          FROM bounds)
+        SELECT day_start,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM days JOIN events e
+          ON e.ts >= day_start AND e.ts < day_start + INTERVAL 1 DAY
+        GROUP BY day_start""",
     "q_agg_global": f"""
         SELECT CAST(ROUND(SUM({_REV_DEC}), 2) AS DOUBLE) AS total_revenue,
                {sql_davg('l_quantity', 'avg_qty')},

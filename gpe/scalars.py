@@ -1,0 +1,206 @@
+"""Scalar-function families (SURVEY.md §2.7) — string, date, math, array,
+JSON, map, and token explosion. Each family is exercised through one combined
+query rather than one query per function.
+
+All expressions are built-in pyspark.sql.functions (JVM whole-stage codegen;
+no Python UDFs). Cross-engine dtype notes are inline — DuckDB widens many
+results to BIGINT/DOUBLE where Spark stays INT/LONG, so oracles cast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gpe.common import EPS, dec, sql_davg
+from gpe.io import load_table
+
+
+def q_scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("up_name"),
+        F.lower("p_type").alias("lo_type"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_pre"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.lpad("p_brand", 12, "*").alias("brand_pad"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_us"),
+        F.split("p_type", " ").getItem(0).alias("type_head"),
+        F.regexp_extract("p_name", "([aeiou]+)", 1).alias("first_vowels"),
+        F.col("p_name").contains("a").alias("has_a"),
+        F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit("  "))).alias(
+            "brand_trim"
+        ),
+    )
+
+
+def q_scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+        F.date_add(F.col("o_orderdate"), 30).cast("timestamp").alias("plus30"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch0"
+        ),
+        F.unix_timestamp("o_orderdate").alias("unix_sec"),
+    )
+
+
+def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    x = F.col("p_retailprice")
+    return p.select(
+        "p_partkey",
+        # decimal-space rounding (double ROUND at .x5 ties differs per engine)
+        F.round(dec(x), 1).cast("double").alias("price_r1"),
+        F.abs(x - 1000.0).alias("abs_diff"),
+        F.ceil(x).alias("price_ceil"),
+        F.floor(x).alias("price_floor"),
+        # sqrt is IEEE-correctly-rounded → identical; ln/log10 are libm
+        # (≤1 ulp drift possible) → epsilon-nudged rounding
+        F.round(F.sqrt(x) + EPS, 6).alias("price_sqrt"),
+        F.round(F.log(x) + EPS, 6).alias("price_ln"),
+        F.round(F.log10(x) + EPS, 6).alias("price_log10"),
+        (x * x).alias("price_sq"),
+        F.signum(x - 1500.0).cast("int").alias("sign_vs_1500"),
+        F.greatest(x, F.lit(1000.0)).alias("hi"),
+        F.least(x, F.lit(1000.0)).alias("lo"),
+    )
+
+
+def q_scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.slice(toks, 1, 3).alias("first3"),
+        F.sort_array(F.array_distinct(toks)).alias("uniq_sorted"),
+    )
+
+
+def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus and count token frequencies (explode ≡ UNNEST).
+    At 100 TB: explode is pipelined (no materialized blow-up) into the
+    partial hash aggregate — the shuffle carries only (token, count)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.round(
+                F.sum(dec("k")).cast("double") / F.count("k") + EPS, 6
+            ).alias("avg_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """props parsed into a derived MapType column → key list + element."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return ev.select(
+        "event_id",
+        F.sort_array(F.map_keys(m)).alias("prop_keys"),
+        F.element_at(m, "k").alias("k_value"),
+    )
+
+
+QUERIES = {
+    "q_scalar_string": q_scalar_string,
+    "q_scalar_date": q_scalar_date,
+    "q_scalar_math": q_scalar_math,
+    "q_scalar_array": q_scalar_array,
+    "q_explode_tokens": q_explode_tokens,
+    "q_scalar_json": q_scalar_json,
+    "q_scalar_map": q_scalar_map,
+}
+
+ORACLES = {
+    "q_scalar_string": """
+        SELECT p_partkey,
+               UPPER(p_name) AS up_name,
+               LOWER(p_type) AS lo_type,
+               CAST(LENGTH(p_name) AS INTEGER) AS name_len,
+               SUBSTRING(p_name, 1, 5) AS name_pre,
+               CONCAT_WS('-', p_brand, p_type) AS brand_type,
+               LPAD(p_brand, 12, '*') AS brand_pad,
+               REPLACE(p_type, ' ', '_') AS type_us,
+               string_split(p_type, ' ')[1] AS type_head,
+               regexp_extract(p_name, '([aeiou]+)', 1) AS first_vowels,
+               p_name LIKE '%a%' AS has_a,
+               TRIM('  ' || p_brand || '  ') AS brand_trim
+        FROM part""",
+    "q_scalar_date": """
+        SELECT o_orderkey,
+               CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
+               CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS mo,
+               CAST(EXTRACT(day FROM o_orderdate) AS INTEGER) AS dom,
+               date_trunc('month', o_orderdate) AS month_start,
+               CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
+               o_orderdate + INTERVAL 30 DAY AS plus30,
+               CAST(date_diff('day', DATE '1995-01-01', o_orderdate)
+                    AS INTEGER) AS days_since_epoch0,
+               CAST(epoch(o_orderdate) AS BIGINT) AS unix_sec
+        FROM orders""",
+    "q_scalar_math": f"""
+        SELECT p_partkey,
+               CAST(ROUND(CAST(p_retailprice AS DECIMAL(12,2)), 1) AS DOUBLE)
+                 AS price_r1,
+               ABS(p_retailprice - 1000.0) AS abs_diff,
+               CAST(CEIL(p_retailprice) AS BIGINT) AS price_ceil,
+               CAST(FLOOR(p_retailprice) AS BIGINT) AS price_floor,
+               ROUND(SQRT(p_retailprice) + {EPS}, 6) AS price_sqrt,
+               ROUND(LN(p_retailprice) + {EPS}, 6) AS price_ln,
+               ROUND(LOG10(p_retailprice) + {EPS}, 6) AS price_log10,
+               p_retailprice * p_retailprice AS price_sq,
+               CAST(SIGN(p_retailprice - 1500.0) AS INTEGER) AS sign_vs_1500,
+               GREATEST(p_retailprice, 1000.0) AS hi,
+               LEAST(p_retailprice, 1000.0) AS lo
+        FROM part""",
+    "q_scalar_array": """
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+               list_contains(string_split(text, ' '), 'spark') AS has_spark,
+               string_split(text, ' ')[1:3] AS first3,
+               list_sort(list_distinct(string_split(text, ' '))) AS uniq_sorted
+        FROM documents""",
+    "q_explode_tokens": """
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token""",
+    "q_scalar_json": f"""
+        SELECT event_type,
+               MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+               MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+               {sql_davg("CAST(json_extract_string(props, '$.k') AS INTEGER)", "avg_k")},
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_scalar_map": """
+        SELECT event_id,
+               list_sort(json_keys(props)) AS prop_keys,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value
+        FROM events""",
+}

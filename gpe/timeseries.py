@@ -1,0 +1,223 @@
+"""Time-series / sessionization batch analytics on `events`
+(SURVEY.md §2.8). Streaming analogs live in gpe/streaming.py.
+
+Scale notes (100 TB): all of these group or window by (user_id) or by time
+bucket — both near-uniform here. Tumbling/sliding buckets are pure map-side
+expressions feeding one hash aggregate; sessionization is one shuffle on
+user_id then a streaming window pass; the funnel is three semi-join-shaped
+reductions that each collapse to ≤1 row per user before joining (never a
+row-multiplying self-join on raw events).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gpe.common import dec
+from gpe.io import load_table
+
+_SESSION_GAP_US = 1_800_000_000  # 30 minutes
+
+
+def q_ts_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events per 1-hour tumbling bucket (epoch-aligned, ≡ date_trunc)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(dec("value")), 2).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("bucket_start"), "n_events", "sum_value")
+    )
+
+
+def q_ts_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 15 minutes (each event lands in 4)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(dec("value")), 2).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("bucket_start"), "n_events", "sum_value")
+    )
+
+
+def q_ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessions per user with a 30-min inactivity gap.
+
+    Classic batch formula: lag → new-session flag → running sum = session
+    ordinal → group. One shuffle on user_id; the window and the final group
+    share that partitioning (no second exchange)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    flag = F.when(gap.isNull() | (gap > _SESSION_GAP_US), 1).otherwise(0)
+    return (
+        ev.withColumn("session_id", F.sum(flag).over(wrun))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(dec("value")), 2).cast("double").alias("sum_value"),
+        )
+    )
+
+
+def q_ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users who did view → click → purchase in order, completing within
+    24h of the first view. Conditional-min semantics: first view, first
+    click AFTER that view, first purchase AFTER that click."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id", "v_ts")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id", "v_ts", "c_ts")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return p.filter(
+        F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 24 HOURS")
+    ).select("user_id", "v_ts", "c_ts", "p_ts")
+
+
+def q_ts_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup-cohort retention: distinct active users per (cohort day,
+    day offset ≥ 0)."""
+    ev = load_table(spark, sf_dir, "events")
+    cohort = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("day", F.min("ts")).alias("cohort_day"))
+    )
+    return (
+        ev.join(cohort, "user_id")
+        .withColumn(
+            "day_offset", F.datediff(F.date_trunc("day", "ts"), F.col("cohort_day"))
+        )
+        .filter(F.col("day_offset") >= 0)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+def q_ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day event counts with zero-filled missing days over the span."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    days = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    counts = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return days.join(counts, "day", "left").select(
+        "day", F.coalesce("n", F.lit(0)).alias("n_events")
+    )
+
+
+QUERIES = {
+    "q_ts_tumbling": q_ts_tumbling,
+    "q_ts_sliding": q_ts_sliding,
+    "q_ts_sessionize": q_ts_sessionize,
+    "q_ts_funnel": q_ts_funnel,
+    "q_ts_retention": q_ts_retention,
+    "q_ts_gap_fill": q_ts_gap_fill,
+}
+
+_SUM_VAL = "CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value"
+
+ORACLES = {
+    "q_ts_tumbling": f"""
+        SELECT date_trunc('hour', ts) AS bucket_start,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               {_SUM_VAL}
+        FROM events GROUP BY 1""",
+    "q_ts_sliding": f"""
+        SELECT time_bucket(INTERVAL '15 minutes', ts)
+                 - k * INTERVAL '15 minutes' AS bucket_start,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               {_SUM_VAL}
+        FROM events CROSS JOIN (SELECT unnest([0,1,2,3]) AS k)
+        GROUP BY 1""",
+    "q_ts_sessionize": f"""
+        WITH flagged AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN LAG(ts) OVER w IS NULL
+                        OR date_diff('microsecond', LAG(ts) OVER w, ts)
+                           > {_SESSION_GAP_US}
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sessions AS (
+          SELECT user_id, ts, value,
+                 CAST(SUM(new_session) OVER (PARTITION BY user_id
+                       ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS BIGINT) AS session_id
+          FROM flagged)
+        SELECT user_id, session_id,
+               MIN(ts) AS session_start, MAX(ts) AS session_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               {_SUM_VAL}
+        FROM sessions GROUP BY user_id, session_id""",
+    "q_ts_funnel": """
+        WITH v AS (
+          SELECT user_id, MIN(ts) AS v_ts FROM events
+          WHERE event_type = 'view' GROUP BY user_id),
+        c AS (
+          SELECT e.user_id, v.v_ts, MIN(e.ts) AS c_ts
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.v_ts
+          GROUP BY e.user_id, v.v_ts),
+        p AS (
+          SELECT e.user_id, c.v_ts, c.c_ts, MIN(e.ts) AS p_ts
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+          GROUP BY e.user_id, c.v_ts, c.c_ts)
+        SELECT user_id, v_ts, c_ts, p_ts FROM p
+        WHERE p_ts <= v_ts + INTERVAL '24 hours'""",
+    "q_ts_retention": """
+        WITH cohort AS (
+          SELECT user_id, date_trunc('day', MIN(ts)) AS cohort_day
+          FROM events WHERE event_type = 'signup' GROUP BY user_id)
+        SELECT cohort_day,
+               CAST(date_diff('day', cohort_day, date_trunc('day', e.ts))
+                    AS INTEGER) AS day_offset,
+               CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
+        FROM events e JOIN cohort USING (user_id)
+        WHERE date_diff('day', cohort_day, date_trunc('day', e.ts)) >= 0
+        GROUP BY 1, 2""",
+    "q_ts_gap_fill": """
+        WITH bounds AS (
+          SELECT date_trunc('day', MIN(ts)) AS d0,
+                 date_trunc('day', MAX(ts)) AS d1
+          FROM events),
+        days AS (
+          SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+          FROM bounds),
+        counts AS (
+          SELECT date_trunc('day', ts) AS day, CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY 1)
+        SELECT day, COALESCE(n, 0) AS n_events
+        FROM days LEFT JOIN counts USING (day)""",
+}
