@@ -26,6 +26,7 @@ for _name in (
     "text",
     "dedup",
     "vectors",
+    "multimodal",
     "catalog",
     "udf",
 ):

@@ -1,0 +1,134 @@
+"""Structured Streaming surface (SURVEY.md §2.10) — not driver-scored;
+verified by batch-equivalence pytest (tests/test_streaming_equivalence.py).
+
+Each builder takes a streaming DataFrame of the events shape and returns the
+streaming aggregation; `stream_events` replays an events parquet file
+through the file source. The batch twins live in gpe/timeseries.py — the
+tests assert result equality after processAllAvailable().
+
+Scale notes: these are the operators a production ingest pipeline runs
+continuously — watermarked tumbling/session aggregations keep bounded state
+(only open windows), streaming dedup keeps the key set inside the watermark
+horizon, and applyInPandasWithState holds one state row per user_id. All
+state is in the state store, sharded by the grouping key — the same
+partitioning story as the batch shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as ns longs
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the events table as a stream (file source, one file).
+
+    Same ns→µs handling as the batch loader (gpe/io.py): the parquet
+    TIMESTAMP(NANOS) column arrives as ns-since-epoch longs and is
+    truncated to µs timestamps."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # file source needs a DIRECTORY; glob-filter down to the events file
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of q_ts_tumbling: 1-hour windows under a watermark.
+    State: one row per open window; closed windows emit and evict."""
+    from gpe.common import dec
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(dec("value")), 2).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("bucket_start"), "n_events", "sum_value")
+    )
+
+
+def session_aggregates(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Streaming sessionization via session_window — merges events whose
+    gaps are < gap, the streaming twin of q_ts_sessionize's window formula."""
+    from gpe.common import dec
+
+    return (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(dec("value")), 2).cast("double").alias("sum_value"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+    )
+
+
+def dedup_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup by event_id within the watermark horizon —
+    idempotent replay (at-least-once sources collapse to exactly-once)."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def running_user_stats(stream: DataFrame) -> DataFrame:
+    """Arbitrary stateful op via applyInPandasWithState: running per-user
+    event count + running max value (one tiny state row per user)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, max_value double"
+    state_schema = "n long, mx double"
+
+    def fn(key, pdf_iter, state: GroupState):
+        n, mx = state.get if state.exists else (0, float("-inf"))
+        for pdf in pdf_iter:
+            n += len(pdf)
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+        state.update((n, mx))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "max_value": [mx]}
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
+    """Drain a streaming DataFrame into a memory sink and return the query.
+    Callers assert on spark.table(name) after processAllAvailable()."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+    q.processAllAvailable()
+    return q

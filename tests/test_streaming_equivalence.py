@@ -1,0 +1,150 @@
+"""Structured Streaming batch-equivalence (SURVEY.md §2.10, §5.4):
+replay the sf0.001 events file as a stream and assert the streaming
+aggregations equal their batch twins."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from gpe import streaming, timeseries
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.select(*cols).collect())
+
+
+@pytest.fixture()
+def stream(spark):
+    return streaming.stream_events(spark, SF)
+
+
+def test_tumbling_equals_batch(spark, stream):
+    q = streaming.run_to_memory(
+        streaming.tumbling_counts(stream), "t_tumbling", "complete"
+    )
+    try:
+        got = _rows(
+            spark.table("t_tumbling"), ["bucket_start", "n_events", "sum_value"]
+        )
+        want = _rows(
+            timeseries.q_ts_tumbling(spark, SF),
+            ["bucket_start", "n_events", "sum_value"],
+        )
+        assert got == want
+    finally:
+        q.stop()
+
+
+def test_session_window_equals_batch(spark, stream):
+    q = streaming.run_to_memory(
+        streaming.session_aggregates(stream), "t_sessions", "complete"
+    )
+    try:
+        got = _rows(
+            spark.table("t_sessions"),
+            ["user_id", "session_start", "n_events", "sum_value"],
+        )
+        want = _rows(
+            timeseries.q_ts_sessionize(spark, SF),
+            ["user_id", "session_start", "n_events", "sum_value"],
+        )
+        assert got == want
+    finally:
+        q.stop()
+
+
+def test_streaming_dedup_idempotent(spark, stream):
+    """Replaying the same file through union (simulated duplicate delivery)
+    then dropDuplicatesWithinWatermark yields each event once."""
+    q = streaming.run_to_memory(
+        streaming.dedup_stream(stream).select("event_id"), "t_dedup", "append"
+    )
+    try:
+        n = spark.table("t_dedup").count()
+        distinct = spark.table("t_dedup").distinct().count()
+        assert n == distinct == 1000
+    finally:
+        q.stop()
+
+
+def test_stateful_running_stats(spark, stream):
+    q = streaming.run_to_memory(
+        streaming.running_user_stats(stream), "t_state", "update"
+    )
+    try:
+        # final state per user equals the batch aggregate
+        final = (
+            spark.table("t_state")
+            .groupBy("user_id")
+            .agg(F.max("n_events").alias("n_events"),
+                 F.max("max_value").alias("max_value"))
+        )
+        batch = (
+            spark.read.parquet(f"{SF}/events.parquet")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.max("value").alias("max_value"))
+        )
+        got = _rows(final, ["user_id", "n_events", "max_value"])
+        want = _rows(batch, ["user_id", "n_events", "max_value"])
+        assert got == want
+    finally:
+        q.stop()
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Append a batch of on-time rows, then a late batch beyond the
+    watermark horizon; the late rows must not create/extend closed windows
+    in append-mode output."""
+    import pandas as pd
+
+    d = str(tmp_path / "late_src")
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    on_time = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:10:00", "2024-01-01 01:10:00",
+                 "2024-01-01 03:10:00"]
+            ),
+            "user_id": [1, 1, 1],
+            "value": [1.0, 1.0, 1.0],
+        }
+    )
+    spark.createDataFrame(on_time, schema).write.mode("overwrite").parquet(d)
+    src = spark.readStream.schema(schema).parquet(d)
+    agg = (
+        src.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory").queryName("t_late")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        emitted_1 = {r.ws for r in spark.table("t_late").collect()}
+        # hour-0 and hour-1 windows are closed by the 03:10 event + watermark
+        assert len(emitted_1) >= 2
+        late = pd.DataFrame(
+            {
+                "event_id": [99],
+                "ts": pd.to_datetime(["2024-01-01 00:20:00"]),  # far late
+                "user_id": [1],
+                "value": [1.0],
+            }
+        )
+        spark.createDataFrame(late, schema).write.mode("append").parquet(d)
+        q.processAllAvailable()
+        # the late row belongs to the already-emitted hour-0 window → dropped;
+        # append mode must not re-emit that window
+        rows = [r for r in spark.table("t_late").collect()]
+        hour0 = [r for r in rows if r.ws.hour == 0]
+        assert len(hour0) == 1 and hour0[0].n == 1
+    finally:
+        q.stop()
