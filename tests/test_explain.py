@@ -1,0 +1,85 @@
+"""Plan-shape assertions (SURVEY.md §4.1, §5.4) — cheap optimizer
+regression checks: pushdown, pruning, broadcast, top-k, partial aggregation.
+These guard the 100 TB properties that correctness tests can't see."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as spec
+
+SF = "/root/testdata/sf0.01"
+_Q = spec.queries()
+
+
+def _executed_plan(spark, key: str) -> str:
+    df = _Q[key](spark, SF)
+    df.collect()  # let AQE finalize
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized_plan(spark, key: str) -> str:
+    return _Q[key](spark, SF)._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    df = _Q["q_filter_conj"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    # at least the shipdate range must be pushed
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
+
+
+def test_column_pruning_in_read_schema(spark):
+    df = _Q["q_scan_projected"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    rs = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in rs and "l_quantity" in rs and "l_shipdate" in rs
+    assert "l_extendedprice" not in rs  # untouched columns stay unread
+
+
+def test_dim_join_broadcasts(spark):
+    plan = _executed_plan(spark, "q_join_inner_bcast")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_star_join_broadcasts_all_dims(spark):
+    plan = _executed_plan(spark, "q_join_multiway_star")
+    # customer, nation, region hints → 3 broadcast joins
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_topk_avoids_global_sort(spark):
+    plan = _executed_plan(spark, "q_sort_multi")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_agg_is_partial_plus_final(spark):
+    plan = _executed_plan(spark, "q_agg_groupby")
+    assert plan.count("HashAggregate") >= 2  # map-side partial + final
+
+
+def test_no_accidental_cartesian(spark):
+    """Only the explicitly-cartesian queries may plan a cartesian/BNLJ over
+    non-broadcast inputs."""
+    allowed = {
+        "q_join_cross_limited",  # declared cartesian (5×25)
+        "q_join_interval",       # broadcast interval table BNLJ by design
+        "q_join_theta_range",    # equi on user_id + range residual
+    }
+    for key in ("q_join_multiway_star", "q_join_inner_shuffle", "q_agg_groupby"):
+        plan = _optimized_plan(spark, key)
+        assert "CartesianProduct" not in plan, key
+
+
+def test_semi_anti_compile_to_semi_joins(spark):
+    assert "LeftSemi" in _optimized_plan(spark, "q_join_semi")
+    assert "LeftAnti" in _optimized_plan(spark, "q_join_anti")
+
+
+def test_scan_counts_are_metadata_only(spark):
+    """Table row counts compile to parquet-metadata aggregates (no column
+    data materialized)."""
+    phys = _executed_plan(spark, "q_scan_all_tables_counts")
+    assert "ReadSchema: struct<>" in phys
