@@ -64,6 +64,22 @@ def davg(col: Column | str, alias: str, scale: int = 6) -> Column:
     )
 
 
+def umicros(col: Column | str) -> Column:
+    """Epoch microseconds of a (possibly NTZ) timestamp. All lake
+    timestamps are naive wall-clock values and the session tz is pinned to
+    UTC (gpe/io.py), so the ntz→ltz cast is the identity on the stored
+    value and unix_micros is well-defined."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
+
+
+def ntz(col: Column) -> Column:
+    """Derived-timestamp outputs are emitted as TIMESTAMP_NTZ to match both
+    the at-rest parquet type and DuckDB's naive TIMESTAMP (arrow schema
+    parity: no tz annotation)."""
+    return col.cast("timestamp_ntz")
+
+
 def fround(col: Column, alias: str, scale: int = 6) -> Column:
     """Epsilon-nudged double rounding for ratio-like outputs computed
     identically (IEEE) in both engines. Not for plain per-row 2-decimal

@@ -41,10 +41,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     truncate to µs — byte-identical to DuckDB's own ns→µs truncation of the
     same file (verified), so oracle hashes agree.
     """
+    # All timestamps in this lake are naive wall-clock values (parquet
+    # isAdjustedToUTC=false → Spark reads TIMESTAMP_NTZ), matching DuckDB's
+    # naive TIMESTAMP. Pin the session tz so any ltz↔ntz conversion a
+    # downstream expression introduces is the identity on the stored value
+    # regardless of the machine/driver timezone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+        )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

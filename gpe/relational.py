@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from gpe.common import EPS, davg, dec, dsum, sql_davg, sql_dec, sql_dsum
+from gpe.common import EPS, davg, dec, dsum, ntz, sql_davg, sql_dec, sql_dsum, umicros
 from gpe.io import load_table
 
 # ---------------------------------------------------------------------------
@@ -278,7 +278,7 @@ def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     a = ev.alias("a")
     b = ev.alias("b")
-    diff = F.unix_micros(F.col("b.ts")) - F.unix_micros(F.col("a.ts"))
+    diff = umicros(F.col("b.ts")) - umicros(F.col("a.ts"))
     return (
         a.join(
             b,
@@ -345,8 +345,8 @@ def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     (intervals grow with time span, not data volume)."""
     ev = load_table(spark, sf_dir, "events")
     bounds = ev.agg(
-        F.date_trunc("day", F.min("ts")).alias("d0"),
-        F.date_trunc("day", F.max("ts")).alias("d1"),
+        ntz(F.date_trunc("day", F.min("ts"))).alias("d0"),
+        ntz(F.date_trunc("day", F.max("ts"))).alias("d1"),
     )
     days = bounds.select(
         F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias(

@@ -43,9 +43,11 @@ def q_scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("o_orderdate").alias("yr"),
         F.month("o_orderdate").alias("mo"),
         F.dayofmonth("o_orderdate").alias("dom"),
-        F.date_trunc("month", "o_orderdate").alias("month_start"),
-        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
-        F.date_add(F.col("o_orderdate"), 30).cast("timestamp").alias("plus30"),
+        F.date_trunc("month", "o_orderdate").cast("timestamp_ntz").alias(
+            "month_start"
+        ),
+        F.last_day("o_orderdate").cast("timestamp_ntz").alias("month_end"),
+        F.date_add(F.col("o_orderdate"), 30).cast("timestamp_ntz").alias("plus30"),
         F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
             "days_since_epoch0"
         ),
@@ -158,7 +160,8 @@ ORACLES = {
                CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
                CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS mo,
                CAST(EXTRACT(day FROM o_orderdate) AS INTEGER) AS dom,
-               date_trunc('month', o_orderdate) AS month_start,
+               CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+                 AS month_start,
                CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
                o_orderdate + INTERVAL 30 DAY AS plus30,
                CAST(date_diff('day', DATE '1995-01-01', o_orderdate)

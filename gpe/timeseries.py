@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from gpe.common import dec
+from gpe.common import dec, ntz, umicros
 from gpe.io import load_table
 
 _SESSION_GAP_US = 1_800_000_000  # 30 minutes
@@ -55,7 +55,7 @@ def q_ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    gap = umicros("ts") - umicros(F.lag("ts").over(w))
     flag = F.when(gap.isNull() | (gap > _SESSION_GAP_US), 1).otherwise(0)
     return (
         ev.withColumn("session_id", F.sum(flag).over(wrun))
@@ -105,7 +105,7 @@ def q_ts_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     cohort = (
         ev.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
-        .agg(F.date_trunc("day", F.min("ts")).alias("cohort_day"))
+        .agg(ntz(F.date_trunc("day", F.min("ts"))).alias("cohort_day"))
     )
     return (
         ev.join(cohort, "user_id")
@@ -122,13 +122,13 @@ def q_ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-day event counts with zero-filled missing days over the span."""
     ev = load_table(spark, sf_dir, "events")
     bounds = ev.agg(
-        F.date_trunc("day", F.min("ts")).alias("d0"),
-        F.date_trunc("day", F.max("ts")).alias("d1"),
+        ntz(F.date_trunc("day", F.min("ts"))).alias("d0"),
+        ntz(F.date_trunc("day", F.max("ts"))).alias("d1"),
     )
     days = bounds.select(
         F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day")
     )
-    counts = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+    counts = ev.groupBy(ntz(F.date_trunc("day", "ts")).alias("day")).agg(
         F.count(F.lit(1)).alias("n")
     )
     return days.join(counts, "day", "left").select(
@@ -198,7 +198,8 @@ ORACLES = {
         WHERE p_ts <= v_ts + INTERVAL '24 hours'""",
     "q_ts_retention": """
         WITH cohort AS (
-          SELECT user_id, date_trunc('day', MIN(ts)) AS cohort_day
+          SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP)
+                   AS cohort_day
           FROM events WHERE event_type = 'signup' GROUP BY user_id)
         SELECT cohort_day,
                CAST(date_diff('day', cohort_day, date_trunc('day', e.ts))

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from gpe.common import EPS, dec
+from gpe.common import EPS, dec, umicros
 from gpe.io import load_table
 
 
@@ -66,7 +66,7 @@ def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "ts",
         (F.col("value") - F.lag("value").over(w)).alias("value_delta"),
-        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias(
+        (umicros("ts") - umicros(F.lag("ts").over(w))).alias(
             "micros_since_prev"
         ),
         F.lead("event_type").over(w).alias("next_type"),
@@ -102,7 +102,7 @@ def q_win_moving_avg_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))
+        .orderBy(umicros("ts"))
         .rangeBetween(-3_600_000_000, 0)
     )
     return ev.select(
