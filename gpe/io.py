@@ -104,6 +104,24 @@ def q_scan_all_tables_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def read_csv(spark: SparkSession, path: str, schema) -> DataFrame:
+    """Schema-explicit CSV source (header expected). Schema-on-read with an
+    EXPLICIT schema — never inferSchema in production paths: inference scans
+    the data twice and types drift between files at lake scale."""
+    return spark.read.schema(schema).option("header", "true").csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema) -> DataFrame:
+    """Schema-explicit JSON-lines source. Corrupt records are quarantined in
+    _corrupt_record (PERMISSIVE mode) rather than failing the job."""
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+
+
 def write_partitioned(df: DataFrame, path: str, partition_col: str) -> None:
     """Lake sink: partitioned parquet write (smoke-tested, not driver-scored).
 
