@@ -590,8 +590,141 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Data-lake API surface extensions: pivot, subqueries, listagg, percentiles,
+# pagination, histogram (round-1 additions, SURVEY.md §2.12)
+# ---------------------------------------------------------------------------
+
+
+def q_pivot_status_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts per year × order-status (fixed pivot values so
+    the plan is static — at scale an unbounded pivot needs a two-pass
+    distinct-values collect; a closed domain avoids it)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.withColumn("yr", F.year("o_orderdate"))
+        .groupBy("yr")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "yr",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
+        .orderBy("yr")
+    )
+
+
+def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders above the global average total price (scalar subquery —
+    Catalyst plans the aggregate once and broadcasts the scalar)."""
+    o = load_table(spark, sf_dir, "orders")
+    # exact-decimal sum → the threshold double is engine-identical (a raw
+    # double AVG differs in its last bits per summation order, which could
+    # flip membership for a price sitting exactly on the average)
+    avg_price = o.agg(
+        (F.sum(dec("o_totalprice")).cast("double") / F.count(F.lit(1))).alias("ap")
+    )
+    return (
+        o.join(F.broadcast(avg_price))
+        .filter(F.col("o_totalprice") > F.col("ap"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each customer's most expensive order (correlated-subquery shape,
+    expressed as the decorrelated groupBy+join Catalyst would produce)."""
+    o = load_table(spark, sf_dir, "orders")
+    mx = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.max("o_totalprice").alias("max_price")
+    )
+    return (
+        o.join(
+            mx,
+            (o.o_custkey == mx.ck) & (o.o_totalprice == mx.max_price),
+        )
+        .select("o_custkey", "o_orderkey", F.col("o_totalprice").alias("max_price"))
+    )
+
+
+def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted string aggregation per group (listagg/string_agg): nation
+    names per region, comma-joined in alphabetical order (internal sort per
+    §5.3 rule 2)."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias(
+                "nations"
+            ),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+        .orderBy("r_name")
+    )
+
+
+def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (p25/p50/p75) of order totalprice per
+    status — linear interpolation over exact 2-decimal values is IEEE-
+    identical across engines."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.percentile("o_totalprice", F.lit(0.25)).alias("p25"),
+            F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
+            F.percentile("o_totalprice", F.lit(0.75)).alias("p75"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def q_page_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset-stable pagination (the data-lake API's list endpoint):
+    ORDER BY unique key, rows 101-150. offset+limit compiles to a global
+    sort bounded by limit+offset — fine for shallow pages; deep pagination
+    at scale should switch to keyset predicates (WHERE key > last_seen)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy("o_orderkey")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .offset(100)
+        .limit(50)
+    )
+
+
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totalprice (50k buckets) — integer
+    bucket arithmetic on exact values, the catalog's distribution-profile
+    endpoint."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / F.lit(50000.0)).cast("long")
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
 QUERIES = {
     "q_agg_groupby": q_agg_groupby,
+    "q_pivot_status_by_year": q_pivot_status_by_year,
+    "q_subquery_scalar": q_subquery_scalar,
+    "q_subquery_correlated": q_subquery_correlated,
+    "q_agg_listagg": q_agg_listagg,
+    "q_agg_percentiles": q_agg_percentiles,
+    "q_page_orders": q_page_orders,
+    "q_agg_histogram": q_agg_histogram,
     "q_agg_rollup": q_agg_rollup,
     "q_agg_cube": q_agg_cube,
     "q_agg_grouping_sets": q_agg_grouping_sets,
@@ -631,6 +764,45 @@ _REV_DEC = f"{sql_dec('l_extendedprice')} * {sql_dec('1 - l_discount')}"
 
 ORACLES = {
     "q_agg_groupby": _Q1_ORACLE,
+    "q_pivot_status_by_year": """
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
+               CAST(COUNT(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_f,
+               CAST(COUNT(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n_o,
+               CAST(COUNT(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_p
+        FROM orders GROUP BY 1 ORDER BY 1""",
+    "q_subquery_scalar": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice >
+              (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                      / COUNT(*) FROM orders)""",
+    "q_subquery_correlated": """
+        SELECT o.o_custkey, o.o_orderkey, o.o_totalprice AS max_price
+        FROM orders o
+        WHERE o.o_totalprice = (SELECT MAX(i.o_totalprice) FROM orders i
+                                WHERE i.o_custkey = o.o_custkey)""",
+    "q_agg_listagg": """
+        SELECT r_name,
+               string_agg(n_name, ',' ORDER BY n_name) AS nations,
+               CAST(COUNT(*) AS BIGINT) AS n_nations
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name""",
+    "q_agg_percentiles": """
+        SELECT o_orderstatus,
+               quantile_cont(o_totalprice, 0.25) AS p25,
+               quantile_cont(o_totalprice, 0.5)  AS p50,
+               quantile_cont(o_totalprice, 0.75) AS p75,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q_page_orders": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders ORDER BY o_orderkey LIMIT 50 OFFSET 100""",
+    "q_agg_histogram": """
+        SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               MIN(o_totalprice) AS lo,
+               MAX(o_totalprice) AS hi
+        FROM orders GROUP BY 1 ORDER BY 1""",
     "q_agg_rollup": f"""
         SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
                COALESCE(l_linestatus, 'ALL') AS linestatus,
