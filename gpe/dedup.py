@@ -345,24 +345,23 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("mx").alias("mask"))
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        new_labels = (
+        # change flag rides along into the checkpoint so convergence
+        # detection is a cheap count on materialized data, not a third join
+        stepped = (
             labels.join(neighbor_min, "mask", "left")
             .select(
                 "mask",
                 F.least(
                     F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
                 ).alias("comp"),
+                (
+                    F.coalesce("nbr_comp", F.col("comp")) < F.col("comp")
+                ).alias("chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "mask")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        labels = stepped.select("mask", "comp")
+        if stepped.filter("chg").count() == 0:
             break
     docs = g.select("mask", F.explode("ids").alias("doc_id"))
     return docs.join(labels, "mask").select(

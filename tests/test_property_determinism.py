@@ -1,0 +1,99 @@
+"""Property-based cross-engine determinism tests for gpe/common.py
+(hypothesis): on arbitrary 2-decimal measure data — not just the driver
+fixtures — the decimal-sum / deterministic-average / floor-ratio idioms must
+hash-match DuckDB exactly, and the raw-double idioms they replace must NOT
+be relied on. Few examples, real end-to-end parquet round trips."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from gpe.common import davg, dsum, sql_davg, sql_dsum
+
+two_dec = st.integers(min_value=-10_000_000, max_value=10_000_000).map(
+    lambda c: c / 100.0
+)
+
+rows_strategy = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=5), two_dec),
+    min_size=1,
+    max_size=500,
+)
+
+
+@pytest.fixture(scope="module")
+def scratch(tmp_path_factory):
+    return tmp_path_factory.mktemp("prop")
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=rows_strategy)
+def test_dsum_davg_match_duckdb_on_random_data(spark, scratch, rows):
+    pdf = pd.DataFrame(rows, columns=["k", "x"])
+    path = str(scratch / f"d{abs(hash(tuple(map(tuple, rows)))) % 10**9}.parquet")
+    pdf.to_parquet(path)
+
+    sdf = (
+        spark.read.parquet(path)
+        .groupBy("k")
+        .agg(dsum("x", "s"), davg("x", "a"))
+        .toPandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    ddf = (
+        con.execute(
+            f"""SELECT k, {sql_dsum('x', 's')}, {sql_davg('x', 'a')}
+                FROM read_parquet('{path}') GROUP BY k ORDER BY k"""
+        )
+        .fetch_df()
+        .reset_index(drop=True)
+    )
+    con.close()
+    assert list(sdf["k"]) == list(ddf["k"])
+    # bit-exact equality is the whole point — no tolerance
+    assert list(sdf["s"]) == list(ddf["s"]), (list(sdf["s"]), list(ddf["s"]))
+    assert list(sdf["a"]) == list(ddf["a"]), (list(sdf["a"]), list(ddf["a"]))
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    nums=st.lists(
+        st.integers(min_value=0, max_value=10**6), min_size=1, max_size=50
+    ),
+    den=st.integers(min_value=1, max_value=997),
+)
+def test_floor_scaling_matches_duckdb(spark, nums, den):
+    """FLOOR(n*1e6/d)/1e6 must agree for arbitrary int ratios (this is the
+    idiom protecting every small-group average)."""
+    pdf = pd.DataFrame({"n": nums})
+    sdf = spark.createDataFrame(pdf).select(
+        (F.floor(F.col("n") * F.lit(1000000) / F.lit(den)) / F.lit(1000000.0)).alias(
+            "r"
+        )
+    )
+    got = [r.r for r in sdf.collect()]
+    con = duckdb.connect()
+    want = [
+        con.execute(
+            f"SELECT FLOOR({n} * 1000000.0 / {den}) / 1000000.0"
+        ).fetchone()[0]
+        for n in nums
+    ]
+    con.close()
+    assert got == want
