@@ -1,0 +1,270 @@
+"""Training-data pipeline operators (BASELINE.json:6 mandate, beyond the
+per-family §2.9 ops): deterministic sampling, source mixing, train/val
+splitting, cluster-dedup with keep-best selection, and benchmark
+contamination detection.
+
+Determinism doctrine: "random" decisions derive from md5 of stable keys —
+reproducible across engines, runs, and cluster sizes (no RNG state, no
+sample() nondeterminism). Uniform [0,1) draws are FIXED-WIDTH LOWERCASE HEX
+PREFIXES compared lexicographically against hex thresholds — monotone in
+value and portable to any engine with md5 and string compare, with no hex→
+int parsing differences.
+
+Scale notes: every operator is a map-side expression or one bounded
+shuffle; the mixing/splitting ops in particular are the embarrassingly
+parallel backbone of corpus assembly at 100 TB (each row decides its fate
+from its own hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gpe.io import load_table
+
+_STRATUM_K = 20  # stratified sample size per language
+
+
+def _md5_hex8(col) -> "F.Column":
+    """First 8 hex chars of md5(key-as-string) — a uniform draw comparable
+    as a string against hex thresholds."""
+    return F.substring(F.md5(col.cast("string").cast("binary")), 1, 8)
+
+
+def q_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic 1-in-20 sample of lineitem on the composite primary key —
+    the zero-coordination sampling pattern (each row self-selects)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 20 == 0
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sample: 20 docs per language, selected by md5 order
+    (deterministic pseudo-random, doc_id tiebreak)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        _md5_hex8(F.col("doc_id")), F.asc("doc_id")
+    )
+    return (
+        d.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _STRATUM_K)
+        .select("doc_id", "lang", "source", "rnk")
+    )
+
+
+def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing: per-source keep rates applied via hash thresholds
+    (srcN rates: src0-4 keep all, src5-9 keep 1/2, rest keep 1/4) — the
+    downsample-overrepresented-sources op of corpus assembly."""
+    d = load_table(spark, sf_dir, "documents")
+    src_num = F.regexp_extract("source", "src(\\d+)", 1).cast("int")
+    threshold = (
+        F.when(src_num < 5, F.lit("ffffffff"))
+        .when(src_num < 10, F.lit("80000000"))
+        .otherwise(F.lit("40000000"))
+    )
+    u = _md5_hex8(F.col("doc_id"))
+    return (
+        d.withColumn("u8", u)
+        .withColumn("thr", threshold)
+        .filter(F.col("u8") < F.col("thr"))
+        .select("doc_id", "lang", "source", "u8")
+    )
+
+
+def q_split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val split (~87.5/12.5 by first md5 nibble) —
+    stable under reshuffling, re-partitioning, and incremental appends."""
+    d = load_table(spark, sf_dir, "documents")
+    first_nibble = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1)
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(first_nibble < F.lit("e"), "train").otherwise("val").alias("split"),
+    )
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup pipeline end-to-end: near-dup graph → connected
+    components → keep the HIGHEST-QUALITY member per cluster (quality from
+    q_text_quality; ties → min doc_id). This is the operator a corpus
+    builder actually runs; near_pairs/components/quality are its stages."""
+    from gpe.dedup import q_dedup_components
+    from gpe.text import q_text_quality
+
+    comp = q_dedup_components(spark, sf_dir).select("doc_id", "component_id")
+    qual = q_text_quality(spark, sf_dir).select("doc_id", "quality_score")
+    joined = comp.join(qual, "doc_id")
+    w = Window.partitionBy("component_id").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(
+            joined.groupBy("component_id").agg(
+                F.count(F.lit(1)).alias("n_members")
+            ),
+            "component_id",
+        )
+        .select(
+            "component_id",
+            F.col("doc_id").alias("keeper_doc_id"),
+            F.col("quality_score").alias("keeper_quality"),
+            "n_members",
+        )
+    )
+
+
+def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark contamination detection: fraction of each candidate doc's
+    distinct token-3-grams that appear in the benchmark set (doc_id < 10
+    stands in for the eval set). At 100 TB the benchmark gram set is tiny
+    and broadcast; candidates stream through one semi-join + ratio."""
+    d = load_table(spark, sf_dir, "documents")
+    pos_tok = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        pos_tok.select(
+            "doc_id",
+            F.concat_ws(
+                " ", "token", F.lead("token", 1).over(w), F.lead("token", 2).over(w)
+            ).alias("gram"),
+            F.lead("token", 2).over(w).alias("_t2"),
+        )
+        .filter(F.col("_t2").isNotNull())
+        .select("doc_id", "gram")
+        .distinct()
+    )
+    bench = grams.filter(F.col("doc_id") < 10).select("gram").distinct()
+    cand = grams.filter(F.col("doc_id") >= 10)
+    hits = (
+        cand.join(F.broadcast(bench), "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    totals = cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    ratio = F.floor(
+        F.coalesce("n_hit", F.lit(0)) * F.lit(1000000) / F.col("n_grams")
+    ) / F.lit(1000000.0)
+    return (
+        totals.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            ratio.alias("contamination_ratio"),
+            (ratio > 0.5).alias("is_contaminated"),
+        )
+    )
+
+
+QUERIES = {
+    "q_sample_systematic": q_sample_systematic,
+    "q_sample_stratified": q_sample_stratified,
+    "q_mix_sources": q_mix_sources,
+    "q_split_train_val": q_split_train_val,
+    "q_dedup_keep_best": q_dedup_keep_best,
+    "q_text_contamination": q_text_contamination,
+}
+
+
+def _oracles() -> dict[str, str]:
+    from gpe.dedup import ORACLES as _DED
+
+    components_sql = _DED["q_dedup_components"]
+    quality_sql = """
+        SELECT doc_id,
+               ROUND(0.5 * LEAST(CAST(len(string_split(text, ' ')) AS DOUBLE)
+                                 / 50.0, 1.0)
+                     + 0.5 * (1.0 - FLOOR(len(list_filter(string_split(text, ' '),
+                                x -> x IN ('the', 'a'))) * 1000000.0
+                                / len(string_split(text, ' '))) / 1000000.0)
+                     + 1e-09, 6) AS quality_score
+        FROM documents"""
+    return {
+        "q_sample_systematic": """
+            SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+            FROM lineitem
+            WHERE (l_orderkey * 7 + l_linenumber) % 20 = 0""",
+        "q_sample_stratified": f"""
+            SELECT doc_id, lang, source, rnk FROM (
+              SELECT doc_id, lang, source,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                          ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8),
+                                   doc_id) AS INTEGER) AS rnk
+              FROM documents)
+            WHERE rnk <= {_STRATUM_K}""",
+        "q_mix_sources": """
+            WITH t AS (
+              SELECT doc_id, lang, source,
+                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS u8,
+                     CASE WHEN CAST(regexp_extract(source, 'src(\\d+)', 1)
+                               AS INTEGER) < 5 THEN 'ffffffff'
+                          WHEN CAST(regexp_extract(source, 'src(\\d+)', 1)
+                               AS INTEGER) < 10 THEN '80000000'
+                          ELSE '40000000' END AS thr
+              FROM documents)
+            SELECT doc_id, lang, source, u8 FROM t WHERE u8 < thr""",
+        "q_split_train_val": """
+            SELECT doc_id, lang,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e'
+                        THEN 'train' ELSE 'val' END AS split
+            FROM documents""",
+        "q_dedup_keep_best": f"""
+            WITH comp AS ({components_sql}),
+            qual AS ({quality_sql}),
+            joined AS (
+              SELECT comp.doc_id, comp.component_id, qual.quality_score
+              FROM comp JOIN qual ON comp.doc_id = qual.doc_id),
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY component_id
+                        ORDER BY quality_score DESC, doc_id ASC) AS rn
+              FROM joined),
+            sizes AS (
+              SELECT component_id, CAST(COUNT(*) AS BIGINT) AS n_members
+              FROM joined GROUP BY component_id)
+            SELECT r.component_id,
+                   r.doc_id AS keeper_doc_id,
+                   r.quality_score AS keeper_quality,
+                   s.n_members
+            FROM ranked r JOIN sizes s ON r.component_id = s.component_id
+            WHERE r.rn = 1""",
+        "q_text_contamination": """
+            WITH pos_tok AS (
+              SELECT doc_id,
+                     generate_subscripts(string_split(text, ' '), 1) AS pos,
+                     unnest(string_split(text, ' ')) AS token
+              FROM documents),
+            g AS (
+              SELECT DISTINCT doc_id,
+                     token || ' ' || LEAD(token, 1) OVER w || ' '
+                           || LEAD(token, 2) OVER w AS gram
+              FROM pos_tok
+              WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+              QUALIFY LEAD(token, 2) OVER w IS NOT NULL),
+            bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < 10),
+            cand AS (SELECT doc_id, gram FROM g WHERE doc_id >= 10),
+            hits AS (
+              SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+              FROM cand c SEMI JOIN bench b ON c.gram = b.gram
+              GROUP BY c.doc_id),
+            totals AS (
+              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+              FROM cand GROUP BY doc_id)
+            SELECT t.doc_id, t.n_grams,
+                   COALESCE(h.n_hit, 0) AS n_hit,
+                   FLOOR(COALESCE(h.n_hit, 0) * 1000000.0 / t.n_grams)
+                     / 1000000.0 AS contamination_ratio,
+                   FLOOR(COALESCE(h.n_hit, 0) * 1000000.0 / t.n_grams)
+                     / 1000000.0 > 0.5 AS is_contaminated
+            FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id""",
+    }
+
+
+ORACLES = _oracles()

@@ -27,6 +27,7 @@ for _name in (
     "dedup",
     "vectors",
     "multimodal",
+    "pipeline",
     "catalog",
     "udf",
 ):

@@ -148,8 +148,26 @@ def q_win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
 
 
+def q_win_cume_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist + nth_value coverage: suppliers ranked by acctbal within
+    nation, with the 2nd-highest balance carried per nation."""
+    s = load_table(spark, sf_dir, "supplier")
+    w_ties = Window.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"))
+    w_full = Window.partitionBy("s_nationkey").orderBy(
+        F.desc("s_acctbal"), F.asc("s_suppkey")
+    ).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        "s_acctbal",
+        F.round(F.cume_dist().over(w_ties) + EPS, 6).alias("cume"),
+        F.nth_value("s_acctbal", 2).over(w_full).alias("second_best"),
+    )
+
+
 QUERIES = {
     "q_win_rank": q_win_rank,
+    "q_win_cume_nth": q_win_cume_nth,
     "q_win_topk_per_group": q_win_topk_per_group,
     "q_win_lag_lead": q_win_lag_lead,
     "q_win_running_sum": q_win_running_sum,
@@ -159,6 +177,15 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_win_cume_nth": f"""
+        SELECT s_suppkey, s_nationkey, s_acctbal,
+               ROUND(CUME_DIST() OVER (PARTITION BY s_nationkey
+                     ORDER BY s_acctbal DESC) + {EPS}, 6) AS cume,
+               NTH_VALUE(s_acctbal, 2) OVER (PARTITION BY s_nationkey
+                     ORDER BY s_acctbal DESC, s_suppkey ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                 AS second_best
+        FROM supplier""",
     "q_win_rank": """
         SELECT o_custkey, o_orderkey, o_totalprice,
                CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
