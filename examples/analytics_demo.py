@@ -1,0 +1,56 @@
+"""Worked example: the relational/time-series analytics surface.
+
+Run: python examples/analytics_demo.py [sf_dir]
+
+Shows what a user of the reference data-lake API does with this engine:
+load tables, run star-join revenue analytics, sessionize an event stream,
+and page through results — all lazy DataFrames until the final action.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from gpe import relational, timeseries, windows
+from gpe.io import load_tables, register_views
+from gpe.session import get_spark
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("analytics-demo")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    print("== pricing summary (TPC-H Q1 shape) ==")
+    relational.q_agg_groupby(spark, sf_dir).show()
+
+    print("== revenue per nation, ASIA (TPC-H Q5 shape, broadcast dims) ==")
+    relational.q_join_multiway_star(spark, sf_dir).show()
+
+    print("== top-3 orders per customer (first 10 rows) ==")
+    windows.q_win_topk_per_group(spark, sf_dir).show(10)
+
+    print("== user sessions (30-min gap), first 10 ==")
+    timeseries.q_ts_sessionize(spark, sf_dir).orderBy(
+        "user_id", "session_id"
+    ).show(10)
+
+    print("== purchases matched to the preceding view (as-of join) ==")
+    relational.q_join_asof(spark, sf_dir).orderBy("p_event_id").show(5)
+
+    print("== SQL surface over registered views ==")
+    register_views(spark, sf_dir)
+    spark.sql(
+        """SELECT o_orderpriority, COUNT(*) AS n
+           FROM orders GROUP BY 1 ORDER BY 1"""
+    ).show()
+
+    tables = load_tables(spark, sf_dir)
+    print(f"loaded {len(tables)} tables from {sf_dir}")
+
+
+if __name__ == "__main__":
+    main()

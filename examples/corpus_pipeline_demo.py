@@ -1,0 +1,60 @@
+"""Worked example: the LLM training-data pipeline, end to end.
+
+Run: python examples/corpus_pipeline_demo.py [sf_dir]
+
+The corpus-assembly flow a data-curation team runs: quality-score →
+near-dup detection (MinHash-LSH) → cluster → keep best per cluster →
+contamination screen → mix sources → train/val split. Every stage is a
+lazy DataFrame; at 100 TB the same code fans out across executors.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from gpe import dedup, pipeline, text, vectors
+from gpe.session import get_spark
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("corpus-demo")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    print(f"corpus: {n_docs} docs")
+
+    print("== quality scores (worst 5) ==")
+    text.q_text_quality(spark, sf_dir).orderBy("quality_score").show(5)
+
+    print("== near-duplicate pairs via MinHash-LSH (exact-verified) ==")
+    pairs = dedup.q_dedup_minhash_lsh(spark, sf_dir)
+    print(f"   {pairs.count()} pairs with Jaccard > 0.9")
+
+    print("== dedup: keep the best doc per duplicate cluster ==")
+    kept = pipeline.q_dedup_keep_best(spark, sf_dir)
+    print(f"   {n_docs} docs -> {kept.count()} cluster representatives")
+    kept.orderBy(F.desc("n_members")).show(5)
+
+    print("== benchmark contamination screen ==")
+    cont = pipeline.q_text_contamination(spark, sf_dir)
+    flagged = cont.filter("is_contaminated")
+    print(f"   {flagged.count()} docs flagged (> 50% 3-gram overlap)")
+
+    print("== source mixing + split ==")
+    mixed = pipeline.q_mix_sources(spark, sf_dir)
+    split = pipeline.q_split_train_val(spark, sf_dir)
+    split.groupBy("split").count().show()
+    print(f"   mixing kept {mixed.count()} docs")
+
+    print("== nearest neighbors in embedding space (query 0) ==")
+    vectors.q_vec_knn_brute(spark, sf_dir).filter("query_id = 0").show()
+
+
+if __name__ == "__main__":
+    main()
