@@ -51,7 +51,13 @@ def _mask_groups(d: DataFrame) -> DataFrame:
     At 100 TB with an open vocabulary the same structure generalizes to
     fixed-width minhash signatures; the closed-vocab bitmask is the exact
     special case. Returns (mask, ids sorted, n, sz=popcount)."""
-    return _doc_masks(d).groupBy("mask").agg(
+    return mask_groups_from(_doc_masks(d))
+
+
+def mask_groups_from(doc_masks: DataFrame) -> DataFrame:
+    """Group a precomputed (doc_id, mask) frame — lets callers that already
+    derived doc masks reuse the subtree instead of recomputing it."""
+    return doc_masks.groupBy("mask").agg(
         F.sort_array(F.collect_list("doc_id")).alias("ids"),
         F.count(F.lit(1)).alias("n"),
         F.bit_count("mask").alias("sz"),
@@ -223,7 +229,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.mask").alias("mx"), F.col("y.mask").alias("my"))
         .distinct()
     )
-    g = _mask_groups(d)
+    g = mask_groups_from(dm)  # reuse the already-built doc-mask subtree
     # popcount-verify candidate mask pairs, then expand to doc pairs
     cross = (
         cand.withColumn("inter", F.expr("CAST(bit_count(mx & my) AS BIGINT)"))
@@ -339,6 +345,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         mp.select(F.col("my").alias("mx"), F.col("mx").alias("my"))
     ).localCheckpoint(eager=True)
     labels = mask_min.select(F.col("mask"), F.col("comp"))
+    converged = False
     for _ in range(30):
         neighbor_min = (
             edges.join(labels, edges.my == labels.mask)
@@ -362,7 +369,16 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         labels = stepped.select("mask", "comp")
         if stepped.filter("chg").count() == 0:
+            converged = True
             break
+    if not converged:
+        # returning partially-propagated labels would silently mis-cluster;
+        # a graph this deep needs the large-star/small-star variant instead
+        raise RuntimeError(
+            "q_dedup_components: min-label propagation did not converge in"
+            " 30 rounds (super-node graph diameter > 30); switch to"
+            " large-star/small-star for this corpus"
+        )
     docs = g.select("mask", F.explode("ids").alias("doc_id"))
     return docs.join(labels, "mask").select(
         "doc_id",

@@ -48,12 +48,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # regardless of the machine/driver timezone.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
+        from pyspark.sql.types import LongType
+
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn(
-            "ts",
-            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
-        )
+        # ns-at-rest files arrive as longs (convert); files already written
+        # with µs timestamps pass through (normalized to NTZ either way)
+        if isinstance(df.schema["ts"].dataType, LongType):
+            return df.withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+            )
+        return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -176,17 +176,14 @@ QUERIES = {
 
 def _oracles() -> dict[str, str]:
     from gpe.dedup import ORACLES as _DED
+    from gpe.text import ORACLES as _TXT
 
     components_sql = _DED["q_dedup_components"]
-    quality_sql = """
-        SELECT doc_id,
-               ROUND(0.5 * LEAST(CAST(len(string_split(text, ' ')) AS DOUBLE)
-                                 / 50.0, 1.0)
-                     + 0.5 * (1.0 - FLOOR(len(list_filter(string_split(text, ' '),
-                                x -> x IN ('the', 'a'))) * 1000000.0
-                                / len(string_split(text, ' '))) / 1000000.0)
-                     + 1e-09, 6) AS quality_score
-        FROM documents"""
+    # derive the quality stage from text.py's oracle so a tuned scoring
+    # formula can never silently diverge between the two declared queries
+    quality_sql = (
+        f"SELECT doc_id, quality_score FROM ({_TXT['q_text_quality']})"
+    )
     return {
         "q_sample_systematic": """
             SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice

@@ -17,8 +17,10 @@ from gpe import relational as _relational
 
 _MODULES = [_io, _relational]
 
-# Extended modules are imported lazily-tolerantly so a syntax error in one
-# module under development never takes down the whole registry.
+# Strict imports: a broken module must fail LOUDLY here. (An earlier
+# tolerant `except ImportError` could silently drop a whole module's
+# queries from the registry — the driver would then run fewer keys with no
+# error, which is the worst possible failure mode for the coverage gate.)
 for _name in (
     "windows",
     "timeseries",
@@ -31,11 +33,7 @@ for _name in (
     "catalog",
     "udf",
 ):
-    try:
-        _mod = __import__(f"gpe.{_name}", fromlist=[_name])
-        _MODULES.append(_mod)
-    except ImportError:
-        pass
+    _MODULES.append(__import__(f"gpe.{_name}", fromlist=[_name]))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

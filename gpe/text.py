@@ -75,7 +75,9 @@ def q_text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     score is rounded."""
     d = load_table(spark, sf_dir, "documents")
     toks = _tokens(d)
-    n_docs = d.count()  # scalar dimension (one metadata-cheap count)
+    # corpus size as a lazy 1-row broadcast (builders must not run jobs —
+    # the driver controls materialization)
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
     df_ = (
         toks.select("doc_id", "token")
         .distinct()
@@ -83,8 +85,12 @@ def q_text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("df"))
     )
     tf = toks.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("tf"))
-    idf = F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0
-    scored = tf.join(F.broadcast(df_), "token").withColumn("score", F.col("tf") * idf)
+    idf = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", F.col("tf") * idf)
+    )
     w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("token"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

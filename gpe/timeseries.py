@@ -55,6 +55,11 @@ def q_ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # > : a gap of EXACTLY the threshold stays in the SAME session — this
+    # matches Structured Streaming's session_window, which merges an event
+    # arriving at last_ts + gap into the open session (verified empirically
+    # with a synthetic exactly-30-min-gap file; see session history note in
+    # tests/test_streaming_equivalence.py)
     gap = umicros("ts") - umicros(F.lag("ts").over(w))
     flag = F.when(gap.isNull() | (gap > _SESSION_GAP_US), 1).otherwise(0)
     return (
@@ -162,7 +167,7 @@ ORACLES = {
         GROUP BY 1""",
     "q_ts_sessionize": f"""
         WITH flagged AS (
-          SELECT user_id, ts, value,
+          SELECT user_id, ts, event_id, value,
                  CASE WHEN LAG(ts) OVER w IS NULL
                         OR date_diff('microsecond', LAG(ts) OVER w, ts)
                            > {_SESSION_GAP_US}
@@ -172,7 +177,7 @@ ORACLES = {
         sessions AS (
           SELECT user_id, ts, value,
                  CAST(SUM(new_session) OVER (PARTITION BY user_id
-                       ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING
+                       ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING
                        AND CURRENT ROW) AS BIGINT) AS session_id
           FROM flagged)
         SELECT user_id, session_id,

@@ -113,12 +113,19 @@ def q_vec_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     margin and can't flip it). This replaces a 2M-pair × 64-dim
     higher-order-function fold (measured 50 s at sf0.1) with one BLAS call
     per batch (~2 s). At 100 TB the broadcast side becomes IVF/LSH blocks —
-    never a full cross join."""
+    never a full cross join.
+
+    NOTE: unlike every other builder, this one is not fully lazy — the
+    index-side collect() below is an explicit, bounded INDEX-BUILD step
+    (the ANN pattern: build once, probe many), sized by the index (2k
+    vectors here), and is the single documented exception to the
+    pure-builder contract. The scale path replaces it with per-cell block
+    joins (see q_vec_ann_ivf's layout)."""
     import numpy as np
     import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings")
-    rows = emb.select("vec_id", "embedding").collect()  # index side: small
+    rows = emb.select("vec_id", "embedding").collect()  # index build (eager)
     ids = np.array([r.vec_id for r in rows], dtype=np.int64)
     mat = np.array([r.embedding for r in rows], dtype=np.float64)
     b_ids = spark.sparkContext.broadcast(ids)

@@ -95,6 +95,42 @@ def test_stateful_running_stats(spark, stream):
         q.stop()
 
 
+def test_exact_gap_boundary_batch_matches_streaming(spark, tmp_path):
+    """An event arriving EXACTLY 30 minutes after the previous one stays in
+    the same session in BOTH engines sides: session_window merges at
+    last_ts + gap (verified empirically — a review suggestion to flip the
+    batch predicate to >= was falsified by this very scenario), and the
+    batch formula uses strict > to match."""
+    import pandas as pd
+
+    ev = pd.DataFrame(
+        {
+            "event_id": [0, 1, 2],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:00", "2024-01-01 00:30:00",
+                 "2024-01-01 00:45:00"]
+            ),
+            "user_id": [7, 7, 7],
+            "event_type": ["view"] * 3,
+            "value": [1.0] * 3,
+            "props": ['{"k":1}'] * 3,
+        }
+    )
+    ev.to_parquet(str(tmp_path / "events.parquet"))  # single file, fixture layout
+    batch = timeseries.q_ts_sessionize(spark, str(tmp_path)).collect()
+    assert sorted(r.n_events for r in batch) == [3]
+    st = streaming.stream_events(spark, str(tmp_path))
+    q = streaming.run_to_memory(
+        streaming.session_aggregates(st), "t_boundary", "complete"
+    )
+    try:
+        assert sorted(
+            r.n_events for r in spark.table("t_boundary").collect()
+        ) == [3]
+    finally:
+        q.stop()
+
+
 def test_watermark_drops_late_rows(spark, tmp_path):
     """Append a batch of on-time rows, then a late batch beyond the
     watermark horizon; the late rows must not create/extend closed windows
