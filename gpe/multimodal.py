@@ -107,11 +107,19 @@ QUERIES = {
 }
 
 ORACLES = {
+    # byte == codepoint holds because the corpus is ASCII (closed 31-word
+    # vocabulary); out-of-range positions mirror the builder's zero-padding
+    # (DuckDB ord('') is -1, so the CASE guard is load-bearing for docs
+    # shorter than 2 chars)
     "q_multimodal_features": """
         SELECT doc_id AS media_id,
                CAST(LENGTH(text) AS BIGINT) AS n_bytes,
                ROUND(CAST(LENGTH(text) AS DOUBLE), 1) AS f_len,
-               ROUND(CAST(ord(substr(text, 1, 1)) AS DOUBLE), 1) AS f_b1,
-               ROUND(CAST(ord(substr(text, 2, 1)) AS DOUBLE), 1) AS f_b2
+               ROUND(CASE WHEN LENGTH(text) >= 1
+                          THEN CAST(ord(substr(text, 1, 1)) AS DOUBLE)
+                          ELSE 0.0 END, 1) AS f_b1,
+               ROUND(CASE WHEN LENGTH(text) >= 2
+                          THEN CAST(ord(substr(text, 2, 1)) AS DOUBLE)
+                          ELSE 0.0 END, 1) AS f_b2
         FROM documents""",
 }

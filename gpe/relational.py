@@ -937,15 +937,25 @@ ORACLES = {
           ON a.user_id = b.user_id
          AND a.event_id < b.event_id
          AND date_diff('microsecond', a.ts, b.ts) BETWEEN 0 AND 300000000""",
+    # deterministic as-of: "latest view at or before the purchase in
+    # (ts, event_id) order". DuckDB's native ASOF JOIN matches on ts alone
+    # and picks an ARBITRARY view among equal-µs ties (verified), so the
+    # oracle spells out the exact (ts, event_id)-lexicographic semantics the
+    # Spark union-scan implements — identical to ASOF on tie-free data.
     "q_join_asof": """
-        SELECT p.event_id AS p_event_id,
-               p.user_id AS user_id,
-               p.ts AS p_ts,
-               v.event_id AS v_event_id,
-               v.ts AS v_ts
-        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
-          ON p.user_id = v.user_id AND p.ts >= v.ts""",
+        SELECT p_event_id, user_id, p_ts, v_event_id, v_ts FROM (
+          SELECT p.event_id AS p_event_id,
+                 p.user_id AS user_id,
+                 p.ts AS p_ts,
+                 v.event_id AS v_event_id,
+                 v.ts AS v_ts,
+                 ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                    ORDER BY v.ts DESC, v.event_id DESC) AS rn
+          FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+          JOIN (SELECT * FROM events WHERE event_type = 'view') v
+            ON p.user_id = v.user_id
+           AND (v.ts < p.ts OR (v.ts = p.ts AND v.event_id < p.event_id)))
+        WHERE rn = 1""",
     "q_join_interval": """
         WITH bounds AS (
           SELECT date_trunc('day', MIN(ts)) AS d0,

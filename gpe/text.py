@@ -86,10 +86,14 @@ def q_text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = toks.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("tf"))
     idf = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
+    # rank on the ROUNDED score: ln is libm-dependent (≤1 ulp cross-engine
+    # drift), so ordering by the raw float could swap near-equal ranks 5/6
+    # between engines; the epsilon-rounded score is engine-identical and the
+    # token tiebreak resolves genuine equality
     scored = (
         tf.join(F.broadcast(df_), "token")
         .crossJoin(F.broadcast(n_docs))
-        .withColumn("score", F.col("tf") * idf)
+        .withColumn("score", F.round(F.col("tf") * idf + EPS, 6))
     )
     w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("token"))
     return (
@@ -100,7 +104,7 @@ def q_text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("token").alias("term"),
             "tf",
             "df",
-            F.round(F.col("score") + EPS, 6).alias("score"),
+            "score",
             "rank",
         )
     )
@@ -274,13 +278,14 @@ ORACLES = {
           FROM toks GROUP BY lang, token),
         scored AS (
           SELECT tf.lang, tf.token AS term, tf.tf, df.df,
-                 tf.tf * (LN((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0) AS score
+                 ROUND(tf.tf * (LN((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0)
+                       + {EPS}, 6) AS score
           FROM tf JOIN df ON tf.token = df.token CROSS JOIN n),
         ranked AS (
           SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY lang
                          ORDER BY score DESC, term ASC) AS INTEGER) AS rank
           FROM scored)
-        SELECT lang, term, tf, df, ROUND(score + {EPS}, 6) AS score, rank
+        SELECT lang, term, tf, df, score, rank
         FROM ranked WHERE rank <= 5""",
     "q_text_ngrams": """
         WITH pos_tok AS (

@@ -47,7 +47,12 @@ def q_udaf_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def median_gap(pdf: pd.DataFrame) -> pd.DataFrame:
         p = pdf.sort_values(["ts", "event_id"])
-        gaps = p["ts"].astype("int64").diff().dropna()  # ns→... already µs ts
+        # explicit µs cast — unit-independent (Arrow↔pandas may deliver
+        # datetime64[ns] or [us] depending on versions; a raw astype(int64)
+        # would silently change scale by 1000×)
+        gaps = (
+            p["ts"].diff().dropna().astype("timedelta64[us]").astype("int64")
+        )
         if len(gaps) == 0:
             return pd.DataFrame(
                 {"user_id": [p["user_id"].iloc[0]], "median_gap_us": [None],
@@ -56,7 +61,7 @@ def q_udaf_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.DataFrame(
             {
                 "user_id": [p["user_id"].iloc[0]],
-                "median_gap_us": [float(gaps.median()) / 1000.0],
+                "median_gap_us": [float(gaps.median())],
                 "n_events": [len(p)],
             }
         )
@@ -76,11 +81,20 @@ QUERIES = {
 }
 
 ORACLES = {
+    # full twin of normalize_text: lowercase, strip ALL leading/trailing
+    # whitespace classes, collapse internal runs — LOWER(TRIM(.)) alone
+    # would diverge on any doubled space / tab / newline
     "q_udf_pandas_scalar": """
+        WITH n AS (
+          SELECT doc_id,
+                 regexp_replace(
+                   regexp_replace(LOWER(text), '^\\s+|\\s+$', '', 'g'),
+                   '\\s+', ' ', 'g') AS norm
+          FROM documents)
         SELECT doc_id,
-               CAST(LENGTH(LOWER(TRIM(text))) AS INTEGER) AS norm_len,
-               sha256(LOWER(TRIM(text))) AS norm_hash
-        FROM documents""",
+               CAST(LENGTH(norm) AS INTEGER) AS norm_len,
+               sha256(norm) AS norm_hash
+        FROM n""",
     "q_udaf_applyinpandas": """
         WITH gaps AS (
           SELECT user_id,

@@ -40,25 +40,46 @@ def duck_connect(sf_dir: str) -> "duckdb.DuckDBPyConnection":
 
 
 def _norm_cell(v):
-    """Canonicalize one cell for cross-engine multiset comparison."""
+    """Canonicalize one cell for cross-engine multiset comparison.
+
+    Type-TAGGED so Python's cross-type equality (1 == 1.0 == True,
+    Decimal('1.5') == 1.5) can't mask a dtype divergence, and floats
+    compare by BIT PATTERN (distinguishing -0.0 / +0.0 / every last ulp).
+    Timestamps normalize to naive µs instants (the ns-vs-µs pandas unit is
+    a library artifact, not an engine difference) but carry an awareness
+    flag so a missing NTZ cast is still caught."""
+    import struct
+
     if v is None:
         return None
+    if isinstance(v, bool):
+        return ("b", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return v
+            return ("f", "NaN")
+        return ("f", struct.pack("<d", v))
+    if isinstance(v, int):
+        return ("i", v)
     if isinstance(v, (list, tuple)):
         return tuple(_norm_cell(x) for x in v)
     if hasattr(v, "tolist"):  # numpy scalar or array
         return _norm_cell(v.tolist())
     if isinstance(v, pd.Timestamp):
-        return v.to_pydatetime().replace(tzinfo=None)
+        aware = v.tzinfo is not None
+        return ("t", v.to_pydatetime().replace(tzinfo=None), aware)
     if hasattr(v, "isoformat"):  # datetime/date
+        tz = getattr(v, "tzinfo", None)
         try:
-            return v.replace(tzinfo=None)
+            return ("t", v.replace(tzinfo=None), tz is not None)
         except TypeError:
-            return v
-    return v
+            return ("t", v, False)
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        return ("dec", str(v))
+    if isinstance(v, (bytes, bytearray)):
+        return ("y", bytes(v))
+    return ("s", str(v)) if isinstance(v, str) else (type(v).__name__, v)
 
 
 def canonical_rows(df: pd.DataFrame) -> Counter:
@@ -77,7 +98,9 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> dict:
         report["issues"].append(
             f"row count: spark={len(spark_pdf)} duck={len(duck_pdf)}"
         )
-    s_cols, d_cols = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
+    # ORDERED column comparison — SURVEY §5.3 rule 1 says builders emit
+    # columns in oracle order; a sorted comparison would hide violations
+    s_cols, d_cols = list(spark_pdf.columns), list(duck_pdf.columns)
     if s_cols != d_cols:
         report["ok"] = False
         report["issues"].append(f"columns: spark={s_cols} duck={d_cols}")
@@ -115,9 +138,12 @@ def run(keys: list[str] | None = None, sf_dirs: list[str] | None = None) -> int:
                 n_fail += 1
                 continue
             if key not in oracles:
-                status = "ROWS-ONLY" if len(spark_pdf) >= 0 else "FAIL"
-                print(f"{status} {key} @ {sf_dir}: {len(spark_pdf)} rows "
-                      f"({time.time()-t0:.1f}s)")
+                if len(spark_pdf) > 0:
+                    print(f"ROWS-ONLY {key} @ {sf_dir}: {len(spark_pdf)} rows "
+                          f"({time.time()-t0:.1f}s)")
+                else:
+                    n_fail += 1
+                    print(f"FAIL {key} @ {sf_dir}: rows-only key returned 0 rows")
                 continue
             try:
                 duck_pdf = con.execute(oracles[key]).fetch_df()
