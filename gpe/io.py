@@ -128,6 +128,34 @@ def read_json(spark: SparkSession, path: str, schema) -> DataFrame:
     )
 
 
+def write_bucketed(
+    df: DataFrame, table: str, bucket_col: str, n_buckets: int = 8
+) -> None:
+    """Bucketed managed table — the co-located-join layout for 100 TB
+    fact-fact joins: two tables bucketed on the same key join with ZERO
+    exchange (verified in tests/test_scale_techniques.py). On a cluster
+    this is the difference between re-shuffling petabytes per join and
+    reading pre-shuffled buckets."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .saveAsTable(table)
+    )
+
+
+def salt_keys(df: DataFrame, key: str, n_salts: int = 8) -> DataFrame:
+    """Skew mitigation: spread a hot key over n_salts sub-keys via a
+    deterministic hash of a secondary column set (never a random() — keeps
+    retries/speculative tasks consistent). Aggregations then run in two
+    stages: partial on (key, salt), final on key — see
+    tests/test_scale_techniques.py for the composed pattern."""
+    all_cols = [F.col(c) for c in df.columns]
+    return df.withColumn(
+        "_salt", F.pmod(F.hash(*all_cols), F.lit(n_salts))
+    )
+
+
 def write_partitioned(df: DataFrame, path: str, partition_col: str) -> None:
     """Lake sink: partitioned parquet write (smoke-tested, not driver-scored).
 
