@@ -199,13 +199,15 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     mask_toks = (
         _doc_tokens_distinct(d).join(dm, "doc_id").select("mask", "token").distinct()
     )
-    mh = mask_toks.groupBy("mask").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(str(j) + "|"), F.col("token")).cast("binary")))
-            .alias(f"mh{j}")
-            for j in range(_N_MINHASH)
-        ]
-    )
+    # 4 independent 32-bit hash values per md5 (8-hex-char chunks compare
+    # lexicographically == numerically at fixed width) → 8 md5 calls yield
+    # all 32 minhash functions, a 4× cut of the dominant hashing cost
+    def _mh(j: int):
+        g, r = divmod(j, 4)
+        h = F.md5(F.concat(F.lit(f"{g}|"), F.col("token")).cast("binary"))
+        return F.min(F.substring(h, 1 + 8 * r, 8)).alias(f"mh{j}")
+
+    mh = mask_toks.groupBy("mask").agg(*[_mh(j) for j in range(_N_MINHASH)])
     n_bands = _N_MINHASH // _BAND_SIZE
     bands = mh.select(
         "mask",

@@ -130,8 +130,74 @@ def q_scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scalar_string2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string family: split_part/translate/repeat/reverse/left/
+    right/position/ascii/chr + starts/endswith over customer names."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("cust_num"),
+        F.translate("c_name", "Cu", "Kv").alias("translated"),
+        F.repeat(F.col("c_mktsegment"), 2).alias("seg_twice"),
+        F.reverse("c_name").alias("rev_name"),
+        F.substring("c_name", 1, 4).alias("left4"),
+        F.col("c_name").substr(F.length("c_name") - 3, F.lit(4)).alias("right4"),
+        F.instr(F.col("c_name"), "#").alias("hash_pos"),
+        F.ascii("c_mktsegment").alias("seg_ascii"),
+        F.chr(F.col("c_nationkey") + 65).alias("nation_chr"),
+        F.col("c_name").startswith("Customer").alias("is_cust"),
+        F.col("c_mktsegment").endswith("RY").alias("seg_ry"),
+    )
+
+
+def q_scalar_arrayops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra over each document's first/second token halves —
+    intersections/unions/positions with internal sorting for hash
+    stability (Spark and DuckDB order set-op results differently)."""
+    d = load_table(spark, sf_dir, "documents")
+    # explicit FLOOR: Spark's double→int cast truncates but DuckDB's
+    # ROUNDS (29/2 → 14 vs 15) — another cross-engine cast trap
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    half = F.floor(n / 2).cast("int")
+    a = F.slice(toks, 1, half)
+    b = F.expr(
+        "slice(split(text, ' '),"
+        " CAST(FLOOR(size(split(text, ' '))/2) AS INT) + 1,"
+        " size(split(text, ' ')))"
+    )
+    return d.select(
+        "doc_id",
+        F.sort_array(F.array_distinct(F.array_intersect(a, b))).alias(
+            "common_tokens"
+        ),
+        F.size(F.array_distinct(F.array_union(a, b))).alias("n_union"),
+        F.arrays_overlap(a, b).alias("halves_overlap"),
+        F.array_position(toks, "the").alias("the_pos"),
+    )
+
+
+def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/boolean aggregates per event type: count_if, bool_and,
+    bool_or over the value column."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count_if(F.col("value") > 5).alias("n_high"),
+            F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+            F.bool_or(F.col("value") > 9.9).alias("any_extreme"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "q_scalar_string": q_scalar_string,
+    "q_scalar_string2": q_scalar_string2,
+    "q_scalar_arrayops": q_scalar_arrayops,
+    "q_agg_conditional": q_agg_conditional,
     "q_scalar_date": q_scalar_date,
     "q_scalar_math": q_scalar_math,
     "q_scalar_array": q_scalar_array,
@@ -141,6 +207,44 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_scalar_string2": """
+        SELECT c_custkey,
+               split_part(c_name, '#', 2) AS cust_num,
+               translate(c_name, 'Cu', 'Kv') AS translated,
+               repeat(c_mktsegment, 2) AS seg_twice,
+               reverse(c_name) AS rev_name,
+               left(c_name, 4) AS left4,
+               right(c_name, 4) AS right4,
+               CAST(strpos(c_name, '#') AS INTEGER) AS hash_pos,
+               CAST(ascii(c_mktsegment) AS INTEGER) AS seg_ascii,
+               chr(c_nationkey + 65) AS nation_chr,
+               starts_with(c_name, 'Customer') AS is_cust,
+               c_mktsegment LIKE '%RY' AS seg_ry
+        FROM customer""",
+    "q_scalar_arrayops": """
+        WITH t AS (
+          SELECT doc_id,
+                 string_split(text, ' ') AS toks,
+                 string_split(text, ' ')[1:CAST(FLOOR(
+                   len(string_split(text, ' '))/2) AS INTEGER)] AS a,
+                 string_split(text, ' ')[CAST(FLOOR(
+                   len(string_split(text, ' '))/2) AS INTEGER) + 1:] AS b
+          FROM documents)
+        SELECT doc_id,
+               list_sort(list_distinct(list_intersect(a, b))) AS common_tokens,
+               CAST(len(list_distinct(list_concat(a, b))) AS INTEGER)
+                 AS n_union,
+               list_has_any(a, b) AS halves_overlap,
+               CAST(COALESCE(list_position(toks, 'the'), 0) AS BIGINT)
+                 AS the_pos
+        FROM t""",
+    "q_agg_conditional": """
+        SELECT event_type,
+               CAST(COUNT(*) FILTER (value > 5) AS BIGINT) AS n_high,
+               bool_and(value >= 0) AS all_nonneg,
+               bool_or(value > 9.9) AS any_extreme,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type ORDER BY event_type""",
     "q_scalar_string": """
         SELECT p_partkey,
                UPPER(p_name) AS up_name,
