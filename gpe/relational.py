@@ -393,6 +393,27 @@ def q_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via percentile_approx (Greenwald-Khanna
+    sketch) — rows-only check like all sketch ops (sketches differ across
+    engines by design); accuracy vs exact quantiles is asserted in
+    tests/test_llm_ops.py. At 100 TB this is the only viable quantile path
+    (exact percentile sorts per group)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(1000)).alias(
+                "approx_median_price"
+            ),
+            F.percentile_approx("l_extendedprice", F.lit(0.99), F.lit(1000)).alias(
+                "approx_p99_price"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL sketch distinct — rows-only check (sketches differ across
     engines by design; SURVEY.md §2.4)."""
@@ -750,6 +771,7 @@ QUERIES = {
     "q_agg_global": q_agg_global,
     "q_agg_count_distinct": q_agg_count_distinct,
     "q_agg_approx_distinct": q_agg_approx_distinct,
+    "q_agg_approx_quantile": q_agg_approx_quantile,
     "q_agg_multi_distinct": q_agg_multi_distinct,
     "q_agg_having": q_agg_having,
     "q_sort_multi": q_sort_multi,

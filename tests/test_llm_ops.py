@@ -75,6 +75,31 @@ def test_langid_beats_chance(spark):
     assert 0 <= correct <= n
 
 
+def test_approx_quantile_accuracy(spark):
+    """Sketch quantiles must land within 2% relative error of exact ones
+    (rows-only keys still need semantic guards)."""
+    approx = {
+        r.l_returnflag: (r.approx_median_price, r.approx_p99_price)
+        for r in _Q["q_agg_approx_quantile"](spark, SF).collect()
+    }
+    from gpe.io import load_table
+
+    exact = {
+        r.l_returnflag: (r.m, r.p99)
+        for r in load_table(spark, SF, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_extendedprice", F.lit(0.5)).alias("m"),
+            F.percentile("l_extendedprice", F.lit(0.99)).alias("p99"),
+        )
+        .collect()
+    }
+    for flag, (am, ap) in approx.items():
+        em, ep = exact[flag]
+        assert abs(am - em) / em < 0.02
+        assert abs(ap - ep) / ep < 0.02
+
+
 def test_simhash_near_dups_close(spark):
     """Near-duplicate docs should have closer simhashes than random pairs
     on average (weak but real signal check)."""

@@ -95,6 +95,53 @@ def test_stateful_running_stats(spark, stream):
         q.stop()
 
 
+def test_stream_stream_join_matches_batch(spark):
+    """Stream-stream inner join with watermarks + time-range condition:
+    purchases joined to views of the same user within the preceding hour;
+    result must equal the equivalent batch join."""
+    views = streaming.stream_events(spark, SF).filter("event_type = 'view'")
+    purchases = streaming.stream_events(spark, SF).filter(
+        "event_type = 'purchase'"
+    )
+    joined = (
+        views.withWatermark("ts", "1 hour")
+        .alias("v")
+        .join(
+            purchases.withWatermark("ts", "1 hour").alias("p"),
+            F.expr(
+                """v.user_id = p.user_id AND
+                   p.ts BETWEEN v.ts AND v.ts + INTERVAL 1 HOUR"""
+            ),
+        )
+        .select(
+            F.col("v.event_id").alias("v_id"), F.col("p.event_id").alias("p_id")
+        )
+    )
+    q = streaming.run_to_memory(joined, "t_ssj", "append")
+    try:
+        got = sorted((r.v_id, r.p_id) for r in spark.table("t_ssj").collect())
+    finally:
+        q.stop()
+    from gpe.io import load_table
+
+    ev = load_table(spark, SF, "events")
+    v = ev.filter("event_type = 'view'").alias("v")
+    p = ev.filter("event_type = 'purchase'").alias("p")
+    want = sorted(
+        (r.v_id, r.p_id)
+        for r in v.join(
+            p,
+            F.expr(
+                """v.user_id = p.user_id AND
+                   p.ts BETWEEN v.ts AND v.ts + INTERVAL 1 HOUR"""
+            ),
+        )
+        .select(F.col("v.event_id").alias("v_id"), F.col("p.event_id").alias("p_id"))
+        .collect()
+    )
+    assert got == want
+
+
 def test_exact_gap_boundary_batch_matches_streaming(spark, tmp_path):
     """An event arriving EXACTLY 30 minutes after the previous one stays in
     the same session in BOTH engines sides: session_window merges at
