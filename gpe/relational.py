@@ -720,6 +720,44 @@ def q_page_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unpivot_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): the per-year status counts of q_pivot_status_by_year
+    folded back to long form — the wide↔long round trip every reporting
+    API needs."""
+    wide = q_pivot_status_by_year(spark, sf_dir)
+    return wide.unpivot(
+        ids=["yr"],
+        values=["n_f", "n_o", "n_p"],
+        variableColumnName="status_col",
+        valueColumnName="n_orders",
+    )
+
+
+def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery: each nation's two most recent orders
+    (per-row dependent subquery — Catalyst decorrelates to a ranked
+    window, but the declared surface is the LATERAL form)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.o_orderkey, t.o_orderdate
+        FROM {n} n,
+        LATERAL (
+          SELECT o.o_orderkey, o.o_orderdate
+          FROM {o} o JOIN {c} c ON o.o_custkey = c.c_custkey
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+          LIMIT 2
+        ) t
+        """,
+        n=n,
+        o=o,
+        c=c,
+    )
+
+
 def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram of order totalprice (50k buckets) — integer
     bucket arithmetic on exact values, the catalog's distribution-profile
@@ -745,6 +783,8 @@ QUERIES = {
     "q_agg_listagg": q_agg_listagg,
     "q_agg_percentiles": q_agg_percentiles,
     "q_page_orders": q_page_orders,
+    "q_unpivot_order_counts": q_unpivot_order_counts,
+    "q_join_lateral": q_join_lateral,
     "q_agg_histogram": q_agg_histogram,
     "q_agg_rollup": q_agg_rollup,
     "q_agg_cube": q_agg_cube,
@@ -819,6 +859,26 @@ ORACLES = {
     "q_page_orders": """
         SELECT o_orderkey, o_custkey, o_totalprice
         FROM orders ORDER BY o_orderkey LIMIT 50 OFFSET 100""",
+    "q_unpivot_order_counts": """
+        WITH wide AS (
+          SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
+                 CAST(COUNT(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_f,
+                 CAST(COUNT(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n_o,
+                 CAST(COUNT(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_p
+          FROM orders GROUP BY 1)
+        SELECT yr, 'n_f' AS status_col, n_f AS n_orders FROM wide
+        UNION ALL SELECT yr, 'n_o', n_o FROM wide
+        UNION ALL SELECT yr, 'n_p', n_p FROM wide""",
+    "q_join_lateral": """
+        SELECT n.n_name, t.o_orderkey, t.o_orderdate
+        FROM nation n,
+        LATERAL (
+          SELECT o.o_orderkey, o.o_orderdate
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+          LIMIT 2
+        ) t""",
     "q_agg_histogram": """
         SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bucket,
                CAST(COUNT(*) AS BIGINT) AS n,
