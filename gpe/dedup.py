@@ -392,13 +392,102 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive near-dup pairs: word-TRIGRAM shingle Jaccard > 0.5
+    via shingle inverted-index self-join (25 pairs at sf0.01 — much
+    stricter than the 5,092 token-SET pairs, because shingles see word
+    order).
+
+    Shingles form map-side with an indexed `transform` over the split
+    array (no window shuffle; out-of-range tail entries null out through
+    `try_element_at` + `concat` and are filtered). At 100 TB the same
+    shingle frame feeds MinHash-LSH exactly as q_dedup_minhash_lsh does
+    for token sets — shingling changes the set elements, not the
+    pipeline shape."""
+    d = load_table(spark, sf_dir, "documents")
+    arr = F.split("text", " ")
+    grams = F.array_distinct(
+        F.filter(
+            F.transform(
+                arr,
+                lambda x, i: F.concat(
+                    x,
+                    F.lit("|"),
+                    F.try_element_at(arr, i + 2),
+                    F.lit("|"),
+                    F.try_element_at(arr, i + 3),
+                ),
+            ),
+            lambda g: g.isNotNull(),
+        )
+    )
+    gsets = d.select("doc_id", F.explode(grams).alias("g"))
+    sizes = gsets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    pairs = (
+        gsets.alias("a")
+        .join(gsets.alias("b"), "g")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        pairs.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .filter(F.lit(2) * F.col("inter") > F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("inter").cast("long").alias("inter"),
+            (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            .cast("long")
+            .alias("union_size"),
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_near_pairs": q_dedup_near_pairs,
+    "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_components": q_dedup_components,
 }
+
+_SQL_NGRAM_JACCARD = """
+    WITH toks AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, ' '), 1) AS pos,
+             unnest(string_split(text, ' ')) AS tok
+      FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             tok || '|' || lead(tok, 1) OVER w || '|' || lead(tok, 2) OVER w
+               AS g
+      FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      QUALIFY lead(tok, 2) OVER w IS NOT NULL),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           CAST(inter AS BIGINT) AS inter,
+           CAST(sa.sz + sb.sz - inter AS BIGINT) AS union_size,
+           ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6)
+             AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE 2 * inter > sa.sz + sb.sz - inter
+"""
 
 ORACLES = {
     "q_dedup_exact": """
@@ -407,6 +496,7 @@ ORACLES = {
                CAST(COUNT(*) AS BIGINT) AS n_copies
         FROM documents GROUP BY 1""",
     "q_dedup_near_pairs": _SQL_JACCARD_PAIRS,
+    "q_dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
     "q_dedup_minhash_lsh": _SQL_JACCARD_PAIRS,
     "q_dedup_simhash": """
         WITH tf AS (

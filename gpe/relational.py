@@ -17,7 +17,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from gpe.common import EPS, davg, dec, dsum, ntz, sql_davg, sql_dec, sql_dsum, umicros
+from gpe.common import (
+    EPS,
+    davg,
+    dec,
+    dsum,
+    fround,
+    ntz,
+    sql_davg,
+    sql_dec,
+    sql_dsum,
+    sql_fround,
+    umicros,
+)
 from gpe.io import load_table
 
 # ---------------------------------------------------------------------------
@@ -775,8 +787,76 @@ def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_corr_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag correlation / simple linear regression of
+    extendedprice on quantity (corr, covar_samp, regr_slope,
+    regr_intercept).
+
+    Built from the five EXACT decimal co-moment sums rather than the native
+    streaming aggregates (corr/covar accumulate in doubles, so their result
+    depends on partitioning — same hazard as stddev, see q_agg_stats). The
+    decimal sums are order-independent; the closed-form combination is the
+    identical IEEE double expression in both engines. At 100 TB the decimal
+    sums still take the partial-aggregation fast path (one shuffle of 5
+    numbers per group)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1)).cast("double")
+    sx = F.sum(dec("l_quantity")).cast("double")
+    sy = F.sum(dec("l_extendedprice")).cast("double")
+    sxx = F.sum(dec("l_quantity") * dec("l_quantity")).cast("double")
+    syy = F.sum(dec("l_extendedprice") * dec("l_extendedprice")).cast("double")
+    sxy = F.sum(dec("l_quantity") * dec("l_extendedprice")).cast("double")
+    agg = li.groupBy("l_returnflag").agg(
+        n.alias("n"), sx.alias("sx"), sy.alias("sy"),
+        sxx.alias("sxx"), syy.alias("syy"), sxy.alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = num / denx
+    return (
+        agg.select(
+            "l_returnflag",
+            F.col("n").cast("bigint").alias("n_rows"),
+            fround(num / F.sqrt(denx * deny), "corr_qty_price"),
+            fround(num / (F.col("n") * (F.col("n") - F.lit(1.0))), "covar_samp", 4),
+            fround(slope, "regr_slope"),
+            fround((F.col("sy") - slope * F.col("sx")) / F.col("n"),
+                   "regr_intercept", 4),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar + aggregate family over order keys: per status,
+    bit_and/bit_or/bit_xor of the low 16 key bits, total popcount, and how
+    many keys have any of the low 4 bits set. Pure integer arithmetic —
+    deterministic everywhere; all aggregates partial-combine map-side."""
+    o = load_table(spark, sf_dir, "orders")
+    low16 = F.col("o_orderkey").bitwiseAND(F.lit(65535))
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.bit_and(low16).alias("and16"),
+            F.bit_or(low16).alias("or16"),
+            F.bit_xor(low16).alias("xor16"),
+            F.sum(F.bit_count("o_orderkey")).alias("popcount_total"),
+            F.count(F.when(F.col("o_orderkey").bitwiseAND(F.lit(15)) != 0, 1))
+            .alias("n_low4_set"),
+            F.max(
+                F.shiftleft(F.col("o_orderkey").bitwiseXOR(F.lit(255)), 2)
+                .bitwiseAND(F.lit(1048575))
+            ).alias("max_xor_shift"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 QUERIES = {
     "q_agg_groupby": q_agg_groupby,
+    "q_agg_corr_regr": q_agg_corr_regr,
+    "q_agg_bitwise": q_agg_bitwise,
     "q_pivot_status_by_year": q_pivot_status_by_year,
     "q_subquery_scalar": q_subquery_scalar,
     "q_subquery_correlated": q_subquery_correlated,
@@ -826,6 +906,45 @@ _REV_DEC = f"{sql_dec('l_extendedprice')} * {sql_dec('1 - l_discount')}"
 
 ORACLES = {
     "q_agg_groupby": _Q1_ORACLE,
+    "q_agg_corr_regr": f"""
+        WITH s AS (
+          SELECT l_returnflag,
+                 CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM({sql_dec('l_quantity')}) AS DOUBLE) AS sx,
+                 CAST(SUM({sql_dec('l_extendedprice')}) AS DOUBLE) AS sy,
+                 CAST(SUM({sql_dec('l_quantity')} * {sql_dec('l_quantity')})
+                      AS DOUBLE) AS sxx,
+                 CAST(SUM({sql_dec('l_extendedprice')}
+                          * {sql_dec('l_extendedprice')}) AS DOUBLE) AS syy,
+                 CAST(SUM({sql_dec('l_quantity')}
+                          * {sql_dec('l_extendedprice')}) AS DOUBLE) AS sxy
+          FROM lineitem GROUP BY l_returnflag),
+        m AS (
+          SELECT l_returnflag, n, sx, sy,
+                 n * sxy - sx * sy AS num,
+                 n * sxx - sx * sx AS denx,
+                 n * syy - sy * sy AS deny
+          FROM s)
+        SELECT l_returnflag,
+               CAST(n AS BIGINT) AS n_rows,
+               {sql_fround('num / sqrt(denx * deny)', 'corr_qty_price')},
+               {sql_fround('num / (n * (n - 1.0))', 'covar_samp', 4)},
+               {sql_fround('num / denx', 'regr_slope')},
+               {sql_fround('(sy - (num / denx) * sx) / n', 'regr_intercept', 4)}
+        FROM m
+        """,
+    "q_agg_bitwise": """
+        SELECT o_orderstatus,
+               bit_and(o_orderkey & 65535) AS and16,
+               bit_or(o_orderkey & 65535) AS or16,
+               bit_xor(o_orderkey & 65535) AS xor16,
+               CAST(SUM(bit_count(o_orderkey)) AS BIGINT) AS popcount_total,
+               COUNT(CASE WHEN (o_orderkey & 15) <> 0 THEN 1 END)
+                 AS n_low4_set,
+               MAX((xor(o_orderkey, 255) << 2) & 1048575) AS max_xor_shift
+        FROM orders
+        GROUP BY o_orderstatus
+        """,
     "q_pivot_status_by_year": """
         SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
                CAST(COUNT(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_f,

@@ -141,8 +141,33 @@ def q_ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsample (hypertable-rollup style): per event_type × day,
+    open/close = value at the first/last event, high/low = min/max.
+
+    open/close use min_by/max_by keyed on event_id — the fixture guarantees
+    event_id is dense in ts order (FIXTURES.md), so the ordinal key is a
+    strict total order and the result is deterministic where a raw-ts key
+    could tie. One shuffle, full map-side partial aggregation; at 100 TB
+    this is the canonical first-rollup over a time-partitioned event log
+    (partition pruning on the date dimension comes free from the
+    date_trunc groupBy when the table is date-partitioned)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type", ntz(F.date_trunc("day", "ts")).alias("day"))
+        .agg(
+            F.min_by("value", "event_id").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "event_id").alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
 QUERIES = {
     "q_ts_tumbling": q_ts_tumbling,
+    "q_ts_ohlc": q_ts_ohlc,
     "q_ts_sliding": q_ts_sliding,
     "q_ts_sessionize": q_ts_sessionize,
     "q_ts_funnel": q_ts_funnel,
@@ -153,6 +178,15 @@ QUERIES = {
 _SUM_VAL = "CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value"
 
 ORACLES = {
+    "q_ts_ohlc": """
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               arg_min(value, event_id) AS open,
+               MAX(value) AS high,
+               MIN(value) AS low,
+               arg_max(value, event_id) AS close,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2""",
     "q_ts_tumbling": f"""
         SELECT date_trunc('hour', ts) AS bucket_start,
                CAST(COUNT(*) AS BIGINT) AS n_events,

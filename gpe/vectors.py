@@ -284,6 +284,93 @@ def q_vec_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_N_PLANES = 16  # sign-LSH hyperplanes → 4 bands × 4 bits
+_LSH_BAND_BITS = 4
+_DIM = 64
+
+
+def q_vec_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane (sign) LSH-bucketed approximate kNN — the
+    unlabeled-corpus scale path (q_vec_ann_ivf needs a label/cluster
+    column; this needs nothing).
+
+    Hyperplane components are deterministic ±1 drawn from md5 parity of
+    "plane|dim" (portable across engines — no RNG), so bit_p(v) =
+    sign(Σ ±x_i) computed in exact decimal is engine-identical and the
+    whole pipeline carries a full SQL oracle — like the IVF variant, a
+    rare property for ANN. 16 bits → 4 bands of 4; vectors sharing any
+    band with a query are candidates, then exact-decimal rank top-5.
+
+    At 100 TB: signatures are one cheap map-side pass (64 mults/plane),
+    the band join is an equi-join on (band, value) — shuffle-partitioned,
+    no cross join ever materializes; recall tunes by adding planes/bands.
+    Recall vs q_vec_knn_brute is asserted in tests/test_llm_ops.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = (
+        spark.range(_N_PLANES)
+        .select(F.col("id").cast("int").alias("plane"))
+        .crossJoin(spark.range(_DIM).select(F.col("id").cast("int").alias("pos")))
+        .select(
+            "plane",
+            "pos",
+            F.when(
+                F.substring(
+                    F.md5(F.concat_ws("|", "plane", "pos").cast("binary")), 1, 1
+                )
+                < "8",
+                1,
+            )
+            .otherwise(-1)
+            .alias("s"),
+        )
+    )
+    ex = emb.select("vec_id", F.posexplode("embedding").alias("pos", "x"))
+    bands = (
+        ex.join(F.broadcast(planes), "pos")
+        .groupBy("vec_id", "plane")
+        .agg(F.sum(F.col("s") * F.col("x").cast("decimal(12,10)")).alias("proj"))
+        .select(
+            "vec_id",
+            (F.col("plane") / _LSH_BAND_BITS).cast("int").alias("band"),
+            F.expr(
+                f"CASE WHEN proj >= 0"
+                f" THEN shiftleft(1, plane % {_LSH_BAND_BITS}) ELSE 0 END"
+            ).alias("bitval"),
+        )
+        .groupBy("vec_id", "band")
+        .agg(F.sum("bitval").alias("bval"))
+    )
+    qb = bands.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "band", "bval"
+    )
+    cand = (
+        qb.join(bands.withColumnRenamed("vec_id", "neighbor_id"), ["band", "bval"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    n = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(n, "neighbor_id")
+        .withColumn("dot", _dot_dec("q_emb", "embedding"))
+    )
+    from pyspark.sql import Window
+
+    wr = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= _TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("dot", 6).cast("double").alias("sim"),
+            "rank",
+        )
+    )
+
+
 def q_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text ⋈ vector modality join on doc_id = vec_id (inner semantics —
     cardinalities legitimately diverge at sf0.1), with per-(lang, label)
@@ -321,6 +408,7 @@ QUERIES = {
     "q_vec_pairs_threshold": q_vec_pairs_threshold,
     "q_vec_centroids": q_vec_centroids,
     "q_vec_ann_ivf": q_vec_ann_ivf,
+    "q_vec_ann_lsh": q_vec_ann_lsh,
     "q_multimodal_join": q_multimodal_join,
 }
 
@@ -399,6 +487,47 @@ ORACLES = {
                  SUM(CAST(c.x AS DECIMAL(12,10))
                      * CAST(q.x AS DECIMAL(12,10))) AS dot
           FROM cand c JOIN qx q ON q.query_id = c.query_id AND q.pos = c.pos
+          GROUP BY 1, 2),
+        ranked AS (
+          SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY dot DESC, neighbor_id ASC) AS INTEGER) AS rank
+          FROM dots)
+        SELECT query_id, neighbor_id,
+               CAST(ROUND(dot, 6) AS DOUBLE) AS sim, rank
+        FROM ranked WHERE rank <= {_TOP_K}""",
+    "q_vec_ann_lsh": f"""
+        WITH exploded AS ({_SQL_EXPLODED}),
+        planes AS (
+          SELECT p.p AS plane, d.d AS pos,
+                 CASE WHEN substr(md5(CAST(p.p AS VARCHAR) || '|'
+                                   || CAST(d.d AS VARCHAR)), 1, 1) < '8'
+                      THEN 1 ELSE -1 END AS s
+          FROM generate_series(0, {_N_PLANES - 1}) p(p)
+          CROSS JOIN generate_series(0, {_DIM - 1}) d(d)),
+        proj AS (
+          SELECT e.vec_id, pl.plane,
+                 SUM(pl.s * CAST(e.x AS DECIMAL(12,10))) AS proj
+          FROM exploded e JOIN planes pl ON pl.pos = e.pos - 1
+          GROUP BY 1, 2),
+        bands AS (
+          SELECT vec_id, plane // {_LSH_BAND_BITS} AS band,
+                 CAST(SUM(CASE WHEN proj >= 0
+                          THEN 1 << (plane % {_LSH_BAND_BITS})
+                          ELSE 0 END) AS BIGINT) AS bval
+          FROM proj GROUP BY 1, 2),
+        cand AS (
+          SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+          FROM bands q
+          JOIN bands c ON q.band = c.band AND q.bval = c.bval
+                       AND q.vec_id <> c.vec_id
+          WHERE q.vec_id < {_N_QUERIES}),
+        dots AS (
+          SELECT cd.query_id, cd.neighbor_id,
+                 SUM(CAST(a.x AS DECIMAL(12,10))
+                     * CAST(b.x AS DECIMAL(12,10))) AS dot
+          FROM cand cd
+          JOIN exploded a ON a.vec_id = cd.query_id
+          JOIN exploded b ON b.vec_id = cd.neighbor_id AND b.pos = a.pos
           GROUP BY 1, 2),
         ranked AS (
           SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id

@@ -118,6 +118,36 @@ def q_win_moving_avg_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-RANGE frame: per customer, how many of their orders fall
+    within $1000 below each order's price, and those orders' price sum.
+
+    The ordering key is integer CENTS derived through the exact decimal
+    cast (never a raw double→long truncation, which rounds differently in
+    DuckDB), so the frame boundary [price-1000, price] is exact integer
+    arithmetic in both engines and the frame's sum is an exact decimal —
+    peers at equal price are all in-frame, so tie order can't matter."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = (dec("o_totalprice") * 100).cast("bigint")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("cents"))
+        .rangeBetween(-100_000, 0)
+    )
+    return (
+        o.withColumn("cents", cents)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.count(F.lit(1)).over(w).alias("n_within_1k"),
+            F.round(F.sum(dec("o_totalprice")).over(w), 2)
+            .cast("double")
+            .alias("sum_within_1k"),
+        )
+    )
+
+
 def q_win_ntile_pctrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quartile bucket (unique-ordered) + percent_rank (tie-deterministic)
     of customers by account balance."""
@@ -168,6 +198,7 @@ def q_win_cume_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_win_rank": q_win_rank,
     "q_win_cume_nth": q_win_cume_nth,
+    "q_win_range_frame": q_win_range_frame,
     "q_win_topk_per_group": q_win_topk_per_group,
     "q_win_lag_lead": q_win_lag_lead,
     "q_win_running_sum": q_win_running_sum,
@@ -177,6 +208,19 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_win_range_frame": """
+        WITH o AS (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS cents
+          FROM orders)
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               COUNT(*) OVER w AS n_within_1k,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w, 2)
+                    AS DOUBLE) AS sum_within_1k
+        FROM o
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY cents
+                     RANGE BETWEEN 100000 PRECEDING AND CURRENT ROW)""",
     "q_win_cume_nth": f"""
         SELECT s_suppkey, s_nationkey, s_acctbal,
                ROUND(CUME_DIST() OVER (PARTITION BY s_nationkey

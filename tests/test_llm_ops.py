@@ -65,6 +65,36 @@ def test_ann_ivf_recall_vs_brute(spark):
     assert recall >= 0.2, f"IVF recall@5 below probe floor: {recall}"
 
 
+def test_ann_lsh_recall_vs_brute(spark):
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in _Q["q_vec_knn_brute"](spark, SF).collect()
+    }
+    ann = {
+        (r.query_id, r.neighbor_id)
+        for r in _Q["q_vec_ann_lsh"](spark, SF).collect()
+    }
+    recall = len(brute & ann) / len(brute)
+    # near-random unit vectors: a 4-bit band match is ~1/16 of the corpus
+    # per band × 2 bands; with true neighbors' sign agreement boosted by
+    # their cosine, measured recall ≈ 0.5 — assert a conservative floor
+    assert recall >= 0.25, f"LSH recall@5 below floor: {recall}"
+
+
+def test_ngram_jaccard_stricter_than_token_set(spark):
+    """Trigram-shingle pairs must be a subset of token-SET pairs at a far
+    lower threshold bar — order sensitivity only removes pairs."""
+    grams = {
+        (r.id_a, r.id_b)
+        for r in _Q["q_dedup_ngram_jaccard"](spark, SF).collect()
+    }
+    sets = {
+        (r.id_a, r.id_b) for r in _Q["q_dedup_near_pairs"](spark, SF).collect()
+    }
+    assert grams, "expected nonzero trigram near-dup pairs in fixture"
+    assert grams <= sets, "trigram pairs must be token-set near-dups too"
+
+
 def test_langid_beats_chance(spark):
     pred = _Q["q_text_langid"](spark, SF)
     n = pred.count()
