@@ -452,9 +452,54 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup decision (the semantic-dup flavor —
+    BASELINE.json:6 lists it alongside exact/MinHash/SimHash/n-gram): docs
+    whose embeddings have cosine ≥ τ are duplicates; each such doc is
+    canonicalized to keep_id = min(doc_id over itself and its neighbors),
+    the single-hop keep rule (full transitive closure is
+    q_dedup_components' job).
+
+    Pair generation reuses q_vec_pairs_threshold's block-matmul prefilter +
+    exact-decimal verify, so the pair set is exact and oracle-identical;
+    this layer adds only the documents semi-join (vec ids without a doc row
+    can't be dedup decisions — cardinalities legitimately diverge at
+    sf0.1) and a groupBy. At 100 TB that is one extra shuffle on doc_id
+    over an already-contracted pair set."""
+    from gpe.vectors import q_vec_pairs_threshold
+
+    pairs = q_vec_pairs_threshold(spark, sf_dir)
+    sym = pairs.select(
+        F.col("id_a").alias("doc_id"), F.col("id_b").alias("nbr"), "sim"
+    ).unionAll(
+        pairs.select(
+            F.col("id_b").alias("doc_id"), F.col("id_a").alias("nbr"), "sim"
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    sym = sym.join(docs, "doc_id", "semi").join(
+        docs.withColumnRenamed("doc_id", "nbr"), "nbr", "semi"
+    )
+    return (
+        sym.groupBy("doc_id")
+        .agg(
+            F.min("nbr").alias("min_nbr"),
+            F.count(F.lit(1)).cast("long").alias("n_near_dups"),
+            F.max("sim").alias("max_sim"),
+        )
+        .select(
+            "doc_id",
+            F.least("min_nbr", "doc_id").alias("keep_id"),
+            "n_near_dups",
+            "max_sim",
+        )
+    )
+
+
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_near_pairs": q_dedup_near_pairs,
+    "q_dedup_embed_cosine": q_dedup_embed_cosine,
     "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
     "q_dedup_simhash": q_dedup_simhash,
@@ -496,6 +541,7 @@ ORACLES = {
                CAST(COUNT(*) AS BIGINT) AS n_copies
         FROM documents GROUP BY 1""",
     "q_dedup_near_pairs": _SQL_JACCARD_PAIRS,
+    "q_dedup_embed_cosine": None,  # filled below — needs gpe.vectors' SQL
     "q_dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
     "q_dedup_minhash_lsh": _SQL_JACCARD_PAIRS,
     "q_dedup_simhash": """
@@ -538,3 +584,28 @@ ORACLES = {
                src = MIN(dst) AS is_representative
         FROM reach GROUP BY src""",
 }
+
+# The embed-cosine oracle wraps the q_vec_pairs_threshold oracle (imported
+# lazily to avoid a module-import cycle: gpe.vectors imports nothing from
+# here) with the symmetric-closure + single-hop-min aggregation.
+def _embed_cosine_oracle() -> str:
+    from gpe.vectors import ORACLES as _VEC_ORACLES
+
+    return f"""
+        WITH pairs AS ({_VEC_ORACLES["q_vec_pairs_threshold"]}),
+        sym AS (
+          SELECT id_a AS doc_id, id_b AS nbr, sim FROM pairs
+          UNION ALL
+          SELECT id_b, id_a, sim FROM pairs),
+        d AS (SELECT doc_id FROM documents)
+        SELECT s.doc_id,
+               CAST(LEAST(MIN(s.nbr), s.doc_id) AS BIGINT) AS keep_id,
+               CAST(COUNT(*) AS BIGINT) AS n_near_dups,
+               CAST(MAX(s.sim) AS DOUBLE) AS max_sim
+        FROM sym s
+        WHERE s.doc_id IN (SELECT doc_id FROM d)
+          AND s.nbr IN (SELECT doc_id FROM d)
+        GROUP BY s.doc_id"""
+
+
+ORACLES["q_dedup_embed_cosine"] = _embed_cosine_oracle()

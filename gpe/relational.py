@@ -308,6 +308,51 @@ def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_fuzzy_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy self-join: per supplier, its edit-distance-≤2
+    neighborhood (count at distance 1 and 2, plus the nearest neighbor with
+    deterministic (dist, suppkey) tie-break).
+
+    The blocking key is the 15-char name prefix, turning the quadratic
+    all-pairs levenshtein into an equi-join with a per-block residual — the
+    standard fuzzy-join contraction (at 100 TB the block key comes from a
+    cheap canonicalization: prefix, phonetic code, or length bucket, and
+    skewed blocks get salted like any skewed equi-join). Cross-block pairs
+    are out of scope BY DEFINITION of the operator — the oracle blocks
+    identically, so this is semantics, not approximation. The nearest
+    neighbor travels as one composite integer dist*1e6+key so min() stays
+    a plain partial-aggregable MIN."""
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", F.substring("s_name", 1, 15).alias("blk")
+    )
+    a, b = s.alias("a"), s.alias("b")
+    d = F.levenshtein(F.col("a.s_name"), F.col("b.s_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.s_suppkey") != F.col("b.s_suppkey")),
+        )
+        .withColumn("d", d)
+        .filter(F.col("d") <= 2)
+        .groupBy(F.col("a.s_suppkey").alias("s_suppkey"))
+        .agg(
+            F.count(F.when(F.col("d") == 1, 1)).alias("n_dist1"),
+            F.count(F.when(F.col("d") == 2, 1)).alias("n_dist2"),
+            F.min(
+                F.col("d").cast("long") * 1_000_000 + F.col("b.s_suppkey")
+            ).alias("mk"),
+        )
+        .select(
+            "s_suppkey",
+            "n_dist1",
+            "n_dist2",
+            (F.col("mk") % 1_000_000).cast("bigint").alias("nearest_id"),
+            F.expr("CAST(mk DIV 1000000 AS INT)").alias("nearest_dist"),
+        )
+    )
+
+
 def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of backward join: for each purchase, the latest view of the same
     user with v.ts <= p.ts (DuckDB ASOF JOIN `>=` semantics mirrored).
@@ -857,6 +902,7 @@ QUERIES = {
     "q_agg_groupby": q_agg_groupby,
     "q_agg_corr_regr": q_agg_corr_regr,
     "q_agg_bitwise": q_agg_bitwise,
+    "q_join_fuzzy_name": q_join_fuzzy_name,
     "q_pivot_status_by_year": q_pivot_status_by_year,
     "q_subquery_scalar": q_subquery_scalar,
     "q_subquery_correlated": q_subquery_correlated,
@@ -933,6 +979,25 @@ ORACLES = {
                {sql_fround('(sy - (num / denx) * sx) / n', 'regr_intercept', 4)}
         FROM m
         """,
+    "q_join_fuzzy_name": """
+        WITH s AS (
+          SELECT s_suppkey, s_name, substr(s_name, 1, 15) AS blk
+          FROM supplier),
+        nb AS (
+          SELECT a.s_suppkey,
+                 levenshtein(a.s_name, b.s_name) AS d,
+                 b.s_suppkey AS b_key
+          FROM s a JOIN s b ON a.blk = b.blk
+                           AND a.s_suppkey <> b.s_suppkey
+          WHERE levenshtein(a.s_name, b.s_name) <= 2)
+        SELECT s_suppkey,
+               COUNT(CASE WHEN d = 1 THEN 1 END) AS n_dist1,
+               COUNT(CASE WHEN d = 2 THEN 1 END) AS n_dist2,
+               CAST(MIN(d * 1000000 + b_key) % 1000000 AS BIGINT)
+                 AS nearest_id,
+               CAST(MIN(d * 1000000 + b_key) // 1000000 AS INTEGER)
+                 AS nearest_dist
+        FROM nb GROUP BY s_suppkey""",
     "q_agg_bitwise": """
         SELECT o_orderstatus,
                bit_and(o_orderkey & 65535) AS and16,

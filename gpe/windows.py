@@ -148,6 +148,36 @@ def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_win_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count over a window: per customer, how many
+    distinct order priorities appear up to each order (ordered by the
+    unique o_orderkey, so the running set — hence its size — is a
+    deterministic function of the frame regardless of tie order).
+
+    Spark has no COUNT(DISTINCT) OVER; `size(collect_set() over w)` is the
+    canonical rewrite. The per-row set is bounded by the dimension's
+    cardinality (5 priorities), so state is O(1) per row — the rewrite is
+    only safe for bounded-cardinality dimensions, which is exactly when a
+    running distinct count is meaningful at 100 TB."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("o_custkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.size(F.collect_set("o_orderpriority").over(w))
+        .cast("long")
+        .alias("n_prio_so_far"),
+        F.size(F.collect_set("o_orderpriority").over(wall))
+        .cast("long")
+        .alias("n_prio_total"),
+    )
+
+
 def q_win_ntile_pctrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quartile bucket (unique-ordered) + percent_rank (tie-deterministic)
     of customers by account balance."""
@@ -198,6 +228,7 @@ def q_win_cume_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_win_rank": q_win_rank,
     "q_win_cume_nth": q_win_cume_nth,
+    "q_win_distinct_count": q_win_distinct_count,
     "q_win_range_frame": q_win_range_frame,
     "q_win_topk_per_group": q_win_topk_per_group,
     "q_win_lag_lead": q_win_lag_lead,
@@ -208,6 +239,15 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_win_distinct_count": """
+        SELECT o_custkey, o_orderkey,
+               COUNT(DISTINCT o_orderpriority) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS n_prio_so_far,
+               COUNT(DISTINCT o_orderpriority) OVER (
+                 PARTITION BY o_custkey) AS n_prio_total
+        FROM orders""",
     "q_win_range_frame": """
         WITH o AS (
           SELECT o_custkey, o_orderkey, o_totalprice,
