@@ -353,6 +353,74 @@ def q_join_fuzzy_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SALT_N = 8
+
+
+def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact-dim equi-join — the skew-mitigation pattern, made a
+    first-class operator so its result is provably identical to the plain
+    join (the oracle IS the plain join).
+
+    The fact side (lineitem) gets a deterministic salt in [0, 8) from
+    l_linenumber; the dim side (orders) is replicated 8× via an exploded
+    sequence; the join key becomes (orderkey, salt), splitting any hot
+    orderkey's rows across 8 reducers. Aggregation after the join is
+    unchanged — salting only re-shards the shuffle. At 100 TB this is the
+    manual fallback when AQE skew-join can't help (e.g. the skewed side
+    feeds a window, or the join is the first of a chained pipeline whose
+    partitioning must stay stable); salt count scales with the observed
+    hot-key factor. Result: per-priority quantity totals."""
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "salt", (F.col("l_linenumber") % _SALT_N).cast("int")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(_SALT_N - 1)))
+        )
+        .withColumn("salt", F.col("salt").cast("int"))
+    )
+    return (
+        li.join(
+            o,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (li["salt"] == o["salt"]),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode: each customer's most frequent order
+    priority, ties broken by priority ASC (native mode() is
+    tie-nondeterministic in both engines, so both sides use the same
+    count-then-argmax rewrite — two shuffles on (custkey[, priority]),
+    both partial-aggregable; the window partition is the groupBy key so
+    it reuses the aggregate's partitioning)."""
+    c = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("cnt").desc(), F.col("o_orderpriority").asc()
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("cnt").cast("long").alias("mode_count"),
+        )
+    )
+
+
 def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of backward join: for each purchase, the latest view of the same
     user with v.ts <= p.ts (DuckDB ASOF JOIN `>=` semantics mirrored).
@@ -903,6 +971,8 @@ QUERIES = {
     "q_agg_corr_regr": q_agg_corr_regr,
     "q_agg_bitwise": q_agg_bitwise,
     "q_join_fuzzy_name": q_join_fuzzy_name,
+    "q_join_skew_salted": q_join_skew_salted,
+    "q_agg_mode": q_agg_mode,
     "q_pivot_status_by_year": q_pivot_status_by_year,
     "q_subquery_scalar": q_subquery_scalar,
     "q_subquery_correlated": q_subquery_correlated,
@@ -979,6 +1049,25 @@ ORACLES = {
                {sql_fround('(sy - (num / denx) * sx) / n', 'regr_intercept', 4)}
         FROM m
         """,
+    "q_join_skew_salted": f"""
+        SELECT o_orderpriority,
+               {sql_dsum('l_quantity', 'sum_qty')},
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority""",
+    "q_agg_mode": """
+        WITH c AS (
+          SELECT o_custkey, o_orderpriority, COUNT(*) AS cnt
+          FROM orders GROUP BY 1, 2),
+        r AS (
+          SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY cnt DESC, o_orderpriority ASC) AS rn
+          FROM c)
+        SELECT o_custkey,
+               o_orderpriority AS mode_priority,
+               CAST(cnt AS BIGINT) AS mode_count
+        FROM r WHERE rn = 1""",
     "q_join_fuzzy_name": """
         WITH s AS (
           SELECT s_suppkey, s_name, substr(s_name, 1, 15) AS blk

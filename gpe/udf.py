@@ -75,9 +75,56 @@ def q_udaf_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_udf_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-map over the Arrow boundary: per user, purchases and views
+    arrive as two pandas frames (`groupBy.cogroup.applyInPandas`) and merge
+    into one row — n_purchases, n_views, how many purchases exceed the
+    user's max view value, and that max.
+
+    All outputs are counts or an exact MAX (no float arithmetic), so the
+    SQL twin (FULL OUTER JOIN of the two per-user aggregates) hashes
+    identically. Cogroup shuffles BOTH inputs on user_id once — the same
+    cost as the equivalent join — but hands the merge to Python, which is
+    the escape hatch for merge logic SQL can't express (merge_asof,
+    per-group model scoring); here the logic is deliberately SQL-
+    expressible so the oracle can certify the plumbing."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id", "value")
+    v = ev.filter(F.col("event_type") == "view").select("user_id", "value")
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        uid = (left if len(left) else right)["user_id"].iloc[0]
+        max_view = float(right["value"].max()) if len(right) else None
+        n_above = (
+            int((left["value"] > max_view).sum())
+            if len(left) and max_view is not None
+            else 0
+        )
+        return pd.DataFrame(
+            {
+                "user_id": [uid],
+                "n_purchases": [len(left)],
+                "n_views": [len(right)],
+                "n_purch_above_max_view": [n_above],
+                "max_view": [max_view],
+            }
+        )
+
+    return (
+        p.groupBy("user_id")
+        .cogroup(v.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            "user_id long, n_purchases long, n_views long,"
+            " n_purch_above_max_view long, max_view double",
+        )
+    )
+
+
 QUERIES = {
     "q_udf_pandas_scalar": q_udf_pandas_scalar,
     "q_udaf_applyinpandas": q_udaf_applyinpandas,
+    "q_udf_cogroup": q_udf_cogroup,
 }
 
 ORACLES = {
@@ -106,4 +153,25 @@ ORACLES = {
                CAST(MEDIAN(gap) AS DOUBLE) AS median_gap_us,
                CAST(COUNT(*) AS BIGINT) AS n_events
         FROM gaps GROUP BY user_id""",
+    "q_udf_cogroup": """
+        WITH p AS (
+          SELECT user_id, value FROM events WHERE event_type = 'purchase'),
+        v AS (
+          SELECT user_id, MAX(value) AS max_view, COUNT(*) AS n_views
+          FROM events WHERE event_type = 'view' GROUP BY 1),
+        pa AS (
+          SELECT user_id, COUNT(*) AS n_purchases FROM p GROUP BY 1),
+        above AS (
+          SELECT p.user_id, COUNT(*) AS n_above
+          FROM p JOIN v ON p.user_id = v.user_id AND p.value > v.max_view
+          GROUP BY 1)
+        SELECT COALESCE(pa.user_id, v.user_id) AS user_id,
+               CAST(COALESCE(pa.n_purchases, 0) AS BIGINT) AS n_purchases,
+               CAST(COALESCE(v.n_views, 0) AS BIGINT) AS n_views,
+               CAST(COALESCE(a.n_above, 0) AS BIGINT)
+                 AS n_purch_above_max_view,
+               v.max_view
+        FROM pa
+        FULL OUTER JOIN v ON pa.user_id = v.user_id
+        LEFT JOIN above a ON COALESCE(pa.user_id, v.user_id) = a.user_id""",
 }
