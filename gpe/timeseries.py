@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from gpe.common import dec, ntz, umicros
+from gpe.common import dec, fround, ntz, sql_fround, umicros
 from gpe.io import load_table
 
 _SESSION_GAP_US = 1_800_000_000  # 30 minutes
@@ -141,6 +141,81 @@ def q_ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation onto a regular hourly grid, per user — the
+    time-weighted complement to q_ts_gap_fill's zero-fill (hypertable
+    `interpolate()`-style resampling).
+
+    Observed value per (user, hour) = value of the last event in the hour
+    ((ts, event_id)-max, deterministic). The grid spans each user's
+    observed hours, so every missing bucket has both a previous and a next
+    observation; its value is vp + (vn - vp)·(t - tp)/(tn - tp) on exact
+    integer epoch-µs — one IEEE expression evaluated identically by both
+    engines, ε-rounded on output per the §5.3 playbook.
+
+    One shuffle on user_id covers the grid build and both ignore-nulls
+    window passes (prev/next carried values); the grid multiplies rows by
+    span/occupancy, not by data volume. At 100 TB this is the standard
+    downsample-then-densify rollup: bucket first (map-side), densify the
+    tiny per-user grid after."""
+    ev = load_table(spark, sf_dir, "events")
+    hb = ntz(F.date_trunc("hour", "ts")).alias("hb")
+    wlast = Window.partitionBy("user_id", "hb").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    obs = (
+        ev.select("user_id", hb, "ts", "event_id", "value")
+        .withColumn("rn", F.row_number().over(wlast))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "hb", F.col("value").alias("v_obs"))
+    )
+    grid = (
+        obs.groupBy("user_id")
+        .agg(F.min("hb").alias("h0"), F.max("hb").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hb"),
+        )
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("hb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("hb")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    t_obs = F.when(F.col("v_obs").isNotNull(), F.col("hb"))
+    j = (
+        grid.join(obs, ["user_id", "hb"], "left")
+        .withColumn("vp", F.last("v_obs", ignorenulls=True).over(wp))
+        .withColumn("tp", F.last(t_obs, ignorenulls=True).over(wp))
+        .withColumn("vn", F.first("v_obs", ignorenulls=True).over(wn))
+        .withColumn("tn", F.first(t_obs, ignorenulls=True).over(wn))
+    )
+    # unix_micros needs TIMESTAMP (not NTZ); session tz is pinned UTC in
+    # load_table, so the ntz→ltz cast is the identity on the stored value
+    def em(c: str):
+        return F.unix_micros(F.col(c).cast("timestamp"))
+
+    frac = (em("hb") - em("tp")).cast("double") / (
+        em("tn") - em("tp")
+    ).cast("double")
+    interp = F.when(F.col("v_obs").isNotNull(), F.col("v_obs")).otherwise(
+        F.col("vp") + (F.col("vn") - F.col("vp")) * frac
+    )
+    return j.select(
+        "user_id",
+        "hb",
+        fround(interp, "v_interp"),
+        F.col("v_obs").isNotNull().alias("is_observed"),
+    )
+
+
 def q_ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OHLC downsample (hypertable-rollup style): per event_type × day,
     open/close = value at the first/last event, high/low = min/max.
@@ -173,11 +248,50 @@ QUERIES = {
     "q_ts_funnel": q_ts_funnel,
     "q_ts_retention": q_ts_retention,
     "q_ts_gap_fill": q_ts_gap_fill,
+    "q_ts_interpolate": q_ts_interpolate,
 }
 
 _SUM_VAL = "CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value"
 
 ORACLES = {
+    "q_ts_interpolate": f"""
+        WITH ranked AS (
+          SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hb,
+                 value,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY user_id, date_trunc('hour', ts)
+                   ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events),
+        obs AS (
+          SELECT user_id, hb, value AS v_obs FROM ranked WHERE rn = 1),
+        grid AS (
+          SELECT user_id,
+                 unnest(generate_series(MIN(hb), MAX(hb),
+                                        INTERVAL 1 HOUR)) AS hb
+          FROM obs GROUP BY user_id),
+        f AS (
+          SELECT g.user_id, g.hb, o.v_obs,
+                 LAST_VALUE(o.v_obs IGNORE NULLS) OVER wp AS vp,
+                 LAST_VALUE(CASE WHEN o.v_obs IS NOT NULL THEN g.hb END
+                            IGNORE NULLS) OVER wp AS tp,
+                 FIRST_VALUE(o.v_obs IGNORE NULLS) OVER wn AS vn,
+                 FIRST_VALUE(CASE WHEN o.v_obs IS NOT NULL THEN g.hb END
+                             IGNORE NULLS) OVER wn AS tn
+          FROM grid g
+          LEFT JOIN obs o ON g.user_id = o.user_id AND g.hb = o.hb
+          WINDOW wp AS (PARTITION BY g.user_id ORDER BY g.hb
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 wn AS (PARTITION BY g.user_id ORDER BY g.hb
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        SELECT user_id, hb,
+               {sql_fround(
+                   "CASE WHEN v_obs IS NOT NULL THEN v_obs"
+                   " ELSE vp + (vn - vp)"
+                   " * (CAST(epoch_us(hb) - epoch_us(tp) AS DOUBLE)"
+                   "    / CAST(epoch_us(tn) - epoch_us(tp) AS DOUBLE))"
+                   " END", "v_interp")},
+               (v_obs IS NOT NULL) AS is_observed
+        FROM f""",
     "q_ts_ohlc": """
         SELECT event_type,
                CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
