@@ -1,11 +1,18 @@
 """Benchmark harness — runs every declared query at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {key: sec, ...}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output contract (round-1 driver capture truncated a single ~2.5 KB stdout
+line and recorded parsed:null, so): the per-query timing dict goes to
+STDERR and BENCH_LAST.json; stdout carries ONE SHORT final JSON line
+{"metric", "value", "unit", "queries", "sf", "errors"} — with "queries"
+kept only if the driver contract requires it, trimmed to the slowest 10 so
+the line stays well under typical tail-capture windows.
 
 Each query is forced end-to-end with the noop sink (full computation, no
 collect-to-driver, no disk write) — the same execution profile a cluster job
-would have minus the final exchange to storage.
+would have minus the final exchange to storage. A query that throws is
+recorded as -1.0, counted in "errors", and makes the process exit non-zero
+so a partial total can never be mistaken for a full run.
 """
 
 from __future__ import annotations
@@ -46,18 +53,43 @@ def main() -> None:
             times[key] = -1.0
 
     total = round(sum(t for t in times.values() if t >= 0), 3)
+    n_err = sum(1 for t in times.values() if t < 0)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    full = {
+        "metric": "total_query_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_val,
+        "errors": n_err,
+        "n_queries": len(times),
+    }
+    # Full per-query record: stderr + side file (driver-capture-proof).
+    print(json.dumps(full), file=sys.stderr)
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LAST.json"),
+        "w",
+    ) as f:
+        json.dump(full, f, indent=1)
+    slowest = dict(
+        sorted(times.items(), key=lambda kv: -kv[1])[:10]
+    )
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_clock",
                 "value": total,
                 "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "queries": slowest,
+                "sf": sf_val,
+                "errors": n_err,
+                "n_queries": len(times),
             }
         )
     )
+    if n_err:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -704,11 +704,16 @@ def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per order: sorted array of its line numbers (array output internally
-    sorted for hash stability, §5.3 rule 2)."""
+    """Per order: its line numbers collected, sorted, and serialized to a
+    comma-joined STRING. The array is sorted for hash stability (§5.3
+    rule 2) and string-serialized because the correctness harness
+    canonicalizes rows via pandas, which cannot hash list cells — the
+    string is a bijective encoding of the sorted int array."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_list("l_linenumber")).alias("line_numbers")
+        F.array_join(F.sort_array(F.collect_list("l_linenumber")), ",").alias(
+            "line_numbers"
+        )
     )
 
 
@@ -1182,7 +1187,8 @@ ORACLES = {
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
     "q_agg_collect": """
         SELECT l_orderkey,
-               list(l_linenumber ORDER BY l_linenumber) AS line_numbers
+               string_agg(l_linenumber, ',' ORDER BY l_linenumber)
+                 AS line_numbers
         FROM lineitem GROUP BY l_orderkey""",
     "q_agg_stats": f"""
         WITH g AS (

@@ -78,14 +78,21 @@ def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array ops with STRING-serialized array outputs (comma-joined, sorted
+    where set-valued) — the driver's canonicalizer hashes rows via pandas
+    and cannot hash list cells, so every declared output column must be a
+    scalar type (§5.3). Semantics are unchanged: the string is a bijective
+    encoding of the sorted array (tokens contain no commas)."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     return d.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.array_contains(toks, "spark").alias("has_spark"),
-        F.slice(toks, 1, 3).alias("first3"),
-        F.sort_array(F.array_distinct(toks)).alias("uniq_sorted"),
+        F.array_join(F.slice(toks, 1, 3), ",").alias("first3"),
+        F.array_join(F.sort_array(F.array_distinct(toks)), ",").alias(
+            "uniq_sorted"
+        ),
     )
 
 
@@ -125,7 +132,7 @@ def q_scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = F.from_json("props", "map<string,int>")
     return ev.select(
         "event_id",
-        F.sort_array(F.map_keys(m)).alias("prop_keys"),
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("prop_keys"),
         F.element_at(m, "k").alias("k_value"),
     )
 
@@ -168,9 +175,9 @@ def q_scalar_arrayops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.select(
         "doc_id",
-        F.sort_array(F.array_distinct(F.array_intersect(a, b))).alias(
-            "common_tokens"
-        ),
+        F.array_join(
+            F.sort_array(F.array_distinct(F.array_intersect(a, b))), ","
+        ).alias("common_tokens"),
         F.size(F.array_distinct(F.array_union(a, b))).alias("n_union"),
         F.arrays_overlap(a, b).alias("halves_overlap"),
         F.array_position(toks, "the").alias("the_pos"),
@@ -231,7 +238,9 @@ ORACLES = {
                    len(string_split(text, ' '))/2) AS INTEGER) + 1:] AS b
           FROM documents)
         SELECT doc_id,
-               list_sort(list_distinct(list_intersect(a, b))) AS common_tokens,
+               COALESCE(array_to_string(
+                 list_sort(list_distinct(list_intersect(a, b))), ','),
+                 '') AS common_tokens,
                CAST(len(list_distinct(list_concat(a, b))) AS INTEGER)
                  AS n_union,
                list_has_any(a, b) AS halves_overlap,
@@ -291,8 +300,9 @@ ORACLES = {
         SELECT doc_id,
                CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
                list_contains(string_split(text, ' '), 'spark') AS has_spark,
-               string_split(text, ' ')[1:3] AS first3,
-               list_sort(list_distinct(string_split(text, ' '))) AS uniq_sorted
+               array_to_string(string_split(text, ' ')[1:3], ',') AS first3,
+               array_to_string(list_sort(list_distinct(string_split(text, ' '))),
+                               ',') AS uniq_sorted
         FROM documents""",
     "q_explode_tokens": """
         SELECT token, CAST(COUNT(*) AS BIGINT) AS n
@@ -307,7 +317,7 @@ ORACLES = {
         FROM events GROUP BY event_type ORDER BY event_type""",
     "q_scalar_map": """
         SELECT event_id,
-               list_sort(json_keys(props)) AS prop_keys,
+               array_to_string(list_sort(json_keys(props)), ',') AS prop_keys,
                CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value
         FROM events""",
 }

@@ -161,9 +161,13 @@ def q_vec_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_vec_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label centroid (ordered 64-dim array) + mean member similarity
-    to the centroid. Centroid dims use the floor-scaling idiom
-    FLOOR(sum*1e8/n)/1e8 over exact decimal component sums."""
+    """Per-label centroid (ordered 64-dim, fixed-point-e8 serialized) +
+    mean member similarity to the centroid. Centroid dims use the
+    floor-scaling idiom FLOOR(sum*1e8/n) over exact decimal component
+    sums; the declared output serializes the pos-ordered dims as a
+    comma-joined string of the e8 LONGS (long→string is engine-identical;
+    double→string is not, and the harness canonicalizer cannot hash list
+    cells — §5.3)."""
     emb = load_table(spark, sf_dir, "embeddings")
     ex = emb.select(
         "vec_id", "label", F.posexplode("embedding").alias("pos", "x")
@@ -176,17 +180,19 @@ def q_vec_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         "pos",
         "n",
-        (
-            F.floor(F.col("s").cast("double") * F.lit(100000000) / F.col("n"))
-            / F.lit(100000000.0)
-        ).alias("cdim"),
-    )
+        F.floor(
+            F.col("s").cast("double") * F.lit(100000000) / F.col("n")
+        ).alias("cdim_e8"),
+    ).withColumn("cdim", F.col("cdim_e8") / F.lit(100000000.0))
     centroids = cdims.groupBy("label").agg(
         F.max("n").alias("n_vecs"),
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("pos", "cdim"))),
-            lambda s: s.cdim,
-        ).alias("centroid"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "cdim_e8"))),
+                lambda s: s.cdim_e8,
+            ),
+            ",",
+        ).alias("centroid_e8"),
     )
     # member similarity to own centroid, all-exact decimal
     sims = (
@@ -209,7 +215,7 @@ def q_vec_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         centroids.join(mean_sim, "label")
-        .select("label", "n_vecs", "centroid", "mean_sim")
+        .select("label", "n_vecs", "centroid_e8", "mean_sim")
         .orderBy("label")
     )
 
@@ -397,6 +403,8 @@ def q_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_CDIMS = """
   cdims AS (
     SELECT label, pos,
+           CAST(FLOOR(CAST(SUM(CAST(x AS DECIMAL(12,10))) AS DOUBLE)
+                      * 100000000 / COUNT(*)) AS BIGINT) AS cdim_e8,
            FLOOR(CAST(SUM(CAST(x AS DECIMAL(12,10))) AS DOUBLE) * 100000000
                  / COUNT(*)) / 100000000.0 AS cdim,
            COUNT(*) AS n
@@ -443,7 +451,8 @@ ORACLES = {
         {_SQL_CDIMS},
         centroids AS (
           SELECT label, MAX(n) AS n_vecs,
-                 list(cdim ORDER BY pos) AS centroid
+                 array_to_string(list(cdim_e8 ORDER BY pos), ',')
+                   AS centroid_e8
           FROM cdims GROUP BY label),
         sims AS (
           SELECT e.label, e.vec_id,
@@ -456,7 +465,7 @@ ORACLES = {
                  FLOOR(CAST(SUM(sim_dec) AS DOUBLE) * 1000000 / COUNT(*))
                    / 1000000.0 AS mean_sim
           FROM sims GROUP BY label)
-        SELECT c.label, CAST(c.n_vecs AS BIGINT) AS n_vecs, c.centroid,
+        SELECT c.label, CAST(c.n_vecs AS BIGINT) AS n_vecs, c.centroid_e8,
                m.mean_sim
         FROM centroids c JOIN mean_sim m ON c.label = m.label
         ORDER BY c.label""",

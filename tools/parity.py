@@ -91,8 +91,29 @@ def canonical_rows(df: pd.DataFrame) -> Counter:
     return rows
 
 
+def driver_hashable(pdf: pd.DataFrame, label: str) -> str | None:
+    """Replicate the DRIVER's canonicalization (pandas sort_values +
+    factorize per column). The driver crashed on array<int> outputs
+    (CORRECTNESS_r01: TypeError unhashable 'list') while this tool's
+    tuple-based multiset accepted them — so local PASS did not imply
+    driver-green. Any output the driver cannot hash must fail HERE."""
+    try:
+        if len(pdf.columns):
+            pdf.sort_values(by=list(pdf.columns))
+        for c in pdf.columns:
+            pd.factorize(pdf[c])
+    except Exception as e:  # noqa: BLE001
+        return f"{label} not driver-hashable: {type(e).__name__}: {e}"
+    return None
+
+
 def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> dict:
     report: dict = {"ok": True, "issues": []}
+    for pdf, label in ((spark_pdf, "spark"), (duck_pdf, "duck")):
+        err = driver_hashable(pdf, label)
+        if err:
+            report["ok"] = False
+            report["issues"].append(err)
     if len(spark_pdf) != len(duck_pdf):
         report["ok"] = False
         report["issues"].append(
@@ -138,7 +159,11 @@ def run(keys: list[str] | None = None, sf_dirs: list[str] | None = None) -> int:
                 n_fail += 1
                 continue
             if key not in oracles:
-                if len(spark_pdf) > 0:
+                err = driver_hashable(spark_pdf, "spark")
+                if err:
+                    n_fail += 1
+                    print(f"FAIL {key} @ {sf_dir}: {err}")
+                elif len(spark_pdf) > 0:
                     print(f"ROWS-ONLY {key} @ {sf_dir}: {len(spark_pdf)} rows "
                           f"({time.time()-t0:.1f}s)")
                 else:
