@@ -309,39 +309,74 @@ def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_join_fuzzy_name(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked fuzzy self-join: per supplier, its edit-distance-≤2
-    neighborhood (count at distance 1 and 2, plus the nearest neighbor with
-    deterministic (dist, suppkey) tie-break).
+    """Fuzzy self-join: per supplier, its COMPLETE edit-distance-<=2
+    neighborhood (count at distance 1 and 2, plus the nearest neighbor
+    with deterministic (dist, suppkey) tie-break).
 
-    The blocking key is the 15-char name prefix, turning the quadratic
-    all-pairs levenshtein into an equi-join with a per-block residual — the
-    standard fuzzy-join contraction (at 100 TB the block key comes from a
-    cheap canonicalization: prefix, phonetic code, or length bucket, and
-    skewed blocks get salted like any skewed equi-join). Cross-block pairs
-    are out of scope BY DEFINITION of the operator — the oracle blocks
-    identically, so this is semantics, not approximation. The nearest
-    neighbor travels as one composite integer dist*1e6+key so min() stays
-    a plain partial-aggregable MIN."""
+    Plan: triangle (bucket-pair) self-join. Each row hashes to one of
+    _FUZZ_P buckets; every unordered bucket pair (u, v), u <= v, becomes
+    one join key, so the verify work spreads evenly over
+    _FUZZ_P*(_FUZZ_P+1)/2 keys with ~2n/_FUZZ_P rows each (~5% of rows
+    at the default) and NO single hot reducer. Pairs are verified once
+    (ka < kb) and mirrored afterwards.
+
+    Why not a pruning block: on this corpus the TRUE lev<=2 output is
+    >50% of ALL pairs (names differ only in a few trailing digits), so
+    candidate volume is output-bound — any complete candidate scheme,
+    including the symmetric-delete (FastSS/SymSpell) variant join we
+    measured first, generates all-pairs-order candidates but with MORE
+    overhead (172x row expansion + distinct). Round 1's 15-char-prefix
+    block was the opposite failure: one degenerate block = the whole
+    quadratic on ONE task. The triangle join keeps the inherent O(n^2)
+    but makes it embarrassingly parallel; at 100 TB with a DIVERSE name
+    corpus (sparse true neighborhood) the symmetric-delete variant join
+    becomes the right plan — see q_dedup_ngram_jaccard for the
+    sparse-output inverted-index pattern. The nearest neighbor travels
+    as one composite integer dist*1e6+key so min() stays a plain
+    partial-aggregable MIN."""
     s = load_table(spark, sf_dir, "supplier").select(
-        "s_suppkey", "s_name", F.substring("s_name", 1, 15).alias("blk")
+        "s_suppkey",
+        "s_name",
+        F.pmod(F.xxhash64("s_suppkey"), F.lit(_FUZZ_P)).cast("int").alias("bkt"),
     )
-    a, b = s.alias("a"), s.alias("b")
-    d = F.levenshtein(F.col("a.s_name"), F.col("b.s_name"))
-    return (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.s_suppkey") != F.col("b.s_suppkey")),
-        )
+    left = s.select(
+        F.col("s_suppkey").alias("ka"),
+        F.col("s_name").alias("na"),
+        F.col("bkt").alias("p1"),
+        F.explode(F.sequence(F.col("bkt"), F.lit(_FUZZ_P - 1))).alias("p2"),
+    )
+    right = s.select(
+        F.col("s_suppkey").alias("kb"),
+        F.col("s_name").alias("nb"),
+        F.explode(F.sequence(F.lit(0), F.col("bkt"))).alias("p1"),
+        F.col("bkt").alias("p2"),
+    )
+    d = F.levenshtein(F.col("na"), F.col("nb"))
+    ver = (
+        left.join(right, ["p1", "p2"])
+        # each unordered pair must survive exactly ONCE: cross-bucket
+        # pairs already appear under a single (u,v) key (any orientation —
+        # the mirror below restores symmetry); the same-bucket key carries
+        # the full bucket cross product, so it alone needs ka<kb
+        .filter((F.col("p1") != F.col("p2")) | (F.col("ka") < F.col("kb")))
+        # free pre-filter: lev(a,b) >= |len(a)-len(b)|, so this prunes
+        # without touching semantics (matters on length-diverse corpora)
+        .filter(F.abs(F.length("na") - F.length("nb")) <= 2)
         .withColumn("d", d)
         .filter(F.col("d") <= 2)
-        .groupBy(F.col("a.s_suppkey").alias("s_suppkey"))
+        .select("ka", "kb", "d")
+    )
+    sym = ver.unionByName(
+        ver.select(F.col("kb").alias("ka"), F.col("ka").alias("kb"), F.col("d"))
+    )
+    return (
+        sym.groupBy(F.col("ka").alias("s_suppkey"))
         .agg(
             F.count(F.when(F.col("d") == 1, 1)).alias("n_dist1"),
             F.count(F.when(F.col("d") == 2, 1)).alias("n_dist2"),
-            F.min(
-                F.col("d").cast("long") * 1_000_000 + F.col("b.s_suppkey")
-            ).alias("mk"),
+            F.min(F.col("d").cast("long") * 1_000_000 + F.col("kb")).alias(
+                "mk"
+            ),
         )
         .select(
             "s_suppkey",
@@ -351,6 +386,9 @@ def q_join_fuzzy_name(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(mk DIV 1000000 AS INT)").alias("nearest_dist"),
         )
     )
+
+
+_FUZZ_P = 40
 
 
 _SALT_N = 8
@@ -1074,15 +1112,11 @@ ORACLES = {
                CAST(cnt AS BIGINT) AS mode_count
         FROM r WHERE rn = 1""",
     "q_join_fuzzy_name": """
-        WITH s AS (
-          SELECT s_suppkey, s_name, substr(s_name, 1, 15) AS blk
-          FROM supplier),
-        nb AS (
+        WITH nb AS (
           SELECT a.s_suppkey,
                  levenshtein(a.s_name, b.s_name) AS d,
                  b.s_suppkey AS b_key
-          FROM s a JOIN s b ON a.blk = b.blk
-                           AND a.s_suppkey <> b.s_suppkey
+          FROM supplier a JOIN supplier b ON a.s_suppkey <> b.s_suppkey
           WHERE levenshtein(a.s_name, b.s_name) <= 2)
         SELECT s_suppkey,
                COUNT(CASE WHEN d = 1 THEN 1 END) AS n_dist1,
