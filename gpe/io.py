@@ -51,7 +51,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql.types import LongType
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = _read_cached_schema(spark, sf_dir, name)
         # ns-at-rest files arrive as longs (convert); files already written
         # with µs timestamps pass through (normalized to NTZ either way)
         if isinstance(df.schema["ts"].dataType, LongType):
@@ -60,7 +60,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
             )
         return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _read_cached_schema(spark, sf_dir, name)
+
+
+# Schema memo: Spark runs one footer-read JOB per schema-less
+# spark.read.parquet call; with 111 builders each touching 1-4 tables that
+# is hundreds of redundant metadata jobs per session (and at lake scale a
+# footer sample over a 100k-file listing). One inference per (sf_dir,
+# table), then every later read passes the schema explicitly and plan
+# construction is fully job-free (asserted in tests/test_builders_lazy.py).
+_SCHEMA_CACHE: dict = {}
+
+
+def _read_cached_schema(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = f"{sf_dir}/{name}.parquet"
+    schema = _SCHEMA_CACHE.get(path)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[path] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
