@@ -51,9 +51,14 @@ def _mask_groups(d: DataFrame) -> DataFrame:
     Set algebra becomes popcount on mask pairs — this turns the near-dup
     self-join from O(Σ df²) exploded rows (measured 115 s at sf0.1) into
     O(#distinct_masks²) integer ops (~8 M popcounts, sub-second codegen).
-    At 100 TB with an open vocabulary the same structure generalizes to
-    fixed-width minhash signatures; the closed-vocab bitmask is the exact
-    special case. Returns (mask, ids sorted, n, sz=popcount)."""
+    CLOSED-VOCAB DEPENDENCY (load-bearing): the downstream mask-PAIR
+    candidate step is all-pairs over distinct masks, exact and cheap ONLY
+    because #distinct_masks is bounded by the closed vocab (≤2^31 here,
+    ~3k observed) — it does NOT survive an open vocabulary. If the corpus
+    fixture ever grows an open vocab, route through the fallback chain
+    shingle → MinHash signature → band bucket join → exact verify
+    (q_dedup_minhash_lsh implements it; SCALE.md §Dedup records the
+    policy). Returns (mask, ids sorted, n, sz=popcount)."""
     return mask_groups_from(_doc_masks(d))
 
 
@@ -285,40 +290,33 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
         .withColumn("h", F.md5(F.col("token").cast("binary")))
     )
-    bits = spark.range(32).select(
-        F.col("id").cast("int").alias("bitpos")
+    # Decode the hash's first 8 hex chars to ONE 32-bit integer per row;
+    # bit p of the big-endian nibble layout is then (v >> (31-p)) & 1 —
+    # identical to round 1's per-nibble arithmetic (nibble = p DIV 4, bit
+    # significance 3 - p%4 → global shift 31 - p), so signatures are
+    # unchanged. Round 1 cross-joined a 32-row bit table (a 32x row
+    # blow-up through the doc_id shuffle); here the 32 contributions are
+    # 32 plain SUM aggregates over shift/and expressions — whole-stage
+    # codegen end-to-end, partial-aggregated map-side, one 32-long row
+    # per doc through the shuffle.
+    v = tf.withColumn(
+        "v", F.expr("CAST(conv(substr(h, 1, 8), 16, 10) AS BIGINT)")
     )
-    # nibble index = bitpos // 4 (hex chars 1..8), bit within nibble = 3 - bitpos % 4
-    contrib = (
-        tf.crossJoin(F.broadcast(bits))
-        .withColumn(
-            "nib",
-            F.expr(
-                "locate(substr(h, CAST(bitpos DIV 4 AS INT) + 1, 1),"
-                " '0123456789abcdef') - 1"
-            ),
-        )
-        .withColumn(
-            "w",
-            F.expr(
-                "tf * (2 * (CAST(FLOOR(nib / POW(2.0, 3 - bitpos % 4))"
-                " AS BIGINT) % 2) - 1)"
-            ),
-        )
-        .select("doc_id", "bitpos", "w")
-    )
-    sig = (
-        contrib.groupBy("doc_id", "bitpos")
-        .agg(F.sum("w").alias("s"))
-        .withColumn("bit", (F.col("s") > 0).cast("long"))
-        .groupBy("doc_id")
-        .agg(
+    sums = v.groupBy("doc_id").agg(
+        *[
             F.sum(
-                F.col("bit") * F.pow(F.lit(2.0), F.col("bitpos")).cast("long")
-            ).alias("simhash32")
-        )
+                F.expr(f"tf * (2 * (shiftright(v, {31 - i}) & 1) - 1)")
+            ).alias(f"s{i}")
+            for i in range(32)
+        ]
     )
-    return sig
+    pack = sum(
+        F.when(F.col(f"s{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        for i in range(32)
+    )
+    return sums.select("doc_id", pack.alias("simhash32"))
 
 
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -180,15 +180,63 @@ def q_win_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_win_ntile_pctrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quartile bucket (unique-ordered) + percent_rank (tie-deterministic)
-    of customers by account balance."""
-    c = load_table(spark, sf_dir, "customer")
-    w_unique = Window.orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
-    w_ties = Window.orderBy(F.asc("c_acctbal"))
-    return c.select(
+    of customers by account balance.
+
+    TWO-PASS global ranking — a naive Window.orderBy() with no
+    partitionBy (round 1) funnels every row through ONE task. Here:
+    range-repartition by the sort key, rank locally per partition, then
+    add per-partition offsets computed from a 32-row count table (whose
+    own global window is bounded by the partition count, not the data).
+    ntile(4) is reconstructed arithmetically from the global row number
+    and total count (SQL-standard distribution: first n%4 buckets get
+    one extra row); percent_rank's tie handling comes from min(global
+    row number) over each acctbal group. Every stage is distributed;
+    output is identical to the single-window form (oracle unchanged)."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    part = c.repartitionByRange(
+        32, F.asc("c_acctbal"), F.asc("c_custkey")
+    ).withColumn("pid", F.spark_partition_id())
+    w_local = Window.partitionBy("pid").orderBy(
+        F.asc("c_acctbal"), F.asc("c_custkey")
+    )
+    loc = part.withColumn("lrn", F.row_number().over(w_local))
+    cnts = loc.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    # global window over <=32 rows (one per partition) — bounded by the
+    # partition count, never by the data
+    w_off = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = cnts.withColumn(
+        "off", F.coalesce(F.sum("cnt").over(w_off), F.lit(0))
+    )
+    tot = cnts.agg(F.sum("cnt").alias("n_total"))
+    g = (
+        loc.join(F.broadcast(offs.select("pid", "off")), "pid")
+        .withColumn("grn", F.col("off") + F.col("lrn"))
+        .crossJoin(F.broadcast(tot))
+    )
+    g = g.withColumn(
+        "rank_ties", F.min("grn").over(Window.partitionBy("c_acctbal"))
+    )
+    # integer DIV throughout — double division would lose exactness once
+    # counts exceed 2^53 row numbers
+    g = (
+        g.withColumn("base", F.expr("n_total DIV 4"))
+        .withColumn("rem", F.expr("n_total % 4"))
+        .withColumn("big_span", F.expr("rem * (base + 1)"))
+    )
+    n = F.col("n_total")
+    quartile = F.when(
+        F.col("grn") <= F.col("big_span"),
+        F.expr("(grn - 1) DIV (base + 1) + 1"),
+    ).otherwise(F.expr("rem + (grn - big_span - 1) DIV base + 1"))
+    return g.select(
         "c_custkey",
         "c_acctbal",
-        F.ntile(4).over(w_unique).alias("quartile"),
-        F.round(F.percent_rank().over(w_ties) + EPS, 6).alias("pct_rank"),
+        quartile.cast("int").alias("quartile"),
+        F.round(
+            (F.col("rank_ties") - 1).cast("double") / (n - 1) + EPS, 6
+        ).alias("pct_rank"),
     )
 
 
