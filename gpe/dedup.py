@@ -200,10 +200,16 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-mask super-nodes (identical sets share every band trivially);
     candidates verify by popcount and only then expand to doc pairs."""
     d = load_table(spark, sf_dir, "documents")
-    dm = _doc_masks(d)
-    mask_toks = (
-        _doc_tokens_distinct(d).join(dm, "doc_id").select("mask", "token").distinct()
+    toks = _doc_tokens_distinct(d)
+    vocab = (
+        toks.select("token")
+        .distinct()
+        .select(
+            "token",
+            (F.row_number().over(WindowSpec_token()) - 1).alias("tid"),
+        )
     )
+
     # 4 independent 32-bit hash values per md5 (8-hex-char chunks compare
     # lexicographically == numerically at fixed width) → 8 md5 calls yield
     # all 32 minhash functions, a 4× cut of the dominant hashing cost
@@ -212,10 +218,34 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         h = F.md5(F.concat(F.lit(f"{g}|"), F.col("token")).cast("binary"))
         return F.min(F.substring(h, 1 + 8 * r, 8)).alias(f"mh{j}")
 
-    mh = mask_toks.groupBy("mask").agg(*[_mh(j) for j in range(_N_MINHASH)])
+    # ONE doc-level aggregation computes the token-set mask AND all 32
+    # minhashes (signatures depend only on the token set, so any doc of a
+    # mask carries the mask's signature); one more groupBy contracts to
+    # mask super-nodes with ids + signature. Round 1 rebuilt the doc-mask
+    # subtree three times (mask_toks join + mask_groups), re-scanning and
+    # re-exploding documents per branch.
+    per_doc = toks.join(F.broadcast(vocab), "token").groupBy("doc_id").agg(
+        F.expr("sum(shiftleft(CAST(1 AS BIGINT), tid))").alias("mask"),
+        *[_mh(j) for j in range(_N_MINHASH)],
+    )
+    # persist() the mask-level table (one row per distinct token set —
+    # ~4k rows ≈ 1 MB here, vocabulary-bounded at any corpus size): it
+    # feeds FOUR branches (bands, both id-joins, same-mask pairs), and
+    # per-branch column pruning makes the subtrees non-identical so
+    # ReuseExchange can never kick in (verified: 10 parquet scans, 0
+    # reused exchanges without this). persist is lazy — the builder still
+    # launches zero jobs — and at cluster scale caching the contracted
+    # super-node table is exactly the right call.
+    g = per_doc.groupBy("mask").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids"),
+        F.count(F.lit(1)).alias("n"),
+        F.bit_count("mask").alias("sz"),
+        *[F.min(f"mh{j}").alias(f"mh{j}") for j in range(_N_MINHASH)],
+    ).persist()
     n_bands = _N_MINHASH // _BAND_SIZE
-    bands = mh.select(
+    bands = g.select(
         "mask",
+        "sz",
         F.explode(
             F.array(
                 *[
@@ -229,23 +259,45 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band_key"),
     )
-    cand = (
-        bands.alias("x")
-        .join(
-            bands.alias("y"),
-            (F.col("x.band_key") == F.col("y.band_key"))
-            & (F.col("x.mask") < F.col("y.mask")),
-        )
-        .select(F.col("x.mask").alias("mx"), F.col("y.mask").alias("my"))
-        .distinct()
+    # LSH LENGTH FILTER in the join key: J > 0.9 forces
+    # 10·min(sz) > 9·max(sz), and with sz ≤ 31 that bounds the size gap
+    # at 3 — so joining on (band_key, size_a, size_b) with the smaller
+    # side enumerating gaps 0..3 loses NOTHING while splitting the hot
+    # band bucket (73% of masks shared ONE band key on this corpus — a
+    # single-task 4M-pair join without it) by the size pair.
+    bx = bands.select(
+        F.col("mask").alias("xmask"),
+        "band_key",
+        F.col("sz").alias("sa"),
+        F.explode(F.sequence(F.col("sz"), F.col("sz") + 3)).alias("sb"),
     )
-    g = mask_groups_from(dm)  # reuse the already-built doc-mask subtree
-    # popcount-verify candidate mask pairs, then expand to doc pairs
-    cross = (
-        cand.withColumn("inter", F.expr("CAST(bit_count(mx & my) AS BIGINT)"))
+    by = bands.select(
+        F.col("mask").alias("ymask"),
+        "band_key",
+        F.explode(F.sequence(F.col("sz") - 3, F.col("sz"))).alias("sa"),
+        F.col("sz").alias("sb"),
+    )
+    # popcount-verify INSIDE the band-join stage, BEFORE the distinct:
+    # on a high-background-similarity corpus the band join emits millions
+    # of candidate rows, and shipping them through a distinct shuffle
+    # first (round 1) dominated the query; the popcount predicate is two
+    # codegen'd integer ops and cuts the survivors to the true near-dup
+    # set, so only those reach the dedup shuffle.
+    cand = (
+        bx.join(by, ["band_key", "sa", "sb"])
+        .select(
+            F.least("xmask", "ymask").alias("mx"),
+            F.greatest("xmask", "ymask").alias("my"),
+        )
+        .filter(F.col("mx") < F.col("my"))
+        .withColumn("inter", F.expr("CAST(bit_count(mx & my) AS BIGINT)"))
         .withColumn("union_size", F.expr("CAST(bit_count(mx | my) AS BIGINT)"))
         .filter(F.lit(10) * F.col("inter") > F.lit(9) * F.col("union_size"))
-        .join(g.select(F.col("mask").alias("mx"), F.col("ids").alias("ix")), "mx")
+        .distinct()
+    )
+    # expand qualifying mask pairs to doc pairs
+    cross = (
+        cand.join(g.select(F.col("mask").alias("mx"), F.col("ids").alias("ix")), "mx")
         .join(g.select(F.col("mask").alias("my"), F.col("ids").alias("iy")), "my")
         .select("inter", "union_size", F.explode("ix").alias("ida"), "iy")
         .select("inter", "union_size", "ida", F.explode("iy").alias("idb"))
@@ -419,7 +471,12 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda g: g.isNotNull(),
         )
     )
-    gsets = d.select("doc_id", F.explode(grams).alias("g"))
+    # persist: the shingle frame feeds three branches (sizes + both join
+    # sides) whose divergent pruned projections defeat ReuseExchange —
+    # without it the split/transform/explode chain runs 3×. Caching the
+    # shingle table (or checkpointing it) is also the production-pipeline
+    # norm before an inverted-index self-join.
+    gsets = d.select("doc_id", F.explode(grams).alias("g")).persist()
     sizes = gsets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     pairs = (
         gsets.alias("a")
