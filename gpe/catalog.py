@@ -66,11 +66,66 @@ def q_catalog_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# Spark engine type → the canonical (DuckDB information_schema) spelling,
+# so the schema report is engine-neutral. Covers every type in the lake.
+_DTYPE_CANON = {
+    "bigint": "BIGINT",
+    "int": "INTEGER",
+    "smallint": "SMALLINT",
+    "float": "FLOAT",
+    "double": "DOUBLE",
+    "string": "VARCHAR",
+    "date": "DATE",
+    "timestamp": "TIMESTAMP",
+    "timestamp_ntz": "TIMESTAMP",
+    "binary": "BLOB",
+    "boolean": "BOOLEAN",
+    "array<float>": "FLOAT[]",
+    "array<double>": "DOUBLE[]",
+    "array<string>": "VARCHAR[]",
+}
+
+
+def q_catalog_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """information_schema-style column report of the whole lake: one row
+    per (table, column) with ordinal position and canonical type — the
+    data-lake API's schema/catalog endpoint. Built from parquet footers
+    only (driver-side metadata, zero executor jobs, zero data scan — the
+    100 TB catalog path), then parallelized as a tiny DataFrame. The
+    oracle is DuckDB's actual information_schema over the same views,
+    which pins cross-engine type mapping as part of the contract."""
+    rows = []
+    for t in sorted(TABLES):
+        df = load_table(spark, sf_dir, t)
+        for i, f in enumerate(df.schema.fields):
+            st = f.dataType.simpleString()
+            rows.append(
+                Row(
+                    table_name=t,
+                    column_name=f.name,
+                    ordinal=i + 1,
+                    dtype=_DTYPE_CANON.get(st, st.upper()),
+                )
+            )
+    return spark.createDataFrame(rows)
+
+
 QUERIES = {
     "q_catalog_column_stats": q_catalog_column_stats,
+    "q_catalog_schema": q_catalog_schema,
 }
 
 ORACLES = {
+    "q_catalog_schema": """
+        SELECT table_name, column_name,
+               CAST(ordinal_position AS BIGINT) AS ordinal,
+               CASE WHEN data_type LIKE 'TIMESTAMP%' THEN 'TIMESTAMP'
+                    ELSE data_type END AS dtype
+        FROM information_schema.columns
+        WHERE table_name IN ('region','nation','customer','supplier','part',
+                             'orders','lineitem','events','documents',
+                             'embeddings')
+        ORDER BY table_name, ordinal""",
     "q_catalog_column_stats": " UNION ALL ".join(
         f"""SELECT '{col}' AS column_name,
                CAST(MIN({col}) AS DOUBLE) AS min_value,

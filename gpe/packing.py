@@ -1,0 +1,197 @@
+"""Training-data assembly operators (round-2 extensions to SURVEY.md §2.12):
+context-window packing, document chunking, and mixture-temperature source
+weighting — the ops that sit between a deduplicated corpus and a training
+run in a large-scale LLM data pipeline.
+
+All three are pure DataFrame plans. The only global dependency (the running
+token total in q_pack_sequences) uses the same two-pass range-partition +
+offset-table formulation as q_win_ntile_pctrank, so nothing funnels through
+a single task at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gpe.common import EPS
+from gpe.io import load_table
+
+# context window size (tokens) for q_pack_sequences
+_PACK_C = 512
+# chunk window / stride (tokens) for q_text_chunk_windows
+_CHUNK_W = 32
+_CHUNK_S = 16
+# total sample budget for q_mix_temperature quotas
+_MIX_BUDGET = 10_000
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy contiguous context-window packing: docs in doc_id order are
+    assigned to pack pack_id = floor(tokens_before_doc / 512) — each doc
+    lands in the pack where it starts (packs may overflow the boundary;
+    the overflowing doc starts the spill, the standard document-level
+    packing rule). Output: per pack, doc count, doc_id span, token total.
+
+    The running token total is the only global state; it uses the
+    two-pass pattern (range-repartition by doc_id → local cumsum → 32-row
+    offset table whose global window is bounded by the partition count),
+    so packing parallelizes like any aggregation."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n")
+    )
+    part = t.repartitionByRange(32, F.asc("doc_id")).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("pid").orderBy("doc_id")
+    loc = part.withColumn("lcum", F.sum("n").over(w_local))
+    cnts = loc.groupBy("pid").agg(F.sum("n").alias("ptot"))
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = cnts.withColumn(
+        "off", F.coalesce(F.sum("ptot").over(w_off), F.lit(0))
+    )
+    g = (
+        loc.join(F.broadcast(offs.select("pid", "off")), "pid")
+        # tokens strictly before this doc in doc_id order
+        .withColumn("cb", F.col("off") + F.col("lcum") - F.col("n"))
+        .withColumn("pack_id", F.expr(f"cb DIV {_PACK_C}"))
+    )
+    return g.groupBy("pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+        F.sum("n").alias("tokens_in_pack"),
+    )
+
+
+def q_text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding token-window chunking (window 32, stride 16) — the
+    RAG/pretraining chunker. Entirely map-side: per doc, chunk starts come
+    from an in-row `sequence`, the chunk text from `slice` + `array_join`;
+    no shuffle anywhere, so it scales with the scan. Tail chunks shorter
+    than the window are kept (standard chunker behavior)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    out = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(_CHUNK_S)),
+                lambda start: F.struct(
+                    F.array_join(F.slice(toks, start, _CHUNK_W), " ").alias(
+                        "chunk_text"
+                    ),
+                    F.size(F.slice(toks, start, _CHUNK_W))
+                    .cast("long")
+                    .alias("n_tokens"),
+                ),
+            )
+        ).alias("chunk_idx", "c"),
+    )
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.n_tokens").alias("n_tokens"),
+    )
+
+
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (α = 0.5): per source, weight
+    ∝ (n_source/N)^α, normalized share, and an integer sample quota from a
+    10k budget. The multinomial-temperature reweighting used to up-sample
+    small sources in pretraining mixes.
+
+    Determinism: sqrt and double division are IEEE-correctly-rounded in
+    both engines; the weight is floored to an e6 fixed-point LONG (with
+    the standard epsilon nudge), so the normalization sum is exact integer
+    arithmetic and quotas are exact integer division — no float summation
+    order anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    g = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = g.agg(F.sum("n_docs").alias("n_total"))
+    w = g.crossJoin(F.broadcast(tot)).withColumn(
+        "weight_e6",
+        F.floor(
+            F.sqrt(F.col("n_docs") / F.col("n_total")) * F.lit(1_000_000)
+            + F.lit(EPS)
+        ).cast("long"),
+    )
+    wsum = w.agg(F.sum("weight_e6").alias("w_total"))
+    return (
+        w.crossJoin(F.broadcast(wsum))
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "weight_e6",
+            F.round(
+                F.col("weight_e6") / F.col("w_total") + F.lit(EPS), 6
+            ).alias("share"),
+            F.expr(f"({_MIX_BUDGET} * weight_e6) DIV w_total").alias(
+                "sample_quota"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES = {
+    "q_pack_sequences": q_pack_sequences,
+    "q_text_chunk_windows": q_text_chunk_windows,
+    "q_mix_temperature": q_mix_temperature,
+}
+
+ORACLES = {
+    "q_pack_sequences": f"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+          FROM documents),
+        c AS (
+          SELECT doc_id, n,
+                 COALESCE(SUM(n) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cb
+          FROM t)
+        SELECT CAST(cb // {_PACK_C} AS BIGINT) AS pack_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               MIN(doc_id) AS first_doc,
+               MAX(doc_id) AS last_doc,
+               CAST(SUM(n) AS BIGINT) AS tokens_in_pack
+        FROM c GROUP BY 1""",
+    "q_text_chunk_windows": f"""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        s AS (
+          SELECT doc_id, toks,
+                 unnest(generate_series(1, greatest(len(toks), 1),
+                                        {_CHUNK_S})) AS start
+          FROM t)
+        SELECT doc_id,
+               CAST((start - 1) // {_CHUNK_S} AS BIGINT) AS chunk_idx,
+               array_to_string(toks[start:start + {_CHUNK_W} - 1], ' ')
+                 AS chunk_text,
+               CAST(len(toks[start:start + {_CHUNK_W} - 1]) AS BIGINT)
+                 AS n_tokens
+        FROM s""",
+    "q_mix_temperature": f"""
+        WITH g AS (
+          SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+        t AS (SELECT SUM(n_docs) AS n_total FROM g),
+        w AS (
+          SELECT source, n_docs,
+                 CAST(FLOOR(SQRT(n_docs / n_total) * 1000000 + {EPS})
+                      AS BIGINT) AS weight_e6
+          FROM g, t),
+        s AS (SELECT SUM(weight_e6) AS w_total FROM w)
+        SELECT source,
+               CAST(n_docs AS BIGINT) AS n_docs,
+               weight_e6,
+               ROUND(CAST(weight_e6 AS DOUBLE) / w_total + {EPS}, 6)
+                 AS share,
+               CAST(({_MIX_BUDGET} * weight_e6) // w_total AS BIGINT)
+                 AS sample_quota
+        FROM w, s ORDER BY source""",
+}

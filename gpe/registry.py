@@ -30,6 +30,7 @@ for _name in (
     "vectors",
     "multimodal",
     "pipeline",
+    "packing",
     "catalog",
     "udf",
 ):
@@ -99,8 +100,13 @@ HARD_SIGNAL_FIRST_50 = [
 ]
 
 # Next in line once the driver has burned down the list above (round 3+):
-# simple families whose equivalent patterns are already driver-green.
+# new round-2 operators first, then simple families whose equivalent
+# patterns are already driver-green.
 _SECOND_WAVE = [
+    "q_pack_sequences",
+    "q_text_chunk_windows",
+    "q_mix_temperature",
+    "q_catalog_schema",
     "q_win_rank",
     "q_win_lag_lead",
     "q_win_running_sum",
