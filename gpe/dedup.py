@@ -524,13 +524,22 @@ def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gpe.vectors import q_vec_pairs_threshold
 
     pairs = q_vec_pairs_threshold(spark, sf_dir)
+    # mirror with a map-side explode, NOT a unionAll of two selects — the
+    # union form evaluates the whole upstream pair pipeline twice (plan
+    # showed 12 parquet scans)
     sym = pairs.select(
-        F.col("id_a").alias("doc_id"), F.col("id_b").alias("nbr"), "sim"
-    ).unionAll(
-        pairs.select(
-            F.col("id_b").alias("doc_id"), F.col("id_a").alias("nbr"), "sim"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("doc_id"), F.col("id_b").alias("nbr")
+                ),
+                F.struct(
+                    F.col("id_b").alias("doc_id"), F.col("id_a").alias("nbr")
+                ),
+            )
+        ).alias("e"),
+        "sim",
+    ).select("e.doc_id", "e.nbr", "sim")
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     sym = sym.join(docs, "doc_id", "semi").join(
         docs.withColumnRenamed("doc_id", "nbr"), "nbr", "semi"

@@ -366,9 +366,17 @@ def q_join_fuzzy_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("d") <= 2)
         .select("ka", "kb", "d")
     )
-    sym = ver.unionByName(
-        ver.select(F.col("kb").alias("ka"), F.col("ka").alias("kb"), F.col("d"))
-    )
+    # mirror with a map-side explode (a unionByName of two selects would
+    # evaluate the whole triangle-join pipeline twice)
+    sym = ver.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("ka"), F.col("kb")),
+                F.struct(F.col("kb").alias("ka"), F.col("ka").alias("kb")),
+            )
+        ).alias("e"),
+        "d",
+    ).select("e.ka", "e.kb", "d")
     return (
         sym.groupBy(F.col("ka").alias("s_suppkey"))
         .agg(

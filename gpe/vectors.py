@@ -338,40 +338,61 @@ def q_vec_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     no cross join ever materializes; recall tunes by adding planes/bands.
     Recall vs q_vec_knn_brute is asserted in tests/test_llm_ops.py."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # per-dim sign VECTOR (array of the 16 plane signs, ordered by plane)
+    # instead of a (plane, pos) pair table: the projection pass then stays
+    # at one row per (vec, pos) with 16 codegen'd sum aggregates — round 1
+    # joined each of the 1.3M exploded rows against 16 plane rows (a 16×
+    # row blow-up through the groupBy)
     planes = (
-        spark.range(_N_PLANES)
-        .select(F.col("id").cast("int").alias("plane"))
-        .crossJoin(spark.range(_DIM).select(F.col("id").cast("int").alias("pos")))
+        spark.range(_DIM)
+        .select(F.col("id").cast("int").alias("pos"))
         .select(
-            "plane",
             "pos",
-            F.when(
-                F.substring(
-                    F.md5(F.concat_ws("|", "plane", "pos").cast("binary")), 1, 1
-                )
-                < "8",
-                1,
-            )
-            .otherwise(-1)
-            .alias("s"),
+            F.expr(
+                f"""
+                transform(sequence(0, {_N_PLANES - 1}), plane ->
+                  CASE WHEN substring(md5(CAST(concat_ws('|', plane, pos)
+                                               AS BINARY)), 1, 1) < '8'
+                       THEN 1 ELSE -1 END)
+                """
+            ).alias("sarr"),
         )
     )
     ex = emb.select("vec_id", F.posexplode("embedding").alias("pos", "x"))
-    bands = (
+    projs = (
         ex.join(F.broadcast(planes), "pos")
-        .groupBy("vec_id", "plane")
-        .agg(F.sum(F.col("s") * F.col("x").cast("decimal(12,10)")).alias("proj"))
-        .select(
-            "vec_id",
-            (F.col("plane") / _LSH_BAND_BITS).cast("int").alias("band"),
-            F.expr(
-                f"CASE WHEN proj >= 0"
-                f" THEN shiftleft(1, plane % {_LSH_BAND_BITS}) ELSE 0 END"
-            ).alias("bitval"),
+        .groupBy("vec_id")
+        .agg(
+            *[
+                F.sum(
+                    F.element_at("sarr", j + 1)
+                    * F.col("x").cast("decimal(12,10)")
+                ).alias(f"p{j}")
+                for j in range(_N_PLANES)
+            ]
         )
-        .groupBy("vec_id", "band")
-        .agg(F.sum("bitval").alias("bval"))
     )
+    n_bands = _N_PLANES // _LSH_BAND_BITS
+    bands = projs.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        sum(
+                            F.when(
+                                F.col(f"p{b * _LSH_BAND_BITS + r}") >= 0,
+                                F.lit(1 << r).cast("long"),
+                            ).otherwise(F.lit(0).cast("long"))
+                            for r in range(_LSH_BAND_BITS)
+                        ).alias("bval"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
     qb = bands.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "band", "bval"
     )
