@@ -101,15 +101,14 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("component_id").orderBy(
         F.desc("quality_score"), F.asc("doc_id")
     )
+    # member count as a second window over the SAME partition key — one
+    # shuffle serves both (a groupBy + self-join re-evaluated the whole
+    # upstream components∘quality pipeline a second time)
+    w_all = Window.partitionBy("component_id")
     return (
         joined.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(w_all))
         .filter(F.col("rn") == 1)
-        .join(
-            joined.groupBy("component_id").agg(
-                F.count(F.lit(1)).alias("n_members")
-            ),
-            "component_id",
-        )
         .select(
             "component_id",
             F.col("doc_id").alias("keeper_doc_id"),
