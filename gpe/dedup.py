@@ -442,6 +442,135 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def star_components(edges: DataFrame, max_rounds: int = 25) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14 — the public
+    O(log² n)-round algorithm). Input: (u, v) edges in either orientation;
+    output: (nid, comp) for every node appearing in an edge, comp = the
+    component's minimum node id.
+
+    Each round is two map-reduce steps over the edge set:
+      large-star: every node links its STRICTLY LARGER neighbors to the
+        minimum of its closed neighborhood;
+      small-star: every node links its ≤-neighbors and itself to that
+        minimum.
+    Both steps strictly reduce a monotone potential, so the edge multiset
+    converges to disjoint stars whose centers are the component minima —
+    no label table, no per-node state, every step a plain join/groupBy.
+    This is the production-scale complement to q_dedup_components'
+    min-label propagation (rounds ∝ log² n instead of graph diameter)."""
+    e = (
+        edges.select("u", "v")
+        .union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _sig(df: DataFrame):
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor, not sum: xor of 64-bit hashes can't overflow ANSI
+            # long arithmetic and is equally order-insensitive
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        return (r["n"], r["h"])
+
+    sig = _sig(e)
+    for _ in range(max_rounds):
+        # large-star: (v, m) for v ∈ Γ(u), v > u, m = min(Γ(u) ∪ {u})
+        mins_l = e.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            e.join(mins_l, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # no checkpoint between the two half-steps: the previous e is
+        # already materialized, so lineage here is one step deep and the
+        # eager checkpoint job would cost more than it truncates
+        e = large.union(
+            large.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+        # small-star: (v, m) for v ∈ Γ⁻(u) ∪ {u}, m = min(Γ⁻(u) ∪ {u})
+        low = e.filter(F.col("v") <= F.col("u"))
+        mins_s = low.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        small = (
+            low.join(mins_s, "u")
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("v").alias("u"), F.col("m").alias("v")),
+                        F.struct(F.col("u"), F.col("m").alias("v")),
+                    )
+                ).alias("p")
+            )
+            .select("p.u", "p.v")
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        e = (
+            small.union(
+                small.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        new_sig = _sig(e)
+        if new_sig == sig:
+            # converged: e is a disjoint union of stars centered at minima
+            return e.filter(F.col("v") < F.col("u")).select(
+                F.col("u").alias("nid"), F.col("v").alias("comp")
+            )
+        sig = new_sig
+    raise RuntimeError(
+        "star_components: not converged within max_rounds"
+    )
+
+
+def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_dedup_components' exact output via the large-star/small-star
+    algorithm (see star_components) over the same contracted mask
+    super-node graph — the variant whose round count is O(log² n) rather
+    than graph-diameter-bound, i.e. the one to run when the near-dup
+    graph may be deep. Node ids are each mask's minimum doc_id (disjoint
+    doc sets → unique), so star centers are component-minimum doc ids
+    directly."""
+    d = load_table(spark, sf_dir, "documents")
+    g = _mask_groups(d).localCheckpoint(eager=True)
+    node = g.select("mask", F.element_at("ids", 1).alias("nid"))
+    mp = (
+        g.select(F.col("mask").alias("mx"))
+        .join(g.select(F.col("mask").alias("my")), F.col("mx") < F.col("my"))
+        .filter(
+            F.lit(10) * F.expr("bit_count(mx & my)")
+            > F.lit(9) * F.expr("bit_count(mx | my)")
+        )
+    )
+    edges = (
+        mp.join(node.select(F.col("mask").alias("mx"), F.col("nid").alias("u")), "mx")
+        .join(node.select(F.col("mask").alias("my"), F.col("nid").alias("v")), "my")
+        .select("u", "v")
+    )
+    labels = star_components(edges)
+    docs = g.select("mask", F.explode("ids").alias("doc_id")).join(node, "mask")
+    return docs.join(labels, "nid", "left").select(
+        "doc_id",
+        F.least(
+            F.coalesce("comp", F.col("nid")), F.col("nid")
+        ).alias("component_id"),
+        (
+            F.col("doc_id")
+            == F.least(F.coalesce("comp", F.col("nid")), F.col("nid"))
+        ).alias("is_representative"),
+    )
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive near-dup pairs: word-TRIGRAM shingle Jaccard > 0.5
     via shingle inverted-index self-join (25 pairs at sf0.01 — much
@@ -568,6 +697,7 @@ QUERIES = {
     "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_components": q_dedup_components,
+    "q_dedup_components_star": q_dedup_components_star,
 }
 
 _SQL_NGRAM_JACCARD = """
@@ -632,6 +762,22 @@ ORACLES = {
                  AS simhash32
         FROM sig GROUP BY doc_id""",
     "q_dedup_components": f"""
+        WITH pairs AS ({_SQL_JACCARD_PAIRS}),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL
+          SELECT id_b, id_a FROM pairs),
+        reach AS (
+          WITH RECURSIVE r(src, dst) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src)
+          SELECT * FROM r)
+        SELECT src AS doc_id,
+               MIN(dst) AS component_id,
+               src = MIN(dst) AS is_representative
+        FROM reach GROUP BY src""",
+    "q_dedup_components_star": f"""
         WITH pairs AS ({_SQL_JACCARD_PAIRS}),
         edges AS (
           SELECT id_a AS src, id_b AS dst FROM pairs

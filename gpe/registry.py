@@ -107,6 +107,7 @@ _SECOND_WAVE = [
     "q_text_chunk_windows",
     "q_mix_temperature",
     "q_catalog_schema",
+    "q_dedup_components_star",
     "q_win_rank",
     "q_win_lag_lead",
     "q_win_running_sum",

@@ -18,6 +18,7 @@ from tests.conftest import SF_SMOKE
 # exemption list is pinned here so a new eager builder can't hide in it.
 ITERATIVE_BY_DESIGN = {
     "q_dedup_components",
+    "q_dedup_components_star",  # star rounds converge via driver loop
     "q_dedup_keep_best",  # composes q_dedup_components
 }
 
