@@ -108,6 +108,7 @@ _SECOND_WAVE = [
     "q_mix_temperature",
     "q_catalog_schema",
     "q_dedup_components_star",
+    "q_join_asof_tolerance",
     "q_win_rank",
     "q_win_lag_lead",
     "q_win_running_sum",

@@ -509,6 +509,48 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ASOF_TOL_US = 3_600_000_000  # 1 hour
+
+
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT as-of join with a match tolerance (the TimescaleDB/kdb asof
+    flavor): every purchase appears; its latest same-user view within 1
+    hour attaches, else the match columns are NULL. Same single-pass
+    union-scan shape as q_join_asof (one shuffle on user_id, O(1) state
+    per row, no row multiplication); the tolerance is a post-carry
+    predicate, so the 100 TB profile is unchanged. Oracle: DuckDB ASOF
+    LEFT JOIN + the same tolerance CASE."""
+    ev = load_table(spark, sf_dir, "events")
+    is_view = F.col("event_type") == "view"
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.last(F.when(is_view, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("cv_id"),
+        F.last(F.when(is_view, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("cv_ts"),
+    )
+    gap = umicros(F.col("ts")) - umicros(F.col("cv_ts"))
+    in_tol = F.col("cv_id").isNotNull() & (gap <= F.lit(_ASOF_TOL_US))
+    return carried.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.when(in_tol, F.col("cv_id")).alias("v_event_id"),
+        F.when(in_tol, F.col("cv_ts")).alias("v_ts"),
+        F.when(in_tol, gap).alias("gap_us"),
+    )
+
+
 def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-interval join: events against a derived calendar-day
     interval table [day, day+1). The interval table is tiny (≤31 rows) →
@@ -1054,6 +1096,7 @@ QUERIES = {
     "q_join_cross_limited": q_join_cross_limited,
     "q_join_theta_range": q_join_theta_range,
     "q_join_asof": q_join_asof,
+    "q_join_asof_tolerance": q_join_asof_tolerance,
     "q_join_interval": q_join_interval,
     "q_agg_global": q_agg_global,
     "q_agg_count_distinct": q_agg_count_distinct,
@@ -1359,6 +1402,35 @@ ORACLES = {
             ON p.user_id = v.user_id
            AND (v.ts < p.ts OR (v.ts = p.ts AND v.event_id < p.event_id)))
         WHERE rn = 1""",
+    "q_join_asof_tolerance": f"""
+        WITH p AS (
+          SELECT event_id AS p_event_id, user_id, ts AS p_ts
+          FROM events WHERE event_type = 'purchase'),
+        m AS (
+          SELECT p_event_id, v_event_id, v_ts FROM (
+            SELECT p.p_event_id,
+                   v.event_id AS v_event_id,
+                   v.ts AS v_ts,
+                   ROW_NUMBER() OVER (PARTITION BY p.p_event_id
+                                      ORDER BY v.ts DESC, v.event_id DESC)
+                     AS rn
+            FROM p JOIN (SELECT * FROM events WHERE event_type = 'view') v
+              ON p.user_id = v.user_id
+             AND (v.ts < p.p_ts OR (v.ts = p.p_ts
+                                    AND v.event_id < p.p_event_id)))
+          WHERE rn = 1)
+        SELECT p.p_event_id, p.user_id, p.p_ts,
+               CASE WHEN date_diff('microsecond', m.v_ts, p.p_ts)
+                         <= {_ASOF_TOL_US}
+                    THEN m.v_event_id END AS v_event_id,
+               CASE WHEN date_diff('microsecond', m.v_ts, p.p_ts)
+                         <= {_ASOF_TOL_US}
+                    THEN m.v_ts END AS v_ts,
+               CASE WHEN date_diff('microsecond', m.v_ts, p.p_ts)
+                         <= {_ASOF_TOL_US}
+                    THEN CAST(date_diff('microsecond', m.v_ts, p.p_ts)
+                              AS BIGINT) END AS gap_us
+        FROM p LEFT JOIN m ON p.p_event_id = m.p_event_id""",
     "q_join_interval": """
         WITH bounds AS (
           SELECT date_trunc('day', MIN(ts)) AS d0,
