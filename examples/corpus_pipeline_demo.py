@@ -17,7 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from gpe import dedup, pipeline, text, vectors
+from gpe import dedup, packing, pipeline, text, vectors
 from gpe.session import get_spark
 
 
@@ -51,6 +51,14 @@ def main() -> None:
     split = pipeline.q_split_train_val(spark, sf_dir)
     split.groupBy("split").count().show()
     print(f"   mixing kept {mixed.count()} docs")
+
+    print("== mixture temperature weights (alpha=0.5, 10k budget) ==")
+    packing.q_mix_temperature(spark, sf_dir).show(5)
+
+    print("== chunk + pack for training (window 32/stride 16 -> 512-token packs) ==")
+    chunks = packing.q_text_chunk_windows(spark, sf_dir)
+    packs = packing.q_pack_sequences(spark, sf_dir)
+    print(f"   {chunks.count()} chunks; {packs.count()} packs")
 
     print("== nearest neighbors in embedding space (query 0) ==")
     vectors.q_vec_knn_brute(spark, sf_dir).filter("query_id = 0").show()
