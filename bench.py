@@ -39,8 +39,21 @@ def main() -> None:
     qs = spec.queries()
 
     # Warm the JVM/session on a cheap query so the first timed query doesn't
-    # absorb one-time codegen/classloading cost.
+    # absorb one-time codegen/classloading cost, and warm the Arrow Python
+    # worker pool so the first pandas-UDF query doesn't absorb interpreter
+    # startup (~2-4s attributed to whichever Arrow query sorts first).
     force(spark.read.parquet(f"{sf_dir}/region.parquet"))
+    import pandas as _pd
+    from pyspark.sql import functions as _F
+
+    force(
+        spark.range(64)
+        .groupBy((_F.col("id") % 8).alias("g"))
+        .applyInPandas(
+            lambda pdf: _pd.DataFrame({"g": [int(pdf["g"].iloc[0])]}),
+            "g long",
+        )
+    )
 
     times: dict[str, float] = {}
     for key in sorted(qs):

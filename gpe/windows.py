@@ -199,7 +199,11 @@ def q_win_ntile_pctrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_local = Window.partitionBy("pid").orderBy(
         F.asc("c_acctbal"), F.asc("c_custkey")
     )
-    loc = part.withColumn("lrn", F.row_number().over(w_local))
+    # persist pass-1 (ranked partitions): it feeds the output rows AND the
+    # two tiny count aggregates, and without it the range shuffle evaluates
+    # three times (per-branch pruning defeats ReuseExchange). Materializing
+    # stage 1 is the textbook two-pass formulation.
+    loc = part.withColumn("lrn", F.row_number().over(w_local)).persist()
     cnts = loc.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
     # global window over <=32 rows (one per partition) — bounded by the
     # partition count, never by the data

@@ -83,3 +83,29 @@ def test_scan_counts_are_metadata_only(spark):
     data materialized)."""
     phys = _executed_plan(spark, "q_scan_all_tables_counts")
     assert "ReadSchema: struct<>" in phys
+
+
+def test_chunk_windows_is_shuffle_free(spark):
+    """q_text_chunk_windows claims a pure map-side plan — no Exchange of
+    any kind may appear (the chunker must scale with the scan alone)."""
+    phys = _executed_plan(spark, "q_text_chunk_windows")
+    assert "Exchange" not in phys
+
+
+def test_global_rank_has_no_unpartitioned_window(spark):
+    """The two-pass global ntile/percent_rank may only sort WITHIN range
+    partitions or over the 32-row offset table — never a global
+    single-partition sort of the data (round-1 regression)."""
+    phys = _executed_plan(spark, "q_win_ntile_pctrank")
+    # the two-pass signature: a range repartition exists, and every
+    # SinglePartition exchange sits above an aggregate (the 32-row count
+    # tables), never directly above the customer scan — i.e. no global
+    # single-task sort of the data
+    assert "rangepartitioning(c_acctbal" in phys
+    import re
+
+    for m in re.finditer(r"Exchange SinglePartition", phys):
+        tail = phys[m.end():m.end() + 600]
+        assert "HashAggregate" in tail or "InMemoryTableScan" in tail, (
+            phys[m.start():m.start() + 800]
+        )
