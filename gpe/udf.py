@@ -89,14 +89,26 @@ def q_udf_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-group model scoring); here the logic is deliberately SQL-
     expressible so the oracle can certify the plumbing."""
     ev = load_table(spark, sf_dir, "events")
-    p = ev.filter(F.col("event_type") == "purchase").select("user_id", "value")
-    v = ev.filter(F.col("event_type") == "view").select("user_id", "value")
+    # DISTINCT aliases per side, not a shared "value": in a self-cogroup
+    # both sides carry the same attribute ids, and under a
+    # pruned-output consumer (e.g. count()) Catalyst drops the right
+    # side's copy from requiredChildOutput — the pandas frame then
+    # arrives without the column and the UDF crashes. Fresh aliases give
+    # each side its own lineage, which prunes correctly. (toPandas/
+    # collect consumers never hit this; found by the vanilla-session
+    # driver-sim in tests/test_vanilla_session.py.)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("value").alias("p_value")
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("value").alias("v_value")
+    )
 
     def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         uid = (left if len(left) else right)["user_id"].iloc[0]
-        max_view = float(right["value"].max()) if len(right) else None
+        max_view = float(right["v_value"].max()) if len(right) else None
         n_above = (
-            int((left["value"] > max_view).sum())
+            int((left["p_value"] > max_view).sum())
             if len(left) and max_view is not None
             else 0
         )

@@ -1,0 +1,45 @@
+"""Driver-sim in a VANILLA SparkSession (subprocess — the suite's session
+carries gpe.session configs the driver does not set).
+
+Every declared query must build and execute in a bare
+SparkSession.builder.master(...).getOrCreate(), and must survive a
+PRUNED-OUTPUT consumer (count()), not just collect/toPandas: Catalyst
+prunes UDF child outputs under count(), which exposed a self-cogroup
+attribute-aliasing bug in q_udf_cogroup that collect-based parity could
+never see.
+"""
+
+import subprocess
+import sys
+
+_SCRIPT = r"""
+import sys
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+spark = SparkSession.builder.master("local[8]").getOrCreate()
+spark.sparkContext.setLogLevel("ERROR")
+import __spark_entry__ as spec
+fails = []
+for key, fn in spec.queries().items():
+    try:
+        n = fn(spark, "/root/testdata/sf0.001").count()
+        if n < 0:
+            fails.append((key, "negative count"))
+    except Exception as e:  # noqa: BLE001
+        fails.append((key, str(e)[:200]))
+if fails:
+    print("VANILLA-FAILS:", fails)
+    sys.exit(1)
+print("VANILLA-OK", len(spec.queries()))
+"""
+
+
+def test_all_queries_run_in_vanilla_session_under_count():
+    r = subprocess.run(
+        [sys.executable, "-c", _SCRIPT],
+        capture_output=True,
+        text=True,
+        timeout=540,
+    )
+    assert r.returncode == 0, (r.stdout or "") + (r.stderr or "")[-2000:]
+    assert "VANILLA-OK" in r.stdout
