@@ -242,7 +242,52 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean unigram log-probability against the corpus's own
+    unigram model — the cheap LM-score quality filter (docs of common
+    words score high, rare-word-heavy docs low).
+
+    Determinism across engines: ln() is libm (≤1 ulp drift), so each
+    token's log-prob is FLOORED TO e6 FIXED-POINT (with the standard
+    epsilon nudge) before any aggregation; the per-doc total is then an
+    exact LONG sum — no float summation order anywhere — and only the
+    final per-token mean returns to double. At 100 TB the model table is
+    vocabulary-sized and broadcast; scoring is one map-side join plus one
+    doc_id aggregation."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    total = tf.agg(F.sum("tf").alias("n_total"))
+    model = tf.crossJoin(F.broadcast(total)).select(
+        "token",
+        F.floor(
+            F.log(F.col("tf") / F.col("n_total")) * F.lit(1_000_000)
+            + F.lit(EPS)
+        )
+        .cast("long")
+        .alias("logp_e6"),
+    )
+    return (
+        tok.join(F.broadcast(model), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("logp_e6").alias("sum_e6"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(
+                F.col("sum_e6") / F.lit(1_000_000.0) / F.col("n_tokens")
+                + F.lit(EPS),
+                6,
+            ).alias("mean_logprob"),
+        )
+    )
+
+
 QUERIES = {
+    "q_text_unigram_logprob": q_text_unigram_logprob,
     "q_text_stats": q_text_stats,
     "q_text_tfidf_topterms": q_text_tfidf_topterms,
     "q_text_ngrams": q_text_ngrams,
@@ -253,6 +298,23 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_text_unigram_logprob": f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents),
+        tf AS (SELECT token, COUNT(*) AS tf FROM tok GROUP BY token),
+        tot AS (SELECT SUM(tf) AS n_total FROM tf),
+        model AS (
+          SELECT token,
+                 CAST(FLOOR(LN(tf / n_total) * 1000000 + {EPS}) AS BIGINT)
+                   AS logp_e6
+          FROM tf, tot)
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               ROUND(CAST(SUM(m.logp_e6) AS DOUBLE) / 1000000.0 / COUNT(*)
+                     + {EPS}, 6) AS mean_logprob
+        FROM tok t JOIN model m ON t.token = m.token
+        GROUP BY t.doc_id""",
     "q_text_stats": """
         WITH t AS (
           SELECT lang, source, n_chars,
