@@ -65,17 +65,14 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding token-window chunking (window 32, stride 16) — the
-    RAG/pretraining chunker. Entirely map-side: per doc, chunk starts come
-    from an in-row `sequence`, the chunk text from `slice` + `array_join`;
-    no shuffle anywhere, so it scales with the scan. Tail chunks shorter
-    than the window are kept (standard chunker behavior)."""
-    d = load_table(spark, sf_dir, "documents")
+def chunk_exprs() -> list:
+    """The chunker's projection over the documents shape — shared verbatim
+    by the batch op and the streaming twin (pure map-side, so it streams
+    statelessly)."""
     toks = F.split("text", " ")
     n = F.size(toks)
-    out = d.select(
-        "doc_id",
+    return [
+        F.col("doc_id"),
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(_CHUNK_S)),
@@ -89,7 +86,17 @@ def q_text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("chunk_idx", "c"),
-    )
+    ]
+
+
+def q_text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding token-window chunking (window 32, stride 16) — the
+    RAG/pretraining chunker. Entirely map-side: per doc, chunk starts come
+    from an in-row `sequence`, the chunk text from `slice` + `array_join`;
+    no shuffle anywhere, so it scales with the scan. Tail chunks shorter
+    than the window are kept (standard chunker behavior)."""
+    d = load_table(spark, sf_dir, "documents")
+    out = d.select(*chunk_exprs())
     return out.select(
         "doc_id",
         F.col("chunk_idx").cast("long").alias("chunk_idx"),

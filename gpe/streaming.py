@@ -121,6 +121,51 @@ def running_user_stats(stream: DataFrame) -> DataFrame:
     )
 
 
+DOCUMENTS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the documents table as a stream — the continuous-ingest shape
+    of the corpus pipeline (new crawl shards arriving as files)."""
+    return (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def quality_scores_stream(stream: DataFrame) -> DataFrame:
+    """Streaming twin of q_text_quality: stateless per-doc scoring, so the
+    same expression tree runs unmodified on the stream (zero state, scales
+    with ingest rate). Equality with the batch op is asserted in
+    tests/test_streaming_equivalence.py."""
+    from gpe.text import quality_exprs
+
+    return stream.select(*quality_exprs())
+
+
+def chunk_stream(stream: DataFrame) -> DataFrame:
+    """Streaming twin of q_text_chunk_windows — the chunker is pure
+    map-side (sequence + slice per row), so it streams statelessly:
+    documents in, training chunks out, at ingest rate."""
+    from gpe.packing import chunk_exprs
+
+    return stream.select(*chunk_exprs()).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.n_tokens").alias("n_tokens"),
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
     """Drain a streaming DataFrame into a memory sink and return the query.
     Callers assert on spark.table(name) after processAllAvailable()."""

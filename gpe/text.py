@@ -124,10 +124,10 @@ def q_text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
 
 
-def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic quality scoring: length, mean token length, stopword ratio,
-    and a combined score — the standard pre-training corpus filter family."""
-    d = load_table(spark, sf_dir, "documents")
+def quality_exprs() -> list:
+    """The quality-score expression tree over the documents shape — shared
+    verbatim by the batch op and the streaming twin (stateless, so the
+    same projections stream unmodified)."""
     toks = F.split("text", " ")
     n_tokens = F.size(toks)
     stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
@@ -139,15 +139,22 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.5) * F.least(n_tokens.cast("double") / F.lit(50.0), F.lit(1.0))
         + F.lit(0.5) * (F.lit(1.0) - stop_ratio)
     )
-    return d.select(
-        "doc_id",
-        "n_chars",
+    return [
+        F.col("doc_id"),
+        F.col("n_chars"),
         n_tokens.alias("n_tokens"),
         n_stop.alias("n_stopwords"),
         mean_tok_len.alias("mean_token_len"),
         stop_ratio.alias("stopword_ratio"),
         F.round(score + EPS, 6).alias("quality_score"),
-    )
+    ]
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: length, mean token length, stopword ratio,
+    and a combined score — the standard pre-training corpus filter family."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(*quality_exprs())
 
 
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:

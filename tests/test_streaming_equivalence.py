@@ -231,3 +231,35 @@ def test_watermark_drops_late_rows(spark, tmp_path):
         assert len(hour0) == 1 and hour0[0].n == 1
     finally:
         q.stop()
+
+
+def test_streaming_quality_scores_equal_batch(spark):
+    from gpe import text
+
+    doc_stream = streaming.stream_documents(spark, SF)
+    q = streaming.run_to_memory(
+        streaming.quality_scores_stream(doc_stream), "t_quality", "append"
+    )
+    try:
+        cols = ["doc_id", "n_tokens", "stopword_ratio", "quality_score"]
+        got = _rows(spark.table("t_quality"), cols)
+        want = _rows(text.q_text_quality(spark, SF), cols)
+        assert got == want
+    finally:
+        q.stop()
+
+
+def test_streaming_chunker_equals_batch(spark):
+    from gpe import packing
+
+    doc_stream = streaming.stream_documents(spark, SF)
+    q = streaming.run_to_memory(
+        streaming.chunk_stream(doc_stream), "t_chunks", "append"
+    )
+    try:
+        cols = ["doc_id", "chunk_idx", "chunk_text", "n_tokens"]
+        got = _rows(spark.table("t_chunks"), cols)
+        want = _rows(packing.q_text_chunk_windows(spark, SF), cols)
+        assert got == want
+    finally:
+        q.stop()
