@@ -384,7 +384,10 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # token set are trivially one cluster, so the iteration runs over
     # ~#distinct_masks nodes instead of #docs — 10-100× smaller here, and
     # the same contraction applies at any scale before label propagation.
-    g = _mask_groups(d).localCheckpoint(eager=True)
+    # coalesce(8) before each checkpoint: these frames are super-node-sized
+    # (~4k rows); materializing them at the session's 32 partitions makes
+    # every propagation round schedule 32 near-empty tasks
+    g = _mask_groups(d).coalesce(8).localCheckpoint(eager=True)
     mask_min = g.select(
         "mask", F.element_at("ids", 1).alias("comp")
     )
@@ -396,9 +399,21 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.lit(9) * F.expr("bit_count(mx | my)")
         )
     )
-    edges = mp.union(
-        mp.select(F.col("my").alias("mx"), F.col("mx").alias("my"))
-    ).localCheckpoint(eager=True)
+    # mirror with explode, not union-of-selects (union evaluates the
+    # all-pairs popcount join twice)
+    edges = (
+        mp.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("mx"), F.col("my")),
+                    F.struct(F.col("my").alias("mx"), F.col("mx").alias("my")),
+                )
+            ).alias("e")
+        )
+        .select("e.mx", "e.my")
+        .coalesce(8)
+        .localCheckpoint(eager=True)
+    )
     labels = mask_min.select(F.col("mask"), F.col("comp"))
     converged = False
     for _ in range(30):
@@ -420,6 +435,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("nbr_comp", F.col("comp")) < F.col("comp")
                 ).alias("chg"),
             )
+            .coalesce(8)
             .localCheckpoint(eager=True)
         )
         labels = stepped.select("mask", "comp")
@@ -464,6 +480,7 @@ def star_components(edges: DataFrame, max_rounds: int = 25) -> DataFrame:
         .union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .coalesce(8)
         .localCheckpoint(eager=True)
     )
 
@@ -519,6 +536,7 @@ def star_components(edges: DataFrame, max_rounds: int = 25) -> DataFrame:
                 small.select(F.col("v").alias("u"), F.col("u").alias("v"))
             )
             .distinct()
+            .coalesce(8)
             .localCheckpoint(eager=True)
         )
         new_sig = _sig(e)
@@ -542,7 +560,7 @@ def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc sets → unique), so star centers are component-minimum doc ids
     directly."""
     d = load_table(spark, sf_dir, "documents")
-    g = _mask_groups(d).localCheckpoint(eager=True)
+    g = _mask_groups(d).coalesce(8).localCheckpoint(eager=True)
     node = g.select("mask", F.element_at("ids", 1).alias("nid"))
     mp = (
         g.select(F.col("mask").alias("mx"))
