@@ -110,6 +110,7 @@ _SECOND_WAVE = [
     "q_dedup_components_star",
     "q_join_asof_tolerance",
     "q_text_unigram_logprob",
+    "q_ts_anomaly_zscore",
     "q_win_rank",
     "q_win_lag_lead",
     "q_win_running_sum",

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from gpe.common import dec, fround, ntz, sql_fround, umicros
+from gpe.common import EPS, dec, fround, ntz, sql_fround, umicros
 from gpe.io import load_table
 
 _SESSION_GAP_US = 1_800_000_000  # 30 minutes
@@ -244,7 +244,44 @@ def q_ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing z-score anomaly flags: each event's value against its
+    user's 1-hour trailing window (the continuous-monitoring primitive of
+    a time-series store). Variance comes from the closed form
+    (Σx² − (Σx)²/n)/(n−1) over EXACT decimal sums inside the RANGE frame
+    (the q_agg_stats determinism recipe applied to a window), so the only
+    float ops are the final IEEE-identical expression, ε-nudged. Events
+    with a singleton window emit NULL z (no variance estimate). One
+    shuffle on user_id; the frame state is O(window) per user."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(umicros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    n = F.count("value").over(w)
+    sx = F.sum(dec("value")).over(w).cast("double")
+    sxx = F.sum(dec("value") * dec("value")).over(w).cast("double")
+    var = (sxx - sx * sx / n) / (n - F.lit(1))
+    z = F.when(
+        (n > 1) & (var > 0),
+        F.round(
+            (F.col("value") - sx / n) / F.sqrt(var) + F.lit(EPS), 6
+        ),
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        n.cast("long").alias("n_window"),
+        z.alias("zscore"),
+        (F.abs(F.coalesce(z, F.lit(0.0))) > F.lit(2.0)).alias("is_anomaly"),
+    )
+
+
 QUERIES = {
+    "q_ts_anomaly_zscore": q_ts_anomaly_zscore,
     "q_ts_tumbling": q_ts_tumbling,
     "q_ts_ohlc": q_ts_ohlc,
     "q_ts_sliding": q_ts_sliding,
@@ -258,6 +295,31 @@ QUERIES = {
 _SUM_VAL = "CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value"
 
 ORACLES = {
+    "q_ts_anomaly_zscore": f"""
+        WITH t AS (
+          SELECT event_id, user_id, ts, value,
+                 COUNT(value) OVER w AS n,
+                 CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE)
+                   AS sx,
+                 CAST(SUM(CAST(value AS DECIMAL(12,2))
+                          * CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE)
+                   AS sxx
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL '1' HOUR PRECEDING
+                       AND CURRENT ROW)),
+        z AS (
+          SELECT event_id, user_id, ts, value,
+                 CAST(n AS BIGINT) AS n_window,
+                 CASE WHEN n > 1 AND (sxx - sx * sx / n) / (n - 1) > 0
+                      THEN ROUND((value - sx / n)
+                                 / SQRT((sxx - sx * sx / n) / (n - 1))
+                                 + {EPS}, 6)
+                 END AS zscore
+          FROM t)
+        SELECT event_id, user_id, ts, value, n_window, zscore,
+               ABS(COALESCE(zscore, 0.0)) > 2.0 AS is_anomaly
+        FROM z""",
     "q_ts_interpolate": f"""
         WITH ranked AS (
           SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hb,
