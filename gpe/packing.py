@@ -65,14 +65,17 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def chunk_exprs() -> list:
-    """The chunker's projection over the documents shape — shared verbatim
-    by the batch op and the streaming twin (pure map-side, so it streams
-    statelessly)."""
-    toks = F.split("text", " ")
+def chunked(df: DataFrame) -> DataFrame:
+    """The chunker over any documents-shaped frame — shared verbatim by
+    the batch op and the streaming twin (pure map-side, so it streams
+    statelessly). The split is MATERIALIZED in a prior projection: a
+    split() expression referenced inside the transform lambda re-evaluates
+    on every element access (no CSE inside higher-order functions)."""
+    t = df.select("doc_id", F.split("text", " ").alias("toks"))
+    toks = F.col("toks")
     n = F.size(toks)
-    return [
-        F.col("doc_id"),
+    out = t.select(
+        "doc_id",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(_CHUNK_S)),
@@ -86,7 +89,13 @@ def chunk_exprs() -> list:
                 ),
             )
         ).alias("chunk_idx", "c"),
-    ]
+    )
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.n_tokens").alias("n_tokens"),
+    )
 
 
 def q_text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -95,14 +104,7 @@ def q_text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from an in-row `sequence`, the chunk text from `slice` + `array_join`;
     no shuffle anywhere, so it scales with the scan. Tail chunks shorter
     than the window are kept (standard chunker behavior)."""
-    d = load_table(spark, sf_dir, "documents")
-    out = d.select(*chunk_exprs())
-    return out.select(
-        "doc_id",
-        F.col("chunk_idx").cast("long").alias("chunk_idx"),
-        F.col("c.chunk_text").alias("chunk_text"),
-        F.col("c.n_tokens").alias("n_tokens"),
-    )
+    return chunked(load_table(spark, sf_dir, "documents"))
 
 
 def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:

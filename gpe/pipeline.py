@@ -124,42 +124,56 @@ def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     stands in for the eval set). At 100 TB the benchmark gram set is tiny
     and broadcast; candidates stream through one semi-join + ratio."""
     d = load_table(spark, sf_dir, "documents")
-    pos_tok = d.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    grams = (
-        pos_tok.select(
-            "doc_id",
-            F.concat_ws(
-                " ", "token", F.lead("token", 1).over(w), F.lead("token", 2).over(w)
-            ).alias("gram"),
-            F.lead("token", 2).over(w).alias("_t2"),
+    # map-side shingling (indexed transform over a MATERIALIZED split —
+    # no window shuffle, no per-element re-split; same build as
+    # q_dedup_ngram_jaccard). Gram text uses ' ' joins, matching the
+    # oracle's concat_ws semantics.
+    toksed = d.select("doc_id", F.split("text", " ").alias("toks"))
+    arr = F.col("toks")
+    gram_arr = F.array_distinct(
+        F.filter(
+            F.transform(
+                arr,
+                lambda x, i: F.concat(
+                    x,
+                    F.lit(" "),
+                    F.try_element_at(arr, i + 2),
+                    F.lit(" "),
+                    F.try_element_at(arr, i + 3),
+                ),
+            ),
+            lambda g: g.isNotNull(),
         )
-        .filter(F.col("_t2").isNotNull())
-        .select("doc_id", "gram")
+    )
+    grams = toksed.select("doc_id", F.explode(gram_arr).alias("gram"))
+    bench = (
+        grams.filter(F.col("doc_id") < 10)
+        .select("gram")
         .distinct()
+        .withColumn("_hit", F.lit(1))
     )
-    bench = grams.filter(F.col("doc_id") < 10).select("gram").distinct()
-    cand = grams.filter(F.col("doc_id") >= 10)
-    hits = (
-        cand.join(F.broadcast(bench), "gram", "left_semi")
+    # ONE pass over the candidate grams: broadcast LEFT join carries a hit
+    # flag, so n_grams and n_hit come from the same aggregation (round 1
+    # ran a semi-join agg AND a totals agg AND joined them — three
+    # evaluations of the gram subtree)
+    agg = (
+        grams.filter(F.col("doc_id") >= 10)
+        .join(F.broadcast(bench), "gram", "left")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_hit"))
-    )
-    totals = cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    ratio = F.floor(
-        F.coalesce("n_hit", F.lit(0)) * F.lit(1000000) / F.col("n_grams")
-    ) / F.lit(1000000.0)
-    return (
-        totals.join(hits, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_grams",
-            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
-            ratio.alias("contamination_ratio"),
-            (ratio > 0.5).alias("is_contaminated"),
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("_hit").alias("n_hit"),
         )
+    )
+    ratio = F.floor(
+        F.col("n_hit") * F.lit(1000000) / F.col("n_grams")
+    ) / F.lit(1000000.0)
+    return agg.select(
+        "doc_id",
+        "n_grams",
+        "n_hit",
+        ratio.alias("contamination_ratio"),
+        (ratio > 0.5).alias("is_contaminated"),
     )
 
 

@@ -156,14 +156,9 @@ def chunk_stream(stream: DataFrame) -> DataFrame:
     """Streaming twin of q_text_chunk_windows — the chunker is pure
     map-side (sequence + slice per row), so it streams statelessly:
     documents in, training chunks out, at ingest rate."""
-    from gpe.packing import chunk_exprs
+    from gpe.packing import chunked
 
-    return stream.select(*chunk_exprs()).select(
-        "doc_id",
-        F.col("chunk_idx").cast("long").alias("chunk_idx"),
-        F.col("c.chunk_text").alias("chunk_text"),
-        F.col("c.n_tokens").alias("n_tokens"),
-    )
+    return chunked(stream)
 
 
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
