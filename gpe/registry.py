@@ -111,6 +111,7 @@ _SECOND_WAVE = [
     "q_join_asof_tolerance",
     "q_text_unigram_logprob",
     "q_ts_anomaly_zscore",
+    "q_text_keyphrases",
     "q_win_rank",
     "q_win_lag_lead",
     "q_win_running_sum",

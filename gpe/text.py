@@ -293,7 +293,63 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DOC keyphrase extraction: top-3 TF-IDF terms per document
+    (q_text_tfidf_topterms ranks per LANGUAGE; this is the per-document
+    variant a tagging/labeling pipeline runs). Fully integer-exact:
+    idf is e6-floored to a LONG, score = tf * idf_e6 is exact integer
+    arithmetic, ranking ties break by term — no float anywhere, so the
+    ranking is engine-identical by construction. The per-doc window
+    partitions on doc_id (maximal parallelism); the df model table is
+    vocabulary-sized and broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    df_ = (
+        tok.distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    idf_e6 = (
+        df_.crossJoin(F.broadcast(n_docs))
+        .select(
+            "token",
+            "df",
+            F.floor(
+                (
+                    F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+                    + F.lit(1.0)
+                )
+                * F.lit(1_000_000)
+                + F.lit(EPS)
+            )
+            .cast("long")
+            .alias("idf_e6"),
+        )
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    scored = tf.join(F.broadcast(idf_e6), "token").withColumn(
+        "score_e6", F.col("tf") * F.col("idf_e6")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_e6"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("token").alias("term"),
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            "score_e6",
+        )
+    )
+
+
 QUERIES = {
+    "q_text_keyphrases": q_text_keyphrases,
     "q_text_unigram_logprob": q_text_unigram_logprob,
     "q_text_stats": q_text_stats,
     "q_text_tfidf_topterms": q_text_tfidf_topterms,
@@ -305,6 +361,36 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_text_keyphrases": f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents),
+        nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+        df AS (
+          SELECT token, COUNT(*) AS df
+          FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY token),
+        idf AS (
+          SELECT token, df,
+                 CAST(FLOOR((LN((n_docs + 1.0) / (df + 1.0)) + 1.0)
+                            * 1000000 + {EPS}) AS BIGINT) AS idf_e6
+          FROM df, nd),
+        tf AS (
+          SELECT doc_id, token, COUNT(*) AS tf
+          FROM tok GROUP BY doc_id, token),
+        scored AS (
+          SELECT tf.doc_id, tf.token, tf.tf, idf.df,
+                 tf.tf * idf.idf_e6 AS score_e6,
+                 ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                    ORDER BY tf.tf * idf.idf_e6 DESC,
+                                             tf.token ASC) AS rank
+          FROM tf JOIN idf ON tf.token = idf.token)
+        SELECT doc_id,
+               CAST(rank AS INTEGER) AS rank,
+               token AS term,
+               CAST(tf AS BIGINT) AS tf,
+               CAST(df AS BIGINT) AS df,
+               CAST(score_e6 AS BIGINT) AS score_e6
+        FROM scored WHERE rank <= 3""",
     "q_text_unigram_logprob": f"""
         WITH tok AS (
           SELECT doc_id, unnest(string_split(text, ' ')) AS token
