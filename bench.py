@@ -42,18 +42,23 @@ def main() -> None:
     # absorb one-time codegen/classloading cost, and warm the Arrow Python
     # worker pool so the first pandas-UDF query doesn't absorb interpreter
     # startup (~2-4s attributed to whichever Arrow query sorts first).
-    force(spark.read.parquet(f"{sf_dir}/region.parquet"))
-    import pandas as _pd
-    from pyspark.sql import functions as _F
+    # warmup is best-effort: a failure here must never zero out the run
+    try:
+        force(spark.read.parquet(f"{sf_dir}/region.parquet"))
+        import pandas as _pd
+        from pyspark.sql import functions as _F
 
-    force(
-        spark.range(64)
-        .groupBy((_F.col("id") % 8).alias("g"))
-        .applyInPandas(
-            lambda pdf: _pd.DataFrame({"g": [int(pdf["g"].iloc[0])]}),
-            "g long",
+        force(
+            spark.range(64)
+            .withColumn("g", _F.col("id") % 8)
+            .groupBy("g")
+            .applyInPandas(
+                lambda pdf: _pd.DataFrame({"g": [int(pdf["g"].iloc[0])]}),
+                "g long",
+            )
         )
-    )
+    except Exception as e:  # noqa: BLE001
+        print(f"bench warmup failed (non-fatal): {e}", file=sys.stderr)
 
     times: dict[str, float] = {}
     for key in sorted(qs):
