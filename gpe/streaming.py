@@ -161,6 +161,92 @@ def chunk_stream(stream: DataFrame) -> DataFrame:
     return chunked(stream)
 
 
+def _doc_band_frame(df: DataFrame) -> DataFrame:
+    """(doc_id, toks [sorted distinct], sz, band_key × 16) for any
+    documents-shaped frame — STATELESS row-local MinHash banding. The
+    hash construction is bit-identical to gpe.dedup.q_dedup_minhash_lsh
+    (md5("g|token") sliced into four 8-hex-char minhash values), but
+    computed entirely inside one row via array expressions, so it runs
+    unmodified on a stream. The md5 array per group is MATERIALIZED in a
+    prior projection (lambda-boundary CSE rule, SCALE.md principle 10)."""
+    t = df.select(
+        "doc_id",
+        F.sort_array(F.array_distinct(F.split("text", " "))).alias("toks"),
+    )
+    # one md5 per (token, group): 8 hash arrays materialized as columns.
+    # NOTE the factory closure: a two-parameter lambda (tok, g=g) would be
+    # interpreted by PySpark as an (element, index) lambda and bind the
+    # array INDEX to g.
+    def _hash_arr(g: int):
+        prefix = f"{g}|"
+        return F.transform(
+            F.col("toks"),
+            lambda tok: F.md5(F.concat(F.lit(prefix), tok).cast("binary")),
+        )
+
+    h = t.select(
+        "doc_id",
+        "toks",
+        F.size("toks").alias("sz"),
+        *[_hash_arr(g).alias(f"h{g}") for g in range(8)],
+    )
+
+    def _mh(j: int):
+        g, r = divmod(j, 4)
+        return F.array_min(
+            F.transform(
+                F.col(f"h{g}"), lambda x: F.substring(x, 1 + 8 * r, 8)
+            )
+        )
+
+    bands = h.select(
+        "doc_id",
+        "toks",
+        "sz",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws("|", F.lit(str(b)), _mh(2 * b), _mh(2 * b + 1))
+                    for b in range(16)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    return bands
+
+
+def minhash_dedup_stream(
+    stream: DataFrame, corpus: DataFrame
+) -> DataFrame:
+    """Incremental near-dup detection: newly ingested documents (stream)
+    band-join against a STATIC corpus index and exact-Jaccard verify —
+    the continuous-ingest complement of q_dedup_minhash_lsh. The stream
+    side's banding is stateless; the corpus index is a batch DataFrame
+    (in production: periodically refreshed / a Delta-style table); the
+    stream-static equi-join needs no watermark. Emits one row per
+    (new doc, corpus near-dup) with J > 0.9, both directions of a batch
+    pair. dropDuplicates holds per-pair state — production bounds it
+    with a watermark on ingest time."""
+    sb = _doc_band_frame(stream)
+    cb = (
+        _doc_band_frame(corpus)
+        .withColumnRenamed("doc_id", "corpus_doc_id")
+        .withColumnRenamed("toks", "c_toks")
+        .withColumnRenamed("sz", "c_sz")
+    )
+    inter = F.size(F.array_intersect("toks", "c_toks"))
+    union = F.col("sz") + F.col("c_sz") - inter
+    return (
+        sb.join(cb, "band_key")
+        .filter(F.col("doc_id") != F.col("corpus_doc_id"))
+        .withColumn("inter", inter.cast("long"))
+        .withColumn("union_size", union.cast("long"))
+        .filter(F.lit(10) * F.col("inter") > F.lit(9) * F.col("union_size"))
+        .select("doc_id", "corpus_doc_id", "inter", "union_size")
+        .dropDuplicates(["doc_id", "corpus_doc_id"])
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
     """Drain a streaming DataFrame into a memory sink and return the query.
     Callers assert on spark.table(name) after processAllAvailable()."""

@@ -263,3 +263,33 @@ def test_streaming_chunker_equals_batch(spark):
         assert got == want
     finally:
         q.stop()
+
+
+def test_streaming_minhash_dedup_equals_batch(spark):
+    """Stream the corpus against itself as the static index: every batch
+    near-dup pair (a, b) must surface in BOTH directions, and nothing
+    else may surface (the band join + exact verify is output-equal to
+    q_dedup_minhash_lsh)."""
+    from gpe import dedup
+    from gpe.io import load_table
+
+    corpus = load_table(spark, SF, "documents")
+    doc_stream = streaming.stream_documents(spark, SF)
+    q = streaming.run_to_memory(
+        streaming.minhash_dedup_stream(doc_stream, corpus),
+        "t_minhash",
+        "append",
+    )
+    try:
+        got = {
+            (r["doc_id"], r["corpus_doc_id"], r["inter"], r["union_size"])
+            for r in spark.table("t_minhash").collect()
+        }
+        batch = dedup.q_dedup_minhash_lsh(spark, SF).collect()
+        want = set()
+        for r in batch:
+            want.add((r["id_a"], r["id_b"], r["inter"], r["union_size"]))
+            want.add((r["id_b"], r["id_a"], r["inter"], r["union_size"]))
+        assert got == want
+    finally:
+        q.stop()
