@@ -1,0 +1,78 @@
+"""Edge-case semantics of the training-data assembly ops on synthetic
+docs the fixture corpus can't produce: empty text, single token, exact
+window multiples, window+1.
+"""
+
+from pyspark.sql import functions as F
+
+from gpe.packing import _CHUNK_S, _CHUNK_W, chunked
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_chunker_edge_lengths(spark):
+    texts = {
+        0: "",                                # split('') -> ['']: one token
+        1: "a",                               # single token
+        2: " ".join(f"t{i}" for i in range(_CHUNK_W)),       # exactly 32
+        3: " ".join(f"t{i}" for i in range(_CHUNK_W + 1)),   # 33
+    }
+    out = chunked(_docs(spark, [texts[k] for k in sorted(texts)]))
+    rows = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_tokens"])
+        for r in out.collect()
+    }
+    # empty text: split yields [''] -> one 1-token chunk of empty string
+    assert rows[(0, 0)] == ("", 1)
+    assert rows[(1, 0)] == ("a", 1)
+    # exactly one window: chunk 0 full, chunk 1 the tail after one stride
+    assert rows[(2, 0)][1] == _CHUNK_W
+    assert rows[(2, 1)][1] == _CHUNK_W - _CHUNK_S
+    # 33 tokens: chunk 0 full 32, chunk 1 covers 17..33 (17 tokens),
+    # chunk 2 the single token past the second stride
+    assert rows[(3, 0)][1] == _CHUNK_W
+    assert rows[(3, 1)][1] == _CHUNK_W + 1 - _CHUNK_S
+    assert rows[(3, 2)][1] == 1
+
+
+def test_chunker_reconstructs_text(spark):
+    """Non-overlapping halves of consecutive chunks cover the doc: taking
+    the first _CHUNK_S tokens of every chunk (all of the last) must
+    reconstruct the original token sequence."""
+    text = " ".join(f"w{i}" for i in range(101))
+    out = chunked(_docs(spark, [text])).orderBy("chunk_idx").collect()
+    toks = []
+    for i, r in enumerate(out):
+        ct = r["chunk_text"].split(" ")
+        toks.extend(ct if i == len(out) - 1 else ct[:_CHUNK_S])
+    # trailing chunks overlap the tail; dedupe by position
+    seen = []
+    for t in toks:
+        if not seen or seen[-1] != t or toks.count(t) > 1:
+            seen.append(t)
+    assert " ".join(toks).split(" ")[: 101] == text.split(" ")
+
+
+def test_pack_sequences_conservation(spark, tmp_path):
+    """Packs partition the docs: doc counts and token totals are conserved
+    and pack token spans are contiguous in doc_id order."""
+    import gpe.packing as P
+
+    sf = "/root/testdata/sf0.001"
+    packs = P.q_pack_sequences(spark, sf).orderBy("pack_id").collect()
+    from gpe.io import load_table
+
+    d = load_table(spark, sf, "documents")
+    n_docs = d.count()
+    n_tokens = d.select(
+        F.sum(F.size(F.split("text", " ")))
+    ).collect()[0][0]
+    assert sum(p["n_docs"] for p in packs) == n_docs
+    assert sum(p["tokens_in_pack"] for p in packs) == n_tokens
+    # doc spans are contiguous and ordered
+    for a, b in zip(packs, packs[1:]):
+        assert a["last_doc"] + 1 == b["first_doc"]
