@@ -48,6 +48,19 @@ def main() -> None:
         import pandas as _pd
         from pyspark.sql import functions as _F
 
+        # relational warmup: a broadcast join + hash aggregate over the two
+        # fixed-size dims compiles the codegen/exchange classes the first
+        # real relational query would otherwise pay for (VERDICT r2 #7)
+        nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        region = spark.read.parquet(f"{sf_dir}/region.parquet")
+        force(
+            nation.join(
+                _F.broadcast(region),
+                nation.n_regionkey == region.r_regionkey,
+            )
+            .groupBy("r_name")
+            .agg(_F.count(_F.lit(1)).alias("n"))
+        )
         force(
             spark.range(64)
             .withColumn("g", _F.col("id") % 8)
@@ -90,8 +103,13 @@ def main() -> None:
         "w",
     ) as f:
         json.dump(full, f, indent=1)
-    slowest = dict(
-        sorted(times.items(), key=lambda kv: -kv[1])[:10]
+    # stdout "queries" is trimmed to the 10 slowest keys so the single
+    # line survives tail-capture; consumers needing all keys read
+    # BENCH_LAST.json or set SPARK_GRAFT_FULL_STDOUT=1 (ADVICE r2)
+    slowest = (
+        times
+        if os.environ.get("SPARK_GRAFT_FULL_STDOUT")
+        else dict(sorted(times.items(), key=lambda kv: -kv[1])[:10])
     )
     print(
         json.dumps(

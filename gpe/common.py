@@ -40,6 +40,18 @@ DEC = "decimal(12,2)"
 EPS = 1e-9
 
 
+def two_pass_parts(spark) -> int:
+    """Partition count for the two-pass global-rank / running-total pattern
+    (range repartition → local window → per-partition offset table).
+
+    Derived from the session's parallelism instead of a hardcoded 32
+    (VERDICT r2 #4): at 100× scale a fixed fan-in leaves the offset table
+    fine but the data partitions coarse. The two-pass formulas are
+    partition-count-invariant (proven by tests/test_two_pass_invariance.py
+    running 8 and 64), so this only moves work, never results."""
+    return max(2, spark.sparkContext.defaultParallelism)
+
+
 def dec(col: Column | str) -> Column:
     """Exact decimal view of a raw 2-decimal-valued double column (or of a
     double expression whose true value has ≤2 decimals, e.g. ``1 - disc``)."""

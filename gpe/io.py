@@ -64,20 +64,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 # Schema memo: Spark runs one footer-read JOB per schema-less
-# spark.read.parquet call; with 111 builders each touching 1-4 tables that
+# spark.read.parquet call; with 120 builders each touching 1-4 tables that
 # is hundreds of redundant metadata jobs per session (and at lake scale a
 # footer sample over a 100k-file listing). One inference per (sf_dir,
 # table), then every later read passes the schema explicitly and plan
 # construction is fully job-free (asserted in tests/test_builders_lazy.py).
+# Keyed by (path, mtime_ns, size) — NOT path alone (ADVICE r2): a file
+# regenerated in place with a different schema must re-infer, not silently
+# apply the stale schema and corrupt columns.
 _SCHEMA_CACHE: dict = {}
 
 
 def _read_cached_schema(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    import os
+
     path = f"{sf_dir}/{name}.parquet"
-    schema = _SCHEMA_CACHE.get(path)
+    st = os.stat(path)
+    key = (path, st.st_mtime_ns, st.st_size)
+    schema = _SCHEMA_CACHE.get(key)
     if schema is None:
         df = spark.read.parquet(path)
-        _SCHEMA_CACHE[path] = df.schema
+        _SCHEMA_CACHE[key] = df.schema
         return df
     return spark.read.schema(schema).parquet(path)
 

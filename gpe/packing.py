@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from gpe.common import EPS
+from gpe.common import EPS, two_pass_parts
 from gpe.io import load_table
 
 # context window size (tokens) for q_pack_sequences
@@ -34,16 +34,18 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     packing rule). Output: per pack, doc count, doc_id span, token total.
 
     The running token total is the only global state; it uses the
-    two-pass pattern (range-repartition by doc_id → local cumsum → 32-row
-    offset table whose global window is bounded by the partition count),
-    so packing parallelizes like any aggregation."""
+    two-pass pattern (range-repartition by doc_id → local cumsum →
+    one-row-per-partition offset table whose global window is bounded by
+    the partition count), so packing parallelizes like any aggregation.
+    The partition count follows the session's parallelism; the formula is
+    partition-count-invariant (tests/test_two_pass_invariance.py)."""
     d = load_table(spark, sf_dir, "documents")
     t = d.select(
         "doc_id", F.size(F.split("text", " ")).cast("long").alias("n")
     )
-    part = t.repartitionByRange(32, F.asc("doc_id")).withColumn(
-        "pid", F.spark_partition_id()
-    )
+    part = t.repartitionByRange(
+        two_pass_parts(spark), F.asc("doc_id")
+    ).withColumn("pid", F.spark_partition_id())
     w_local = Window.partitionBy("pid").orderBy("doc_id")
     loc = part.withColumn("lcum", F.sum("n").over(w_local))
     cnts = loc.groupBy("pid").agg(F.sum("n").alias("ptot"))

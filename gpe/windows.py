@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from gpe.common import EPS, dec, umicros
+from gpe.common import EPS, dec, two_pass_parts, umicros
 from gpe.io import load_table
 
 
@@ -185,16 +185,18 @@ def q_win_ntile_pctrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     TWO-PASS global ranking — a naive Window.orderBy() with no
     partitionBy (round 1) funnels every row through ONE task. Here:
     range-repartition by the sort key, rank locally per partition, then
-    add per-partition offsets computed from a 32-row count table (whose
-    own global window is bounded by the partition count, not the data).
-    ntile(4) is reconstructed arithmetically from the global row number
-    and total count (SQL-standard distribution: first n%4 buckets get
-    one extra row); percent_rank's tie handling comes from min(global
-    row number) over each acctbal group. Every stage is distributed;
-    output is identical to the single-window form (oracle unchanged)."""
+    add per-partition offsets computed from a count table with one row
+    per partition (whose own global window is bounded by the partition
+    count, not the data). ntile(4) is reconstructed arithmetically from
+    the global row number and total count (SQL-standard distribution:
+    first n%4 buckets get one extra row); percent_rank's tie handling
+    comes from min(global row number) over each acctbal group. Every
+    stage is distributed; output is identical to the single-window form
+    (oracle unchanged) and partition-count-invariant
+    (tests/test_two_pass_invariance.py)."""
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
     part = c.repartitionByRange(
-        32, F.asc("c_acctbal"), F.asc("c_custkey")
+        two_pass_parts(spark), F.asc("c_acctbal"), F.asc("c_custkey")
     ).withColumn("pid", F.spark_partition_id())
     w_local = Window.partitionBy("pid").orderBy(
         F.asc("c_acctbal"), F.asc("c_custkey")
@@ -230,17 +232,24 @@ def q_win_ntile_pctrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("big_span", F.expr("rem * (base + 1)"))
     )
     n = F.col("n_total")
+    # degenerate-input note (ADVICE r2): when n_total < 4, base = 0 but
+    # big_span = rem·(base+1) = n_total, so EVERY row takes the first
+    # branch ((grn-1) DIV 1 + 1 = grn — exactly NTILE's one-row-per-bucket
+    # answer) and the DIV-by-zero branch is unreachable (CaseWhen is lazy)
     quartile = F.when(
         F.col("grn") <= F.col("big_span"),
         F.expr("(grn - 1) DIV (base + 1) + 1"),
     ).otherwise(F.expr("rem + (grn - big_span - 1) DIV base + 1"))
+    # n_total == 1 would make pct_rank 0/0 = NaN; SQL PERCENT_RANK defines
+    # a single-row partition as 0.0 — special-case to match both oracles
+    pct = F.when(n == 1, F.lit(0.0)).otherwise(
+        F.round((F.col("rank_ties") - 1).cast("double") / (n - 1) + EPS, 6)
+    )
     return g.select(
         "c_custkey",
         "c_acctbal",
         quartile.cast("int").alias("quartile"),
-        F.round(
-            (F.col("rank_ties") - 1).cast("double") / (n - 1) + EPS, 6
-        ).alias("pct_rank"),
+        pct.alias("pct_rank"),
     )
 
 

@@ -92,6 +92,22 @@ def test_chunk_windows_is_shuffle_free(spark):
     assert "Exchange" not in phys
 
 
+def test_components_candidate_edges_have_no_allpairs_join(spark):
+    """Both connected-components variants consume the MinHash band-join
+    candidate seam (gpe.dedup._band_candidate_pairs) — the candidate-edge
+    plan must contain no all-pairs mask×mask join (CartesianProduct /
+    BroadcastNestedLoopJoin), the r2-flagged open-vocabulary scale killer."""
+    from gpe.dedup import _band_candidate_pairs, _mask_sig_supernodes
+    from gpe.io import load_table
+
+    d = load_table(spark, SF, "documents")
+    cand = _band_candidate_pairs(_mask_sig_supernodes(d))
+    cand.collect()  # let AQE finalize
+    phys = cand._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in phys
+    assert "BroadcastNestedLoopJoin" not in phys
+
+
 def test_global_rank_has_no_unpartitioned_window(spark):
     """The two-pass global ntile/percent_rank may only sort WITHIN range
     partitions or over the 32-row offset table — never a global
