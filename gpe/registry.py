@@ -38,80 +38,21 @@ for _name in (
 
 
 # The driver hash-verifies exactly the FIRST 50 keys of queries() each round
-# (CORRECTNESS_r01 stopped at registry index 49), so registry order decides
-# which keys get hard correctness signal. Round 1 verified 50 keys in module
-# order (io/relational); this explicit priority list front-loads the 61 keys
-# the driver never reached — windows, time-series, scalar-array, text, dedup,
-# vectors, multimodal, pipeline, catalog, UDF — plus q_agg_collect (whose
-# round-1 row was a canonicalizer crash, now fixed via string serialization).
+# (verified in r1 AND r2: CORRECTNESS_r0N covers precisely registry indices
+# 0-49), so registry order decides which keys get hard correctness signal.
+# Round-3 window (r1 checked 50 in module order, r2 checked the 50
+# previously-unreached keys): front-load the 21 keys NEVER driver-checked
+# (r2's _SECOND_WAVE — the 9 r2 operators + 12 rotated r1-vanilla keys),
+# then keys whose implementation CHANGED in r3 (q_except de-vacuated;
+# minhash/components candidate-edge seam; two-pass parameterization;
+# fuzzy-join r2 rewrite that r1's check predates), then r1-green backfill
+# so every family gets a fresh check under current code. The two
+# recursive-CTE-oracle keys sit LAST in the window (slowest oracles —
+# ~6 s each at sf0.01 — must not delay the hard-signal burn-down).
 # Keys after position 50 keep local parity (tools/parity.py) as their
 # regression net; tests/test_registry_order.py pins this window.
 HARD_SIGNAL_FIRST_50 = [
-    "q_agg_collect",
-    "q_win_cume_nth",
-    "q_win_distinct_count",
-    "q_win_range_frame",
-    "q_win_topk_per_group",
-    "q_win_moving_avg_time",
-    "q_win_ntile_pctrank",
-    "q_win_first_last",
-    "q_ts_tumbling",
-    "q_ts_ohlc",
-    "q_ts_sliding",
-    "q_ts_sessionize",
-    "q_ts_funnel",
-    "q_ts_retention",
-    "q_ts_gap_fill",
-    "q_ts_interpolate",
-    "q_scalar_array",
-    "q_scalar_arrayops",
-    "q_scalar_map",
-    "q_text_stats",
-    "q_text_tfidf_topterms",
-    "q_text_ngrams",
-    "q_text_quality",
-    "q_text_langid",
-    "q_text_tokencount",
-    "q_text_fingerprint",
-    "q_text_contamination",
-    "q_dedup_exact",
-    "q_dedup_near_pairs",
-    "q_dedup_minhash_lsh",
-    "q_dedup_simhash",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_components",
-    "q_dedup_embed_cosine",
-    "q_dedup_keep_best",
-    "q_vec_knn_brute",
-    "q_vec_pairs_threshold",
-    "q_vec_centroids",
-    "q_vec_ann_ivf",
-    "q_vec_ann_lsh",
-    "q_multimodal_join",
-    "q_multimodal_features",
-    "q_sample_systematic",
-    "q_sample_stratified",
-    "q_mix_sources",
-    "q_split_train_val",
-    "q_catalog_column_stats",
-    "q_udf_pandas_scalar",
-    "q_udaf_applyinpandas",
-    "q_udf_cogroup",
-]
-
-# Next in line once the driver has burned down the list above (round 3+):
-# new round-2 operators first, then simple families whose equivalent
-# patterns are already driver-green.
-_SECOND_WAVE = [
-    "q_pack_sequences",
-    "q_text_chunk_windows",
-    "q_mix_temperature",
-    "q_catalog_schema",
-    "q_dedup_components_star",
-    "q_join_asof_tolerance",
-    "q_text_unigram_logprob",
-    "q_ts_anomaly_zscore",
-    "q_text_keyphrases",
+    # --- never driver-checked: 12 rotated r1-vanilla keys ---
     "q_win_rank",
     "q_win_lag_lead",
     "q_win_running_sum",
@@ -124,6 +65,76 @@ _SECOND_WAVE = [
     "q_agg_conditional",
     "q_except",
     "q_distinct_dropdup",
+    # --- never driver-checked: 8 round-2 operators ---
+    "q_text_chunk_windows",
+    "q_mix_temperature",
+    "q_catalog_schema",
+    "q_join_asof_tolerance",
+    "q_text_unigram_logprob",
+    "q_ts_anomaly_zscore",
+    "q_text_keyphrases",
+    "q_pack_sequences",
+    # --- changed since their last driver check ---
+    "q_win_ntile_pctrank",
+    "q_join_fuzzy_name",
+    "q_dedup_near_pairs",
+    "q_dedup_minhash_lsh",
+    # --- r1-green backfill (fresh check under current code) ---
+    "q_agg_groupby",
+    "q_join_inner_bcast",
+    "q_join_inner_shuffle",
+    "q_join_multiway_star",
+    "q_join_left_outer",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_asof",
+    "q_join_interval",
+    "q_join_theta_range",
+    "q_join_skew_salted",
+    "q_join_lateral",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_agg_grouping_sets",
+    "q_agg_listagg",
+    "q_agg_percentiles",
+    "q_agg_histogram",
+    "q_agg_corr_regr",
+    "q_agg_mode",
+    "q_pivot_status_by_year",
+    "q_subquery_correlated",
+    "q_sort_multi",
+    "q_agg_stats",
+    # --- slowest oracles (recursive CTE ~6 s each) go last; the 9th r2
+    # --- operator lands here so the heavy pair can't push it out
+    "q_dedup_components",
+    "q_dedup_components_star",
+]
+
+# Next in line for round 4: the stalest remaining keys (driver-checked only
+# in round 1, under code that has since been refactored the least — still
+# worth one refresh pass each before widening further).
+_SECOND_WAVE = [
+    "q_scan_parquet",
+    "q_scan_projected",
+    "q_scan_all_tables_counts",
+    "q_project_compute",
+    "q_filter_conj",
+    "q_filter_disj_in",
+    "q_filter_like",
+    "q_filter_between_dates",
+    "q_case_when",
+    "q_join_full_outer",
+    "q_join_cross_limited",
+    "q_agg_global",
+    "q_agg_count_distinct",
+    "q_agg_multi_distinct",
+    "q_agg_having",
+    "q_union_all",
+    "q_union_distinct",
+    "q_intersect",
+    "q_subquery_scalar",
+    "q_page_orders",
+    "q_unpivot_order_counts",
 ]
 
 
