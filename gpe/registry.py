@@ -103,7 +103,8 @@ HARD_SIGNAL_FIRST_50 = [
     "q_pivot_status_by_year",
     "q_subquery_correlated",
     "q_sort_multi",
-    "q_agg_stats",
+    # --- new round-3 operator ---
+    "q_vec_ann_pq",
     # --- slowest oracles (recursive CTE ~6 s each) go last; the 9th r2
     # --- operator lands here so the heavy pair can't push it out
     "q_dedup_components",

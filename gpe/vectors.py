@@ -424,6 +424,128 @@ def q_vec_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PQ layout: 64 dims → 8 subvectors of 8 dims; codebook per subvector =
+# the 10 label centroids restricted to those dims (k-means-free: the label
+# structure IS the coarse clustering, as in q_vec_ann_ivf). ADC candidates
+# rerank exactly, top-C chosen deep enough that recall is governed by the
+# quantizer, not the cut.
+_PQ_SUB_DIM = 8
+_PQ_N_SUB = 8
+_PQ_TOP_C = 20
+
+
+def q_vec_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., "Product Quantization for
+    Nearest Neighbor Search", TPAMI 2011) — the memory-bound
+    billion-vector path: each database vector compresses to 8 one-byte
+    codes (one centroid id per 8-dim subvector), queries stay raw, and
+    approximate similarity is a LOOKUP-TABLE sum (asymmetric distance
+    computation), never a full dot product.
+
+    Expressed relationally, which is exactly how PQ scales on Spark:
+      codes   = per (vec, subvector) argmin_label ‖x_sub − c_label,sub‖²
+                (a join + 8-term aggregate + row_number — one shuffle)
+      LUT     = per (query, label, subvector) partial dot product
+                (10 queries × 10 labels × 8 subs = 800 rows → broadcast)
+      ADC     = codes ⋈ LUT summed over subvectors (broadcast join +
+                groupBy — the scan-side cost is 8 lookup rows per vector)
+      rerank  = exact-decimal dot on the ADC top-20, emit top-5.
+    Every stage is exact decimal with full tie-breaks (d², ADC, and dot
+    ties all break by id), so the whole pipeline — a rarity for PQ — is
+    SQL-oracle-checkable. Recall vs q_vec_knn_brute is asserted in
+    tests/test_llm_ops.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select("vec_id", "label", F.posexplode("embedding").alias("pos", "x"))
+    cdims = (
+        ex.groupBy("label", "pos")
+        .agg(
+            F.sum(F.col("x").cast("decimal(12,10)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.col("label").alias("code"),
+            "pos",
+            (
+                F.floor(F.col("s").cast("double") * F.lit(100000000) / F.col("n"))
+                / F.lit(100000000.0)
+            ).alias("cdim"),
+        )
+    )
+    # --- encode: nearest sub-codebook entry per (vector, subvector) ---
+    sub = (F.col("pos") / _PQ_SUB_DIM).cast("int")
+    d2_terms = ex.join(F.broadcast(cdims), "pos").select(
+        "vec_id",
+        "code",
+        sub.alias("sub"),
+        (
+            (F.col("x").cast("decimal(12,10)") - F.col("cdim").cast("decimal(14,8)"))
+            * (F.col("x").cast("decimal(12,10)") - F.col("cdim").cast("decimal(14,8)"))
+        ).alias("t"),
+    )
+    d2 = d2_terms.groupBy("vec_id", "sub", "code").agg(F.sum("t").alias("d2"))
+    from pyspark.sql import Window
+
+    w_code = Window.partitionBy("vec_id", "sub").orderBy(
+        F.asc("d2"), F.asc("code")
+    )
+    codes = (
+        d2.withColumn("crn", F.row_number().over(w_code))
+        .filter(F.col("crn") == 1)
+        .select("vec_id", "sub", "code")
+    )
+    # --- LUT: query × codebook partial dot products (the ADC table) ---
+    qx = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.posexplode("embedding").alias("pos", "x"),
+    )
+    lut = (
+        qx.join(F.broadcast(cdims), "pos")
+        .groupBy("query_id", F.col("code"), sub.alias("sub"))
+        .agg(
+            F.sum(
+                F.col("x").cast("decimal(12,10)")
+                * F.col("cdim").cast("decimal(14,8)")
+            ).alias("plut")
+        )
+    )
+    # --- ADC: table-lookup sum over subvectors (no raw vectors touched) ---
+    adc = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("plut").alias("adc"))
+    )
+    w_c = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("vec_id"))
+    cand = (
+        adc.withColumn("arn", F.row_number().over(w_c))
+        .filter(F.col("arn") <= _PQ_TOP_C)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    # --- exact rerank of the ADC shortlist ---
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    nbr = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(nbr, "neighbor_id")
+        .withColumn("dot", _dot_dec("q_emb", "embedding"))
+    )
+    w_r = Window.partitionBy("query_id").orderBy(
+        F.desc("dot"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_r))
+        .filter(F.col("rank") <= _TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("dot", 6).cast("double").alias("sim"),
+            "rank",
+        )
+    )
+
+
 def q_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text ⋈ vector modality join on doc_id = vec_id (inner semantics —
     cardinalities legitimately diverge at sf0.1), with per-(lang, label)
@@ -464,6 +586,7 @@ QUERIES = {
     "q_vec_centroids": q_vec_centroids,
     "q_vec_ann_ivf": q_vec_ann_ivf,
     "q_vec_ann_lsh": q_vec_ann_lsh,
+    "q_vec_ann_pq": q_vec_ann_pq,
     "q_multimodal_join": q_multimodal_join,
 }
 
@@ -577,6 +700,60 @@ ORACLES = {
           JOIN bands c ON q.band = c.band AND q.bval = c.bval
                        AND q.vec_id <> c.vec_id
           WHERE q.vec_id < {_N_QUERIES}),
+        dots AS (
+          SELECT cd.query_id, cd.neighbor_id,
+                 SUM(CAST(a.x AS DECIMAL(12,10))
+                     * CAST(b.x AS DECIMAL(12,10))) AS dot
+          FROM cand cd
+          JOIN exploded a ON a.vec_id = cd.query_id
+          JOIN exploded b ON b.vec_id = cd.neighbor_id AND b.pos = a.pos
+          GROUP BY 1, 2),
+        ranked AS (
+          SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY dot DESC, neighbor_id ASC) AS INTEGER) AS rank
+          FROM dots)
+        SELECT query_id, neighbor_id,
+               CAST(ROUND(dot, 6) AS DOUBLE) AS sim, rank
+        FROM ranked WHERE rank <= {_TOP_K}""",
+    "q_vec_ann_pq": f"""
+        WITH exploded AS ({_SQL_EXPLODED}),
+        {_SQL_CDIMS},
+        d2 AS (
+          SELECT e.vec_id, (e.pos - 1) // {_PQ_SUB_DIM} AS sub,
+                 c.label AS code,
+                 SUM((CAST(e.x AS DECIMAL(12,10))
+                      - CAST(c.cdim AS DECIMAL(14,8)))
+                     * (CAST(e.x AS DECIMAL(12,10))
+                        - CAST(c.cdim AS DECIMAL(14,8)))) AS d2
+          FROM exploded e JOIN cdims c ON c.pos = e.pos
+          GROUP BY 1, 2, 3),
+        codes AS (
+          SELECT vec_id, sub, code FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                      ORDER BY d2 ASC, code ASC) AS crn
+            FROM d2)
+          WHERE crn = 1),
+        qx AS (
+          SELECT vec_id AS query_id, pos, x FROM exploded
+          WHERE vec_id < {_N_QUERIES}),
+        lut AS (
+          SELECT q.query_id, c.label AS code,
+                 (q.pos - 1) // {_PQ_SUB_DIM} AS sub,
+                 SUM(CAST(q.x AS DECIMAL(12,10))
+                     * CAST(c.cdim AS DECIMAL(14,8))) AS plut
+          FROM qx q JOIN cdims c ON c.pos = q.pos
+          GROUP BY 1, 2, 3),
+        adc AS (
+          SELECT l.query_id, k.vec_id, SUM(l.plut) AS adc
+          FROM codes k JOIN lut l ON l.sub = k.sub AND l.code = k.code
+          WHERE k.vec_id <> l.query_id
+          GROUP BY 1, 2),
+        cand AS (
+          SELECT query_id, vec_id AS neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY adc DESC, vec_id ASC) AS arn
+            FROM adc)
+          WHERE arn <= {_PQ_TOP_C}),
         dots AS (
           SELECT cd.query_id, cd.neighbor_id,
                  SUM(CAST(a.x AS DECIMAL(12,10))

@@ -81,6 +81,32 @@ def test_ann_lsh_recall_vs_brute(spark):
     assert recall >= 0.25, f"LSH recall@5 below floor: {recall}"
 
 
+def test_ann_pq_recall_vs_brute(spark):
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in _Q["q_vec_knn_brute"](spark, SF).collect()
+    }
+    ann = {
+        (r.query_id, r.neighbor_id)
+        for r in _Q["q_vec_ann_pq"](spark, SF).collect()
+    }
+    recall = len(brute & ann) / len(brute)
+    # ADC over 8×8-dim label-centroid codebooks on near-random unit
+    # vectors, top-20 shortlist reranked exactly — measured recall tracks
+    # the quantizer's signal; assert a conservative floor
+    assert recall >= 0.2, f"PQ recall@5 below floor: {recall}"
+
+
+def test_ann_pq_output_shape(spark):
+    rows = _Q["q_vec_ann_pq"](spark, SF).collect()
+    assert len(rows) == 50  # 10 queries × top-5
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+        assert r.neighbor_id != r.query_id
+    assert all(sorted(x.rank for x in v) == [1, 2, 3, 4, 5] for v in by_q.values())
+
+
 def test_ngram_jaccard_stricter_than_token_set(spark):
     """Trigram-shingle pairs must be a subset of token-SET pairs at a far
     lower threshold bar — order sensitivity only removes pairs."""
