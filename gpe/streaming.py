@@ -247,6 +247,102 @@ def minhash_dedup_stream(
     )
 
 
+def zscore_stream(stream: DataFrame) -> DataFrame:
+    """Streaming twin of q_ts_anomaly_zscore: trailing 1-hour z-score
+    anomaly flags per user, via applyInPandasWithState. Per-user state is
+    ONLY the trailing window as parallel (epoch-µs, integer-cents) arrays
+    — O(window) like the batch RANGE frame, evicted as time advances.
+
+    Bit-equality with the batch op (asserted in
+    tests/test_streaming_equivalence.py) comes from replicating its
+    arithmetic exactly: integer cent sums stand in for the exact decimal
+    sums (S/100.0 and C2/10000.0 are the correctly-rounded doubles the
+    decimal→double casts produce), the float expression runs in the same
+    IEEE op order, and rounding replicates Spark's ROUND(double, 6)
+    (shortest-repr decimal, HALF_UP). RANGE-frame peer semantics hold:
+    all same-µs events enter the window before any of them is scored.
+    Assumes per-user batches arrive in event-time order (single-replay
+    and watermark-ordered ingest satisfy this)."""
+    import pandas as pd
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from gpe.common import EPS
+
+    hour_us = 3_600_000_000
+    out_schema = (
+        "event_id long, user_id long, n_window long, zscore double,"
+        " is_anomaly boolean"
+    )
+    state_schema = "tus array<long>, cents array<long>"
+
+    def _rd6(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    def fn(key, pdf_iter, state: GroupState):
+        tus: list = []
+        cents: list = []
+        if state.exists:
+            t0, c0 = state.get
+            tus, cents = list(t0), list(c0)
+        parts = [p for p in pdf_iter if len(p)]
+        if not parts:
+            state.update((tus, cents))
+            return
+        pdf = pd.concat(parts).sort_values(["ts", "event_id"])
+        ts_us = pdf["ts"].values.astype("datetime64[us]").astype("int64")
+        evs = list(zip(ts_us.tolist(), pdf["event_id"].tolist(), pdf["value"].tolist()))
+        out: dict = {
+            "event_id": [], "user_id": [], "n_window": [],
+            "zscore": [], "is_anomaly": [],
+        }
+        i, n_e = 0, len(evs)
+        while i < n_e:
+            t = evs[i][0]
+            j = i
+            while j < n_e and evs[j][0] == t:
+                j += 1
+            for k in range(i, j):  # peers enter the window together
+                tus.append(evs[k][0])
+                cents.append(round(evs[k][2] * 100))
+            lo = t - hour_us
+            drop = 0
+            while drop < len(tus) and tus[drop] < lo:
+                drop += 1
+            if drop:
+                del tus[:drop], cents[:drop]
+            n = len(tus)
+            sx = sum(cents) / 100.0
+            sxx = sum(c * c for c in cents) / 10000.0
+            for k in range(i, j):
+                v = evs[k][2]
+                z = None
+                if n > 1:
+                    var = (sxx - sx * sx / n) / (n - 1)
+                    if var > 0:
+                        z = _rd6((v - sx / n) / var**0.5 + EPS)
+                out["event_id"].append(evs[k][1])
+                out["user_id"].append(key[0])
+                out["n_window"].append(n)
+                out["zscore"].append(z)
+                out["is_anomaly"].append(
+                    abs(z if z is not None else 0.0) > 2.0
+                )
+            i = j
+        state.update((tus, cents))
+        # zscore stays an object column (float | None) so Arrow emits nulls
+        yield pd.DataFrame(out)
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
     """Drain a streaming DataFrame into a memory sink and return the query.
     Callers assert on spark.table(name) after processAllAvailable()."""

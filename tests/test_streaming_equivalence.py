@@ -233,6 +233,23 @@ def test_watermark_drops_late_rows(spark, tmp_path):
         q.stop()
 
 
+def test_streaming_zscore_equals_batch(spark, stream):
+    """zscore_stream must be BIT-equal to q_ts_anomaly_zscore: same
+    window counts, same IEEE z-scores (including the null-on-singleton /
+    null-on-zero-variance cases), same flags. event_id leads the sort
+    tuple (unique), so None zscores never get compared."""
+    q = streaming.run_to_memory(
+        streaming.zscore_stream(stream), "t_zscore", "update"
+    )
+    try:
+        cols = ["event_id", "n_window", "zscore", "is_anomaly"]
+        got = _rows(spark.table("t_zscore"), cols)
+        want = _rows(timeseries.q_ts_anomaly_zscore(spark, SF), cols)
+        assert got == want
+    finally:
+        q.stop()
+
+
 def test_streaming_quality_scores_equal_batch(spark):
     from gpe import text
 
