@@ -43,6 +43,43 @@ def scan_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows)
 
 
+def file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical-layout catalog of the lake: per table, parquet footer
+    facts — row count, row-group count, leaf-column count, compressed and
+    uncompressed byte totals. Footer-only (pyarrow metadata on the
+    driver, zero executor jobs — the same 100 TB catalog path as
+    q_catalog_schema; on a cluster the footer reads fan out as a tiny
+    job over the file listing). Verified against DuckDB's
+    parquet_metadata()/parquet_file_metadata() in
+    tests/test_io_sources.py (dynamic file paths keep it out of the
+    static view-based oracle contract)."""
+    import pyarrow.parquet as pq
+
+    rows = []
+    for t in sorted(TABLES):
+        path = f"{sf_dir}/{t}.parquet"
+        md = pq.ParquetFile(path).metadata
+        comp = 0
+        unc = 0
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            for c in range(rg.num_columns):
+                col = rg.column(c)
+                comp += col.total_compressed_size
+                unc += col.total_uncompressed_size
+        rows.append(
+            Row(
+                table_name=t,
+                n_rows=md.num_rows,
+                n_row_groups=md.num_row_groups,
+                n_leaf_columns=md.num_columns,
+                compressed_bytes=comp,
+                uncompressed_bytes=unc,
+            )
+        )
+    return spark.createDataFrame(rows)
+
+
 def q_catalog_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-level profile of lineitem's measure columns: min/max/distinct
     — the catalog's per-column statistics endpoint, one scan for all rows

@@ -224,32 +224,64 @@ def _mask_sig_supernodes(d: DataFrame) -> DataFrame:
     """Distinct-token-set super-nodes WITH MinHash signatures:
     (mask, ids sorted, n, sz, mh0..mh31).
 
-    ONE doc-level aggregation computes the token-set mask AND all 32
-    minhashes (signatures depend only on the token set, so any doc of a
-    mask carries the mask's signature); one more groupBy contracts to
-    mask super-nodes. 4 independent 32-bit hash values per md5
-    (8-hex-char chunks compare lexicographically == numerically at fixed
-    width) → 8 md5 calls yield all 32 minhash functions."""
+    Signatures depend only on the token SET, i.e. the mask — so the md5
+    work runs over the VOCABULARY, not the corpus: a vocab-sized hash
+    table (8 md5 calls per token → all 32 minhash chunk values; 8-hex-char
+    chunks compare lexicographically == numerically at fixed width) is
+    broadcast against each distinct mask's set bits, and per-mask mins
+    give the signatures. Total md5 calls = 8·|vocab| instead of
+    8·Σ|doc tokens| — the r3 rewrite that removed the per-(doc, token)
+    hashing the first seam version re-added to the components family
+    (sf0.1: components 11.7 s → see BENCH.md). With an open vocabulary
+    (where the mask path is guarded off anyway) signatures revert to
+    per-shingle hashing — that cost is inherent there."""
     toks = _doc_tokens_distinct(d)
+    # persist: vocab (a scan + distinct + 31-row window) feeds BOTH the
+    # hash table and the doc-mask join; the super-node subtree must
+    # evaluate each exactly once or the corpus scan multiplies (the first
+    # seam version re-evaluated it 5×; 13 s at sf0.1)
+    vocab = _vocab(toks).persist()
 
     def _mh(j: int):
         g, r = divmod(j, 4)
         h = F.md5(F.concat(F.lit(f"{g}|"), F.col("token")).cast("binary"))
-        return F.min(F.substring(h, 1 + 8 * r, 8)).alias(f"mh{j}")
+        return F.substring(h, 1 + 8 * r, 8).alias(f"mh{j}")
 
-    per_doc = (
-        toks.join(F.broadcast(_vocab(toks)), "token")
+    vhash = vocab.select("tid", *[_mh(j) for j in range(_N_MINHASH)])
+    doc_masks = (
+        toks.join(F.broadcast(vocab), "token")
         .groupBy("doc_id")
-        .agg(
-            F.expr("sum(shiftleft(CAST(1 AS BIGINT), tid))").alias("mask"),
-            *[_mh(j) for j in range(_N_MINHASH)],
-        )
+        .agg(F.expr("sum(shiftleft(CAST(1 AS BIGINT), tid))").alias("mask"))
     )
-    return per_doc.groupBy("mask").agg(
+    g0 = doc_masks.groupBy("mask").agg(
         F.sort_array(F.collect_list("doc_id")).alias("ids"),
         F.count(F.lit(1)).alias("n"),
         F.bit_count("mask").alias("sz"),
-        *[F.min(f"mh{j}").alias(f"mh{j}") for j in range(_N_MINHASH)],
+    )
+    # ids/n/sz ride THROUGH the set-bit explode (first() per mask restores
+    # them) so g0 has exactly one consumer — a second branch would
+    # re-evaluate the whole doc aggregation (pruning defeats ReuseExchange)
+    bits = g0.select(
+        "mask",
+        "ids",
+        "n",
+        "sz",
+        F.explode(
+            F.expr(
+                f"filter(sequence(0, {_MAX_VOCAB - 1}),"
+                " b -> (shiftright(mask, b) & 1) = 1)"
+            )
+        ).alias("tid"),
+    )
+    return (
+        bits.join(F.broadcast(vhash), "tid")
+        .groupBy("mask")
+        .agg(
+            F.first("ids").alias("ids"),
+            F.first("n").alias("n"),
+            F.first("sz").alias("sz"),
+            *[F.min(f"mh{j}").alias(f"mh{j}") for j in range(_N_MINHASH)],
+        )
     )
 
 

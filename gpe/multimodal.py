@@ -87,6 +87,62 @@ def extract_features(media: DataFrame) -> DataFrame:
     )
 
 
+# frame-sampling layout for q_multimodal_frames: fixed-size "frames" of
+# the payload, keeping every _FRAME_STRIDE-th one — the video frame-sample
+# access pattern with a byte-slice standing in for the codec.
+_FRAME_BYTES = 16
+_FRAME_STRIDE = 4
+
+
+def frame_sample(
+    media: DataFrame,
+    frame_bytes: int = _FRAME_BYTES,
+    stride: int = _FRAME_STRIDE,
+) -> DataFrame:
+    """mapInPandas frame sampler: one payload row in, one row per SAMPLED
+    frame out (the 1→N explode shape of video frame extraction). The
+    "decode" is a byte slice (codec-less container); the Spark plumbing —
+    binary Arrow batches, row multiplication inside the Python worker,
+    integer feature columns — is the real thing and partition-preserving,
+    so sampling cost parallelizes with the scan at 100 TB."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict = {
+                "media_id": [], "frame_idx": [], "n_frame_bytes": [],
+                "sum_bytes": [], "first_byte": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                n_frames = (len(b) + frame_bytes - 1) // frame_bytes
+                for fidx in range(0, n_frames, stride):
+                    fr = b[fidx * frame_bytes : (fidx + 1) * frame_bytes]
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(fidx)
+                    out["n_frame_bytes"].append(len(fr))
+                    out["sum_bytes"].append(sum(fr))
+                    out["first_byte"].append(fr[0])
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="int64") for k, v in out.items()}
+            )
+
+    return media.mapInPandas(
+        batches,
+        "media_id long, frame_idx long, n_frame_bytes long,"
+        " sum_bytes long, first_byte long",
+    )
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query: frame-sampling over binary payloads — every 4th
+    16-byte frame with integer byte features (frame length, byte sum,
+    first byte), so the oracle recomputes them exactly with SQL substring
+    arithmetic (ASCII corpus: byte == codepoint) and no float appears
+    anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    return frame_sample(attach_payload(d))
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declared query: full binary→Arrow→features round trip. Features are
     byte statistics (length + first 7 byte values) so the oracle can
@@ -104,9 +160,36 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "q_multimodal_features": q_multimodal_features,
+    "q_multimodal_frames": q_multimodal_frames,
 }
 
 ORACLES = {
+    # same ASCII byte==codepoint note as q_multimodal_features; frames are
+    # substrings at fixed offsets, features are pure integer arithmetic
+    "q_multimodal_frames": f"""
+        WITH d AS (
+          SELECT doc_id, text, LENGTH(text) AS n FROM documents),
+        idx AS (
+          SELECT doc_id, text,
+                 unnest(generate_series(
+                   0, CAST(CEIL(n / {_FRAME_BYTES}.0) AS INTEGER) - 1))
+                   AS fidx
+          FROM d),
+        s AS (
+          SELECT doc_id, fidx,
+                 substr(text, fidx * {_FRAME_BYTES} + 1, {_FRAME_BYTES})
+                   AS frame
+          FROM idx WHERE fidx % {_FRAME_STRIDE} = 0),
+        c AS (
+          SELECT doc_id, fidx, frame,
+                 unnest(generate_series(1, LENGTH(frame))) AS pos
+          FROM s)
+        SELECT doc_id AS media_id,
+               CAST(fidx AS BIGINT) AS frame_idx,
+               CAST(MAX(LENGTH(frame)) AS BIGINT) AS n_frame_bytes,
+               CAST(SUM(ord(substr(frame, pos, 1))) AS BIGINT) AS sum_bytes,
+               CAST(MAX(ord(substr(frame, 1, 1))) AS BIGINT) AS first_byte
+        FROM c GROUP BY doc_id, fidx""",
     # byte == codepoint holds because the corpus is ASCII (closed 31-word
     # vocabulary); out-of-range positions mirror the builder's zero-padding
     # (DuckDB ord('') is -1, so the CASE guard is load-bearing for docs

@@ -102,9 +102,9 @@ HARD_SIGNAL_FIRST_50 = [
     "q_agg_mode",
     "q_pivot_status_by_year",
     "q_subquery_correlated",
-    "q_sort_multi",
-    # --- new round-3 operator ---
+    # --- new round-3 operators ---
     "q_vec_ann_pq",
+    "q_multimodal_frames",
     # --- slowest oracles (recursive CTE ~6 s each) go last; the 9th r2
     # --- operator lands here so the heavy pair can't push it out
     "q_dedup_components",
