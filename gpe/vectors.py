@@ -294,8 +294,13 @@ def q_vec_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
+    # the (probe, query) shortlist is O(queries × probes) rows — broadcast
+    # it EXPLICITLY against the full embeddings table so the plan is a
+    # broadcast join regardless of AQE stats freshness (VERDICT r3 #5: at
+    # billion-vector scale stale stats can degrade the hint-free join to a
+    # full shuffle of the big side)
     cand = (
-        probes.join(F.broadcast(q), "query_id")
+        F.broadcast(probes.join(q, "query_id"))
         .join(
             emb.select(F.col("vec_id").alias("neighbor_id"), "label", "embedding"),
             "label",
@@ -397,15 +402,22 @@ def q_vec_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "band", "bval"
     )
     cand = (
-        qb.join(bands.withColumnRenamed("vec_id", "neighbor_id"), ["band", "bval"])
+        # query-side band table is (n_queries × n_bands) rows — broadcast it
+        # so the bucket probe never shuffles the full corpus band table
+        F.broadcast(qb)
+        .join(bands.withColumnRenamed("vec_id", "neighbor_id"), ["band", "bval"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    q = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
     n = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    # explicit broadcast of the (candidate, query-vector) shortlist against
+    # the full embeddings table (VERDICT r3 #5) — stats-independent plan
     scored = (
-        cand.join(F.broadcast(q), "query_id")
+        F.broadcast(cand.join(q, "query_id"))
         .join(n, "neighbor_id")
         .withColumn("dot", _dot_dec("q_emb", "embedding"))
     )
@@ -526,8 +538,10 @@ def q_vec_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     nbr = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    # explicit broadcast of the ADC shortlist (≤ queries × _PQ_TOP_C rows)
+    # against the full embeddings table (VERDICT r3 #5)
     scored = (
-        cand.join(F.broadcast(q), "query_id")
+        F.broadcast(cand.join(q, "query_id"))
         .join(nbr, "neighbor_id")
         .withColumn("dot", _dot_dec("q_emb", "embedding"))
     )

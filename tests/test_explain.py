@@ -125,3 +125,16 @@ def test_global_rank_has_no_unpartitioned_window(spark):
         assert "HashAggregate" in tail or "InMemoryTableScan" in tail, (
             phys[m.start():m.start() + 800]
         )
+
+
+def test_ann_rerank_shortlists_broadcast(spark):
+    """All three ANN rerank plans (IVF / LSH / PQ) pin the shortlist side
+    with an explicit broadcast hint (VERDICT r3 #5): the join against the
+    full embeddings table must be a BroadcastHashJoin with NO shuffle-based
+    join anywhere — stats-independent, so a billion-vector table with stale
+    stats can't degrade the rerank to a full shuffle."""
+    for key in ("q_vec_ann_ivf", "q_vec_ann_lsh", "q_vec_ann_pq"):
+        phys = _executed_plan(spark, key)
+        assert "SortMergeJoin" not in phys, key
+        assert "ShuffledHashJoin" not in phys, key
+        assert phys.count("BroadcastHashJoin") >= 2, key
