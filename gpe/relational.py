@@ -608,19 +608,82 @@ def q_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles via percentile_approx (Greenwald-Khanna
-    sketch) — rows-only check like all sketch ops (sketches differ across
-    engines by design); accuracy vs exact quantiles is asserted in
-    tests/test_llm_ops.py. At 100 TB this is the only viable quantile path
-    (exact percentile sorts per group)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
+    sketch) with an IN-QUERY accuracy audit (VERDICT r3 #7, graduating the
+    key from rows-only to a full SQL oracle): raw sketch values differ
+    across engines by design, so the DECLARED columns are the
+    engine-independent facts — the exact disc quantiles (value at rank
+    ceil(q·n), no interpolation) and a boolean per percentile asserting the
+    engine's own sketch landed within rank tolerance (rank(approx)/n within
+    [0.45, 0.55] for the median; ≥ 0.985 for p99 — generous vs the 1/1000
+    G-K guarantee and DuckDB's t-digest, measured ~5e-4 both engines).
+    Both engines audit their own sketch against their own data, so the
+    flags (and hence hashes) agree exactly while still failing loudly on a
+    broken sketch. At 100 TB the sketch is the only viable quantile path
+    (exact percentile sorts per group) — and this shape is also how you'd
+    monitor it in production: sketch + exact on a sampled audit slice."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    approx = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(1000)).alias("_am"),
+        F.percentile_approx("l_extendedprice", F.lit(0.99), F.lit(1000)).alias(
+            "_ap99"
+        ),
+    )
+    # rank audit: how many rows each approx value dominates (one broadcast
+    # join + re-aggregate; counts are integers → engine-identical)
+    checks = (
+        li.join(F.broadcast(approx), "l_returnflag")
+        .groupBy("l_returnflag")
         .agg(
-            F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(1000)).alias(
-                "approx_median_price"
-            ),
-            F.percentile_approx("l_extendedprice", F.lit(0.99), F.lit(1000)).alias(
-                "approx_p99_price"
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(F.col("l_extendedprice") <= F.col("_am"), 1).otherwise(0)
+            ).alias("_rk_med"),
+            F.sum(
+                F.when(F.col("l_extendedprice") <= F.col("_ap99"), 1).otherwise(0)
+            ).alias("_rk_p99"),
+        )
+    )
+    # exact disc quantiles: value at rank ceil(q·n) — picks an element of
+    # the sorted multiset, so ties and float interpolation can't diverge
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    wn = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    exacts = ranked.groupBy("l_returnflag").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.col("n") * F.lit(0.5)),
+                F.col("l_extendedprice"),
+            )
+        ).alias("exact_median"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.col("n") * F.lit(0.99)),
+                F.col("l_extendedprice"),
+            )
+        ).alias("exact_p99"),
+    )
+    return (
+        checks.join(exacts, "l_returnflag")
+        .select(
+            "l_returnflag",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            "exact_median",
+            "exact_p99",
+            (
+                (F.col("_rk_med") >= F.lit(0.45) * F.col("n_rows"))
+                & (F.col("_rk_med") <= F.lit(0.55) * F.col("n_rows"))
+            ).alias("median_bound_ok"),
+            (F.col("_rk_p99") >= F.lit(0.985) * F.col("n_rows")).alias(
+                "p99_bound_ok"
             ),
         )
         .orderBy("l_returnflag")
@@ -628,12 +691,29 @@ def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL sketch distinct — rows-only check (sketches differ across
-    engines by design; SURVEY.md §2.4)."""
+    """HLL sketch distinct with an IN-QUERY accuracy audit (VERDICT r3 #7,
+    graduating from rows-only): sketch estimates differ across engines, so
+    the declared columns are exact_users (exact distinct — the audit
+    reference) and hll_bound_ok asserting the engine's own HLL estimate is
+    within 6% relative error (3σ of rsd=0.02; DuckDB's HLL measured ≤1.1%
+    on this corpus). One extra distinct-aggregate on the same shuffle; at
+    100 TB you'd run the audit on a sampled slice and ship only the
+    sketch."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("_approx"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("_approx") - F.col("exact_users"))
+                <= F.lit(0.06) * F.col("exact_users")
+            ).alias("hll_bound_ok"),
+        )
         .orderBy("event_type")
     )
 
@@ -1460,7 +1540,47 @@ ORACLES = {
     "q_agg_count_distinct": """
         SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         FROM events GROUP BY event_type ORDER BY event_type""",
-    # q_agg_approx_distinct: rows-only by design (sketches differ)
+    "q_agg_approx_quantile": """
+        WITH li AS (SELECT l_returnflag, l_extendedprice FROM lineitem),
+        approx AS (
+          SELECT l_returnflag,
+                 approx_quantile(l_extendedprice, 0.5) AS am,
+                 approx_quantile(l_extendedprice, 0.99) AS ap99
+          FROM li GROUP BY l_returnflag),
+        checks AS (
+          SELECT li.l_returnflag, COUNT(*) AS n_rows,
+                 SUM(CASE WHEN li.l_extendedprice <= a.am
+                          THEN 1 ELSE 0 END) AS rk_med,
+                 SUM(CASE WHEN li.l_extendedprice <= a.ap99
+                          THEN 1 ELSE 0 END) AS rk_p99
+          FROM li JOIN approx a USING (l_returnflag)
+          GROUP BY li.l_returnflag),
+        ranked AS (
+          SELECT l_returnflag, l_extendedprice,
+                 ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                    ORDER BY l_extendedprice) AS rn,
+                 COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+          FROM li),
+        exacts AS (
+          SELECT l_returnflag,
+                 MAX(CASE WHEN rn = CEIL(0.5 * n)
+                          THEN l_extendedprice END) AS exact_median,
+                 MAX(CASE WHEN rn = CEIL(0.99 * n)
+                          THEN l_extendedprice END) AS exact_p99
+          FROM ranked GROUP BY l_returnflag)
+        SELECT c.l_returnflag, CAST(c.n_rows AS BIGINT) AS n_rows,
+               e.exact_median, e.exact_p99,
+               c.rk_med >= 0.45 * c.n_rows AND c.rk_med <= 0.55 * c.n_rows
+                 AS median_bound_ok,
+               c.rk_p99 >= 0.985 * c.n_rows AS p99_bound_ok
+        FROM checks c JOIN exacts e USING (l_returnflag)
+        ORDER BY l_returnflag""",
+    "q_agg_approx_distinct": """
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+               ABS(approx_count_distinct(user_id) - COUNT(DISTINCT user_id))
+                 <= 0.06 * COUNT(DISTINCT user_id) AS hll_bound_ok
+        FROM events GROUP BY event_type ORDER BY event_type""",
     "q_agg_multi_distinct": """
         SELECT l_returnflag,
                CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,

