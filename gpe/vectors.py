@@ -560,6 +560,54 @@ def q_vec_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vec_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of every ANN variant (IVF / LSH / PQ) against the exact
+    brute-force top-5 (VERDICT r3 #6) — the ANN quality metric as a
+    declared, driver-hashable key rather than a pytest-only assertion.
+
+    Both sides of the comparison are exact-decimal with full tie-breaks,
+    so per-query hit counts are DETERMINISTIC — a rare property for an
+    ANN recall metric, and what makes it SQL-oracle-checkable. Emits one
+    row per (method, query), n_hits = |ANN top-5 ∩ brute top-5| and
+    recall = n_hits/5. At 100 TB this is the audit you run on a sampled
+    query slice after every index rebuild; each ANN subplan broadcasts
+    its shortlist (see the per-variant builders), and the final
+    intersection joins are on 50-row frames."""
+    brute = q_vec_knn_brute(spark, sf_dir).select("query_id", "neighbor_id")
+    variants = (
+        ("ivf", q_vec_ann_ivf),
+        ("lsh", q_vec_ann_lsh),
+        ("pq", q_vec_ann_pq),
+    )
+    per_method = []
+    for name, fn in variants:
+        ann = fn(spark, sf_dir).select("query_id", "neighbor_id")
+        hits = (
+            brute.join(ann, ["query_id", "neighbor_id"], "semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+        per_method.append(
+            brute.select("query_id")
+            .distinct()
+            .join(hits, "query_id", "left")
+            .select(
+                F.lit(name).alias("method"),
+                "query_id",
+                F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            )
+        )
+    out = per_method[0]
+    for p in per_method[1:]:
+        out = out.unionAll(p)
+    return out.select(
+        "method",
+        "query_id",
+        "n_hits",
+        (F.col("n_hits") / F.lit(float(_TOP_K))).alias("recall"),
+    ).orderBy("method", "query_id")
+
+
 def q_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text ⋈ vector modality join on doc_id = vec_id (inner semantics —
     cardinalities legitimately diverge at sf0.1), with per-(lang, label)
@@ -601,6 +649,7 @@ QUERIES = {
     "q_vec_ann_ivf": q_vec_ann_ivf,
     "q_vec_ann_lsh": q_vec_ann_lsh,
     "q_vec_ann_pq": q_vec_ann_pq,
+    "q_vec_ann_recall": q_vec_ann_recall,
     "q_multimodal_join": q_multimodal_join,
 }
 
@@ -783,6 +832,8 @@ ORACLES = {
         SELECT query_id, neighbor_id,
                CAST(ROUND(dot, 6) AS DOUBLE) AS sim, rank
         FROM ranked WHERE rank <= {_TOP_K}""",
+    # q_vec_ann_recall oracle is assembled AFTER this dict literal (it
+    # embeds the brute/ivf/lsh/pq oracle SQL as CTE subqueries).
     "q_multimodal_join": """
         SELECT lang, label,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -791,3 +842,32 @@ ORACLES = {
         FROM documents JOIN embeddings ON doc_id = vec_id
         GROUP BY lang, label""",
 }
+
+# Recall oracle: reuse the four already-verified oracle pipelines verbatim
+# as CTE subqueries (DuckDB allows WITH inside a derived table), then count
+# the per-query intersection per method. n_hits/5.0 is the same IEEE double
+# division in both engines — no rounding needed.
+_SQL_RECALL_METHOD = """
+  SELECT '{name}' AS method, b.query_id,
+         CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hits
+  FROM brute b
+  LEFT JOIN {name} a ON a.query_id = b.query_id
+                    AND a.neighbor_id = b.neighbor_id
+  GROUP BY b.query_id
+"""
+
+ORACLES["q_vec_ann_recall"] = f"""
+    WITH brute AS (SELECT * FROM ({ORACLES["q_vec_knn_brute"]})),
+    ivf AS (SELECT * FROM ({ORACLES["q_vec_ann_ivf"]})),
+    lsh AS (SELECT * FROM ({ORACLES["q_vec_ann_lsh"]})),
+    pq AS (SELECT * FROM ({ORACLES["q_vec_ann_pq"]})),
+    hits AS (
+      {_SQL_RECALL_METHOD.format(name='ivf')}
+      UNION ALL
+      {_SQL_RECALL_METHOD.format(name='lsh')}
+      UNION ALL
+      {_SQL_RECALL_METHOD.format(name='pq')}
+    )
+    SELECT method, query_id, n_hits, n_hits / {float(_TOP_K)} AS recall
+    FROM hits ORDER BY method, query_id"""
