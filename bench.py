@@ -73,6 +73,8 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         print(f"bench warmup failed (non-fatal): {e}", file=sys.stderr)
 
+    from gpe.common import release_persists
+
     times: dict[str, float] = {}
     for key in sorted(qs):
         t0 = time.perf_counter()
@@ -82,6 +84,11 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             print(f"bench error {key}: {e}", file=sys.stderr)
             times[key] = -1.0
+        finally:
+            # release builder-cached frames between queries (ADVICE r3 #4):
+            # a 122-query session must not accumulate one cache entry per
+            # persisting builder
+            release_persists()
 
     total = round(sum(t for t in times.values() if t >= 0), 3)
     n_err = sum(1 for t in times.values() if t < 0)

@@ -40,6 +40,33 @@ DEC = "decimal(12,2)"
 EPS = 1e-9
 
 
+# Session-scoped persist bookkeeping (ADVICE r3 #4): builders that cache a
+# hot subtree register it here instead of calling .persist() bare, so
+# long-lived sessions (the 122-query driver bench, a notebook) can release
+# executor memory between queries rather than leaking one cache entry per
+# builder invocation. Builders stay lazy — registration does not trigger a
+# job — and callers that never release simply keep today's behavior.
+_TRACKED_PERSISTS: list = []
+
+
+def persist_tracked(df):
+    """persist() + register for later release_persists()."""
+    df.persist()
+    _TRACKED_PERSISTS.append(df)
+    return df
+
+
+def release_persists() -> None:
+    """Unpersist every builder-cached frame registered since the last call
+    (blocking=False: eviction proceeds async, callers never wait)."""
+    while _TRACKED_PERSISTS:
+        df = _TRACKED_PERSISTS.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
+
+
 def two_pass_parts(spark) -> int:
     """Partition count for the two-pass global-rank / running-total pattern
     (range repartition → local window → per-partition offset table).

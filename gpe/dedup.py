@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from gpe.common import persist_tracked
 from gpe.io import load_table
 
 # 16 bands × 2 rows: P(miss | J>0.9) ≤ (1-0.9²)^16 ≈ 3e-12 per pair — the
@@ -240,7 +241,7 @@ def _mask_sig_supernodes(d: DataFrame) -> DataFrame:
     # hash table and the doc-mask join; the super-node subtree must
     # evaluate each exactly once or the corpus scan multiplies (the first
     # seam version re-evaluated it 5×; 13 s at sf0.1)
-    vocab = _vocab(toks).persist()
+    vocab = persist_tracked(_vocab(toks))
 
     def _mh(j: int):
         g, r = divmod(j, 4)
@@ -374,7 +375,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reused exchanges without this). persist is lazy — the builder still
     # launches zero jobs — and at cluster scale caching the contracted
     # super-node table is exactly the right call.
-    g = _mask_sig_supernodes(d).persist()
+    g = persist_tracked(_mask_sig_supernodes(d))
     cand = _band_candidate_pairs(g)
     # expand qualifying mask pairs to doc pairs
     cross = (
@@ -707,7 +708,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # without it the split/transform/explode chain runs 3×. Caching the
     # shingle table (or checkpointing it) is also the production-pipeline
     # norm before an inverted-index self-join.
-    gsets = toksed.select("doc_id", F.explode(grams).alias("g")).persist()
+    gsets = persist_tracked(toksed.select("doc_id", F.explode(grams).alias("g")))
     sizes = gsets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     pairs = (
         gsets.alias("a")

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from gpe.common import EPS, dec, two_pass_parts, umicros
+from gpe.common import EPS, dec, persist_tracked, two_pass_parts, umicros
 from gpe.io import load_table
 
 
@@ -205,7 +205,7 @@ def q_win_ntile_pctrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two tiny count aggregates, and without it the range shuffle evaluates
     # three times (per-branch pruning defeats ReuseExchange). Materializing
     # stage 1 is the textbook two-pass formulation.
-    loc = part.withColumn("lrn", F.row_number().over(w_local)).persist()
+    loc = persist_tracked(part.withColumn("lrn", F.row_number().over(w_local)))
     cnts = loc.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
     # global window over <=32 rows (one per partition) — bounded by the
     # partition count, never by the data

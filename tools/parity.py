@@ -158,6 +158,10 @@ def run(keys: list[str] | None = None, sf_dirs: list[str] | None = None) -> int:
                 print(f"FAIL {key} @ {sf_dir}: spark error: {e}")
                 n_fail += 1
                 continue
+            finally:
+                from gpe.common import release_persists
+
+                release_persists()
             if key not in oracles:
                 err = driver_hashable(spark_pdf, "spark")
                 if err:
