@@ -19,39 +19,37 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    DoubleType,
     LongType,
     StringType,
     StructField,
     StructType,
 )
 
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as ns longs
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
-
-
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay the events table as a stream (file source, one file).
 
-    Same ns→µs handling as the batch loader (gpe/io.py): the parquet
-    TIMESTAMP(NANOS) column arrives as ns-since-epoch longs and is
-    truncated to µs timestamps."""
+    Same ts handling as the batch loader (gpe/io.py:load_table): the at-rest
+    dtype of `ts` is resolved from the parquet footer (ns-at-rest files
+    arrive as longs under nanosAsLong and are truncated to µs; µs-at-rest
+    files arrive as timestamps and pass through) — the streaming source must
+    NOT bake in either assumption, because the lake's writer may change
+    units between file generations."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from gpe.io import _read_cached_schema
+
+    at_rest = _read_cached_schema(spark, sf_dir, "events").schema
     # file source needs a DIRECTORY; glob-filter down to the events file
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(at_rest)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # watermarks require TIMESTAMP (ltz), not NTZ; with the session tz
+    # pinned UTC the ntz→ltz cast is the identity on the wall-clock value
+    if isinstance(at_rest["ts"].dataType, LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
