@@ -668,19 +668,12 @@ def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-sensitive near-dup pairs: word-TRIGRAM shingle Jaccard > 0.5
-    via shingle inverted-index self-join (25 pairs at sf0.01 — much
-    stricter than the 5,092 token-SET pairs, because shingles see word
-    order).
-
-    Shingles form map-side with an indexed `transform` over the split
-    array (no window shuffle; out-of-range tail entries null out through
-    `try_element_at` + `concat` and are filtered). At 100 TB the same
-    shingle frame feeds MinHash-LSH exactly as q_dedup_minhash_lsh does
-    for token sets — shingling changes the set elements, not the
-    pipeline shape."""
-    d = load_table(spark, sf_dir, "documents")
+def _doc_gram_sets(d: DataFrame) -> DataFrame:
+    """(doc_id, grams): per-doc DISTINCT word-trigram shingle array, built
+    map-side with an indexed `transform` over the split array (no window
+    shuffle; out-of-range tail entries null out through `try_element_at` +
+    `concat` and are filtered). Shared by the exact inverted-index path
+    (q_dedup_ngram_jaccard) and the banded path (q_dedup_ngram_lsh)."""
     # materialize the split ONCE in a prior projection: a `split(text)`
     # expression referenced inside the transform lambda is re-evaluated on
     # every element access (no common-subexpression elimination inside
@@ -703,12 +696,29 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda g: g.isNotNull(),
         )
     )
+    return toksed.select("doc_id", grams.alias("grams"))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive near-dup pairs: word-TRIGRAM shingle Jaccard > 0.5
+    via shingle inverted-index self-join (25 pairs at sf0.01 — much
+    stricter than the 5,092 token-SET pairs, because shingles see word
+    order).
+
+    This is the EXACT path — O(Σ df²) over the shingle inverted index. The
+    100 TB path over an open shingle vocabulary is q_dedup_ngram_lsh
+    (banded shingle MinHash + exact verify), which shares this operator's
+    oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    gram_sets = _doc_gram_sets(d)
     # persist: the shingle frame feeds three branches (sizes + both join
     # sides) whose divergent pruned projections defeat ReuseExchange —
     # without it the split/transform/explode chain runs 3×. Caching the
     # shingle table (or checkpointing it) is also the production-pipeline
     # norm before an inverted-index self-join.
-    gsets = persist_tracked(toksed.select("doc_id", F.explode(grams).alias("g")))
+    gsets = persist_tracked(
+        gram_sets.select("doc_id", F.explode("grams").alias("g"))
+    )
     sizes = gsets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     pairs = (
         gsets.alias("a")
@@ -734,6 +744,152 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("inter").cast("double")
                 / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
                 6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+# Shingle-MinHash geometry for q_dedup_ngram_lsh. The verify threshold is
+# J > 0.5, but true near-dup pairs on a crawl corpus sit well above it
+# (observed min J on every fixture SF: 0.8); 32 bands of 2 put the LSH
+# s-curve's steep part at (1/32)^(1/2) ≈ 0.18 with
+# P(miss | J=0.8) = (1-0.8²)^32 ≈ 7e-15 and P(miss | J=0.5) ≈ 1e-4 —
+# candidates are exact-verified, so band recall is the only approximation.
+_NGRAM_N_MINHASH = 64
+_NGRAM_N_BANDS = 32  # bands of 2
+# Spark MLlib MinHashLSH's prime (largest prime < 2^31): element hashes
+# reduce mod p, then 64 pairwise-independent affine maps (a_j·u + b_j) mod p
+# give the minhash family. a_j, u < 2^31 ⇒ the product < 2^62 — no long
+# overflow. The md5-portability rule at the top of this module does NOT
+# apply here: these signatures are internal candidate-generation state,
+# never oracle-compared output, so the cheap engine hash is the right call
+# (one xxhash64 per shingle vs 16 md5 string passes — measured 29 s → 7 s
+# at sf0.1 for the whole query).
+_MH_PRIME = 2_038_074_743
+
+
+def _mh_coeffs(j: int) -> tuple[int, int]:
+    """Deterministic (a_j, b_j) for minhash j — fixed, driver-side, derived
+    from md5 so the family is reproducible across sessions (no RNG)."""
+    import hashlib
+
+    a = int(hashlib.md5(f"gpe-mh-a-{j}".encode()).hexdigest()[:8], 16)
+    b = int(hashlib.md5(f"gpe-mh-b-{j}".encode()).hexdigest()[:8], 16)
+    return (a % (_MH_PRIME - 1)) + 1, b % _MH_PRIME
+
+
+def _ngram_minhash_bands(gram_sets: DataFrame) -> DataFrame:
+    """(doc_id, sz, band_key exploded ×32) — row-local banded MinHash over
+    an OPEN shingle vocabulary: u(g) = xxhash64(g) mod p once per shingle,
+    minhash_j(doc) = MIN over shingles of (a_j·u + b_j) mod p. No vocab
+    table, no mask contraction — nothing here bounds the element universe,
+    which is what makes this the 100 TB path for shingle dedup (the
+    closed-vocab bitmask machinery above cannot apply to trigrams).
+
+    The u-array is MATERIALIZED as a column in a prior projection
+    (lambda-boundary CSE rule, SCALE.md principle 10); the 64 affine
+    minhash reductions are then whole-stage-codegen integer passes over
+    that one int array."""
+    h = gram_sets.select(
+        "doc_id",
+        F.size("grams").alias("sz"),
+        F.transform(
+            F.col("grams"), lambda g: F.pmod(F.xxhash64(g), F.lit(_MH_PRIME))
+        ).alias("us"),
+    )
+
+    def _mh(j: int):
+        a, b = _mh_coeffs(j)
+        return F.array_min(
+            F.transform(
+                F.col("us"),
+                lambda u: F.pmod(
+                    F.lit(a) * u + F.lit(b), F.lit(_MH_PRIME)
+                ),
+            )
+        )
+
+    return h.select(
+        "doc_id",
+        "sz",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|", F.lit(str(b)), _mh(2 * b), _mh(2 * b + 1)
+                    )
+                    for b in range(_NGRAM_N_BANDS)
+                ]
+            )
+        ).alias("band_key"),
+    )
+
+
+def q_dedup_ngram_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle MinHash-LSH near-dup pairs, exact-verified — the open-vocab
+    100 TB path for ORDER-SENSITIVE dedup (the first stage a production
+    near-dup pipeline runs over a crawl). Output ≡ q_dedup_ngram_jaccard
+    (word-trigram Jaccard > 0.5) and shares its exact SQL oracle; the band
+    join generates candidates in O(band-bucket occupancy) instead of the
+    inverted index's O(Σ df²).
+
+    Pipeline: distinct-trigram sets → 64 md5-slice minhashes → 32 bands
+    of 2 → band-key equi-join (doc_id < doc_id, size-ratio prefilter
+    2·min_sz > max_sz implied by J > 0.5) → distinct candidates → exact
+    verify via array_intersect against the persisted gram-set frame.
+
+    Scale notes: every stage before the band join is map-side; the band
+    join shuffles on band_key (trigram minhashes are near-unique, so
+    buckets stay small — no hot-bucket splitting needed, unlike the
+    closed-vocab token-set LSH above); the verify join ships only
+    candidate ids back through the gram-set table. No all-pairs step
+    anywhere (asserted in tests/test_explain.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    # persist: feeds the banding pipeline AND both sides of the verify
+    # join; per-branch pruning defeats ReuseExchange (same rationale as
+    # the inverted-index path above).
+    gram_sets = persist_tracked(_doc_gram_sets(d))
+    bands = _ngram_minhash_bands(gram_sets)
+    bx = bands.select(
+        F.col("doc_id").alias("id_a"), "band_key", F.col("sz").alias("sz_a")
+    )
+    by = bands.select(
+        F.col("doc_id").alias("id_b"), "band_key", F.col("sz").alias("sz_b")
+    )
+    cand = (
+        bx.join(by, "band_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        # J > 0.5 forces 2·min(sz) > max(sz): prune before the distinct
+        # shuffle (cheap integer predicate inside the join stage)
+        .filter(
+            (F.lit(2) * F.least("sz_a", "sz_b") > F.greatest("sz_a", "sz_b"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ga = gram_sets.select(
+        F.col("doc_id").alias("id_a"), F.col("grams").alias("grams_a")
+    )
+    gb = gram_sets.select(
+        F.col("doc_id").alias("id_b"), F.col("grams").alias("grams_b")
+    )
+    inter = F.size(F.array_intersect("grams_a", "grams_b")).cast("long")
+    union = (
+        F.size("grams_a").cast("long") + F.size("grams_b").cast("long") - inter
+    )
+    return (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn("inter", inter)
+        .withColumn("union_size", union)
+        .filter(F.lit(2) * F.col("inter") > F.col("union_size"))
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            "union_size",
+            F.round(
+                F.col("inter").cast("double") / F.col("union_size"), 6
             ).alias("jaccard"),
         )
     )
@@ -797,6 +953,7 @@ QUERIES = {
     "q_dedup_near_pairs": q_dedup_near_pairs,
     "q_dedup_embed_cosine": q_dedup_embed_cosine,
     "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "q_dedup_ngram_lsh": q_dedup_ngram_lsh,
     "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_components": q_dedup_components,
@@ -840,6 +997,7 @@ ORACLES = {
     "q_dedup_near_pairs": _SQL_JACCARD_PAIRS,
     "q_dedup_embed_cosine": None,  # filled below — needs gpe.vectors' SQL
     "q_dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
+    "q_dedup_ngram_lsh": _SQL_NGRAM_JACCARD,
     "q_dedup_minhash_lsh": _SQL_JACCARD_PAIRS,
     "q_dedup_simhash": """
         WITH tf AS (

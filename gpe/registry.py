@@ -38,83 +38,25 @@ for _name in (
 
 
 # The driver hash-verifies exactly the FIRST 50 keys of queries() each round
-# (verified in r1 AND r2: CORRECTNESS_r0N covers precisely registry indices
-# 0-49), so registry order decides which keys get hard correctness signal.
-# Round-3 window (r1 checked 50 in module order, r2 checked the 50
-# previously-unreached keys): front-load the 21 keys NEVER driver-checked
-# (r2's _SECOND_WAVE — the 9 r2 operators + 12 rotated r1-vanilla keys),
-# then keys whose implementation CHANGED in r3 (q_except de-vacuated;
-# minhash/components candidate-edge seam; two-pass parameterization;
-# fuzzy-join r2 rewrite that r1's check predates), then r1-green backfill
-# so every family gets a fresh check under current code. The two
-# recursive-CTE-oracle keys sit LAST in the window (slowest oracles —
-# ~6 s each at sf0.01 — must not delay the hard-signal burn-down).
+# (verified r1–r4: CORRECTNESS_r0N covers precisely registry indices 0-49),
+# so registry order decides which keys get hard correctness signal.
+# Round-5 window (VERDICT r4 #2 — r4 failed to rotate, burning its signal on
+# already-green keys): front-load the 3 keys with ZERO driver evidence under
+# their current oracles (sketch aggregates graduated to full oracles in r4 +
+# q_vec_ann_recall added in r4) and the operator NEW this round
+# (q_dedup_ngram_lsh), then the 21 keys not driver-checked since round 1,
+# then the r2-only keys whose modules changed in r3/r4 (dedup candidate
+# seam, vectors broadcast hints, text r4 additions, udf, pipeline).
 # Keys after position 50 keep local parity (tools/parity.py) as their
 # regression net; tests/test_registry_order.py pins this window.
 HARD_SIGNAL_FIRST_50 = [
-    # --- never driver-checked: 12 rotated r1-vanilla keys ---
-    "q_win_rank",
-    "q_win_lag_lead",
-    "q_win_running_sum",
-    "q_scalar_string",
-    "q_scalar_string2",
-    "q_scalar_date",
-    "q_scalar_math",
-    "q_explode_tokens",
-    "q_scalar_json",
-    "q_agg_conditional",
-    "q_except",
-    "q_distinct_dropdup",
-    # --- never driver-checked: 8 round-2 operators ---
-    "q_text_chunk_windows",
-    "q_mix_temperature",
-    "q_catalog_schema",
-    "q_join_asof_tolerance",
-    "q_text_unigram_logprob",
-    "q_ts_anomaly_zscore",
-    "q_text_keyphrases",
-    "q_pack_sequences",
-    # --- changed since their last driver check ---
-    "q_win_ntile_pctrank",
-    "q_join_fuzzy_name",
-    "q_dedup_near_pairs",
-    "q_dedup_minhash_lsh",
-    # --- r1-green backfill (fresh check under current code) ---
-    "q_agg_groupby",
-    "q_join_inner_bcast",
-    "q_join_inner_shuffle",
-    "q_join_multiway_star",
-    "q_join_left_outer",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_asof",
-    "q_join_interval",
-    "q_join_theta_range",
-    "q_join_skew_salted",
-    "q_join_lateral",
-    "q_agg_rollup",
-    "q_agg_cube",
-    "q_agg_grouping_sets",
-    "q_agg_listagg",
-    "q_agg_percentiles",
-    "q_agg_histogram",
-    "q_agg_corr_regr",
-    "q_agg_mode",
-    "q_pivot_status_by_year",
-    "q_subquery_correlated",
-    # --- new round-3 operators ---
-    "q_vec_ann_pq",
-    "q_multimodal_frames",
-    # --- slowest oracles (recursive CTE ~6 s each) go last; the 9th r2
-    # --- operator lands here so the heavy pair can't push it out
-    "q_dedup_components",
-    "q_dedup_components_star",
-]
-
-# Next in line for round 4: the stalest remaining keys (driver-checked only
-# in round 1, under code that has since been refactored the least — still
-# worth one refresh pass each before widening further).
-_SECOND_WAVE = [
+    # --- zero driver evidence under current oracles ---
+    "q_agg_approx_distinct",
+    "q_agg_approx_quantile",
+    "q_vec_ann_recall",
+    # --- new round-5 operator ---
+    "q_dedup_ngram_lsh",
+    # --- r1-stale (driver-checked only in round 1) ---
     "q_scan_parquet",
     "q_scan_projected",
     "q_scan_all_tables_counts",
@@ -136,6 +78,63 @@ _SECOND_WAVE = [
     "q_subquery_scalar",
     "q_page_orders",
     "q_unpivot_order_counts",
+    # --- r2-only keys in modules changed since (dedup seam r3/r4) ---
+    "q_dedup_ngram_jaccard",
+    "q_dedup_exact",
+    "q_dedup_simhash",
+    "q_dedup_embed_cosine",
+    "q_dedup_keep_best",
+    # --- r2-only, vectors module changed r3/r4 (hints, PQ, recall) ---
+    "q_vec_knn_brute",
+    "q_vec_pairs_threshold",
+    "q_vec_centroids",
+    "q_vec_ann_ivf",
+    "q_vec_ann_lsh",
+    # --- r2-only, udf surface ---
+    "q_udf_pandas_scalar",
+    "q_udaf_applyinpandas",
+    "q_udf_cogroup",
+    # --- r2-only, text module changed r4 ---
+    "q_text_quality",
+    "q_text_langid",
+    "q_text_tokencount",
+    "q_text_fingerprint",
+    "q_text_stats",
+    "q_text_tfidf_topterms",
+    "q_text_ngrams",
+    # --- r2-only, pipeline module ---
+    "q_text_contamination",
+    "q_sample_systematic",
+    "q_sample_stratified",
+    "q_mix_sources",
+    "q_split_train_val",
+]
+
+# Next in line for round 6: the remaining r2-only keys (timeseries/windows/
+# scalars/multimodal cohorts — their modules are unchanged since r2, so they
+# are the lowest-risk stale set).
+_SECOND_WAVE = [
+    "q_ts_tumbling",
+    "q_ts_sliding",
+    "q_ts_sessionize",
+    "q_ts_funnel",
+    "q_ts_retention",
+    "q_ts_gap_fill",
+    "q_ts_ohlc",
+    "q_ts_interpolate",
+    "q_win_topk_per_group",
+    "q_win_moving_avg_time",
+    "q_win_first_last",
+    "q_win_cume_nth",
+    "q_win_range_frame",
+    "q_win_distinct_count",
+    "q_scalar_array",
+    "q_scalar_map",
+    "q_scalar_arrayops",
+    "q_agg_collect",
+    "q_catalog_column_stats",
+    "q_multimodal_join",
+    "q_multimodal_features",
 ]
 
 

@@ -108,6 +108,16 @@ def test_components_candidate_edges_have_no_allpairs_join(spark):
     assert "BroadcastNestedLoopJoin" not in phys
 
 
+def test_ngram_lsh_has_no_allpairs_join(spark):
+    """q_dedup_ngram_lsh is the open-vocabulary banded path: candidates
+    must come from the band-key equi-join only — no CartesianProduct /
+    BroadcastNestedLoopJoin anywhere in the plan (otherwise it degenerates
+    to the all-pairs scale killer it exists to avoid)."""
+    phys = _executed_plan(spark, "q_dedup_ngram_lsh")
+    assert "CartesianProduct" not in phys
+    assert "BroadcastNestedLoopJoin" not in phys
+
+
 def test_global_rank_has_no_unpartitioned_window(spark):
     """The two-pass global ntile/percent_rank may only sort WITHIN range
     partitions or over the 32-row offset table — never a global

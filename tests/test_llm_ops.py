@@ -31,6 +31,21 @@ def test_minhash_lsh_equals_bruteforce(spark):
     assert lsh <= exact  # exact-verify step guarantees no false positives
 
 
+def test_ngram_lsh_equals_bruteforce(spark):
+    """The banded shingle path must reproduce the exact inverted-index
+    answer pair-for-pair (the exact-verify stage kills false positives;
+    32×2 banding makes a miss on a J≥0.8 fixture pair ~1e-14 likely)."""
+    exact = {
+        (r.id_a, r.id_b, r.inter, r.union_size)
+        for r in _Q["q_dedup_ngram_jaccard"](spark, SF).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b, r.inter, r.union_size)
+        for r in _Q["q_dedup_ngram_lsh"](spark, SF).collect()
+    }
+    assert lsh == exact
+
+
 def test_components_are_consistent(spark):
     comp = _Q["q_dedup_components"](spark, SF)
     pairs = _Q["q_dedup_near_pairs"](spark, SF).select("id_a", "id_b")
