@@ -621,6 +621,10 @@ def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     broken sketch. At 100 TB the sketch is the only viable quantile path
     (exact percentile sorts per group) — and this shape is also how you'd
     monitor it in production: sketch + exact on a sampled audit slice."""
+    from pyspark.sql import Window
+
+    from gpe.common import persist_tracked, two_pass_parts
+
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice"
     )
@@ -631,7 +635,11 @@ def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     # rank audit: how many rows each approx value dominates (one broadcast
-    # join + re-aggregate; counts are integers → engine-identical)
+    # join + re-aggregate; counts are integers → engine-identical). The p99
+    # bound is TWO-SIDED (ADVICE r4): <= counts floor it at 0.985·n, and
+    # the strict-< count caps it at 0.995·n — with < (not <=) so a heavily
+    # tied true p99 value can't trip the upper bound, while a sketch that
+    # returns e.g. the group max still fails loudly.
     checks = (
         li.join(F.broadcast(approx), "l_returnflag")
         .groupBy("l_returnflag")
@@ -643,33 +651,67 @@ def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 F.when(F.col("l_extendedprice") <= F.col("_ap99"), 1).otherwise(0)
             ).alias("_rk_p99"),
+            F.sum(
+                F.when(F.col("l_extendedprice") < F.col("_ap99"), 1).otherwise(0)
+            ).alias("_rk_p99_lt"),
         )
     )
     # exact disc quantiles: value at rank ceil(q·n) — picks an element of
-    # the sorted multiset, so ties and float interpolation can't diverge
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-    wn = Window.partitionBy("l_returnflag")
-    ranked = li.select(
-        "l_returnflag",
-        "l_extendedprice",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
+    # the sorted multiset, so ties and float interpolation can't diverge.
+    # TWO-PASS rank lookup (VERDICT r4 #5): a row_number() partitioned by
+    # the 3-value flag funnels ~n/3 rows through single tasks — a
+    # scale-killer at 100×. Instead: range-repartition on (flag, price),
+    # rank locally per partition (task-bounded sorts), then per-flag
+    # partition offsets from a count table whose own window is bounded by
+    # the partition count — the same pattern as q_win_ntile_pctrank.
+    part = li.repartitionByRange(
+        two_pass_parts(spark), F.asc("l_returnflag"), F.asc("l_extendedprice")
+    ).withColumn("pid", F.spark_partition_id())
+    w_local = Window.partitionBy("pid", "l_returnflag").orderBy(
+        "l_extendedprice"
     )
-    exacts = ranked.groupBy("l_returnflag").agg(
-        F.max(
-            F.when(
-                F.col("rn") == F.ceil(F.col("n") * F.lit(0.5)),
-                F.col("l_extendedprice"),
-            )
-        ).alias("exact_median"),
-        F.max(
-            F.when(
-                F.col("rn") == F.ceil(F.col("n") * F.lit(0.99)),
-                F.col("l_extendedprice"),
-            )
-        ).alias("exact_p99"),
+    # persist pass-1: it feeds the per-partition count table AND the rank
+    # filter; without it the range shuffle evaluates twice
+    loc = persist_tracked(part.withColumn("lrn", F.row_number().over(w_local)))
+    cnts = loc.groupBy("pid", "l_returnflag").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_off = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = cnts.withColumn(
+        "off", F.coalesce(F.sum("cnt").over(w_off), F.lit(0))
+    )
+    targets = (
+        offs.groupBy("l_returnflag")
+        .agg(F.sum("cnt").alias("n"))
+        .select(
+            "l_returnflag",
+            F.ceil(F.col("n") * F.lit(0.5)).alias("_tmed"),
+            F.ceil(F.col("n") * F.lit(0.99)).alias("_tp99"),
+        )
+    )
+    g = (
+        loc.join(
+            F.broadcast(offs.select("pid", "l_returnflag", "off")),
+            ["pid", "l_returnflag"],
+        )
+        .withColumn("grn", F.col("off") + F.col("lrn"))
+        .join(F.broadcast(targets), "l_returnflag")
+    )
+    exacts = (
+        g.filter((F.col("grn") == F.col("_tmed")) | (F.col("grn") == F.col("_tp99")))
+        .groupBy("l_returnflag")
+        .agg(
+            F.max(
+                F.when(F.col("grn") == F.col("_tmed"), F.col("l_extendedprice"))
+            ).alias("exact_median"),
+            F.max(
+                F.when(F.col("grn") == F.col("_tp99"), F.col("l_extendedprice"))
+            ).alias("exact_p99"),
+        )
     )
     return (
         checks.join(exacts, "l_returnflag")
@@ -682,9 +724,10 @@ def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("_rk_med") >= F.lit(0.45) * F.col("n_rows"))
                 & (F.col("_rk_med") <= F.lit(0.55) * F.col("n_rows"))
             ).alias("median_bound_ok"),
-            (F.col("_rk_p99") >= F.lit(0.985) * F.col("n_rows")).alias(
-                "p99_bound_ok"
-            ),
+            (
+                (F.col("_rk_p99") >= F.lit(0.985) * F.col("n_rows"))
+                & (F.col("_rk_p99_lt") <= F.lit(0.995) * F.col("n_rows"))
+            ).alias("p99_bound_ok"),
         )
         .orderBy("l_returnflag")
     )
@@ -1552,7 +1595,9 @@ ORACLES = {
                  SUM(CASE WHEN li.l_extendedprice <= a.am
                           THEN 1 ELSE 0 END) AS rk_med,
                  SUM(CASE WHEN li.l_extendedprice <= a.ap99
-                          THEN 1 ELSE 0 END) AS rk_p99
+                          THEN 1 ELSE 0 END) AS rk_p99,
+                 SUM(CASE WHEN li.l_extendedprice < a.ap99
+                          THEN 1 ELSE 0 END) AS rk_p99_lt
           FROM li JOIN approx a USING (l_returnflag)
           GROUP BY li.l_returnflag),
         ranked AS (
@@ -1572,7 +1617,8 @@ ORACLES = {
                e.exact_median, e.exact_p99,
                c.rk_med >= 0.45 * c.n_rows AND c.rk_med <= 0.55 * c.n_rows
                  AS median_bound_ok,
-               c.rk_p99 >= 0.985 * c.n_rows AS p99_bound_ok
+               c.rk_p99 >= 0.985 * c.n_rows
+                 AND c.rk_p99_lt <= 0.995 * c.n_rows AS p99_bound_ok
         FROM checks c JOIN exacts e USING (l_returnflag)
         ORDER BY l_returnflag""",
     "q_agg_approx_distinct": """

@@ -573,7 +573,19 @@ def q_vec_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     query slice after every index rebuild; each ANN subplan broadcasts
     its shortlist (see the per-variant builders), and the final
     intersection joins are on 50-row frames."""
-    brute = q_vec_knn_brute(spark, sf_dir).select("query_id", "neighbor_id")
+    from gpe.common import persist_tracked
+
+    # persist every top-5 frame (50 rows each): brute feeds TWO consumers
+    # per variant (the hit semi-join and the query-id spine) and per-branch
+    # pruning defeats ReuseExchange, so the unpersisted plan re-evaluated
+    # the O(queries × corpus) brute scan ~6× and each ANN pipeline once
+    # (VERDICT r4: 15.5 s — the slowest key). With the four 50-row frames
+    # cached, each pipeline runs exactly once and the intersection joins
+    # are in-memory lookups. Same audit shape at 100 TB: materialize the
+    # sampled-query top-k tables, then compare.
+    brute = persist_tracked(
+        q_vec_knn_brute(spark, sf_dir).select("query_id", "neighbor_id")
+    )
     variants = (
         ("ivf", q_vec_ann_ivf),
         ("lsh", q_vec_ann_lsh),
@@ -581,7 +593,9 @@ def q_vec_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_method = []
     for name, fn in variants:
-        ann = fn(spark, sf_dir).select("query_id", "neighbor_id")
+        ann = persist_tracked(
+            fn(spark, sf_dir).select("query_id", "neighbor_id")
+        )
         hits = (
             brute.join(ann, ["query_id", "neighbor_id"], "semi")
             .groupBy("query_id")

@@ -108,6 +108,20 @@ def test_components_candidate_edges_have_no_allpairs_join(spark):
     assert "BroadcastNestedLoopJoin" not in phys
 
 
+def test_approx_quantile_audit_has_no_per_flag_window_sort(spark):
+    """q_agg_approx_quantile's exact-rank audit must use the two-pass
+    range-partition pattern (VERDICT r4 #5): a range repartition on
+    (flag, price) exists, and no window sorts on the bare 3-value flag
+    (which would funnel ~n/3 rows through single tasks at scale)."""
+    phys = _executed_plan(spark, "q_agg_approx_quantile")
+    assert "rangepartitioning(l_returnflag" in phys
+    # local ranking windows must be keyed by (pid, flag), never flag alone
+    import re
+
+    for m in re.finditer(r"Window \[row_number\(\)[^\]]*partitionBy=\[([^\]]*)\]", phys):
+        assert "pid" in m.group(1), m.group(0)
+
+
 def test_ngram_lsh_has_no_allpairs_join(spark):
     """q_dedup_ngram_lsh is the open-vocabulary banded path: candidates
     must come from the band-key equi-join only — no CartesianProduct /

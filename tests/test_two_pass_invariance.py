@@ -36,6 +36,18 @@ def test_pack_sequences_partition_count_invariant(spark, monkeypatch):
         assert a == b
 
 
+def test_approx_quantile_partition_count_invariant(spark, monkeypatch):
+    # q_agg_approx_quantile imports two_pass_parts function-locally from
+    # gpe.common, so the patch targets the source module
+    import gpe.common as C
+    import gpe.relational as R
+
+    for sf in (SF_SMOKE, SF_T2):
+        a = _run_at(monkeypatch, C, R.q_agg_approx_quantile, spark, sf, 8)
+        b = _run_at(monkeypatch, C, R.q_agg_approx_quantile, spark, sf, 64)
+        assert a == b
+
+
 def test_two_pass_parts_tracks_parallelism(spark):
     from gpe.common import two_pass_parts
 
