@@ -46,6 +46,12 @@ EPS = 1e-9
 # executor memory between queries rather than leaking one cache entry per
 # builder invocation. Builders stay lazy — registration does not trigger a
 # job — and callers that never release simply keep today's behavior.
+# SINGLE-THREADED-SESSION ASSUMPTION (ADVICE r4): the list is process-global
+# with no lock; a threaded driver interleaving builder calls with
+# release_persists() could unpersist a frame another in-flight query still
+# reads (Spark recomputes it — correct, just slower). Every driver shape in
+# this contract (bench.py, tools/parity.py, the round driver) is
+# single-threaded; guard with a lock before adding a concurrent driver.
 _TRACKED_PERSISTS: list = []
 
 

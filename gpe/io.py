@@ -79,8 +79,15 @@ def _read_cached_schema(spark: SparkSession, sf_dir: str, name: str) -> DataFram
     import os
 
     path = f"{sf_dir}/{name}.parquet"
-    st = os.stat(path)
-    key = (path, st.st_mtime_ns, st.st_size)
+    # non-local URIs (s3://, hdfs://) have no os.stat; fall back to a
+    # path-only cache key there — Spark's own FileIndex handles remote
+    # freshness, and the mtime/size key only exists to catch LOCAL files
+    # regenerated in place with a different schema (ADVICE r2)
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = (path, None, None)
     schema = _SCHEMA_CACHE.get(key)
     if schema is None:
         df = spark.read.parquet(path)

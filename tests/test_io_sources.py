@@ -92,6 +92,42 @@ def duck():
     con.close()
 
 
+def test_file_stats_matches_duckdb_parquet_metadata(spark):
+    """gpe.catalog.file_stats vs DuckDB's parquet footer readers — the
+    parity promised in its docstring (ADVICE r3): row counts, row-group
+    counts, leaf-column counts, and compressed/uncompressed byte totals
+    must agree exactly (both sides read the same footers)."""
+    import duckdb
+
+    from gpe.catalog import TABLES, file_stats
+
+    got = {
+        r["table_name"]: (
+            r["n_rows"],
+            r["n_row_groups"],
+            r["n_leaf_columns"],
+            r["compressed_bytes"],
+            r["uncompressed_bytes"],
+        )
+        for r in file_stats(spark, SF).collect()
+    }
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{SF}/{t}.parquet"
+        n_rows, n_rg = con.execute(
+            "SELECT num_rows, num_row_groups FROM parquet_file_metadata(?)",
+            [path],
+        ).fetchone()
+        n_cols, comp, unc = con.execute(
+            """SELECT COUNT(DISTINCT column_id),
+                      SUM(total_compressed_size),
+                      SUM(total_uncompressed_size)
+               FROM parquet_metadata(?)""",
+            [path],
+        ).fetchone()
+        assert got[t] == (n_rows, n_rg, n_cols, comp, unc), t
+
+
 @pytest.mark.parametrize("key", sorted(_ORACLES))
 def test_dtype_parity(key, spark, duck):
     st = {
