@@ -1,0 +1,189 @@
+"""Change-data-capture / table-maintenance operators (SURVEY.md §2.12,
+round 5) — the data-lake API surface a warehouse exposes for mutating and
+historizing tables, expressed as pure relational transforms so the same
+plans run on any storage layer (Delta/Iceberg implement exactly these
+shapes under MERGE INTO and snapshot expiry).
+
+Scale notes (100 TB):
+- MERGE upsert is ONE equi-join on the merge key: broadcast when the
+  change batch is small (the overwhelmingly common CDC case — hinted
+  here), shuffle-join on the key otherwise. The output is the new table
+  snapshot — in a real lakehouse only touched files rewrite (copy-on-
+  write), but the JOIN is the same.
+- Changelog compaction (latest-per-key) is the standard shuffle-once
+  row_number pattern — state bounded by #keys, not #changes.
+- SCD2 historization is a per-key window (lag/lead) — one shuffle on the
+  business key, intervals derive map-side after the sort.
+
+Determinism: prices go through exact DECIMAL(12,2) arithmetic (both
+engines agree bit-for-bit after the final double cast); interval
+timestamps are carried as-is (µs instants).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gpe.io import load_table
+
+# deterministic change-batch derivation shared by builder and oracle:
+# ~10% of orders get an update (status → 'U', price + 100.00), and the
+# o_orderkey % 17 = 3 slice re-enters as brand-new keys (+100M offset)
+_INS_OFFSET = 100_000_000
+
+
+def _change_batch(o: DataFrame) -> DataFrame:
+    upd = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice").cast("decimal(12,2)") + F.lit(100.00))
+        .cast("double")
+        .alias("o_totalprice"),
+    )
+    ins = o.filter(F.col("o_orderkey") % 17 == 3).select(
+        (F.col("o_orderkey") + F.lit(_INS_OFFSET)).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    return upd.unionByName(ins)
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (SCD1 upsert): apply a deterministic change batch to the
+    orders table — WHEN MATCHED update status/price, WHEN NOT MATCHED
+    insert. Emits the post-merge snapshot with a merge_action audit column
+    ('kept' / 'updated' / 'inserted').
+
+    One broadcast equi-join on the merge key (the change batch is the
+    small side in any CDC flow — hinted explicitly so a billion-row base
+    with stale stats can't flip it to a shuffle); the base table streams
+    through map-side."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    src = _change_batch(o)
+    s = src.select(
+        F.col("o_orderkey").alias("s_key"),
+        F.col("o_custkey").alias("s_cust"),
+        F.col("o_orderstatus").alias("s_status"),
+        F.col("o_totalprice").alias("s_price"),
+    )
+    merged = o.join(
+        F.broadcast(s), o.o_orderkey == s.s_key, "full_outer"
+    )
+    matched = F.col("o_orderkey").isNotNull() & F.col("s_key").isNotNull()
+    return merged.select(
+        F.coalesce("o_orderkey", "s_key").alias("o_orderkey"),
+        F.coalesce("o_custkey", "s_cust").alias("o_custkey"),
+        F.when(F.col("s_key").isNotNull(), F.col("s_status"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        F.when(F.col("s_key").isNotNull(), F.col("s_price"))
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        F.when(matched, F.lit("updated"))
+        .when(F.col("o_orderkey").isNull(), F.lit("inserted"))
+        .otherwise(F.lit("kept"))
+        .alias("merge_action"),
+    )
+
+
+def q_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog compaction: the events stream read as a CDC log keyed by
+    (user_id, event_type) — keep only the LATEST change per key (ts, then
+    event_id as the uniquifying tie-break), the materialized-view state a
+    streaming upsert sink maintains. One shuffle on the key; state bounded
+    by #keys."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        e.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "event_type", "ts", "event_id", "value")
+    )
+
+
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 historization of the purchase stream: per user, each purchase
+    event opens a validity interval [valid_from, valid_to) that the next
+    purchase closes; the current row carries NULL valid_to and
+    is_current = true. The dimension-history build every warehouse runs —
+    one shuffle on the business key, lead() over the per-key sort."""
+    from pyspark.sql import Window
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id", "value")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return e.select(
+        "user_id",
+        F.col("event_id").alias("version_event_id"),
+        F.col("value").alias("attr_value"),
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+QUERIES = {
+    "q_merge_upsert": q_merge_upsert,
+    "q_cdc_compact": q_cdc_compact,
+    "q_scd2_intervals": q_scd2_intervals,
+}
+
+ORACLES = {
+    "q_merge_upsert": f"""
+        WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+                   FROM orders),
+        upd AS (
+          SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 100.00 AS DOUBLE)
+                   AS o_totalprice
+          FROM o WHERE o_orderkey % 10 = 0),
+        ins AS (
+          SELECT o_orderkey + {_INS_OFFSET} AS o_orderkey, o_custkey,
+                 'N' AS o_orderstatus, o_totalprice
+          FROM o WHERE o_orderkey % 17 = 3),
+        src AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+        SELECT COALESCE(o.o_orderkey, s.o_orderkey) AS o_orderkey,
+               COALESCE(o.o_custkey, s.o_custkey) AS o_custkey,
+               CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus
+                    ELSE o.o_orderstatus END AS o_orderstatus,
+               CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+                    ELSE o.o_totalprice END AS o_totalprice,
+               CASE WHEN o.o_orderkey IS NOT NULL
+                         AND s.o_orderkey IS NOT NULL THEN 'updated'
+                    WHEN o.o_orderkey IS NULL THEN 'inserted'
+                    ELSE 'kept' END AS merge_action
+        FROM o FULL OUTER JOIN src s ON o.o_orderkey = s.o_orderkey""",
+    "q_cdc_compact": """
+        SELECT user_id, event_type, ts, event_id, value
+        FROM (
+          SELECT user_id, event_type, ts, event_id, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+        WHERE rn = 1""",
+    "q_scd2_intervals": """
+        SELECT user_id,
+               event_id AS version_event_id,
+               value AS attr_value,
+               ts AS valid_from,
+               LEAD(ts) OVER w AS valid_to,
+               LEAD(ts) OVER w IS NULL AS is_current
+        FROM events
+        WHERE event_type = 'purchase'
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+}

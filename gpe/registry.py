@@ -33,6 +33,7 @@ for _name in (
     "packing",
     "catalog",
     "udf",
+    "cdc",
 ):
     _MODULES.append(__import__(f"gpe.{_name}", fromlist=[_name]))
 
@@ -104,16 +105,20 @@ HARD_SIGNAL_FIRST_50 = [
     "q_text_ngrams",
     # --- r2-only, pipeline module ---
     "q_text_contamination",
-    "q_sample_systematic",
-    "q_sample_stratified",
-    "q_mix_sources",
     "q_split_train_val",
+    # --- new round-5 CDC operators (no driver evidence yet) ---
+    "q_merge_upsert",
+    "q_cdc_compact",
+    "q_scd2_intervals",
 ]
 
 # Next in line for round 6: the remaining r2-only keys (timeseries/windows/
 # scalars/multimodal cohorts — their modules are unchanged since r2, so they
 # are the lowest-risk stale set).
 _SECOND_WAVE = [
+    "q_sample_systematic",
+    "q_sample_stratified",
+    "q_mix_sources",
     "q_ts_tumbling",
     "q_ts_sliding",
     "q_ts_sessionize",
