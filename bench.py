@@ -70,6 +70,16 @@ def main() -> None:
                 "g long",
             )
         )
+        # sketch-aggregate warmup: the two q_agg_approx_* keys sort FIRST
+        # of all queries, so without this they absorb the one-time
+        # ObjectHashAggregate / sketch-class loading (measured ~2x on the
+        # first key of every run)
+        force(
+            spark.range(256).agg(
+                _F.percentile_approx("id", _F.lit(0.5), _F.lit(100)),
+                _F.approx_count_distinct("id"),
+            )
+        )
     except Exception as e:  # noqa: BLE001
         print(f"bench warmup failed (non-fatal): {e}", file=sys.stderr)
 
