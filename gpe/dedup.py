@@ -590,9 +590,11 @@ def star_components(edges: DataFrame, max_rounds: int = 25) -> DataFrame:
         ).collect()[0]
         return (r["n"], r["h"])
 
-    sig = _sig(e)
-    for _ in range(max_rounds):
-        prev_e = e
+    def _round(e: DataFrame) -> DataFrame:
+        """One large-star + small-star round as a PURE plan (no
+        materialization) — a converged star set is a fixpoint of both
+        half-steps, so applying extra rounds past convergence is the
+        identity."""
         # large-star: (v, m) for v ∈ Γ(u), v > u, m = min(Γ(u) ∪ {u})
         mins_l = e.groupBy("u").agg(
             F.least(F.min("v"), F.first("u")).alias("m")
@@ -604,9 +606,6 @@ def star_components(edges: DataFrame, max_rounds: int = 25) -> DataFrame:
             .filter(F.col("u") != F.col("v"))
             .distinct()
         )
-        # no checkpoint between the two half-steps: the previous e is
-        # already materialized, so lineage here is one step deep and the
-        # eager checkpoint job would cost more than it truncates
         e = large.union(
             large.select(F.col("v").alias("u"), F.col("u").alias("v"))
         ).distinct()
@@ -629,14 +628,20 @@ def star_components(edges: DataFrame, max_rounds: int = 25) -> DataFrame:
             .filter(F.col("u") != F.col("v"))
             .distinct()
         )
-        e = (
-            small.union(
-                small.select(F.col("v").alias("u"), F.col("u").alias("v"))
-            )
-            .distinct()
-            .coalesce(8)
-            .localCheckpoint(eager=True)
-        )
+        return small.union(
+            small.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+
+    sig = _sig(e)
+    # NOTE (r5): batching two rounds per checkpoint (as q_dedup_components
+    # now does for label propagation) was tried and REVERTED here — a star
+    # round is ~6 shuffles (vs label-prop's 2), so the batched overshoot
+    # past convergence costs two full no-op rounds and measured 9 s → 16 s
+    # at sf0.1. One round per materialization is the right cadence when
+    # the per-round plan is shuffle-heavy.
+    for _ in range(max_rounds):
+        prev_e = e
+        e = _round(e).coalesce(8).localCheckpoint(eager=True)
         new_sig = _sig(e)
         if new_sig == sig:
             # signature match (count + xor-hash) could collide between two
