@@ -57,38 +57,57 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     insert. Emits the post-merge snapshot with a merge_action audit column
     ('kept' / 'updated' / 'inserted').
 
-    One broadcast equi-join on the merge key (the change batch is the
-    small side in any CDC flow — hinted explicitly so a billion-row base
-    with stale stats can't flip it to a shuffle); the base table streams
-    through map-side."""
+    The naive formulation is one FULL OUTER join — but Spark cannot
+    broadcast a full outer join (falls back to SortMergeJoin: full shuffle
+    + sort of the billion-row base — verified in the executed plan). The
+    shipped plan is the textbook copy-on-write MERGE decomposition every
+    lakehouse engine runs: with the change batch broadcast, the base table
+    is only ever the STREAMED side of broadcast hash joins —
+      kept     = base LEFT ANTI  ⊕bcast(src)   (untouched rows)
+      updated  = base INNER      ⊕bcast(src)   (new image from src)
+      inserted = src  LEFT ANTI  ⊕bcast(matched keys from `updated`)
+    Zero shuffles of the base at any scale; the plan test asserts no
+    SortMergeJoin survives. src and the matched-key frame (both
+    change-batch-sized) are persisted — each feeds two consumers."""
+    from gpe.common import persist_tracked
+
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )
-    src = _change_batch(o)
+    src = persist_tracked(_change_batch(o))
     s = src.select(
         F.col("o_orderkey").alias("s_key"),
-        F.col("o_custkey").alias("s_cust"),
         F.col("o_orderstatus").alias("s_status"),
         F.col("o_totalprice").alias("s_price"),
     )
-    merged = o.join(
-        F.broadcast(s), o.o_orderkey == s.s_key, "full_outer"
+    updated = persist_tracked(
+        o.join(F.broadcast(s), o.o_orderkey == s.s_key, "inner").select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("s_status").alias("o_orderstatus"),
+            F.col("s_price").alias("o_totalprice"),
+            F.lit("updated").alias("merge_action"),
+        )
     )
-    matched = F.col("o_orderkey").isNotNull() & F.col("s_key").isNotNull()
-    return merged.select(
-        F.coalesce("o_orderkey", "s_key").alias("o_orderkey"),
-        F.coalesce("o_custkey", "s_cust").alias("o_custkey"),
-        F.when(F.col("s_key").isNotNull(), F.col("s_status"))
-        .otherwise(F.col("o_orderstatus"))
-        .alias("o_orderstatus"),
-        F.when(F.col("s_key").isNotNull(), F.col("s_price"))
-        .otherwise(F.col("o_totalprice"))
-        .alias("o_totalprice"),
-        F.when(matched, F.lit("updated"))
-        .when(F.col("o_orderkey").isNull(), F.lit("inserted"))
-        .otherwise(F.lit("kept"))
-        .alias("merge_action"),
+    kept = o.join(
+        F.broadcast(src.select("o_orderkey")), "o_orderkey", "left_anti"
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.lit("kept").alias("merge_action"),
     )
+    inserted = src.join(
+        F.broadcast(updated.select("o_orderkey")), "o_orderkey", "left_anti"
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.lit("inserted").alias("merge_action"),
+    )
+    return kept.unionByName(updated).unionByName(inserted)
 
 
 def q_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:

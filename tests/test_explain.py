@@ -108,6 +108,19 @@ def test_components_candidate_edges_have_no_allpairs_join(spark):
     assert "BroadcastNestedLoopJoin" not in phys
 
 
+def test_merge_upsert_never_shuffles_the_base(spark):
+    """q_merge_upsert's copy-on-write decomposition: the base table may
+    only ever be the streamed side of broadcast hash joins — no sort-merge
+    / shuffled-hash join and no hash-partitioning exchange anywhere (a
+    FULL OUTER formulation silently falls back to SortMergeJoin: full
+    shuffle of the billion-row base)."""
+    phys = _executed_plan(spark, "q_merge_upsert")
+    assert "SortMergeJoin" not in phys
+    assert "ShuffledHashJoin" not in phys
+    assert "Exchange hashpartitioning" not in phys
+    assert "BroadcastHashJoin" in phys
+
+
 def test_approx_quantile_audit_has_no_per_flag_window_sort(spark):
     """q_agg_approx_quantile's exact-rank audit must use the two-pass
     range-partition pattern (VERDICT r4 #5): a range repartition on
