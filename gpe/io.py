@@ -161,6 +161,23 @@ def read_json(spark: SparkSession, path: str, schema) -> DataFrame:
     )
 
 
+def read_orc(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """ORC source — the second columnar lake format Spark reads natively
+    (vectorized reader, predicate pushdown, column pruning — same scan
+    properties as parquet). Schema optional: ORC footers carry types, but
+    production paths should still pass one to skip the footer-sample job
+    (same policy as the parquet schema memo above)."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.orc(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC sink (snappy default) — round-trip partner of read_orc."""
+    df.write.mode("overwrite").orc(path)
+
+
 def write_bucketed(
     df: DataFrame, table: str, bucket_col: str, n_buckets: int = 8
 ) -> None:

@@ -245,6 +245,51 @@ def minhash_dedup_stream(
     )
 
 
+def compact_stream(stream: DataFrame) -> DataFrame:
+    """Streaming twin of gpe.cdc.q_cdc_compact: maintain the LATEST change
+    per (user_id, event_type) key — by (ts, event_id) with event_id as the
+    uniquifying tie-break — via applyInPandasWithState. This is the state
+    a streaming upsert sink (foreachBatch MERGE) keeps; one tiny state row
+    per key, bounded by #keys exactly like the batch shuffle."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id long, event_type string, ts timestamp, event_id long,"
+        " value double"
+    )
+    state_schema = "tus long, eid long, val double"
+
+    def fn(key, pdf_iter, state: GroupState):
+        best = state.get if state.exists else None
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            ts_us = pdf["ts"].values.astype("datetime64[us]").astype("int64")
+            for t, e, v in zip(
+                ts_us.tolist(), pdf["event_id"].tolist(), pdf["value"].tolist()
+            ):
+                if best is None or (t, e) > (best[0], best[1]):
+                    best = (t, e, float(v))
+        if best is None:
+            return
+        state.update(best)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "event_type": [key[1]],
+                "ts": [pd.Timestamp(best[0], unit="us")],
+                "event_id": [best[1]],
+                "value": [best[2]],
+            }
+        )
+
+    return stream.groupBy("user_id", "event_type").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def zscore_stream(stream: DataFrame) -> DataFrame:
     """Streaming twin of q_ts_anomaly_zscore: trailing 1-hour z-score
     anomaly flags per user, via applyInPandasWithState. Per-user state is

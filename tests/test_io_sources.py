@@ -36,6 +36,31 @@ def test_csv_roundtrip_schema_explicit(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
 
 
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    """ORC round-trips losslessly and keeps the parquet-grade scan
+    properties: an explicit schema skips inference, and a filter reaches
+    the ORC scan as a pushed predicate."""
+    from gpe.io import read_orc, write_orc
+
+    nation = load_table(spark, SF, "nation")
+    p = str(tmp_path / "nation_orc")
+    write_orc(nation, p)
+    back = read_orc(spark, p, nation.schema)
+    assert back.schema == nation.schema
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, nation.collect())
+    )
+    plan = (
+        read_orc(spark, p, nation.schema)
+        .filter("n_regionkey = 2")
+        .select("n_name")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "n_regionkey" in plan
+
+
 def test_json_roundtrip_and_corrupt_quarantine(spark, tmp_path):
     region = load_table(spark, SF, "region")
     p = str(tmp_path / "region_json")

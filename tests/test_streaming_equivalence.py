@@ -233,6 +233,34 @@ def test_watermark_drops_late_rows(spark, tmp_path):
         q.stop()
 
 
+def test_streaming_compact_equals_batch(spark, stream):
+    """compact_stream's final per-key state must equal q_cdc_compact (the
+    batch changelog compaction) row-for-row — update-mode emits newer
+    states as batches arrive; the LAST emission per key is the answer."""
+    from gpe import cdc
+
+    q = streaming.run_to_memory(
+        streaming.compact_stream(stream), "t_compact", "update"
+    )
+    try:
+        final = {}
+        for r in spark.table("t_compact").collect():
+            k = (r["user_id"], r["event_type"])
+            cur = (r["ts"], r["event_id"], r["value"])
+            if k not in final or (cur[0], cur[1]) > (
+                final[k][0], final[k][1]
+            ):
+                final[k] = cur
+        got = sorted((k[0], k[1], v[0], v[1], v[2]) for k, v in final.items())
+        want = sorted(
+            (r["user_id"], r["event_type"], r["ts"], r["event_id"], r["value"])
+            for r in cdc.q_cdc_compact(spark, SF).collect()
+        )
+        assert got == want
+    finally:
+        q.stop()
+
+
 def test_streaming_zscore_equals_batch(spark, stream):
     """zscore_stream must be BIT-equal to q_ts_anomaly_zscore: same
     window counts, same IEEE z-scores (including the null-on-singleton /
