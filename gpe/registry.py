@@ -116,6 +116,7 @@ HARD_SIGNAL_FIRST_50 = [
 # scalars/multimodal cohorts — their modules are unchanged since r2, so they
 # are the lowest-risk stale set).
 _SECOND_WAVE = [
+    "q_win_streaks",  # new r5, first in line for driver signal in r6
     "q_sample_systematic",
     "q_sample_stratified",
     "q_mix_sources",

@@ -286,6 +286,49 @@ def q_win_cume_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's LONGEST run of consecutive purchase
+    DAYS (ties broken by earliest start) — the canonical streak/retention
+    pattern every product-analytics warehouse runs.
+
+    The island key is the classic constant-offset trick: over each user's
+    distinct purchase dates in order, `date - row_number() days` is
+    constant exactly within a consecutive run — so islands fall out of one
+    groupBy, no self-join, no iteration. Cost: one shuffle on user_id
+    (distinct + the ranking window share it), then a per-user argmax —
+    the same plan at any scale."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.to_date("ts").alias("dt"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("dt")
+    isl = e.withColumn(
+        "grp", F.date_sub(F.col("dt"), F.row_number().over(w))
+    )
+    streaks = isl.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("streak_days"),
+        F.min("dt").alias("streak_start"),
+        F.max("dt").alias("streak_end"),
+    )
+    w_top = Window.partitionBy("user_id").orderBy(
+        F.desc("streak_days"), F.asc("streak_start")
+    )
+    # date outputs ship as TIMESTAMP_NTZ per the repo-wide dtype convention
+    # (gpe/common.py ntz rationale; DuckDB DATE→TIMESTAMP matches)
+    return (
+        streaks.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "streak_days",
+            F.col("streak_start").cast("timestamp_ntz").alias("streak_start"),
+            F.col("streak_end").cast("timestamp_ntz").alias("streak_end"),
+        )
+    )
+
+
 QUERIES = {
     "q_win_rank": q_win_rank,
     "q_win_cume_nth": q_win_cume_nth,
@@ -297,9 +340,33 @@ QUERIES = {
     "q_win_moving_avg_time": q_win_moving_avg_time,
     "q_win_ntile_pctrank": q_win_ntile_pctrank,
     "q_win_first_last": q_win_first_last,
+    "q_win_streaks": q_win_streaks,
 }
 
 ORACLES = {
+    "q_win_streaks": """
+        WITH days AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS dt
+          FROM events WHERE event_type = 'purchase'),
+        isl AS (
+          SELECT user_id, dt,
+                 dt - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                              ORDER BY dt) AS INTEGER) AS grp
+          FROM days),
+        streaks AS (
+          SELECT user_id, grp,
+                 CAST(COUNT(*) AS BIGINT) AS streak_days,
+                 MIN(dt) AS streak_start,
+                 MAX(dt) AS streak_end
+          FROM isl GROUP BY user_id, grp)
+        SELECT user_id, streak_days,
+               CAST(streak_start AS TIMESTAMP) AS streak_start,
+               CAST(streak_end AS TIMESTAMP) AS streak_end
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY streak_days DESC, streak_start ASC) AS rn
+          FROM streaks)
+        WHERE rn = 1""",
     "q_win_distinct_count": """
         SELECT o_custkey, o_orderkey,
                COUNT(DISTINCT o_orderpriority) OVER (
