@@ -41,6 +41,16 @@ def main() -> None:
     print("== purchases matched to the preceding view (as-of join) ==")
     relational.q_join_asof(spark, sf_dir).orderBy("p_event_id").show(5)
 
+    print("== MERGE upsert (CDC change batch applied to orders) ==")
+    from gpe import cdc
+
+    cdc.q_merge_upsert(spark, sf_dir).groupBy("merge_action").count().show()
+
+    print("== longest consecutive-day purchase streak per user (top 5) ==")
+    windows.q_win_streaks(spark, sf_dir).orderBy(
+        "user_id"
+    ).show(5)
+
     print("== SQL surface over registered views ==")
     register_views(spark, sf_dir)
     spark.sql(

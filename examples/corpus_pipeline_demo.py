@@ -60,8 +60,17 @@ def main() -> None:
     packs = packing.q_pack_sequences(spark, sf_dir)
     print(f"   {chunks.count()} chunks; {packs.count()} packs")
 
+    print("== order-sensitive near-dups via shingle MinHash-LSH (open vocab) ==")
+    ngram = dedup.q_dedup_ngram_lsh(spark, sf_dir)
+    print(f"   {ngram.count()} trigram-Jaccard > 0.5 pairs (banded + exact-verified)")
+
     print("== nearest neighbors in embedding space (query 0) ==")
     vectors.q_vec_knn_brute(spark, sf_dir).filter("query_id = 0").show()
+
+    print("== ANN index quality audit (recall@5 per method) ==")
+    vectors.q_vec_ann_recall(spark, sf_dir).groupBy("method").agg(
+        F.round(F.avg("recall"), 3).alias("mean_recall")
+    ).orderBy("method").show()
 
 
 if __name__ == "__main__":
