@@ -66,8 +66,19 @@ def q_udaf_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
+    from gpe.common import two_pass_parts
+
+    # EXPLICIT repartition on the grouping key before the grouped map
+    # (r5): AQE coalesces shuffle partitions by BYTE size, but a
+    # Python-boundary stage is CPU-bound per row — at sf0.1 the ~2 MB
+    # shuffle coalesced to ONE partition and every group ran serially in
+    # a single Python worker (measured 3.2 s for a trivial grouped map;
+    # 0.8 s with the partition count pinned). A user-specified numPartitions
+    # is exempt from AQE coalescing, and HashPartitioning(user_id)
+    # satisfies the grouped-map distribution so no second shuffle appears.
     return (
         ev.select("user_id", F.col("ts"), "event_id")
+        .repartition(two_pass_parts(spark), "user_id")
         .groupBy("user_id")
         .applyInPandas(
             median_gap, "user_id long, median_gap_us double, n_events long"
@@ -122,9 +133,15 @@ def q_udf_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
+    from gpe.common import two_pass_parts
+
+    # pin both cogroup sides' partition counts — same AQE-coalescing-vs-
+    # Python-parallelism rationale as q_udaf_applyinpandas above
+    n_parts = two_pass_parts(spark)
     return (
-        p.groupBy("user_id")
-        .cogroup(v.groupBy("user_id"))
+        p.repartition(n_parts, "user_id")
+        .groupBy("user_id")
+        .cogroup(v.repartition(n_parts, "user_id").groupBy("user_id"))
         .applyInPandas(
             merge,
             "user_id long, n_purchases long, n_views long,"
