@@ -168,9 +168,16 @@ def q_vec_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         keep = qa < cb
         return pd.DataFrame({"id_a": qa[keep], "id_b": cb[keep]})
 
+    # pin the cogroup's partition count (SCALE.md principle 11): AQE's
+    # byte-based coalescing squeezed the 36 BLAS grid cells into 6 tasks
+    # at sf0.1 — the cells are CPU-bound matmuls, not byte-bound shuffles
+    from gpe.common import two_pass_parts
+
+    n_parts = two_pass_parts(spark)
     cand = (
-        probe.groupBy("ga", "gb")
-        .cogroup(index.groupBy("ga", "gb"))
+        probe.repartition(n_parts, "ga", "gb")
+        .groupBy("ga", "gb")
+        .cogroup(index.repartition(n_parts, "ga", "gb").groupBy("ga", "gb"))
         .applyInPandas(block_pairs, "id_a long, id_b long")
     )
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
