@@ -79,15 +79,17 @@ def _read_cached_schema(spark: SparkSession, sf_dir: str, name: str) -> DataFram
     import os
 
     path = f"{sf_dir}/{name}.parquet"
-    # non-local URIs (s3://, hdfs://) have no os.stat; fall back to a
-    # path-only cache key there — Spark's own FileIndex handles remote
-    # freshness, and the mtime/size key only exists to catch LOCAL files
-    # regenerated in place with a different schema (ADVICE r2)
+    # non-local URIs (s3://, hdfs://) have no os.stat; BYPASS the memo
+    # entirely there (ADVICE r5) — a degenerate path-only key could never
+    # invalidate, so a remote file regenerated in place mid-session would
+    # silently serve its stale schema. Spark's own footer read handles the
+    # remote case; the memo only exists to dedup LOCAL footer jobs, with
+    # the mtime/size key catching in-place regeneration (ADVICE r2).
     try:
         st = os.stat(path)
         key = (path, st.st_mtime_ns, st.st_size)
     except OSError:
-        key = (path, None, None)
+        return spark.read.parquet(path)
     schema = _SCHEMA_CACHE.get(key)
     if schema is None:
         df = spark.read.parquet(path)

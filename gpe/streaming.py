@@ -263,6 +263,7 @@ def compact_stream(stream: DataFrame) -> DataFrame:
 
     def fn(key, pdf_iter, state: GroupState):
         best = state.get if state.exists else None
+        improved = False
         for pdf in pdf_iter:
             if not len(pdf):
                 continue
@@ -272,7 +273,11 @@ def compact_stream(stream: DataFrame) -> DataFrame:
             ):
                 if best is None or (t, e) > (best[0], best[1]):
                     best = (t, e, float(v))
-        if best is None:
+                    improved = True
+        # a batch of only stale rows (older ts/event_id) leaves the best
+        # row unchanged — skip both the no-op state.update and the
+        # redundant downstream upsert re-emit (ADVICE r5)
+        if not improved:
             return
         state.update(best)
         yield pd.DataFrame(

@@ -59,6 +59,43 @@ def test_embeddings_unit_norm(con):
     assert off == 0
 
 
+def test_ngram_true_pairs_stay_above_lsh_knee(con):
+    """Recall contract guard for q_dedup_ngram_lsh (see the ORACLES note in
+    gpe/dedup.py): the 32×2 banding has P(miss | J) = (1 − J²)^32 — ≈1e-4
+    right at the J=0.5 verify threshold but ≤4e-9 at J=0.7. Exact equality
+    with the exact-Jaccard oracle is only sound while every TRUE pair's J
+    stays ≥ 0.7. If a regenerated fixture trips this, raise the band count
+    in gpe/dedup.py rather than chasing a phantom correctness bug."""
+    min_j = con.execute(
+        f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos,
+                 unnest(string_split(text, ' ')) AS tok
+          FROM read_parquet('{SF}/documents.parquet')),
+        grams AS (
+          SELECT DISTINCT doc_id,
+                 tok || '|' || lead(tok, 1) OVER w || '|' || lead(tok, 2) OVER w AS g
+          FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+          QUALIFY lead(tok, 2) OVER w IS NOT NULL),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT MIN(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter))
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE 2 * inter > sa.sz + sb.sz - inter
+        """
+    ).fetchone()[0]
+    assert min_j is not None and min_j >= 0.7, (
+        f"fixture now has a true near-threshold pair (min J = {min_j}); "
+        "q_dedup_ngram_lsh's banding needs more bands to keep exact recall"
+    )
+
+
 def test_measures_are_two_decimal(con):
     """The hash-stability scheme in gpe/common.py depends on this."""
     for table, col in [
