@@ -29,11 +29,16 @@ from gpe.io import load_table
 
 # deterministic change-batch derivation shared by builder and oracle:
 # ~10% of orders get an update (status → 'U', price + 100.00), and the
-# o_orderkey % 17 = 3 slice re-enters as brand-new keys (+100M offset)
-_INS_OFFSET = 100_000_000
+# o_orderkey % 17 = 3 slice re-enters as brand-new keys. The insert-key
+# offset is max(o_orderkey)+1 — derived from the data, NOT a constant, so
+# the inserted keys stay disjoint from the base key space at EVERY scale
+# factor (a fixed 100M offset collides once SF ≳ 4: TPC-H sparse orderkeys
+# reach 24M·SF). The 1-row max aggregate broadcasts; both engines share
+# the same derivation so parity holds by construction.
 
 
 def _change_batch(o: DataFrame) -> DataFrame:
+    mx = o.agg((F.max("o_orderkey") + F.lit(1)).alias("_ins_base"))
     upd = o.filter(F.col("o_orderkey") % 10 == 0).select(
         "o_orderkey",
         "o_custkey",
@@ -42,11 +47,15 @@ def _change_batch(o: DataFrame) -> DataFrame:
         .cast("double")
         .alias("o_totalprice"),
     )
-    ins = o.filter(F.col("o_orderkey") % 17 == 3).select(
-        (F.col("o_orderkey") + F.lit(_INS_OFFSET)).alias("o_orderkey"),
-        "o_custkey",
-        F.lit("N").alias("o_orderstatus"),
-        "o_totalprice",
+    ins = (
+        o.filter(F.col("o_orderkey") % 17 == 3)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            (F.col("o_orderkey") + F.col("_ins_base")).alias("o_orderkey"),
+            "o_custkey",
+            F.lit("N").alias("o_orderstatus"),
+            "o_totalprice",
+        )
     )
     return upd.unionByName(ins)
 
@@ -156,8 +165,73 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance (IVM): the per-customer
+    view  (n_orders, total_spent)  updated from the CDC change batch by
+    DELTA ARITHMETIC — never rescanning the merged table. Updates
+    contribute (new − old) price per key, inserts contribute (+1, +price);
+    the delta aggregate (change-batch-sized) broadcasts onto the old view.
+    The oracle recomputes the view FROM SCRATCH over the post-merge
+    snapshot, so the driver check IS the IVM equivalence theorem
+    (incremental ≡ full recompute).
+
+    Scale notes (100 TB): in production the old view is the materialized
+    table (zero scan) and before-images ride the changelog; both derive
+    from base here to keep the query self-contained — the before-image
+    lookup is the standard broadcast join of the tiny delta against base.
+    The view-side work is one broadcast join: no shuffle of the view, no
+    scan of the merged table. Delta custkeys ⊆ view custkeys by
+    construction (updates/inserts reference existing customers), so a
+    LEFT join suffices; a general IVM would full-outer-merge new group
+    keys. Arithmetic stays in exact DECIMAL until the final round."""
+    from gpe.common import persist_tracked
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    src = persist_tracked(_change_batch(o))
+    old_view = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_base"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("s_base"),
+    )
+    upd = src.filter(F.col("o_orderstatus") == "U").select(
+        F.col("o_orderkey").alias("u_key"),
+        F.col("o_totalprice").alias("new_price"),
+    )
+    upd_delta = o.join(F.broadcast(upd), o.o_orderkey == upd.u_key).select(
+        "o_custkey",
+        (
+            F.col("new_price").cast("decimal(12,2)")
+            - F.col("o_totalprice").cast("decimal(12,2)")
+        ).alias("sdelta"),
+        F.lit(0).cast("long").alias("cdelta"),
+    )
+    ins_delta = src.filter(F.col("o_orderstatus") == "N").select(
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("sdelta"),
+        F.lit(1).cast("long").alias("cdelta"),
+    )
+    delta = (
+        upd_delta.unionByName(ins_delta)
+        .groupBy("o_custkey")
+        .agg(F.sum("sdelta").alias("sdelta"), F.sum("cdelta").alias("cdelta"))
+    )
+    return old_view.join(F.broadcast(delta), "o_custkey", "left").select(
+        "o_custkey",
+        (F.col("n_base") + F.coalesce("cdelta", F.lit(0))).alias("n_orders"),
+        F.round(
+            F.col("s_base")
+            + F.coalesce(F.col("sdelta"), F.lit(0).cast("decimal(12,2)")),
+            2,
+        )
+        .cast("double")
+        .alias("total_spent"),
+    )
+
+
 QUERIES = {
     "q_merge_upsert": q_merge_upsert,
+    "q_mv_incremental": q_mv_incremental,
     "q_cdc_compact": q_cdc_compact,
     "q_scd2_intervals": q_scd2_intervals,
 }
@@ -172,7 +246,8 @@ ORACLES = {
                    AS o_totalprice
           FROM o WHERE o_orderkey % 10 = 0),
         ins AS (
-          SELECT o_orderkey + {_INS_OFFSET} AS o_orderkey, o_custkey,
+          SELECT o_orderkey + (SELECT MAX(o_orderkey) + 1 FROM orders)
+                   AS o_orderkey, o_custkey,
                  'N' AS o_orderstatus, o_totalprice
           FROM o WHERE o_orderkey % 17 = 3),
         src AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
@@ -187,6 +262,11 @@ ORACLES = {
                     WHEN o.o_orderkey IS NULL THEN 'inserted'
                     ELSE 'kept' END AS merge_action
         FROM o FULL OUTER JOIN src s ON o.o_orderkey = s.o_orderkey""",
+    # the IVM equivalence oracle: FULL RECOMPUTE of the view over the
+    # post-merge snapshot (incremental ≡ recompute is exactly what the
+    # driver hash-compares). Defined after the dict via the q_merge_upsert
+    # SQL — see the module bottom.
+    "q_mv_incremental": None,
     "q_cdc_compact": """
         SELECT user_id, event_type, ts, event_id, value
         FROM (
@@ -206,3 +286,11 @@ ORACLES = {
         WHERE event_type = 'purchase'
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
 }
+
+ORACLES["q_mv_incremental"] = f"""
+    WITH merged AS ({ORACLES["q_merge_upsert"]})
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+             AS total_spent
+    FROM merged GROUP BY 1"""

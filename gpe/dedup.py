@@ -221,6 +221,89 @@ def q_dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _exact_jaccard_pairs(load_table(spark, sf_dir, "documents"))
 
 
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup pairs: |A∩B| / min(|A|,|B|) > 0.9 over token
+    SETS — the asymmetric complement to Jaccard dedup. A short doc quoted
+    wholesale inside a long one has high containment but low Jaccard
+    (J = |∩|/|∪| is dragged down by the big doc's extra tokens), so a
+    training-data pipeline runs BOTH: Jaccard for near-identical pairs,
+    containment for subset/quotation pairs (cf. Broder's resemblance vs
+    containment distinction).
+
+    Same popcount set algebra as q_dedup_near_pairs: integer predicate
+    10·|∩| > 9·min(sz) on distinct-mask pairs, expanded to doc pairs only
+    after the filter. CLOSED-VOCAB DEPENDENCY: the all-pairs step over
+    distinct masks inherits _mask_groups' runtime guard; with an open
+    vocabulary containment candidates come from the shingle-MinHash band
+    path instead (banding keyed on the SHORT side's signature)."""
+    g = _mask_groups(load_table(spark, sf_dir, "documents"))
+    # same-mask groups: containment exactly 1 for every internal pair
+    same = (
+        g.filter(F.col("n") >= 2)
+        .select("sz", F.explode("ids").alias("id_a"), F.col("ids"))
+        .select("sz", "id_a", F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("sz").cast("long").alias("inter"),
+            F.col("sz").cast("long").alias("min_size"),
+            F.lit(1.0).alias("containment"),
+        )
+    )
+    x = g.select(F.col("mask").alias("mx"), F.col("ids").alias("ix"))
+    y = g.select(F.col("mask").alias("my"), F.col("ids").alias("iy"))
+    cross = (
+        x.join(y, F.col("mx") < F.col("my"))
+        .withColumn("inter", F.expr("CAST(bit_count(mx & my) AS BIGINT)"))
+        .withColumn(
+            "min_size",
+            F.least(
+                F.expr("CAST(bit_count(mx) AS BIGINT)"),
+                F.expr("CAST(bit_count(my) AS BIGINT)"),
+            ),
+        )
+        .filter(F.lit(10) * F.col("inter") > F.lit(9) * F.col("min_size"))
+        .select("inter", "min_size", F.explode("ix").alias("ida"), "iy")
+        .select("inter", "min_size", "ida", F.explode("iy").alias("idb"))
+        .select(
+            F.least("ida", "idb").alias("id_a"),
+            F.greatest("ida", "idb").alias("id_b"),
+            "inter",
+            "min_size",
+            F.round(
+                F.col("inter").cast("double") / F.col("min_size"), 6
+            ).alias("containment"),
+        )
+    )
+    return same.unionByName(cross)
+
+
+_SQL_CONTAINMENT_PAIRS = """
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text, ' ')))
+               AS token
+      FROM documents),
+    sizes AS (
+      SELECT doc_id, COUNT(*) AS set_size FROM toks GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             sa.set_size AS sz_a, sb.set_size AS sz_b,
+             COUNT(*) AS inter
+      FROM toks a
+      JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+      JOIN sizes sa ON sa.doc_id = a.doc_id
+      JOIN sizes sb ON sb.doc_id = b.doc_id
+      GROUP BY 1, 2, 3, 4)
+    SELECT id_a, id_b,
+           CAST(inter AS BIGINT) AS inter,
+           CAST(LEAST(sz_a, sz_b) AS BIGINT) AS min_size,
+           ROUND(CAST(inter AS DOUBLE) / LEAST(sz_a, sz_b), 6) AS containment
+    FROM pairs
+    WHERE 10 * inter > 9 * LEAST(sz_a, sz_b)
+"""
+
+
 def _mask_sig_supernodes(d: DataFrame) -> DataFrame:
     """Distinct-token-set super-nodes WITH MinHash signatures:
     (mask, ids sorted, n, sz, mh0..mh31).
@@ -781,7 +864,8 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # candidates are exact-verified, so band recall is the only approximation.
 _NGRAM_N_MINHASH = 64
 _NGRAM_N_BANDS = 32  # bands of 2
-# Spark MLlib MinHashLSH's prime (largest prime < 2^31): element hashes
+# The prime Spark MLlib MinHashLSH uses (a Mersenne-ish 2^31-scale prime;
+# NOT the largest below 2^31 — 2^31−1 is prime and larger): element hashes
 # reduce mod p, then 64 pairwise-independent affine maps (a_j·u + b_j) mod p
 # give the minhash family. a_j, u < 2^31 ⇒ the product < 2^62 — no long
 # overflow. The md5-portability rule at the top of this module does NOT
@@ -857,7 +941,8 @@ def q_dedup_ngram_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     join generates candidates in O(band-bucket occupancy) instead of the
     inverted index's O(Σ df²).
 
-    Pipeline: distinct-trigram sets → 64 md5-slice minhashes → 32 bands
+    Pipeline: distinct-trigram sets → 64 minhashes (xxhash64 element
+    hashes fed through md5-derived affine maps) → 32 bands
     of 2 → band-key equi-join (doc_id < doc_id, size-ratio prefilter
     2·min_sz > max_sz implied by J > 0.5) → distinct candidates → exact
     verify via array_intersect against the persisted gram-set frame.
@@ -975,6 +1060,7 @@ def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_near_pairs": q_dedup_near_pairs,
+    "q_dedup_containment": q_dedup_containment,
     "q_dedup_embed_cosine": q_dedup_embed_cosine,
     "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "q_dedup_ngram_lsh": q_dedup_ngram_lsh,
@@ -1019,8 +1105,18 @@ ORACLES = {
                CAST(COUNT(*) AS BIGINT) AS n_copies
         FROM documents GROUP BY 1""",
     "q_dedup_near_pairs": _SQL_JACCARD_PAIRS,
+    "q_dedup_containment": _SQL_CONTAINMENT_PAIRS,
     "q_dedup_embed_cosine": None,  # filled below — needs gpe.vectors' SQL
     "q_dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
+    # RECALL CONTRACT: q_dedup_ngram_lsh is oracle-compared against the
+    # EXACT trigram-Jaccard SQL, but 32×2 banding only guarantees
+    # P(miss | J) = (1 − J²)^32 — ≈1e-4 for a pair sitting exactly at the
+    # J=0.5 verify threshold, ≈7e-15 at J=0.8. Exact equality with the
+    # oracle therefore relies on the fixture property (guarded by
+    # tests/test_fixture_invariants.py::test_ngram_true_pairs_stay_above_lsh_knee)
+    # that every true pair's J stays ≥ 0.7, where the miss probability is
+    # negligible. A regenerated fixture with a near-threshold pair would
+    # need more bands, not a code fix.
     "q_dedup_ngram_lsh": _SQL_NGRAM_JACCARD,
     "q_dedup_minhash_lsh": _SQL_JACCARD_PAIRS,
     "q_dedup_simhash": """

@@ -280,8 +280,102 @@ def q_ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly + cumulative volume-weighted average price over the
+    lineitem fact — the ratio-of-sums slice a commodity-price API serves
+    (VWAP = Σ price·qty / Σ qty; l_extendedprice is already the extended
+    price). Two ratio columns: within-month VWAP and the running
+    since-inception VWAP.
+
+    Scale notes (100 TB): the groupBy is one shuffle with map-side partial
+    aggregation; the window then runs over the POST-AGG frame (one row per
+    month — dozens, not billions), so the unpartitioned running-sum window
+    is driver-trivial by construction, not a scale hazard. Determinism:
+    both running and per-month sums stay in exact DECIMAL space; the only
+    float op is the final identical IEEE division, ε-nudged."""
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.groupBy(
+        ntz(F.date_trunc("month", "l_shipdate")).alias("ship_month")
+    ).agg(
+        F.sum(dec("l_extendedprice")).alias("sp"),
+        F.sum(dec("l_quantity")).alias("sq"),
+    )
+    w = Window.orderBy("ship_month").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return m.select(
+        "ship_month",
+        fround(F.col("sp").cast("double") / F.col("sq").cast("double"), "vwap"),
+        fround(
+            F.sum("sp").over(w).cast("double")
+            / F.sum("sq").over(w).cast("double"),
+            "cum_vwap",
+        ),
+    )
+
+
+_ATTRIB_WINDOW_US = 7 * 24 * 3_600 * 1_000_000  # 7-day lookback
+
+
+def q_ts_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the user's
+    most recent PRIOR non-purchase event (view/click/signup) within a
+    7-day lookback; purchases with no qualifying touch (direct) are
+    excluded. The marketing-attribution join every analytics API exposes.
+
+    One shuffle on user_id; the carried touch columns are three
+    last(..., ignorenulls) over the same (ts, event_id)-ordered frame
+    ending at 1 PRECEDING — same-ts touches with a lower event_id count
+    as prior, mirroring the SQL ordering exactly. State is O(1) per user
+    (the single best-so-far touch), not O(history)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.col("event_type") != "purchase"
+
+    def carry(col: str):
+        return F.last(F.when(touch, F.col(col)), ignorenulls=True).over(w)
+
+    return (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            carry("event_id").alias("touch_event_id"),
+            carry("event_type").alias("touch_type"),
+            carry("ts").alias("touch_ts"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .filter(
+            F.col("touch_ts").isNotNull()
+            & (
+                umicros("ts") - umicros(F.col("touch_ts"))
+                <= F.lit(_ATTRIB_WINDOW_US)
+            )
+        )
+        .select(
+            F.col("event_id").alias("purchase_event_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "touch_event_id",
+            "touch_type",
+            "touch_ts",
+            F.expr(
+                "(unix_micros(CAST(ts AS TIMESTAMP))"
+                " - unix_micros(CAST(touch_ts AS TIMESTAMP))) div 1000000"
+            ).alias("gap_seconds"),
+        )
+    )
+
+
 QUERIES = {
     "q_ts_anomaly_zscore": q_ts_anomaly_zscore,
+    "q_ts_vwap": q_ts_vwap,
+    "q_ts_attribution": q_ts_attribution,
     "q_ts_tumbling": q_ts_tumbling,
     "q_ts_ohlc": q_ts_ohlc,
     "q_ts_sliding": q_ts_sliding,
@@ -295,6 +389,44 @@ QUERIES = {
 _SUM_VAL = "CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value"
 
 ORACLES = {
+    "q_ts_vwap": f"""
+        WITH m AS (
+          SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP)
+                   AS ship_month,
+                 SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sp,
+                 SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sq
+          FROM lineitem GROUP BY 1)
+        SELECT ship_month,
+               ROUND(CAST(sp AS DOUBLE) / CAST(sq AS DOUBLE) + {EPS}, 6)
+                 AS vwap,
+               ROUND(CAST(SUM(sp) OVER w AS DOUBLE)
+                     / CAST(SUM(sq) OVER w AS DOUBLE) + {EPS}, 6)
+                 AS cum_vwap
+        FROM m
+        WINDOW w AS (ORDER BY ship_month
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+    "q_ts_attribution": f"""
+        WITH carried AS (
+          SELECT user_id, ts, event_id, event_type,
+                 last_value(CASE WHEN event_type <> 'purchase'
+                                 THEN event_id END IGNORE NULLS)
+                   OVER w AS touch_event_id,
+                 last_value(CASE WHEN event_type <> 'purchase'
+                                 THEN event_type END IGNORE NULLS)
+                   OVER w AS touch_type,
+                 last_value(CASE WHEN event_type <> 'purchase'
+                                 THEN ts END IGNORE NULLS)
+                   OVER w AS touch_ts
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        SELECT event_id AS purchase_event_id, user_id,
+               ts AS purchase_ts, touch_event_id, touch_type, touch_ts,
+               (epoch_us(ts) - epoch_us(touch_ts)) // 1000000 AS gap_seconds
+        FROM carried
+        WHERE event_type = 'purchase'
+          AND touch_ts IS NOT NULL
+          AND epoch_us(ts) - epoch_us(touch_ts) <= {_ATTRIB_WINDOW_US}""",
     "q_ts_anomaly_zscore": f"""
         WITH t AS (
           SELECT event_id, user_id, ts, value,

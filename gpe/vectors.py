@@ -105,6 +105,45 @@ def q_vec_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RANGE_TAU = 0.25
+
+
+def q_vec_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range search (ε-neighborhood): ALL corpus vectors with cosine ≥ τ
+    of each query vector (vec_id < 10), self excluded — the radius-query
+    complement to top-k (recall-complete result sets for RAG dedup /
+    near-match audit, where top-k silently truncates).
+
+    Same shape as q_vec_knn_brute minus the window: broadcast the tiny
+    query side, one linear scan of the corpus, no shuffle at all (the
+    top-k rank shuffle drops out — range search is embarrassingly
+    parallel). Hot path runs the IEEE double fold with a 1e-6 margin;
+    only near-qualifying pairs pay the exact-decimal verify, and the
+    DECLARED predicate is exact-decimal (the prefilter cannot flip it).
+    At 100 TB the corpus side partitions by IVF cell exactly like
+    q_vec_ann_ivf — the scan stays full here because ε-recall must be
+    100% (an ANN shortlist would silently drop qualifying vectors)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    return (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .filter(_dot_dbl("q_emb", "embedding") >= F.lit(_RANGE_TAU - 1e-6))
+        .withColumn("dot", _dot_dec("q_emb", "embedding"))
+        .filter(
+            F.col("dot") >= F.lit(_RANGE_TAU).cast("decimal(12,10)")
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("dot", 6).cast("double").alias("sim"),
+        )
+    )
+
+
 def q_vec_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All unordered pairs with cosine ≥ τ (=0.30 on this corpus).
 
@@ -665,6 +704,7 @@ _SQL_CDIMS = """
 
 QUERIES = {
     "q_vec_knn_brute": q_vec_knn_brute,
+    "q_vec_range_search": q_vec_range_search,
     "q_vec_pairs_threshold": q_vec_pairs_threshold,
     "q_vec_centroids": q_vec_centroids,
     "q_vec_ann_ivf": q_vec_ann_ivf,
@@ -691,6 +731,18 @@ ORACLES = {
         SELECT query_id, neighbor_id,
                CAST(ROUND(dot, 6) AS DOUBLE) AS sim, rank
         FROM ranked WHERE rank <= {_TOP_K}""",
+    "q_vec_range_search": f"""
+        WITH q AS ({_SQL_EXPLODED.replace('FROM embeddings',
+                    'FROM embeddings WHERE vec_id < ' + str(_N_QUERIES))}),
+        c AS ({_SQL_EXPLODED}),
+        dots AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 {_SQL_DOT.format(a='q', b='c')} AS dot
+          FROM q JOIN c ON q.pos = c.pos AND q.vec_id <> c.vec_id
+          GROUP BY 1, 2)
+        SELECT query_id, neighbor_id,
+               CAST(ROUND(dot, 6) AS DOUBLE) AS sim
+        FROM dots WHERE dot >= CAST({_RANGE_TAU} AS DECIMAL(12,10))""",
     "q_vec_pairs_threshold": f"""
         WITH e AS ({_SQL_EXPLODED}),
         dots AS (
