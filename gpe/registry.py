@@ -39,84 +39,34 @@ for _name in (
 
 
 # The driver hash-verifies exactly the FIRST 50 keys of queries() each round
-# (verified r1–r4: CORRECTNESS_r0N covers precisely registry indices 0-49),
+# (verified r1–r5: CORRECTNESS_r0N covers precisely registry indices 0-49),
 # so registry order decides which keys get hard correctness signal.
-# Round-5 window (VERDICT r4 #2 — r4 failed to rotate, burning its signal on
-# already-green keys): front-load the 3 keys with ZERO driver evidence under
-# their current oracles (sketch aggregates graduated to full oracles in r4 +
-# q_vec_ann_recall added in r4) and the operator NEW this round
-# (q_dedup_ngram_lsh), then the 21 keys not driver-checked since round 1,
-# then the r2-only keys whose modules changed in r3/r4 (dedup candidate
-# seam, vectors broadcast hints, text r4 additions, udf, pipeline).
+# Round-6 window: (a) the five operators NEW this round plus q_merge_upsert,
+# whose output CHANGED (insert offset now derived from max(o_orderkey)+1 —
+# ADVICE r5); (b) q_win_streaks (added r5, never driver-checked); (c) the 3
+# keys whose only driver row is round 1 and the 24 whose only row is round 2
+# (the r5 _SECOND_WAVE, promoted as planned); (d) r4-checked keys whose
+# modules changed in r5/r6 (dedup seam + containment, vectors persist +
+# range search, windows streaks, relational two-pass audit, cdc).
+# After this round every key's latest driver row is round 4 or newer.
 # Keys after position 50 keep local parity (tools/parity.py) as their
 # regression net; tests/test_registry_order.py pins this window.
 HARD_SIGNAL_FIRST_50 = [
-    # --- zero driver evidence under current oracles ---
-    "q_agg_approx_distinct",
-    "q_agg_approx_quantile",
-    "q_vec_ann_recall",
-    # --- new round-5 operator ---
-    "q_dedup_ngram_lsh",
-    # --- r1-stale (driver-checked only in round 1) ---
-    "q_scan_parquet",
-    "q_scan_projected",
-    "q_scan_all_tables_counts",
-    "q_project_compute",
-    "q_filter_conj",
-    "q_filter_disj_in",
-    "q_filter_like",
-    "q_filter_between_dates",
-    "q_case_when",
-    "q_join_full_outer",
-    "q_join_cross_limited",
-    "q_agg_global",
-    "q_agg_count_distinct",
-    "q_agg_multi_distinct",
-    "q_agg_having",
-    "q_union_all",
-    "q_union_distinct",
-    "q_intersect",
-    "q_subquery_scalar",
-    "q_page_orders",
-    "q_unpivot_order_counts",
-    # --- r2-only keys in modules changed since (dedup seam r3/r4) ---
-    "q_dedup_ngram_jaccard",
-    "q_dedup_exact",
-    "q_dedup_simhash",
-    "q_dedup_embed_cosine",
-    "q_dedup_keep_best",
-    # --- r2-only, vectors module changed r3/r4 (hints, PQ, recall) ---
-    "q_vec_knn_brute",
-    "q_vec_pairs_threshold",
-    "q_vec_centroids",
-    "q_vec_ann_ivf",
-    "q_vec_ann_lsh",
-    # --- r2-only, udf surface ---
-    "q_udf_pandas_scalar",
-    "q_udaf_applyinpandas",
-    "q_udf_cogroup",
-    # --- r2-only, text module changed r4 ---
-    "q_text_quality",
-    "q_text_langid",
-    "q_text_tokencount",
-    "q_text_fingerprint",
-    "q_text_stats",
-    "q_text_tfidf_topterms",
-    "q_text_ngrams",
-    # --- r2-only, pipeline module ---
-    "q_text_contamination",
-    "q_split_train_val",
-    # --- new round-5 CDC operators (no driver evidence yet) ---
+    # --- new round-6 operators (zero driver evidence) ---
+    "q_dedup_containment",
+    "q_vec_range_search",
+    "q_ts_vwap",
+    "q_ts_attribution",
+    "q_mv_incremental",
+    # --- output changed r6 (insert-offset derivation) ---
     "q_merge_upsert",
-    "q_cdc_compact",
-    "q_scd2_intervals",
-]
-
-# Next in line for round 6: the remaining r2-only keys (timeseries/windows/
-# scalars/multimodal cohorts — their modules are unchanged since r2, so they
-# are the lowest-risk stale set).
-_SECOND_WAVE = [
-    "q_win_streaks",  # new r5, first in line for driver signal in r6
+    # --- new r5, never driver-checked ---
+    "q_win_streaks",
+    # --- r1-stale ---
+    "q_agg_bitwise",
+    "q_agg_stats",
+    "q_sort_multi",
+    # --- r2-stale (promoted from the r5 second wave) ---
     "q_sample_systematic",
     "q_sample_stratified",
     "q_mix_sources",
@@ -141,6 +91,59 @@ _SECOND_WAVE = [
     "q_catalog_column_stats",
     "q_multimodal_join",
     "q_multimodal_features",
+    # --- r4-checked, module changed in r5/r6 ---
+    "q_dedup_near_pairs",
+    "q_dedup_minhash_lsh",
+    "q_dedup_components",
+    "q_dedup_components_star",
+    "q_vec_ann_pq",
+    "q_win_rank",
+    "q_win_lag_lead",
+    "q_win_running_sum",
+    "q_win_ntile_pctrank",
+    "q_join_asof",
+    "q_join_asof_tolerance",
+    "q_join_interval",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_agg_grouping_sets",
+    "q_agg_mode",
+]
+
+# Next in line for round 7: the remaining r4-checked cohort (joins, scalar
+# families, aggregate extensions, text r4 additions, packing, catalog).
+# r5-checked keys fall to the tail of the registry automatically.
+_SECOND_WAVE = [
+    "q_join_inner_bcast",
+    "q_join_inner_shuffle",
+    "q_join_multiway_star",
+    "q_join_left_outer",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_theta_range",
+    "q_join_fuzzy_name",
+    "q_join_skew_salted",
+    "q_join_lateral",
+    "q_agg_groupby",
+    "q_scalar_string",
+    "q_scalar_date",
+    "q_scalar_math",
+    "q_explode_tokens",
+    "q_scalar_json",
+    "q_scalar_string2",
+    "q_agg_listagg",
+    "q_agg_percentiles",
+    "q_agg_histogram",
+    "q_agg_corr_regr",
+    "q_agg_conditional",
+    "q_subquery_correlated",
+    "q_pivot_status_by_year",
+    "q_catalog_schema",
+    "q_text_unigram_logprob",
+    "q_text_keyphrases",
+    "q_pack_sequences",
+    "q_text_chunk_windows",
+    "q_mix_temperature",
 ]
 
 
