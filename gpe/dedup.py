@@ -235,7 +235,13 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     after the filter. CLOSED-VOCAB DEPENDENCY: the all-pairs step over
     distinct masks inherits _mask_groups' runtime guard; with an open
     vocabulary containment candidates come from the shingle-MinHash band
-    path instead (banding keyed on the SHORT side's signature)."""
+    path instead (banding keyed on the SHORT side's signature).
+
+    OUTPUT-BOUND: C > 0.9 qualifies ~12× more pairs than J > 0.9 on this
+    heavy-near-dup fixture (6.85 M vs 0.56 M rows at sf0.1) — wall clock
+    is the pair-expansion explode, ~1 M rows/s, not the candidate scan.
+    In a real pipeline the pair stream feeds components/keep-best
+    directly and never materializes wholesale."""
     g = _mask_groups(load_table(spark, sf_dir, "documents"))
     # same-mask groups: containment exactly 1 for every internal pair
     same = (

@@ -164,6 +164,60 @@ def test_global_rank_has_no_unpartitioned_window(spark):
         )
 
 
+def _final_plan(phys: str) -> str:
+    """AQE plan strings print '== Final Plan ==' followed by
+    '== Initial Plan ==' — counting on the whole string double-counts
+    every operator. Count on the final section only."""
+    return phys.split("== Initial Plan ==")[0]
+
+
+def test_mv_incremental_view_never_reshuffles(spark):
+    """q_mv_incremental's IVM plan: exactly the two groupBy shuffles (old
+    view + change-batch delta aggregate) and NO sort-merge join — the
+    delta merges onto the view via broadcast, and the merged table is
+    never scanned or shuffled (the whole point of IVM at 100 TB)."""
+    phys = _executed_plan(spark, "q_mv_incremental")
+    assert "SortMergeJoin" not in phys
+    assert "ShuffledHashJoin" not in phys
+    assert "BroadcastHashJoin" in phys
+    assert _final_plan(phys).count("Exchange hashpartitioning") <= 2
+
+
+def test_range_search_is_shuffle_free(spark):
+    """q_vec_range_search: broadcast query side + linear corpus scan — no
+    shuffle of any kind (the top-k rank exchange must be absent; that's
+    the operator's advantage over kNN). The BroadcastNestedLoopJoin is
+    the declared 10-row-broadcast × corpus scan, not an accident."""
+    phys = _executed_plan(spark, "q_vec_range_search")
+    assert "Exchange hashpartitioning" not in phys
+    assert "Exchange rangepartitioning" not in phys
+    assert "SortMergeJoin" not in phys
+
+
+def test_attribution_single_user_shuffle(spark):
+    """q_ts_attribution: ONE hash exchange on user_id feeds the window;
+    the purchase filter and gap arithmetic run map-side above it."""
+    phys = _executed_plan(spark, "q_ts_attribution")
+    assert _final_plan(phys).count("Exchange hashpartitioning") == 1
+
+
+def test_vwap_window_runs_post_agg(spark):
+    """q_ts_vwap: one shuffle for the month groupBy (with a map-side
+    partial HashAggregate); the running-ratio window's single-partition
+    exchange sits above the months-cardinality aggregate, never above the
+    lineitem scan."""
+    phys = _executed_plan(spark, "q_ts_vwap")
+    assert _final_plan(phys).count("Exchange hashpartitioning") == 1
+    assert _final_plan(phys).count("HashAggregate") >= 2
+    import re
+
+    for m in re.finditer(r"Exchange SinglePartition", phys):
+        tail = phys[m.end():m.end() + 600]
+        assert "HashAggregate" in tail or "AQEShuffleRead" in tail, (
+            phys[m.start():m.start() + 800]
+        )
+
+
 def test_ann_rerank_shortlists_broadcast(spark):
     """All three ANN rerank plans (IVF / LSH / PQ) pin the shortlist side
     with an explicit broadcast hint (VERDICT r3 #5): the join against the
