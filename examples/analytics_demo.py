@@ -14,6 +14,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pyspark.sql import functions as F
+
 from gpe import relational, timeseries, windows
 from gpe.io import load_tables, register_views
 from gpe.session import get_spark
@@ -50,6 +52,20 @@ def main() -> None:
     windows.q_win_streaks(spark, sf_dir).orderBy(
         "user_id"
     ).show(5)
+
+    print("== monthly + cumulative VWAP (commodity-price slice, last 5) ==")
+    timeseries.q_ts_vwap(spark, sf_dir).orderBy(F.desc("ship_month")).show(5)
+
+    print("== last-touch attribution (first 5 purchases) ==")
+    timeseries.q_ts_attribution(spark, sf_dir).orderBy(
+        "purchase_event_id"
+    ).show(5)
+
+    print("== RFM segmentation (distributed NTILE(5) x3, first 5) ==")
+    windows.q_customer_rfm(spark, sf_dir).orderBy("o_custkey").show(5)
+
+    print("== incremental materialized-view refresh (IVM), 5 rows ==")
+    cdc.q_mv_incremental(spark, sf_dir).orderBy("o_custkey").show(5)
 
     print("== SQL surface over registered views ==")
     register_views(spark, sf_dir)

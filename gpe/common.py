@@ -85,6 +85,55 @@ def two_pass_parts(spark) -> int:
     return max(2, spark.sparkContext.defaultParallelism)
 
 
+def two_pass_ntile(spark, df, k: int, order_cols, out_col: str):
+    """Distributed ``NTILE(k) OVER (ORDER BY order_cols)`` — the two-pass
+    global-rank pattern (range repartition → local row_number → per-
+    partition offset table) followed by the SQL-standard bucket formula
+    (first n%k buckets take one extra row). A naive unpartitioned Window
+    funnels every row through ONE task; here every stage is distributed
+    and the offset table is bounded by the partition count, never the
+    data. ``order_cols`` must be a TOTAL order (include a unique key) or
+    the bucket assignment is nondeterministic. Results are
+    partition-count-invariant (same argument as q_win_ntile_pctrank,
+    tests/test_two_pass_invariance.py).
+
+    Internal columns are underscore-prefixed and dropped; the input
+    schema plus ``out_col`` (int) comes back."""
+    from pyspark.sql import Window
+
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    part = df.repartitionByRange(two_pass_parts(spark), *cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("_pid").orderBy(*cols)
+    # persist pass-1: feeds the output rows AND the count aggregate (the
+    # range shuffle would otherwise evaluate per consumer)
+    loc = persist_tracked(part.withColumn("_lrn", F.row_number().over(w_local)))
+    cnts = loc.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = cnts.withColumn(
+        "_off", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0))
+    )
+    tot = cnts.agg(F.sum("_cnt").alias("_n_total"))
+    g = (
+        loc.join(F.broadcast(offs.select("_pid", "_off")), "_pid")
+        .withColumn("_grn", F.col("_off") + F.col("_lrn"))
+        .crossJoin(F.broadcast(tot))
+        .withColumn("_base", F.expr(f"_n_total DIV {k}"))
+        .withColumn("_rem", F.expr(f"_n_total % {k}"))
+        .withColumn("_big", F.expr("_rem * (_base + 1)"))
+    )
+    # integer DIV throughout; when n < k, _big = n so the DIV-by-zero
+    # branch below is unreachable (CaseWhen is lazy)
+    bucket = F.when(
+        F.col("_grn") <= F.col("_big"),
+        F.expr("(_grn - 1) DIV (_base + 1) + 1"),
+    ).otherwise(F.expr("_rem + (_grn - _big - 1) DIV _base + 1"))
+    return g.withColumn(out_col, bucket.cast("int")).drop(
+        "_pid", "_lrn", "_off", "_grn", "_n_total", "_base", "_rem", "_big"
+    )
+
+
 def dec(col: Column | str) -> Column:
     """Exact decimal view of a raw 2-decimal-valued double column (or of a
     double expression whose true value has ≤2 decimals, e.g. ``1 - disc``)."""

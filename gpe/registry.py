@@ -58,6 +58,7 @@ HARD_SIGNAL_FIRST_50 = [
     "q_ts_vwap",
     "q_ts_attribution",
     "q_mv_incremental",
+    "q_customer_rfm",
     # --- output changed r6 (insert-offset derivation) ---
     "q_merge_upsert",
     # --- new r5, never driver-checked ---
@@ -107,13 +108,13 @@ HARD_SIGNAL_FIRST_50 = [
     "q_agg_rollup",
     "q_agg_cube",
     "q_agg_grouping_sets",
-    "q_agg_mode",
 ]
 
 # Next in line for round 7: the remaining r4-checked cohort (joins, scalar
 # families, aggregate extensions, text r4 additions, packing, catalog).
 # r5-checked keys fall to the tail of the registry automatically.
 _SECOND_WAVE = [
+    "q_agg_mode",
     "q_join_inner_bcast",
     "q_join_inner_shuffle",
     "q_join_multiway_star",

@@ -295,6 +295,74 @@ def compact_stream(stream: DataFrame) -> DataFrame:
     )
 
 
+def attribution_stream(stream: DataFrame) -> DataFrame:
+    """Streaming twin of gpe.timeseries.q_ts_attribution: last-touch
+    attribution maintained continuously — per-user state is ONLY the
+    single most recent non-purchase touch (event_id, type, epoch-µs), so
+    state is O(1) per user regardless of history length. Each purchase
+    consults the state and emits an attributed row when the touch falls
+    inside the 7-day lookback; direct purchases emit nothing.
+
+    Equality with the batch op comes from replicating its ordering
+    exactly: rows are processed in (ts, event_id) order within each
+    micro-batch (sorted here), so a same-µs touch with a lower event_id
+    lands in state before the purchase is scored — the batch window's
+    1-PRECEDING frame semantics. Assumes per-user batches arrive in
+    event-time order across batches (single-replay and watermark-ordered
+    ingest satisfy this), like zscore_stream below."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from gpe.timeseries import _ATTRIB_WINDOW_US
+
+    out_schema = (
+        "purchase_event_id long, user_id long, purchase_ts timestamp,"
+        " touch_event_id long, touch_type string, touch_ts timestamp,"
+        " gap_seconds long"
+    )
+    state_schema = "teid long, ttype string, tus long"
+
+    def fn(key, pdf_iter, state: GroupState):
+        st = state.get if state.exists else None
+        out: list[tuple] = []
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            ts_us = pdf["ts"].values.astype("datetime64[us]").astype("int64")
+            for t, e, ty in zip(
+                ts_us.tolist(),
+                pdf["event_id"].tolist(),
+                pdf["event_type"].tolist(),
+            ):
+                if ty == "purchase":
+                    if st is not None and t - st[2] <= _ATTRIB_WINDOW_US:
+                        out.append((e, key[0], t, st[0], st[1], st[2]))
+                else:
+                    st = (e, ty, t)
+        if st is not None:
+            state.update(st)
+        if out:
+            yield pd.DataFrame(
+                {
+                    "purchase_event_id": [r[0] for r in out],
+                    "user_id": [r[1] for r in out],
+                    "purchase_ts": [
+                        pd.Timestamp(r[2], unit="us") for r in out
+                    ],
+                    "touch_event_id": [r[3] for r in out],
+                    "touch_type": [r[4] for r in out],
+                    "touch_ts": [pd.Timestamp(r[5], unit="us") for r in out],
+                    "gap_seconds": [(r[2] - r[5]) // 1_000_000 for r in out],
+                }
+            )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def zscore_stream(stream: DataFrame) -> DataFrame:
     """Streaming twin of q_ts_anomaly_zscore: trailing 1-hour z-score
     anomaly flags per user, via applyInPandasWithState. Per-user state is

@@ -329,8 +329,71 @@ def q_win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the canonical analytics-API scoring
+    query: per customer, Recency (days since last order, against the
+    global max order date), Frequency (#orders), Monetary (total spend),
+    each quintile-scored with NTILE(5) (score 1 = most recent / most
+    frequent / highest spend), combined into a 3-digit segment code.
+
+    Scale notes (100 TB): the per-customer aggregate is one map-side-
+    partial shuffle; each of the three global quintiles runs through the
+    DISTRIBUTED two-pass ntile (gpe.common.two_pass_ntile — range
+    repartition + offset table), so no stage ever funnels all customers
+    through one task. Three range shuffles of the per-customer frame
+    (#customers rows, not #orders) is the honest cost of three
+    independent global rankings. All orderings carry c_custkey as the
+    total-order tiebreak, so every score is deterministic. The recency
+    anchor (global max date) is a 1-row broadcast."""
+    from gpe.common import two_pass_ntile
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    anchor = o.agg(F.max("o_orderdate").alias("_anchor"))
+    base = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("_last"),
+            F.count(F.lit(1)).alias("f_orders"),
+            F.round(F.sum(dec("o_totalprice")), 2)
+            .cast("double")
+            .alias("m_spend"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "o_custkey",
+            F.datediff("_anchor", "_last").cast("long").alias("r_days"),
+            "f_orders",
+            "m_spend",
+        )
+    )
+    scored = two_pass_ntile(
+        spark, base, 5, [F.asc("r_days"), F.asc("o_custkey")], "r_score"
+    )
+    scored = two_pass_ntile(
+        spark, scored, 5, [F.desc("f_orders"), F.asc("o_custkey")], "f_score"
+    )
+    scored = two_pass_ntile(
+        spark, scored, 5, [F.desc("m_spend"), F.asc("o_custkey")], "m_score"
+    )
+    return scored.select(
+        "o_custkey",
+        "r_days",
+        "f_orders",
+        "m_spend",
+        "r_score",
+        "f_score",
+        "m_score",
+        (
+            F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+        ).alias("rfm_segment"),
+    )
+
+
 QUERIES = {
     "q_win_rank": q_win_rank,
+    "q_customer_rfm": q_customer_rfm,
     "q_win_cume_nth": q_win_cume_nth,
     "q_win_distinct_count": q_win_distinct_count,
     "q_win_range_frame": q_win_range_frame,
@@ -344,6 +407,28 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_customer_rfm": """
+        WITH base AS (
+          SELECT o_custkey,
+                 date_diff('day', MAX(o_orderdate),
+                           (SELECT MAX(o_orderdate) FROM orders)) AS r_days,
+                 COUNT(*) AS f_orders,
+                 CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2)
+                      AS DOUBLE) AS m_spend
+          FROM orders GROUP BY 1),
+        scored AS (
+          SELECT o_custkey, r_days, f_orders, m_spend,
+                 CAST(NTILE(5) OVER (ORDER BY r_days, o_custkey)
+                      AS INTEGER) AS r_score,
+                 CAST(NTILE(5) OVER (ORDER BY f_orders DESC, o_custkey)
+                      AS INTEGER) AS f_score,
+                 CAST(NTILE(5) OVER (ORDER BY m_spend DESC, o_custkey)
+                      AS INTEGER) AS m_score
+          FROM base)
+        SELECT o_custkey, r_days, f_orders, m_spend,
+               r_score, f_score, m_score,
+               r_score * 100 + f_score * 10 + m_score AS rfm_segment
+        FROM scored""",
     "q_win_streaks": """
         WITH days AS (
           SELECT DISTINCT user_id, CAST(ts AS DATE) AS dt

@@ -278,6 +278,27 @@ def test_streaming_zscore_equals_batch(spark, stream):
         q.stop()
 
 
+def test_streaming_attribution_equals_batch(spark, stream):
+    """attribution_stream must equal q_ts_attribution row-for-row: same
+    attributed purchases, same touches (ordering semantics replicated),
+    same integer gap arithmetic; direct purchases appear in neither."""
+    q = streaming.run_to_memory(
+        streaming.attribution_stream(stream), "t_attrib", "update"
+    )
+    try:
+        cols = [
+            "purchase_event_id",
+            "touch_event_id",
+            "touch_type",
+            "gap_seconds",
+        ]
+        got = _rows(spark.table("t_attrib"), cols)
+        want = _rows(timeseries.q_ts_attribution(spark, SF), cols)
+        assert got == want
+    finally:
+        q.stop()
+
+
 def test_streaming_quality_scores_equal_batch(spark):
     from gpe import text
 

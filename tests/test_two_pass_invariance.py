@@ -48,6 +48,18 @@ def test_approx_quantile_partition_count_invariant(spark, monkeypatch):
         assert a == b
 
 
+def test_customer_rfm_partition_count_invariant(spark, monkeypatch):
+    # q_customer_rfm's quintiles run through gpe.common.two_pass_ntile,
+    # which reads two_pass_parts from its defining module
+    import gpe.common as C
+    import gpe.windows as W
+
+    for sf in (SF_SMOKE, SF_T2):
+        a = _run_at(monkeypatch, C, W.q_customer_rfm, spark, sf, 8)
+        b = _run_at(monkeypatch, C, W.q_customer_rfm, spark, sf, 64)
+        assert a == b
+
+
 def test_two_pass_parts_tracks_parallelism(spark):
     from gpe.common import two_pass_parts
 
