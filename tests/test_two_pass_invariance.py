@@ -60,6 +60,32 @@ def test_customer_rfm_partition_count_invariant(spark, monkeypatch):
         assert a == b
 
 
+def test_two_pass_ntile_degenerate_and_distribution(spark):
+    """two_pass_ntile edge semantics: with n < k every row gets its own
+    bucket (1..n, the SQL-standard answer — the DIV-by-zero branch is
+    unreachable); with n = 7, k = 5 the first two buckets take the extra
+    rows (sizes 2,2,1,1,1)."""
+    from pyspark.sql import functions as F
+
+    from gpe.common import two_pass_ntile
+
+    small = spark.range(3).select(F.col("id").alias("v"))
+    got = {
+        (r.v, r.b)
+        for r in two_pass_ntile(spark, small, 5, ["v"], "b").collect()
+    }
+    assert got == {(0, 1), (1, 2), (2, 3)}
+
+    seven = spark.range(7).select(F.col("id").alias("v"))
+    buckets = [
+        r.b
+        for r in two_pass_ntile(spark, seven, 5, ["v"], "b")
+        .orderBy("v")
+        .collect()
+    ]
+    assert buckets == [1, 1, 2, 2, 3, 4, 5]
+
+
 def test_two_pass_parts_tracks_parallelism(spark):
     from gpe.common import two_pass_parts
 

@@ -30,7 +30,7 @@ def main(paths: list[str]) -> None:
     lines = [
         f"# BENCH — per-query wall-clock at sf{sf} (local[32], noop sink)",
         "",
-        f"Round-5 final, {date.today().isoformat()}: **{total:.3f} s total "
+        f"Round-6 final, {date.today().isoformat()}: **{total:.3f} s total "
         f"over {len(keys)} keys**, 0 errors — per-query MEDIAN of "
         f"{len(runs)} warm-session runs (sum of medians).",
         "",
