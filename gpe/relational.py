@@ -1187,8 +1187,71 @@ def q_agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED median (lower median: smallest price whose
+    cumulative quantity reaches half the group total) of l_extendedprice
+    weighted by l_quantity, per return flag — the inventory-valuation /
+    fair-price statistic no engine ships as a builtin.
+
+    Distributed as the two-pass range-partition pattern generalized to
+    grouped cumulative sums: range-repartition on (flag, price, key) so
+    each partition holds a contiguous slice of one-or-two flags' price
+    range, cumulative-sum locally, then add a broadcast per-(partition,
+    flag) offset table — no stage funnels a whole group through one task
+    (a naive Window.partitionBy(flag) would: 3 flags → 3 tasks at any
+    scale). The crossing test 2·cum ≥ total stays in EXACT decimal, so
+    no threshold float ever crosses the oracle hash.
+
+    Results are partition-count-invariant (same offset-table argument as
+    gpe.common.two_pass_ntile; tests/test_two_pass_invariance.py)."""
+    from gpe.common import persist_tracked, two_pass_parts
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_extendedprice",
+        dec("l_quantity").alias("_q"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    order = ["l_extendedprice", "l_orderkey", "l_linenumber"]
+    part = li.repartitionByRange(
+        two_pass_parts(spark), "l_returnflag", *order
+    ).withColumn("_pid", F.spark_partition_id())
+    w_loc = (
+        Window.partitionBy("_pid", "l_returnflag")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    loc = persist_tracked(part.withColumn("_lcum", F.sum("_q").over(w_loc)))
+    cnts = loc.groupBy("_pid", "l_returnflag").agg(F.sum("_q").alias("_pq"))
+    w_off = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = cnts.select(
+        "_pid",
+        "l_returnflag",
+        F.coalesce(
+            F.sum("_pq").over(w_off), F.lit(0).cast("decimal(32,2)")
+        ).alias("_off"),
+    )
+    tots = cnts.groupBy("l_returnflag").agg(F.sum("_pq").alias("_tot"))
+    g = loc.join(F.broadcast(offs), ["_pid", "l_returnflag"]).join(
+        F.broadcast(tots), "l_returnflag"
+    )
+    crossed = g.filter(
+        F.lit(2) * (F.col("_lcum") + F.col("_off")) >= F.col("_tot")
+    )
+    return crossed.groupBy("l_returnflag").agg(
+        F.min("l_extendedprice").alias("weighted_median_price"),
+        F.round(F.max("_tot"), 2).cast("double").alias("total_qty"),
+    )
+
+
 QUERIES = {
     "q_agg_groupby": q_agg_groupby,
+    "q_agg_weighted_median": q_agg_weighted_median,
     "q_agg_corr_regr": q_agg_corr_regr,
     "q_agg_bitwise": q_agg_bitwise,
     "q_join_fuzzy_name": q_join_fuzzy_name,
@@ -1244,6 +1307,26 @@ _REV_DEC = f"{sql_dec('l_extendedprice')} * {sql_dec('1 - l_discount')}"
 
 ORACLES = {
     "q_agg_groupby": _Q1_ORACLE,
+    "q_agg_weighted_median": """
+        WITH t AS (
+          SELECT l_returnflag, l_extendedprice,
+                 CAST(l_quantity AS DECIMAL(12,2)) AS q,
+                 l_orderkey, l_linenumber
+          FROM lineitem),
+        c AS (
+          SELECT l_returnflag, l_extendedprice,
+                 SUM(q) OVER (PARTITION BY l_returnflag
+                              ORDER BY l_extendedprice, l_orderkey,
+                                       l_linenumber
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+                 SUM(q) OVER (PARTITION BY l_returnflag) AS tot
+          FROM t)
+        SELECT l_returnflag,
+               MIN(l_extendedprice) AS weighted_median_price,
+               CAST(ROUND(MAX(tot), 2) AS DOUBLE) AS total_qty
+        FROM c
+        WHERE 2 * cum >= tot
+        GROUP BY l_returnflag""",
     "q_agg_corr_regr": f"""
         WITH s AS (
           SELECT l_returnflag,

@@ -200,8 +200,38 @@ def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII pseudonymization / masking — the privacy pass every
+    training-data pipeline runs before sharing a table: irreversible
+    column hash (sha256), partial masking (all but the last 3 chars),
+    a short join-stable pseudonym (hash prefix — still collision-safe at
+    12 hex chars for ≪ 2^24 entities per SURVEY §2 scale envelope), and
+    k-anonymity-style generalization of the numeric column into fixed
+    1000-unit bands (floor → toward −∞ for negative balances, identical
+    in both engines).
+
+    Scale notes (100 TB): pure per-row map — no shuffle, whole-stage
+    codegen end to end; sha256 is JVM-side (no Python boundary)."""
+    c = load_table(spark, sf_dir, "customer")
+    h = F.sha2(F.col("c_name").cast("string"), 256)
+    return c.select(
+        "c_custkey",
+        h.alias("name_sha256"),
+        F.substring(h, 1, 12).alias("pseudonym"),
+        F.concat(
+            F.expr("repeat('*', length(c_name) - 3)"),
+            F.expr("substr(c_name, length(c_name) - 2, 3)"),
+        ).alias("name_masked"),
+        (F.floor(F.col("c_acctbal") / 1000) * 1000)
+        .cast("long")
+        .alias("bal_band"),
+        "c_mktsegment",
+    )
+
+
 QUERIES = {
     "q_scalar_string": q_scalar_string,
+    "q_pii_mask": q_pii_mask,
     "q_scalar_string2": q_scalar_string2,
     "q_scalar_arrayops": q_scalar_arrayops,
     "q_agg_conditional": q_agg_conditional,
@@ -214,6 +244,15 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_pii_mask": """
+        SELECT c_custkey,
+               sha256(c_name) AS name_sha256,
+               substr(sha256(c_name), 1, 12) AS pseudonym,
+               concat(repeat('*', length(c_name) - 3),
+                      substr(c_name, length(c_name) - 2, 3)) AS name_masked,
+               CAST(floor(c_acctbal / 1000) * 1000 AS BIGINT) AS bal_band,
+               c_mktsegment
+        FROM customer""",
     "q_scalar_string2": """
         SELECT c_custkey,
                split_part(c_name, '#', 2) AS cust_num,

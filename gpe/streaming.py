@@ -363,6 +363,58 @@ def attribution_stream(stream: DataFrame) -> DataFrame:
     )
 
 
+def transitions_stream(stream: DataFrame) -> DataFrame:
+    """Streaming twin of gpe.timeseries.q_ts_transitions: the from→to
+    event-type transition matrix maintained continuously. Per-user state
+    is ONLY the last event type seen (O(1) regardless of history);
+    each micro-batch emits per-(from, to) COUNT DELTAS — the downstream
+    materialization (e.g. a compacted upsert sink summing n_delta) holds
+    the matrix, which is the standard streaming-aggregation split:
+    unbounded totals live in the sink, not in executor state.
+
+    Equality with the batch op (sum of deltas ≡ batch counts, asserted
+    in tests/test_streaming_equivalence.py) comes from replicating its
+    ordering exactly: rows are processed in (ts, event_id) order within
+    each micro-batch. Assumes per-user batches arrive in event-time
+    order across batches (single-replay / watermark-ordered ingest),
+    like the other stateful twins here."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "from_type string, to_type string, n_delta long"
+    state_schema = "last_type string"
+
+    def fn(key, pdf_iter, state: GroupState):
+        from collections import Counter
+
+        last = state.get[0] if state.exists else None
+        c: Counter = Counter()
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ty in pdf["event_type"].tolist():
+                if last is not None:
+                    c[(last, ty)] += 1
+                last = ty
+        if last is not None:
+            state.update((last,))
+        if c:
+            keys = sorted(c)
+            yield pd.DataFrame(
+                {
+                    "from_type": [k[0] for k in keys],
+                    "to_type": [k[1] for k in keys],
+                    "n_delta": [c[k] for k in keys],
+                }
+            )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def zscore_stream(stream: DataFrame) -> DataFrame:
     """Streaming twin of q_ts_anomaly_zscore: trailing 1-hour z-score
     anomaly flags per user, via applyInPandasWithState. Per-user state is

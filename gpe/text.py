@@ -293,6 +293,44 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Shannon entropy of the token distribution (nats) — the
+    boilerplate/template detector of a training-data quality pipeline:
+    near-zero entropy means the doc repeats a handful of tokens
+    (machine-generated filler), high entropy means diverse vocabulary.
+
+    Determinism: each term p·ln(1/p) is e6-floored to a LONG before
+    summation (the q_text_unigram_logprob idiom — ln is libm, ≤1 ulp
+    cross-engine, absorbed by the epsilon-nudged floor); the per-doc
+    entropy is an exact integer sum, and the low-entropy FLAG compares
+    the integer (sum_e6 < 2e6), never a float.
+
+    Scale notes (100 TB): explode → one shuffle on (doc_id, token) with
+    map-side partial counts → the per-doc window runs on the collapsed
+    distinct-token frame (≤ doc vocabulary per doc, not corpus size)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    cnt = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("doc_id")
+    n = F.sum("c").over(w)
+    term = cnt.select(
+        "doc_id",
+        n.alias("_n"),
+        F.floor(
+            (F.col("c") / n) * F.log(n / F.col("c")) * F.lit(1_000_000)
+            + F.lit(EPS)
+        )
+        .cast("long")
+        .alias("h_e6"),
+    )
+    return term.groupBy("doc_id").agg(
+        F.max("_n").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        (F.sum("h_e6") / F.lit(1_000_000.0)).alias("entropy_nats"),
+        (F.sum("h_e6") < F.lit(2_000_000)).alias("is_low_entropy"),
+    )
+
+
 def q_text_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-DOC keyphrase extraction: top-3 TF-IDF terms per document
     (q_text_tfidf_topterms ranks per LANGUAGE; this is the per-document
@@ -350,6 +388,7 @@ def q_text_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "q_text_keyphrases": q_text_keyphrases,
+    "q_text_token_entropy": q_text_token_entropy,
     "q_text_unigram_logprob": q_text_unigram_logprob,
     "q_text_stats": q_text_stats,
     "q_text_tfidf_topterms": q_text_tfidf_topterms,
@@ -361,6 +400,27 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_text_token_entropy": f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents),
+        cnt AS (
+          SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+        t AS (
+          SELECT doc_id, c,
+                 SUM(c) OVER (PARTITION BY doc_id) AS n
+          FROM cnt),
+        term AS (
+          SELECT doc_id, n,
+                 CAST(FLOOR((c / n) * LN(n / c) * 1000000 + {EPS})
+                      AS BIGINT) AS h_e6
+          FROM t)
+        SELECT doc_id,
+               CAST(MAX(n) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(SUM(h_e6) AS DOUBLE) / 1000000.0 AS entropy_nats,
+               SUM(h_e6) < 2000000 AS is_low_entropy
+        FROM term GROUP BY doc_id""",
     "q_text_keyphrases": f"""
         WITH tok AS (
           SELECT doc_id, unnest(string_split(text, ' ')) AS token

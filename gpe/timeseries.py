@@ -372,8 +372,106 @@ def q_ts_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix (first-order Markov estimate): for
+    every consecutive pair of events per user, count from→to transitions
+    and the conditional probability P(to | from). The user-path /
+    clickstream-flow query of a product-analytics API.
+
+    Scale notes (100 TB): one shuffle on user_id for the lag window (same
+    partitioning as sessionization); the pair stream then collapses
+    through a map-side-partial hash aggregate into a ≤|types|² matrix, so
+    the per-from probability window runs over ≤25 rows on the driver-
+    trivial post-agg frame. The (ts, event_id) ordering is total, so the
+    lag assignment — and therefore every count — is deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+    )
+    m = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    w_from = Window.partitionBy("from_type")
+    return m.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        fround(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(w_from).cast("double"),
+            "p_transition",
+        ),
+    )
+
+
+_EWMA_ALPHA = 0.3
+
+
+def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of the daily mean event
+    value, per event_type (α=0.3, s_0 = x_0). Spark has no recursive
+    window aggregate, so the recurrence s_d = α·x_d + (1−α)·s_{d−1} is
+    re-expressed as its closed form over a prefix scan:
+
+        s_d = (1−α)^d · ( x_0 + α · Σ_{j=1..d} x_j·(1−α)^{−j} )
+
+    i.e. one cumulative windowed sum of x_j·(1−α)^{−j} plus a
+    first_value, then a rescale — no iteration, no UDF.
+
+    Scale notes (100 TB): the daily aggregate is one map-side-partial
+    shuffle; the scan runs over the POST-AGG frame (#types × #days rows),
+    partitioned by event_type. The (1−α)^{−j} weights grow ~43,000× over
+    a 30-day month — well inside double range for any realistic window;
+    for multi-year series, reset the exponent per month and chain the
+    month-boundary states (documented, not needed at this span).
+    Determinism: daily means are ε-rounded to 6 decimals BEFORE the scan
+    so both engines scan identical inputs; the scan itself is a sum of
+    ≤31 doubles whose association-order ulp noise is absorbed by the
+    final ε-nudged rounding."""
+    ev = load_table(spark, sf_dir, "events")
+    a = _EWMA_ALPHA
+    daily = ev.groupBy(
+        "event_type", ntz(F.date_trunc("day", "ts")).alias("day")
+    ).agg(
+        F.round(
+            F.sum(dec("value")).cast("double") / F.count("value") + EPS, 6
+        ).alias("daily_avg")
+    )
+    w_ord = Window.partitionBy("event_type").orderBy("day")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d = (F.row_number().over(w_ord) - 1).cast("double")
+    acc = daily.select(
+        "event_type",
+        "day",
+        "daily_avg",
+        d.alias("_d"),
+        F.sum(
+            F.col("daily_avg") * F.pow(F.lit(1.0 / (1.0 - a)), d)
+        ).over(w_cum).alias("_a"),
+        F.first("daily_avg").over(w_cum).alias("_x0"),
+    )
+    return acc.select(
+        "event_type",
+        "day",
+        "daily_avg",
+        fround(
+            F.pow(F.lit(1.0 - a), F.col("_d"))
+            * (F.col("_x0") + a * (F.col("_a") - F.col("_x0"))),
+            "ewma",
+        ),
+    )
+
+
 QUERIES = {
     "q_ts_anomaly_zscore": q_ts_anomaly_zscore,
+    "q_ts_transitions": q_ts_transitions,
+    "q_ts_ewma": q_ts_ewma,
     "q_ts_vwap": q_ts_vwap,
     "q_ts_attribution": q_ts_attribution,
     "q_ts_tumbling": q_ts_tumbling,
@@ -389,6 +487,44 @@ QUERIES = {
 _SUM_VAL = "CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value"
 
 ORACLES = {
+    "q_ts_transitions": f"""
+        WITH pairs AS (
+          SELECT lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS from_type,
+                 event_type AS to_type
+          FROM events),
+        m AS (
+          SELECT from_type, to_type, COUNT(*) AS n_transitions
+          FROM pairs WHERE from_type IS NOT NULL GROUP BY 1, 2)
+        SELECT from_type, to_type, n_transitions,
+               ROUND(CAST(n_transitions AS DOUBLE)
+                     / CAST(SUM(n_transitions)
+                            OVER (PARTITION BY from_type) AS DOUBLE)
+                     + {EPS}, 6) AS p_transition
+        FROM m""",
+    "q_ts_ewma": f"""
+        WITH daily AS (
+          SELECT event_type, date_trunc('day', ts) AS day,
+                 ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                       / COUNT(value) + {EPS}, 6) AS daily_avg
+          FROM events GROUP BY 1, 2),
+        idx AS (
+          SELECT event_type, day, daily_avg,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                         ORDER BY day) - 1 AS DOUBLE) AS d
+          FROM daily),
+        acc AS (
+          SELECT event_type, day, daily_avg, d,
+                 SUM(daily_avg * power(1.0 / {1.0 - _EWMA_ALPHA}, d))
+                   OVER w AS a,
+                 FIRST_VALUE(daily_avg) OVER w AS x0
+          FROM idx
+          WINDOW w AS (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        SELECT event_type, day, daily_avg,
+               ROUND(power({1.0 - _EWMA_ALPHA}, d)
+                     * (x0 + {_EWMA_ALPHA} * (a - x0)) + {EPS}, 6) AS ewma
+        FROM acc""",
     "q_ts_vwap": f"""
         WITH m AS (
           SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP)

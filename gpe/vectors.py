@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from gpe.common import EPS
 from gpe.io import load_table
 
 _N_QUERIES = 10  # q_vec_* query set: vec_id < 10
@@ -702,8 +703,61 @@ _SQL_CDIMS = """
     FROM exploded GROUP BY label, pos)
 """
 
+def q_vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization audit — the storage-compression
+    pass a 100 TB embedding store runs before ANN serving (float32 →
+    int8 cuts the vector bytes 4×): per vector, scale = max|x|/127,
+    q_i = floor(x_i/scale + 0.5) (explicit half-up — both engines share
+    the same IEEE expression; built-in round() half-up implementations
+    differ in how they reach the decimal boundary), then the per-label
+    reconstruction report (mean scale, mean squared error).
+
+    Scale notes (100 TB): pure per-row map over the embedding array (no
+    shuffle) followed by one tiny groupBy(label); everything stays
+    JVM-side in higher-order array functions — no Python boundary.
+    Determinism: per-vector scale/mse are ε-rounded to 12 decimals, then
+    averaged via exact-decimal sums so partial-agg merge order can't
+    produce ulp drift."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    xs = F.transform("embedding", lambda x: x.cast("double"))
+    scale = (
+        F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+        / F.lit(127.0)
+    )
+
+    def _sq_err(x, s):
+        q = F.floor(x / s + F.lit(0.5))
+        e = x - q * s
+        return e * e
+
+    per_vec = emb.select(
+        "label",
+        F.round(scale + EPS, 12).cast("decimal(16,12)").alias("_scale"),
+        F.round(
+            F.aggregate(
+                xs, F.lit(0.0), lambda acc, x: acc + _sq_err(x, scale)
+            )
+            / F.size("embedding")
+            + EPS,
+            12,
+        )
+        .cast("decimal(20,14)")
+        .alias("_mse"),
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(
+            F.sum("_scale").cast("double") / F.count(F.lit(1)) + EPS, 10
+        ).alias("avg_scale"),
+        F.round(
+            F.sum("_mse").cast("double") / F.count(F.lit(1)) + EPS, 12
+        ).alias("avg_mse"),
+    )
+
+
 QUERIES = {
     "q_vec_knn_brute": q_vec_knn_brute,
+    "q_vec_quantize_int8": q_vec_quantize_int8,
     "q_vec_range_search": q_vec_range_search,
     "q_vec_pairs_threshold": q_vec_pairs_threshold,
     "q_vec_centroids": q_vec_centroids,
@@ -715,6 +769,31 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_vec_quantize_int8": f"""
+        WITH v AS (
+          SELECT label,
+                 list_aggregate(list_transform(embedding,
+                     x -> abs(CAST(x AS DOUBLE))), 'max') / 127.0 AS scale,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+          FROM embeddings),
+        e AS (
+          SELECT label, scale,
+                 list_aggregate(list_transform(xs, x ->
+                     (x - floor(x / scale + 0.5) * scale)
+                     * (x - floor(x / scale + 0.5) * scale)), 'sum')
+                   / len(xs) AS mse
+          FROM v),
+        r AS (
+          SELECT label,
+                 CAST(ROUND(scale + {EPS}, 12) AS DECIMAL(16,12)) AS scale_d,
+                 CAST(ROUND(mse + {EPS}, 12) AS DECIMAL(20,14)) AS mse_d
+          FROM e)
+        SELECT label, COUNT(*) AS n_vecs,
+               ROUND(CAST(SUM(scale_d) AS DOUBLE) / COUNT(*) + {EPS}, 10)
+                 AS avg_scale,
+               ROUND(CAST(SUM(mse_d) AS DOUBLE) / COUNT(*) + {EPS}, 12)
+                 AS avg_mse
+        FROM r GROUP BY label""",
     "q_vec_knn_brute": f"""
         WITH q AS ({_SQL_EXPLODED.replace('FROM embeddings',
                     'FROM embeddings WHERE vec_id < ' + str(_N_QUERIES))}),

@@ -391,8 +391,51 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact moving MEDIAN of daily revenue over a 7-row trailing frame,
+    per order priority. Spark has no exact-median window aggregate
+    (percentile_approx is approximate and unordered-merge-dependent), so
+    the frame is materialized as a sorted array — collect_list over ROWS
+    BETWEEN 6 PRECEDING AND CURRENT ROW, array_sort, middle element(s).
+
+    The oracle deliberately mirrors the SAME list/element arithmetic
+    (list() OVER w → list_sort → 1-based middle picks → (lo+hi)/2)
+    instead of DuckDB's median()/quantile_cont, whose lo+(hi−lo)·0.5
+    interpolation is a DIFFERENT IEEE expression from (lo+hi)/2 and can
+    diverge in the last ulp.
+
+    Scale notes (100 TB): the frame array is bounded by the FRAME (7
+    rows), not the data — collect_list over a bounded rows-frame is O(7)
+    state per row. The window itself runs over the post-agg daily frame
+    (#priorities × #days rows, one map-side-partial shuffle upstream),
+    so no stage scales with raw fact rows."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        "o_orderpriority", F.col("o_orderdate").alias("day")
+    ).agg(
+        F.round(F.sum(dec("o_totalprice")), 2).cast("double").alias("day_rev")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("day").rowsBetween(-6, 0)
+    acc = daily.select(
+        "o_orderpriority",
+        "day",
+        "day_rev",
+        F.array_sort(F.collect_list("day_rev").over(w)).alias("_arr"),
+    )
+    lo = F.expr("element_at(_arr, CAST((size(_arr) + 1) div 2 AS INT))")
+    hi = F.expr("element_at(_arr, CAST(size(_arr) div 2 + 1 AS INT))")
+    return acc.select(
+        "o_orderpriority",
+        "day",
+        "day_rev",
+        F.size("_arr").alias("n_window"),
+        F.round((lo + hi) / 2.0 + EPS, 4).alias("moving_median"),
+    )
+
+
 QUERIES = {
     "q_win_rank": q_win_rank,
+    "q_win_moving_median": q_win_moving_median,
     "q_customer_rfm": q_customer_rfm,
     "q_win_cume_nth": q_win_cume_nth,
     "q_win_distinct_count": q_win_distinct_count,
@@ -407,6 +450,23 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_win_moving_median": f"""
+        WITH daily AS (
+          SELECT o_orderpriority, o_orderdate AS day,
+                 CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2)
+                      AS DOUBLE) AS day_rev
+          FROM orders GROUP BY 1, 2),
+        acc AS (
+          SELECT o_orderpriority, day, day_rev,
+                 list_sort(list(day_rev) OVER (
+                   PARTITION BY o_orderpriority ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+          FROM daily)
+        SELECT o_orderpriority, day, day_rev,
+               CAST(len(arr) AS INT) AS n_window,
+               ROUND((arr[(len(arr) + 1) // 2] + arr[len(arr) // 2 + 1])
+                     / 2.0 + {EPS}, 4) AS moving_median
+        FROM acc""",
     "q_customer_rfm": """
         WITH base AS (
           SELECT o_custkey,

@@ -229,3 +229,69 @@ def test_ann_rerank_shortlists_broadcast(spark):
         assert "SortMergeJoin" not in phys, key
         assert "ShuffledHashJoin" not in phys, key
         assert phys.count("BroadcastHashJoin") >= 2, key
+
+
+def test_pii_mask_is_pure_map(spark):
+    """q_pii_mask: zero exchanges of any kind, no Python boundary — a
+    per-row privacy pass must stream through whole-stage codegen."""
+    phys = _executed_plan(spark, "q_pii_mask")
+    assert "Exchange" not in phys
+    assert "EvalPython" not in phys
+
+
+def test_weighted_median_has_no_per_group_window(spark):
+    """q_agg_weighted_median: the cumulative sum runs under a RANGE
+    repartition with (_pid, flag)-partitioned local windows — never a
+    Window partitioned by the 3-value flag alone over the fact rows
+    (that would funnel each group through one task). The only hash
+    exchanges are the offset/total aggregates over the partition-count-
+    bounded counts frame."""
+    phys = _final_plan(_executed_plan(spark, "q_agg_weighted_median"))
+    assert phys.count("Exchange rangepartitioning") == 1
+    assert "windowspecdefinition(_pid" in phys
+    assert phys.count("Exchange hashpartitioning") <= 2
+    assert "SortMergeJoin" not in phys
+
+
+def test_moving_median_window_runs_post_agg(spark):
+    """q_win_moving_median: daily groupBy (map-side partial) + the
+    priority-partitioned frame window — two exchanges total, both over
+    the collapsed daily frame, none over raw orders."""
+    phys = _final_plan(_executed_plan(spark, "q_win_moving_median"))
+    assert phys.count("Exchange hashpartitioning") == 2
+    assert phys.count("HashAggregate") >= 2
+
+
+def test_transitions_three_bounded_exchanges(spark):
+    """q_ts_transitions: user_id lag shuffle → (from,to) matrix aggregate
+    (map-side partial) → per-from probability window over the ≤|types|²
+    frame. Three hash exchanges, the last two over collapsed frames."""
+    phys = _final_plan(_executed_plan(spark, "q_ts_transitions"))
+    assert phys.count("Exchange hashpartitioning") == 3
+    assert phys.count("HashAggregate") >= 2
+
+
+def test_ewma_scan_runs_post_agg(spark):
+    """q_ts_ewma: one daily-aggregate shuffle (partial agg) + the
+    event_type-partitioned prefix scan over the post-agg frame."""
+    phys = _final_plan(_executed_plan(spark, "q_ts_ewma"))
+    assert phys.count("Exchange hashpartitioning") == 2
+    assert phys.count("HashAggregate") >= 2
+
+
+def test_quantize_int8_single_shuffle_no_python(spark):
+    """q_vec_quantize_int8: per-vector math in JVM higher-order array
+    functions (no Python boundary), one label-groupBy shuffle with a
+    map-side partial aggregate."""
+    phys = _final_plan(_executed_plan(spark, "q_vec_quantize_int8"))
+    assert phys.count("Exchange hashpartitioning") == 1
+    assert phys.count("HashAggregate") >= 2
+    assert "EvalPython" not in phys
+
+
+def test_token_entropy_reuses_doc_partitioning(spark):
+    """q_text_token_entropy: (doc_id, token) count shuffle + doc_id window
+    shuffle; the final per-doc aggregate reuses the window's doc_id
+    partitioning — two exchanges total, not three."""
+    phys = _final_plan(_executed_plan(spark, "q_text_token_entropy"))
+    assert phys.count("Exchange hashpartitioning") == 2

@@ -359,3 +359,27 @@ def test_streaming_minhash_dedup_equals_batch(spark):
         assert got == want
     finally:
         q.stop()
+
+
+def test_streaming_transitions_equal_batch(spark, stream):
+    """transitions_stream emits per-batch count DELTAS; their sum per
+    (from, to) must equal the batch matrix counts exactly (ordering
+    semantics replicated), and the batch probabilities follow."""
+    q = streaming.run_to_memory(
+        streaming.transitions_stream(stream), "t_trans", "update"
+    )
+    try:
+        got = sorted(
+            (r["from_type"], r["to_type"], r["total"])
+            for r in spark.table("t_trans")
+            .groupBy("from_type", "to_type")
+            .agg(F.sum("n_delta").alias("total"))
+            .collect()
+        )
+        want = sorted(
+            (r["from_type"], r["to_type"], r["n_transitions"])
+            for r in timeseries.q_ts_transitions(spark, SF).collect()
+        )
+        assert got == want
+    finally:
+        q.stop()
