@@ -229,14 +229,101 @@ def q_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join: each non-purchase event joined to
+    the SCD2 purchase-history version valid at its timestamp
+    (valid_from ≤ ts < valid_to, NULL-open current row) — the standard
+    warehouse pattern of enriching a fact against a slowly-changing
+    dimension AS OF the fact time.
+
+    Spark-first plan: NOT an interval join (which would range-explode);
+    the interval predicate collapses to an as-of carry — flag dimension
+    versions inline on ONE scan (no dim/fact union), sort each user by
+    (ts, dim-first, event_id), and carry the last version forward. The
+    carried version is
+    by construction the latest with valid_from ≤ ts, and its valid_to is
+    either NULL or the next version's valid_from > ts, so the interval
+    containment holds without ever evaluating it: ONE shuffle on user_id,
+    zero joins. Zero-length versions (two purchases in the same µs) are
+    correctly shadowed: the carry order ends on the higher event_id,
+    exactly the row the oracle's from ≤ ts < to predicate selects.
+    Events before a user's first purchase have no valid version and drop
+    (inner semantics), mirroring the oracle's JOIN."""
+    from pyspark.sql import Window
+
+    # ONE scan: every event row is either a dimension version (purchase)
+    # or a fact row — no dim/fact union (which would read the table
+    # twice); the flag is computed inline
+    u = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("event_type") == "purchase").cast("int").alias("_is_dim"),
+        "event_type",
+        F.col("value").alias("_attr"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.desc("_is_dim"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    def carry(col):
+        return F.last(
+            F.when(F.col("_is_dim") == 1, col), ignorenulls=True
+        ).over(w)
+
+    return (
+        u.select(
+            "user_id",
+            "ts",
+            "event_id",
+            "_is_dim",
+            "event_type",
+            carry(F.col("event_id")).alias("version_event_id"),
+            carry(F.col("_attr")).alias("attr_value"),
+            carry(F.col("ts")).alias("valid_from"),
+        )
+        .filter(
+            (F.col("_is_dim") == 0) & F.col("version_event_id").isNotNull()
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("event_ts"),
+            "event_type",
+            "version_event_id",
+            "attr_value",
+            "valid_from",
+        )
+    )
+
+
 QUERIES = {
     "q_merge_upsert": q_merge_upsert,
+    "q_join_scd2_pointintime": q_join_scd2_pointintime,
     "q_mv_incremental": q_mv_incremental,
     "q_cdc_compact": q_cdc_compact,
     "q_scd2_intervals": q_scd2_intervals,
 }
 
 ORACLES = {
+    "q_join_scd2_pointintime": """
+        WITH dim AS (
+          SELECT user_id, event_id AS version_event_id,
+                 value AS attr_value, ts AS valid_from,
+                 lead(ts) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS valid_to
+          FROM events WHERE event_type = 'purchase'),
+        e AS (
+          SELECT user_id, event_id, ts, event_type
+          FROM events WHERE event_type <> 'purchase')
+        SELECT e.event_id, e.user_id, e.ts AS event_ts, e.event_type,
+               d.version_event_id, d.attr_value, d.valid_from
+        FROM e JOIN dim d
+          ON e.user_id = d.user_id
+         AND d.valid_from <= e.ts
+         AND (d.valid_to IS NULL OR e.ts < d.valid_to)""",
     "q_merge_upsert": f"""
         WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
                    FROM orders),

@@ -58,6 +58,11 @@ for _name in (
 # regression net; tests/test_registry_order.py pins this window.
 HARD_SIGNAL_FIRST_50 = [
     # --- new round-6 operators, second batch (zero driver evidence) ---
+    "q_join_scd2_pointintime",
+    "q_ts_cusum",
+    "q_ts_rollup_multigrain",
+    "q_ts_mom_growth",
+    "q_vec_kmeans_step",
     "q_ts_transitions",
     "q_ts_ewma",
     "q_win_moving_median",
@@ -109,11 +114,6 @@ HARD_SIGNAL_FIRST_50 = [
     "q_dedup_near_pairs",
     "q_dedup_minhash_lsh",
     "q_dedup_components",
-    "q_dedup_components_star",
-    "q_vec_ann_pq",
-    "q_win_rank",
-    "q_win_lag_lead",
-    "q_win_running_sum",
 ]
 
 # Next in line for round 7: the remaining r4-checked cohort (joins, scalar
@@ -122,6 +122,11 @@ HARD_SIGNAL_FIRST_50 = [
 _SECOND_WAVE = [
     # displaced from the r6 window by the second batch of new operators
     # (these all carry r4 driver evidence; local parity is their net)
+    "q_dedup_components_star",
+    "q_vec_ann_pq",
+    "q_win_rank",
+    "q_win_lag_lead",
+    "q_win_running_sum",
     "q_join_asof",
     "q_join_asof_tolerance",
     "q_join_interval",

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from gpe.common import EPS, dec, fround, ntz, sql_fround, umicros
+from gpe.common import EPS, dec, dsum, fround, ntz, sql_dsum, sql_fround, umicros
 from gpe.io import load_table
 
 _SESSION_GAP_US = 1_800_000_000  # 30 minutes
@@ -468,10 +468,137 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate ladder: hour, day, and month
+    buckets (plus the grand total) of the event stream materialized in
+    ONE pass via ROLLUP over the nested truncations — hour ⊂ day ⊂ month,
+    so ROLLUP(month, day, hour) enumerates exactly the hour/day/month/
+    total grains with no self-union and no second scan.
+
+    Scale notes (100 TB): a union of three groupBys would scan the fact
+    three times; ROLLUP expands each row to 4 grouping tuples BEFORE the
+    map-side partial aggregate, so the fact is read once and the shuffle
+    carries only pre-aggregated (grain, bucket) partials — the classic
+    hypertable rollup maintenance job. Grain is derived from NULLness of
+    the truncation columns (never NULL in data), not grouping_id(), so
+    the oracle needs no bit-layout agreement between engines."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.select(
+        ntz(F.date_trunc("month", "ts")).alias("g_month"),
+        ntz(F.date_trunc("day", "ts")).alias("g_day"),
+        ntz(F.date_trunc("hour", "ts")).alias("g_hour"),
+        "value",
+    )
+    r = g.rollup("g_month", "g_day", "g_hour").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", "sum_value"),
+    )
+    grain = (
+        F.when(F.col("g_hour").isNotNull(), "hour")
+        .when(F.col("g_day").isNotNull(), "day")
+        .when(F.col("g_month").isNotNull(), "month")
+        .otherwise("total")
+    )
+    return r.select(
+        grain.alias("grain"),
+        F.coalesce("g_hour", "g_day", "g_month").alias("bucket"),
+        "n_events",
+        "sum_value",
+    )
+
+
+def q_ts_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period growth: monthly order revenue with
+    month-over-month and year-over-year percentage change (NULL where no
+    prior period exists) — the trend endpoint of every analytics API.
+
+    Scale notes (100 TB): one map-side-partial shuffle for the month
+    aggregate; the lag window runs over the POST-AGG months-cardinality
+    frame (dozens of rows), so the unpartitioned ordering is driver-
+    trivial by construction (same argument as q_ts_vwap). Revenue stays
+    exact decimal; the growth ratios are identical IEEE divisions of
+    identical rounded doubles, ε-nudged."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        ntz(F.date_trunc("month", "o_orderdate")).alias("month")
+    ).agg(dsum("o_totalprice", "revenue"))
+    w = Window.orderBy("month")
+    prev = F.lag("revenue", 1).over(w)
+    prev12 = F.lag("revenue", 12).over(w)
+    return m.select(
+        "month",
+        "revenue",
+        fround((F.col("revenue") - prev) / prev * 100, "mom_pct", 4),
+        fround((F.col("revenue") - prev12) / prev12 * 100, "yoy_pct", 4),
+    )
+
+
+def q_ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM burst detection over the daily value stream per
+    event type: S_d = max(0, S_{d−1} + (x_d − k)) with drift k = the
+    type's own mean daily total; a burst flags when S exceeds k (one
+    average day of accumulated excess). The change-point monitor every
+    ops/analytics API runs on its metric streams.
+
+    Spark has no recursive window, but the clamped recurrence has an
+    exact prefix form: S_d = cum_d − min(0, min_{j≤d} cum_j) where
+    cum = running Σ(x−k) — one cumulative sum and one running min, both
+    over the same frame. Everything stays in exact DECIMAL (k is the
+    e2-floor-scaled mean, so the subtraction never leaves decimal space):
+    S — and the integer-exact burst flag — is engine-identical with no
+    float ever crossing the hash except the final rounded reports.
+
+    Scale notes (100 TB): one map-side-partial daily aggregate shuffle;
+    the two stacked windows run over the post-agg (#types × #days) frame
+    partitioned by event_type; the drift table is a ≤|types|-row
+    broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", ntz(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.sum(dec("value")).alias("_s"))
+    drift = daily.groupBy("event_type").agg(
+        (
+            F.floor(F.sum("_s").cast("double") * F.lit(100) / F.count(F.lit(1)))
+            / F.lit(100.0)
+        )
+        .cast("decimal(18,2)")
+        .alias("_k")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = daily.join(F.broadcast(drift), "event_type").withColumn(
+        "_dev", F.col("_s") - F.col("_k")
+    )
+    cum = F.sum("_dev").over(w)
+    acc = d.select(
+        "event_type",
+        "day",
+        "_s",
+        "_k",
+        cum.alias("_cum"),
+        F.min(cum).over(w).alias("_runmin"),
+    )
+    s = F.col("_cum") - F.least(F.col("_runmin"), F.lit(0).cast("decimal(18,2)"))
+    return acc.select(
+        "event_type",
+        "day",
+        F.round("_s", 2).cast("double").alias("day_sum"),
+        F.round("_k", 2).cast("double").alias("drift_k"),
+        F.round(s, 2).cast("double").alias("cusum"),
+        (s > F.col("_k")).alias("is_burst"),
+    )
+
+
 QUERIES = {
     "q_ts_anomaly_zscore": q_ts_anomaly_zscore,
     "q_ts_transitions": q_ts_transitions,
     "q_ts_ewma": q_ts_ewma,
+    "q_ts_rollup_multigrain": q_ts_rollup_multigrain,
+    "q_ts_mom_growth": q_ts_mom_growth,
+    "q_ts_cusum": q_ts_cusum,
     "q_ts_vwap": q_ts_vwap,
     "q_ts_attribution": q_ts_attribution,
     "q_ts_tumbling": q_ts_tumbling,
@@ -487,6 +614,63 @@ QUERIES = {
 _SUM_VAL = "CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value"
 
 ORACLES = {
+    "q_ts_cusum": """
+        WITH daily AS (
+          SELECT event_type, date_trunc('day', ts) AS day,
+                 SUM(CAST(value AS DECIMAL(12,2))) AS s
+          FROM events GROUP BY 1, 2),
+        drift AS (
+          SELECT event_type,
+                 CAST(FLOOR(CAST(SUM(s) AS DOUBLE) * 100 / COUNT(*))
+                      / 100.0 AS DECIMAL(18,2)) AS k
+          FROM daily GROUP BY 1),
+        cums AS (
+          SELECT d.event_type, d.day, d.s, dr.k,
+                 SUM(d.s - dr.k) OVER (
+                   PARTITION BY d.event_type ORDER BY d.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM daily d JOIN drift dr ON d.event_type = dr.event_type),
+        acc AS (
+          SELECT event_type, day, s, k, cum,
+                 MIN(cum) OVER (
+                   PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS runmin
+          FROM cums)
+        SELECT event_type, day,
+               CAST(ROUND(s, 2) AS DOUBLE) AS day_sum,
+               CAST(ROUND(k, 2) AS DOUBLE) AS drift_k,
+               CAST(ROUND(cum - LEAST(runmin, CAST(0 AS DECIMAL(18,2))), 2)
+                    AS DOUBLE) AS cusum,
+               (cum - LEAST(runmin, CAST(0 AS DECIMAL(18,2)))) > k
+                 AS is_burst
+        FROM acc""",
+    "q_ts_rollup_multigrain": f"""
+        WITH g AS (
+          SELECT date_trunc('month', ts) AS g_month,
+                 date_trunc('day', ts) AS g_day,
+                 date_trunc('hour', ts) AS g_hour,
+                 value
+          FROM events)
+        SELECT CASE WHEN g_hour IS NOT NULL THEN 'hour'
+                    WHEN g_day IS NOT NULL THEN 'day'
+                    WHEN g_month IS NOT NULL THEN 'month'
+                    ELSE 'total' END AS grain,
+               COALESCE(g_hour, g_day, g_month) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               {sql_dsum('value', 'sum_value')}
+        FROM g GROUP BY ROLLUP (g_month, g_day, g_hour)""",
+    "q_ts_mom_growth": f"""
+        WITH m AS (
+          SELECT date_trunc('month', o_orderdate) AS month,
+                 {sql_dsum('o_totalprice', 'revenue')}
+          FROM orders GROUP BY 1)
+        SELECT month, revenue,
+               ROUND((revenue - lag(revenue, 1) OVER w)
+                     / lag(revenue, 1) OVER w * 100 + {EPS}, 4) AS mom_pct,
+               ROUND((revenue - lag(revenue, 12) OVER w)
+                     / lag(revenue, 12) OVER w * 100 + {EPS}, 4) AS yoy_pct
+        FROM m WINDOW w AS (ORDER BY month)""",
     "q_ts_transitions": f"""
         WITH pairs AS (
           SELECT lag(event_type) OVER (PARTITION BY user_id

@@ -755,9 +755,93 @@ def q_vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vec_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration of k-means over the embeddings (seeds = the
+    per-label centroids), reported as the old→new assignment confusion
+    matrix — the representative of the iterative-refinement family, kept
+    fully oracle-checkable because every arithmetic step is exact:
+    assignment by argmin ‖x−c‖² ≡ argmax (2·x·c − ‖c‖²) for unit x, and
+    both the dot and the centroid norm are exact-decimal folds over the
+    e8-floored centroid components (the q_vec_ann_ivf coarse-quantizer
+    recipe), so the argmax — and therefore every count — is engine-exact
+    (ties break toward the smaller centroid label). The output is
+    all-integer: no float ever crosses the oracle hash.
+
+    Scale notes (100 TB): centroid build is one (label, pos) shuffle with
+    map-side partials; the k×dim centroid table broadcasts; assignment is
+    a map-side broadcast join + one (vec, cell) partial-agg shuffle; the
+    argmax is an aggregate (max-of-struct), not a window sort. Further
+    iterations = re-running with the emitted assignment as the label
+    column (driver loop, one job per step, like star_components)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "x")
+    )
+    cdims = (
+        ex.groupBy("label", "pos")
+        .agg(
+            F.sum(F.col("x").cast("decimal(12,10)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.col("label").alias("clabel"),
+            "pos",
+            (
+                F.floor(
+                    F.col("s").cast("double") * F.lit(100000000) / F.col("n")
+                )
+                / F.lit(100000000.0)
+            )
+            .cast("decimal(9,8)")
+            .alias("cdim"),
+        )
+    )
+    # k rows: (clabel, pos-ordered decimal centroid array, exact ‖c‖²) —
+    # the whole codebook broadcasts, so assignment is a map-side fold per
+    # (vector, cell) pair with NO per-position row blow-up through any
+    # shuffle (an exploded positional join would push #vecs×k×dim rows
+    # into a hash aggregate)
+    cent = cdims.groupBy("clabel").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "cdim"))),
+            lambda s: s.cdim,
+        ).alias("cent"),
+        F.sum(F.col("cdim") * F.col("cdim")).alias("c2"),
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("cent"),
+            lambda x, c: x.cast("decimal(12,10)") * c,
+        ),
+        F.lit(0).cast("decimal(38,18)"),
+        lambda a, v: (a + v).cast("decimal(38,18)"),
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).withColumn(
+        "margin", dot + dot - F.col("c2").cast("decimal(38,18)")
+    )
+    best = (
+        scored.groupBy("vec_id", "label")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("margin").alias("m"),
+                    (-F.col("clabel")).alias("neg"),
+                    F.col("clabel").alias("clabel"),
+                )
+            ).alias("b")
+        )
+        .select("vec_id", "label", F.col("b.clabel").alias("new_label"))
+    )
+    return best.groupBy(
+        F.col("label").alias("old_label"), "new_label"
+    ).agg(F.count(F.lit(1)).alias("n_vecs"))
+
+
 QUERIES = {
     "q_vec_knn_brute": q_vec_knn_brute,
     "q_vec_quantize_int8": q_vec_quantize_int8,
+    "q_vec_kmeans_step": q_vec_kmeans_step,
     "q_vec_range_search": q_vec_range_search,
     "q_vec_pairs_threshold": q_vec_pairs_threshold,
     "q_vec_centroids": q_vec_centroids,
@@ -769,6 +853,35 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_vec_kmeans_step": f"""
+        WITH ex AS ({_SQL_EXPLODED}),
+        sums AS (
+          SELECT label, pos, SUM(CAST(x AS DECIMAL(12,10))) AS s,
+                 COUNT(*) AS n
+          FROM ex GROUP BY 1, 2),
+        cd AS (
+          SELECT label AS clabel, pos,
+                 CAST(FLOOR(CAST(s AS DOUBLE) * 100000000 / n)
+                      / 100000000.0 AS DECIMAL(9,8)) AS cdim
+          FROM sums),
+        cn AS (SELECT clabel, SUM(cdim * cdim) AS c2 FROM cd GROUP BY 1),
+        dots AS (
+          SELECT e.vec_id, e.label, c.clabel,
+                 SUM(CAST(e.x AS DECIMAL(12,10)) * c.cdim) AS dot
+          FROM ex e JOIN cd c ON e.pos = c.pos
+          GROUP BY 1, 2, 3),
+        sc AS (
+          SELECT d.vec_id, d.label, d.clabel,
+                 2 * d.dot - CAST(cn.c2 AS DECIMAL(30,18)) AS margin
+          FROM dots d JOIN cn ON d.clabel = cn.clabel),
+        best AS (
+          SELECT vec_id, label, clabel,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY margin DESC, clabel ASC) AS rn
+          FROM sc)
+        SELECT label AS old_label, clabel AS new_label,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs
+        FROM best WHERE rn = 1 GROUP BY 1, 2""",
     "q_vec_quantize_int8": f"""
         WITH v AS (
           SELECT label,

@@ -295,3 +295,52 @@ def test_token_entropy_reuses_doc_partitioning(spark):
     partitioning — two exchanges total, not three."""
     phys = _final_plan(_executed_plan(spark, "q_text_token_entropy"))
     assert phys.count("Exchange hashpartitioning") == 2
+
+
+def test_rollup_multigrain_single_scan_single_shuffle(spark):
+    """q_ts_rollup_multigrain: ONE fact scan expanded to the grain tuples
+    BEFORE a map-side partial aggregate — one exchange total (a grain
+    union would scan and shuffle three times)."""
+    phys = _final_plan(_executed_plan(spark, "q_ts_rollup_multigrain"))
+    assert phys.count("Exchange hashpartitioning") == 1
+    assert phys.count("Expand") == 1
+    assert phys.count("HashAggregate") >= 2
+
+
+def test_mom_growth_window_runs_post_agg(spark):
+    """q_ts_mom_growth: one month-aggregate shuffle (partial agg); the
+    lag window's single-partition exchange sits above the dozens-of-
+    months frame, never above raw orders."""
+    phys = _final_plan(_executed_plan(spark, "q_ts_mom_growth"))
+    assert phys.count("Exchange hashpartitioning") == 1
+    assert phys.count("HashAggregate") >= 2
+
+
+def test_kmeans_step_assignment_is_broadcast_fold(spark):
+    """q_vec_kmeans_step: the codebook broadcasts (BroadcastNestedLoopJoin
+    over k rows) and the per-(vector, cell) margin is a map-side array
+    fold — no positional explode ever crosses a shuffle, no sort-based
+    join anywhere."""
+    phys = _final_plan(_executed_plan(spark, "q_vec_kmeans_step"))
+    assert phys.count("BroadcastNestedLoopJoin") == 1
+    assert "SortMergeJoin" not in phys
+    assert phys.count("Exchange hashpartitioning") <= 4
+
+
+def test_scd2_pointintime_is_one_scan_one_shuffle(spark):
+    """q_join_scd2_pointintime: the interval predicate collapses to an
+    as-of carry — ONE events scan, ONE user_id exchange, zero joins."""
+    phys = _final_plan(_executed_plan(spark, "q_join_scd2_pointintime"))
+    assert phys.count("Scan parquet") == 1
+    assert phys.count("Exchange hashpartitioning") == 1
+    assert "Join" not in phys
+
+
+def test_cusum_windows_run_post_agg(spark):
+    """q_ts_cusum: the stacked cum/min windows run over the post-agg
+    daily frame; the drift table joins by broadcast (no sort-based
+    join)."""
+    phys = _final_plan(_executed_plan(spark, "q_ts_cusum"))
+    assert "SortMergeJoin" not in phys
+    assert phys.count("BroadcastHashJoin") == 1
+    assert phys.count("Exchange hashpartitioning") <= 4

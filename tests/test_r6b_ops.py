@@ -141,3 +141,89 @@ def test_token_entropy_bounds_and_spot_check(spark):
         )
         assert r.n_tokens == n and r.n_distinct == len(cnt)
         assert r.entropy_nats == h_e6 / 1_000_000.0
+
+
+def test_rollup_multigrain_grains_telescope(spark):
+    """Each grain partitions the same events: hour/day/month/total event
+    counts and (rounded) sums must all agree; hour buckets roll up to
+    their containing day."""
+    pdf = _Q["q_ts_rollup_multigrain"](spark, SF).toPandas()
+    by = {g: d for g, d in pdf.groupby("grain")}
+    n = by["total"]["n_events"].iloc[0]
+    assert len(by["total"]) == 1 and by["total"]["bucket"].isna().all()
+    for g in ("hour", "day", "month"):
+        assert by[g]["n_events"].sum() == n
+    hours = by["hour"].copy()
+    hours["day"] = hours["bucket"].dt.floor("D")
+    per_day = hours.groupby("day")["n_events"].sum()
+    want = by["day"].set_index("bucket")["n_events"]
+    assert per_day.sort_index().equals(want.sort_index())
+
+
+def test_mom_growth_matches_pandas_shift(spark):
+    pdf = _Q["q_ts_mom_growth"](spark, SF).toPandas().sort_values("month")
+    rev = pdf["revenue"]
+    mom = (rev - rev.shift(1)) / rev.shift(1) * 100
+    yoy = (rev - rev.shift(12)) / rev.shift(12) * 100
+    assert pdf["mom_pct"].isna().sum() == 1
+    assert pdf["yoy_pct"].isna().sum() == 12
+    assert np.allclose(pdf["mom_pct"].dropna(), mom.dropna(), atol=1e-3)
+    assert np.allclose(pdf["yoy_pct"].dropna(), yoy.dropna(), atol=1e-3)
+
+
+def test_kmeans_step_matches_numpy_lloyd(spark):
+    """The confusion matrix must equal a numpy recompute of one Lloyd
+    step with the same e8-floored seeds (argmin L2, ties to the smaller
+    label), and its row sums conserve vectors per original label."""
+    out = _Q["q_vec_kmeans_step"](spark, SF).collect()
+    emb = load_table(spark, SF, "embeddings").toPandas()
+    X = np.stack(emb["embedding"].map(lambda v: np.asarray(v, np.float64)))
+    labels = emb["label"].to_numpy()
+    ks = np.unique(labels)
+    cents = np.stack(
+        [
+            np.floor(X[labels == k].sum(0) * 1e8 / (labels == k).sum()) / 1e8
+            for k in ks
+        ]
+    )
+    d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+    new = ks[d2.argmin(1)]  # argmin breaks ties toward the smaller label
+    want: dict = {}
+    for o, nl in zip(labels, new):
+        want[(int(o), int(nl))] = want.get((int(o), int(nl)), 0) + 1
+    got = {(r.old_label, r.new_label): r.n_vecs for r in out}
+    assert got == want
+    assert sum(got.values()) == len(emb)
+
+
+def test_scd2_pointintime_matches_pandas_asof(spark):
+    """Each joined fact must carry the LATEST purchase version at or
+    before its timestamp; facts before the user's first purchase drop."""
+    out = _Q["q_join_scd2_pointintime"](spark, SF).toPandas()
+    ev = load_table(spark, SF, "events").toPandas()
+    purch = ev[ev.event_type == "purchase"].sort_values(["ts", "event_id"])
+    facts = ev[ev.event_type != "purchase"]
+    want = {}
+    for r in facts.itertuples():
+        p = purch[(purch.user_id == r.user_id) & (purch.ts <= r.ts)]
+        if len(p):
+            want[r.event_id] = int(p.iloc[-1].event_id)
+    got = dict(zip(out.event_id, out.version_event_id))
+    assert got == want
+
+
+def test_cusum_matches_clamped_recurrence(spark):
+    """The prefix form cum − min(0, runmin) must equal the textbook
+    clamped recurrence S_d = max(0, S_{d−1} + (x_d − k)), and the burst
+    flag must compare S > k."""
+    pdf = (
+        _Q["q_ts_cusum"](spark, SF)
+        .toPandas()
+        .sort_values(["event_type", "day"])
+    )
+    for _, g in pdf.groupby("event_type"):
+        s = 0.0
+        for r in g.itertuples():
+            s = max(0.0, s + (r.day_sum - r.drift_k))
+            assert abs(r.cusum - s) < 1e-6
+            assert r.is_burst == (r.cusum > r.drift_k)
