@@ -1196,11 +1196,14 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     Distributed as the two-pass range-partition pattern generalized to
     grouped cumulative sums: range-repartition on (flag, price, key) so
     each partition holds a contiguous slice of one-or-two flags' price
-    range, cumulative-sum locally, then add a broadcast per-(partition,
-    flag) offset table — no stage funnels a whole group through one task
-    (a naive Window.partitionBy(flag) would: 3 flags → 3 tasks at any
-    scale). The crossing test 2·cum ≥ total stays in EXACT decimal, so
-    no threshold float ever crosses the oracle hash.
+    range, aggregate per-partition weight totals, and locate the ONE
+    crossing partition per flag from the broadcast offset table — only
+    that partition's rows are then sorted for the local cumulative sum,
+    so the scan-after-shuffle touches ~1/P of the data and no stage
+    funnels a whole group through one task (a naive
+    Window.partitionBy(flag) would: 3 flags → 3 tasks at any scale).
+    The crossing test 2·cum ≥ total stays in EXACT decimal, so no
+    threshold float ever crosses the oracle hash.
 
     Results are partition-count-invariant (same offset-table argument as
     gpe.common.two_pass_ntile; tests/test_two_pass_invariance.py)."""
@@ -1214,31 +1217,43 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
     )
     order = ["l_extendedprice", "l_orderkey", "l_linenumber"]
-    part = li.repartitionByRange(
-        two_pass_parts(spark), "l_returnflag", *order
-    ).withColumn("_pid", F.spark_partition_id())
-    w_loc = (
-        Window.partitionBy("_pid", "l_returnflag")
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    part = persist_tracked(
+        li.repartitionByRange(
+            two_pass_parts(spark), "l_returnflag", *order
+        ).withColumn("_pid", F.spark_partition_id())
     )
-    loc = persist_tracked(part.withColumn("_lcum", F.sum("_q").over(w_loc)))
-    cnts = loc.groupBy("_pid", "l_returnflag").agg(F.sum("_q").alias("_pq"))
+    cnts = part.groupBy("_pid", "l_returnflag").agg(F.sum("_q").alias("_pq"))
     w_off = (
         Window.partitionBy("l_returnflag")
         .orderBy("_pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offs = cnts.select(
+    w_tot = Window.partitionBy("l_returnflag")
+    # crossing-partition pruning: per (partition, flag), [_off, _off+_pq)
+    # is its cumulative-weight span; the median row lives ONLY in the
+    # partition whose span contains tot/2, so the cumulative window below
+    # scans ~1/P of the data instead of every row (the other partitions'
+    # rows never reach the sort)
+    spans = cnts.select(
         "_pid",
         "l_returnflag",
         F.coalesce(
             F.sum("_pq").over(w_off), F.lit(0).cast("decimal(32,2)")
         ).alias("_off"),
+        F.col("_pq"),
+        F.sum("_pq").over(w_tot).alias("_tot"),
     )
-    tots = cnts.groupBy("l_returnflag").agg(F.sum("_pq").alias("_tot"))
-    g = loc.join(F.broadcast(offs), ["_pid", "l_returnflag"]).join(
-        F.broadcast(tots), "l_returnflag"
+    crossing = spans.filter(
+        (F.lit(2) * F.col("_off") < F.col("_tot"))
+        & (F.lit(2) * (F.col("_off") + F.col("_pq")) >= F.col("_tot"))
+    ).select("_pid", "l_returnflag", "_off", "_tot")
+    w_loc = (
+        Window.partitionBy("_pid", "l_returnflag")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    g = part.join(F.broadcast(crossing), ["_pid", "l_returnflag"]).withColumn(
+        "_lcum", F.sum("_q").over(w_loc)
     )
     crossed = g.filter(
         F.lit(2) * (F.col("_lcum") + F.col("_off")) >= F.col("_tot")

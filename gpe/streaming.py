@@ -68,6 +68,27 @@ def tumbling_counts(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def grain_counts_stream(stream: DataFrame, grain: str) -> DataFrame:
+    """Streaming leg of the q_ts_rollup_multigrain ladder at one grain
+    ('hour' | 'day' | 'month'): counts and exact-decimal value sums per
+    calendar bucket, maintained continuously. Calendar months aren't
+    fixed-width, so the bucket is a date_trunc-derived grouping column
+    (a stateful agg keyed on it), not a fixed-duration window() — the
+    hypertable continuous-aggregate refresh expressed as one streaming
+    aggregation per grain; the batch ROLLUP materializes the same ladder
+    in one pass for backfills. State is one row per open bucket."""
+    from gpe.common import dec, ntz
+
+    return (
+        stream.groupBy(
+            ntz(F.date_trunc(grain, "ts")).alias("bucket")
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(dec("value")), 2).cast("double").alias("sum_value"),
+        )
+    )
+
+
 def session_aggregates(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Streaming sessionization via session_window — merges events whose
     gaps are < gap, the streaming twin of q_ts_sessionize's window formula."""

@@ -383,3 +383,29 @@ def test_streaming_transitions_equal_batch(spark, stream):
         assert got == want
     finally:
         q.stop()
+
+
+@pytest.mark.parametrize("grain", ["hour", "day", "month"])
+def test_streaming_grain_counts_equal_batch_rollup(spark, stream, grain):
+    """Each streaming grain leg must equal the batch multigrain ROLLUP's
+    rows at that grain (complete mode; calendar-month buckets come from
+    the date_trunc grouping key, which window() cannot express)."""
+    q = streaming.run_to_memory(
+        streaming.grain_counts_stream(stream, grain),
+        f"t_grain_{grain}",
+        "complete",
+    )
+    try:
+        got = _rows(
+            spark.table(f"t_grain_{grain}"),
+            ["bucket", "n_events", "sum_value"],
+        )
+        want = _rows(
+            timeseries.q_ts_rollup_multigrain(spark, SF).filter(
+                F.col("grain") == grain
+            ),
+            ["bucket", "n_events", "sum_value"],
+        )
+        assert got == want
+    finally:
+        q.stop()
