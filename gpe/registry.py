@@ -58,6 +58,8 @@ for _name in (
 # regression net; tests/test_registry_order.py pins this window.
 HARD_SIGNAL_FIRST_50 = [
     # --- new round-6 operators, second batch (zero driver evidence) ---
+    "q_ts_forecast_snaive",
+    "q_agg_hhi",
     "q_join_scd2_pointintime",
     "q_ts_cusum",
     "q_ts_rollup_multigrain",
@@ -112,8 +114,6 @@ HARD_SIGNAL_FIRST_50 = [
     "q_multimodal_features",
     # --- r4-checked, module changed in r5/r6 ---
     "q_dedup_near_pairs",
-    "q_dedup_minhash_lsh",
-    "q_dedup_components",
 ]
 
 # Next in line for round 7: the remaining r4-checked cohort (joins, scalar
@@ -122,6 +122,8 @@ HARD_SIGNAL_FIRST_50 = [
 _SECOND_WAVE = [
     # displaced from the r6 window by the second batch of new operators
     # (these all carry r4 driver evidence; local parity is their net)
+    "q_dedup_minhash_lsh",
+    "q_dedup_components",
     "q_dedup_components_star",
     "q_vec_ann_pq",
     "q_win_rank",

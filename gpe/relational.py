@@ -1264,9 +1264,54 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-concentration report: the Herfindahl–Hirschman index of
+    customer spend across nations within each market segment —
+    HHI = Σᵢ shareᵢ². Each share is the IEEE ratio of two exact-decimal
+    sums (identical doubles in both engines), e8-quantized to a LONG
+    with the standard epsilon-nudged floor; HHI is then the exact
+    integer sum of squared e8 shares (≤25·10¹⁶, well inside LONG) over
+    10¹⁶ — no decimal square ever approaches width limits at any SF
+    (squaring the raw spend decimals overflows DuckDB's int64 decimal
+    kernel even at sf0.01).
+
+    Scale notes (100 TB): orders→customer is a broadcast join on the
+    dimension; one (segment, nation) map-side-partial shuffle; the HHI
+    aggregate runs over the ≤|segments|×|nations| frame."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    sp = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "c_nationkey")
+        .agg(F.sum(dec("o_totalprice")).alias("_sp"))
+    )
+    w = Window.partitionBy("c_mktsegment")
+    tot = F.sum("_sp").over(w)
+    share_e8 = F.floor(
+        F.col("_sp").cast("double") / tot.cast("double") * F.lit(100000000)
+        + F.lit(EPS)
+    ).cast("long")
+    t = sp.select(
+        "c_mktsegment",
+        "_sp",
+        tot.alias("_tot"),
+        share_e8.alias("_sh"),
+    )
+    return t.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.round(F.max("_tot"), 2).cast("double").alias("total_spend"),
+        F.round(
+            F.sum(F.col("_sh") * F.col("_sh")) / F.lit(1e16) + EPS, 6
+        ).alias("hhi"),
+    )
+
+
 QUERIES = {
     "q_agg_groupby": q_agg_groupby,
     "q_agg_weighted_median": q_agg_weighted_median,
+    "q_agg_hhi": q_agg_hhi,
     "q_agg_corr_regr": q_agg_corr_regr,
     "q_agg_bitwise": q_agg_bitwise,
     "q_join_fuzzy_name": q_join_fuzzy_name,
@@ -1322,6 +1367,25 @@ _REV_DEC = f"{sql_dec('l_extendedprice')} * {sql_dec('1 - l_discount')}"
 
 ORACLES = {
     "q_agg_groupby": _Q1_ORACLE,
+    "q_agg_hhi": f"""
+        WITH sp AS (
+          SELECT c_mktsegment, c_nationkey,
+                 SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS sp
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY 1, 2),
+        t AS (
+          SELECT c_mktsegment, sp,
+                 SUM(sp) OVER (PARTITION BY c_mktsegment) AS tot,
+                 CAST(FLOOR(CAST(sp AS DOUBLE)
+                            / CAST(SUM(sp) OVER (PARTITION BY c_mktsegment)
+                                   AS DOUBLE)
+                            * 100000000 + {EPS}) AS BIGINT) AS sh
+          FROM sp)
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_nations,
+               CAST(ROUND(MAX(tot), 2) AS DOUBLE) AS total_spend,
+               ROUND(SUM(sh * sh) / 1e16 + {EPS}, 6) AS hhi
+        FROM t GROUP BY c_mktsegment""",
     "q_agg_weighted_median": """
         WITH t AS (
           SELECT l_returnflag, l_extendedprice,

@@ -592,8 +592,52 @@ def q_ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_forecast_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest — the baseline every forecasting
+    endpoint must beat: predict each day's total value per event type as
+    the value 7 days earlier (lag-7 over the daily series), then score
+    MAE and MAPE over the scorable days. Errors stay in exact decimal
+    (|actual − forecast| of exact decimal sums); the means use the
+    floor-scaling idiom, so the report is engine-exact.
+
+    Scale notes (100 TB): one map-side-partial daily aggregate shuffle;
+    the lag-7 window and the per-type score run over the post-agg
+    (#types × #days) frame. A real horizon-h forecast is the same lag
+    with offset h — the backtest IS the production plan."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", ntz(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.sum(dec("value")).alias("_s"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    scored = daily.withColumn("_f", F.lag("_s", 7).over(w)).filter(
+        F.col("_f").isNotNull()
+    )
+    err = F.abs(F.col("_s") - F.col("_f"))
+    # per-day relative error e6-floored to a LONG before summation (the
+    # unigram-logprob idiom): decimal/decimal division has engine-specific
+    # scale rules, so the ratio runs in IEEE double on identical inputs
+    # and quantizes immediately — the aggregate is then an exact LONG sum
+    ape_e6 = F.floor(
+        err.cast("double") / F.col("_s").cast("double") * F.lit(1_000_000)
+        + F.lit(EPS)
+    ).cast("long")
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days_scored"),
+        (
+            F.floor(F.sum(err).cast("double") * F.lit(100) / F.count(F.lit(1)))
+            / F.lit(100.0)
+        ).alias("mae"),
+        F.round(
+            F.sum(ape_e6) / F.lit(1_000_000.0) / F.count(F.lit(1))
+            + F.lit(EPS),
+            6,
+        ).alias("mape"),
+    )
+
+
 QUERIES = {
     "q_ts_anomaly_zscore": q_ts_anomaly_zscore,
+    "q_ts_forecast_snaive": q_ts_forecast_snaive,
     "q_ts_transitions": q_ts_transitions,
     "q_ts_ewma": q_ts_ewma,
     "q_ts_rollup_multigrain": q_ts_rollup_multigrain,
@@ -614,6 +658,26 @@ QUERIES = {
 _SUM_VAL = "CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value"
 
 ORACLES = {
+    "q_ts_forecast_snaive": f"""
+        WITH daily AS (
+          SELECT event_type, date_trunc('day', ts) AS day,
+                 SUM(CAST(value AS DECIMAL(12,2))) AS s
+          FROM events GROUP BY 1, 2),
+        scored AS (
+          SELECT event_type, day, s,
+                 lag(s, 7) OVER (PARTITION BY event_type ORDER BY day) AS f
+          FROM daily),
+        t AS (
+          SELECT event_type, s, ABS(s - f) AS err,
+                 CAST(FLOOR(CAST(ABS(s - f) AS DOUBLE) / CAST(s AS DOUBLE)
+                            * 1000000 + {EPS}) AS BIGINT) AS ape_e6
+          FROM scored WHERE f IS NOT NULL)
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_days_scored,
+               FLOOR(CAST(SUM(err) AS DOUBLE) * 100 / COUNT(*)) / 100.0
+                 AS mae,
+               ROUND(SUM(ape_e6) / 1000000.0 / COUNT(*) + {EPS}, 6) AS mape
+        FROM t GROUP BY event_type""",
     "q_ts_cusum": """
         WITH daily AS (
           SELECT event_type, date_trunc('day', ts) AS day,

@@ -344,3 +344,21 @@ def test_cusum_windows_run_post_agg(spark):
     assert "SortMergeJoin" not in phys
     assert phys.count("BroadcastHashJoin") == 1
     assert phys.count("Exchange hashpartitioning") <= 4
+
+
+def test_forecast_snaive_runs_post_agg(spark):
+    """q_ts_forecast_snaive: daily-aggregate shuffle + the type-partition
+    lag/score over the post-agg frame — two exchanges, partial aggs."""
+    phys = _final_plan(_executed_plan(spark, "q_ts_forecast_snaive"))
+    assert phys.count("Exchange hashpartitioning") == 2
+    assert phys.count("HashAggregate") >= 2
+
+
+def test_hhi_broadcasts_the_dimension(spark):
+    """q_agg_hhi: orders joins customer by BROADCAST (no shuffle of the
+    fact for the join); one (segment, nation) partial-agg shuffle plus
+    the segment-frame share window."""
+    phys = _final_plan(_executed_plan(spark, "q_agg_hhi"))
+    assert phys.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in phys
+    assert phys.count("Exchange hashpartitioning") == 2

@@ -227,3 +227,34 @@ def test_cusum_matches_clamped_recurrence(spark):
             s = max(0.0, s + (r.day_sum - r.drift_k))
             assert abs(r.cusum - s) < 1e-6
             assert r.is_burst == (r.cusum > r.drift_k)
+
+
+def test_forecast_snaive_matches_pandas(spark):
+    out = {r.event_type: r for r in _Q["q_ts_forecast_snaive"](spark, SF).collect()}
+    ev = load_table(spark, SF, "events").toPandas()
+    ev["day"] = ev["ts"].dt.floor("D")
+    daily = ev.groupby(["event_type", "day"])["value"].sum().reset_index()
+    for ty, g in daily.groupby("event_type"):
+        g = g.sort_values("day")
+        f = g["value"].shift(7)
+        sc = g[f.notna()].assign(f=f.dropna().values)
+        err = (sc["value"] - sc["f"]).abs()
+        assert out[ty].n_days_scored == len(sc)
+        assert abs(out[ty].mae - err.mean()) < 0.02
+        assert abs(out[ty].mape - (err / sc["value"]).mean()) < 1e-4
+
+
+def test_hhi_bounds_and_recompute(spark):
+    rows = _Q["q_agg_hhi"](spark, SF).collect()
+    o = load_table(spark, SF, "orders").toPandas()
+    c = load_table(spark, SF, "customer").toPandas()
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    sp = j.groupby(["c_mktsegment", "c_nationkey"])["o_totalprice"].sum()
+    for r in rows:
+        g = sp[r.c_mktsegment]
+        assert r.n_nations == len(g)
+        # 1/n <= HHI <= 1 always
+        assert 1.0 / len(g) - 1e-6 <= r.hhi <= 1.0 + 1e-6
+        shares = g / g.sum()
+        assert abs(r.hhi - (shares**2).sum()) < 1e-6
+        assert abs(r.total_spend - round(g.sum(), 2)) < 0.5
