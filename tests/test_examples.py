@@ -33,3 +33,9 @@ def test_corpus_pipeline_demo_runs():
     stdout = _run("corpus_pipeline_demo.py")
     assert "cluster representatives" in stdout
     assert "nearest neighbors" in stdout
+
+
+def test_monitoring_demo_runs():
+    stdout = _run("monitoring_demo.py")
+    assert "rollup ladder" in stdout
+    assert "monitoring surface demo complete" in stdout

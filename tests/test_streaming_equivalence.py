@@ -409,3 +409,29 @@ def test_streaming_grain_counts_equal_batch_rollup(spark, stream, grain):
         assert got == want
     finally:
         q.stop()
+
+
+def test_streaming_ewma_equals_batch_closed_days(spark, stream):
+    """ewma_stream emits a day when it CLOSES; every closed day must be
+    BIT-equal to the batch closed-form scan (same integer-cent daily
+    means, same IEEE scan order, same Spark-ROUND). The still-open final
+    day per type is the only batch row legitimately absent."""
+    q = streaming.run_to_memory(
+        streaming.ewma_stream(stream), "t_ewma", "update"
+    )
+    try:
+        cols = ["event_type", "day", "daily_avg", "ewma"]
+        got = _rows(spark.table("t_ewma"), cols)
+        batch = timeseries.q_ts_ewma(spark, SF)
+        last = batch.groupBy("event_type").agg(
+            F.max("day").alias("last_day")
+        )
+        want = _rows(
+            batch.join(last, "event_type").filter(
+                F.col("day") < F.col("last_day")
+            ),
+            cols,
+        )
+        assert got == want
+    finally:
+        q.stop()

@@ -92,3 +92,16 @@ def test_two_pass_parts_tracks_parallelism(spark):
     assert two_pass_parts(spark) == max(
         2, spark.sparkContext.defaultParallelism
     )
+
+
+def test_weighted_median_partition_count_invariant(spark, monkeypatch):
+    # q_agg_weighted_median imports two_pass_parts function-locally from
+    # gpe.common; the crossing-partition pruning must reconstruct the same
+    # median for ANY partition count
+    import gpe.common as C
+    import gpe.relational as R
+
+    for sf in (SF_SMOKE, SF_T2):
+        a = _run_at(monkeypatch, C, R.q_agg_weighted_median, spark, sf, 8)
+        b = _run_at(monkeypatch, C, R.q_agg_weighted_median, spark, sf, 64)
+        assert a == b
