@@ -436,6 +436,95 @@ def transitions_stream(stream: DataFrame) -> DataFrame:
     )
 
 
+def ewma_stream(stream: DataFrame) -> DataFrame:
+    """Streaming twin of gpe.timeseries.q_ts_ewma: the per-type EWMA of
+    daily mean value maintained continuously with O(1) state — the open
+    day's (sum_cents, count) plus the three closed-form scan accumulators
+    (day index j, weighted prefix sum A, first value x0). A day EMITS
+    when it closes (the first later-day event for that type arrives);
+    the still-open day stays in state, so a bounded replay emits every
+    day but the last — the equivalence test compares exactly the closed
+    days.
+
+    Bit-equality with the batch op: integer cent sums reproduce the
+    exact-decimal daily means (sum_cents/100.0 is the same correctly-
+    rounded double), the scan replicates the batch's IEEE expression
+    order (A += x·(1/0.7)^j sequentially, then (0.7)^j·(x0+α(A−x0))),
+    and rounding replicates Spark's ROUND(double, 6). The ≤1-ulp
+    libm-pow difference between engines is absorbed by the ε-nudged
+    rounding. Assumes per-type batches arrive in event-time order."""
+    import pandas as pd
+    from decimal import Decimal, ROUND_HALF_UP
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from gpe.common import EPS
+    from gpe.timeseries import _EWMA_ALPHA
+
+    alpha = _EWMA_ALPHA
+    base = 1.0 / (1.0 - alpha)
+    out_schema = (
+        "event_type string, day timestamp, daily_avg double, ewma double"
+    )
+    state_schema = (
+        "day_us long, sum_cents long, cnt long, j long, a double, x0 double"
+    )
+    DAY_US = 86_400_000_000
+
+    def _rd6(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    def fn(key, pdf_iter, state: GroupState):
+        if state.exists:
+            day_us, sum_cents, cnt, j, a, x0 = state.get
+        else:
+            day_us, sum_cents, cnt, j, a, x0 = -1, 0, 0, 0, 0.0, 0.0
+        out: list[tuple] = []
+
+        def close_day():
+            nonlocal j, a, x0
+            x = _rd6(sum_cents / 100.0 / cnt + EPS)
+            a = a + x * base ** float(j)
+            if j == 0:
+                x0 = x
+            ewma = _rd6(
+                (1.0 - alpha) ** float(j) * (x0 + alpha * (a - x0)) + EPS
+            )
+            out.append((key[0], day_us, x, ewma))
+            j += 1
+
+        parts = [p for p in pdf_iter if len(p)]
+        if parts:
+            pdf = pd.concat(parts).sort_values(["ts", "event_id"])
+            ts_us = pdf["ts"].values.astype("datetime64[us]").astype("int64")
+            for t, v in zip(ts_us.tolist(), pdf["value"].tolist()):
+                d = t // DAY_US * DAY_US
+                if d != day_us:
+                    if day_us >= 0:
+                        close_day()
+                    day_us, sum_cents, cnt = d, 0, 0
+                sum_cents += round(v * 100)
+                cnt += 1
+        state.update((day_us, sum_cents, cnt, j, a, x0))
+        if out:
+            yield pd.DataFrame(
+                {
+                    "event_type": [r[0] for r in out],
+                    "day": [pd.Timestamp(r[1], unit="us") for r in out],
+                    "daily_avg": [r[2] for r in out],
+                    "ewma": [r[3] for r in out],
+                }
+            )
+
+    return stream.groupBy("event_type").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def zscore_stream(stream: DataFrame) -> DataFrame:
     """Streaming twin of q_ts_anomaly_zscore: trailing 1-hour z-score
     anomaly flags per user, via applyInPandasWithState. Per-user state is
