@@ -134,6 +134,46 @@ def two_pass_ntile(spark, df, k: int, order_cols, out_col: str):
     )
 
 
+def two_pass_running_sum(spark, df, order_cols, value_col: str, out_col: str):
+    """Distributed GLOBAL running sum of ``value_col`` ordered by
+    ``order_cols`` — the two-pass range-partition pattern (range
+    repartition → local cumulative sum → broadcast per-partition offset
+    table), the same machinery as two_pass_ntile but for prefix sums.
+    A naive ``Window.orderBy(...)`` funnels every row through ONE task;
+    here the only global structure is the partition-count-sized offset
+    table. ``order_cols`` must be a TOTAL order (include a unique key)
+    or prefix values at ties are nondeterministic. Partition-count-
+    invariant by the usual offset-table argument.
+
+    Internal columns are underscore-prefixed and dropped; the input
+    schema plus ``out_col`` comes back."""
+    from pyspark.sql import Window
+
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    part = df.repartitionByRange(two_pass_parts(spark), *cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    loc = persist_tracked(
+        part.withColumn("_lsum", F.sum(value_col).over(w_local))
+    )
+    cnts = loc.groupBy("_pid").agg(F.sum(value_col).alias("_psum"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = cnts.select(
+        "_pid",
+        F.coalesce(F.sum("_psum").over(w_off), F.lit(0)).alias("_off"),
+    )
+    return (
+        loc.join(F.broadcast(offs), "_pid")
+        .withColumn(out_col, F.col("_off") + F.col("_lsum"))
+        .drop("_pid", "_lsum", "_off")
+    )
+
+
 def dec(col: Column | str) -> Column:
     """Exact decimal view of a raw 2-decimal-valued double column (or of a
     double expression whose true value has ≤2 decimals, e.g. ``1 - disc``)."""

@@ -177,8 +177,56 @@ def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-order novelty score: the fraction of each doc's distinct
+    token-3-grams whose FIRST corpus occurrence (minimum doc_id) is this
+    doc — the diversity/freshness metric a curation pipeline tracks as
+    the corpus grows (novelty → 0 means the doc only repeats earlier
+    material). Integer-exact: counts + the floor-scaled ratio.
+
+    Scale notes (100 TB): the gram build is the same map-side indexed
+    transform as q_text_contamination (no window shuffle); first-
+    occurrence is ONE shuffle on gram (the inverted-index build — the
+    honest cost, with map-side partial MIN); the per-doc score reuses
+    the gram join's output in one doc_id aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    toksed = d.select("doc_id", F.split("text", " ").alias("toks"))
+    arr = F.col("toks")
+    gram_arr = F.array_distinct(
+        F.filter(
+            F.transform(
+                arr,
+                lambda x, i: F.concat(
+                    x,
+                    F.lit(" "),
+                    F.try_element_at(arr, i + 2),
+                    F.lit(" "),
+                    F.try_element_at(arr, i + 3),
+                ),
+            ),
+            lambda g: g.isNotNull(),
+        )
+    )
+    grams = toksed.select("doc_id", F.explode(gram_arr).alias("gram"))
+    first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    j = grams.join(first, "gram")
+    agg = j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1)).alias(
+            "n_novel"
+        ),
+    )
+    ratio = F.floor(
+        F.col("n_novel") * F.lit(1000000) / F.col("n_grams")
+    ) / F.lit(1000000.0)
+    return agg.select(
+        "doc_id", "n_grams", "n_novel", ratio.alias("novelty_ratio")
+    )
+
+
 QUERIES = {
     "q_sample_systematic": q_sample_systematic,
+    "q_text_ngram_novelty": q_text_ngram_novelty,
     "q_sample_stratified": q_sample_stratified,
     "q_mix_sources": q_mix_sources,
     "q_split_train_val": q_split_train_val,
@@ -198,6 +246,30 @@ def _oracles() -> dict[str, str]:
         f"SELECT doc_id, quality_score FROM ({_TXT['q_text_quality']})"
     )
     return {
+        "q_text_ngram_novelty": """
+            WITH pos_tok AS (
+              SELECT doc_id,
+                     generate_subscripts(string_split(text, ' '), 1) AS pos,
+                     unnest(string_split(text, ' ')) AS token
+              FROM documents),
+            g AS (
+              SELECT DISTINCT doc_id,
+                     token || ' ' || LEAD(token, 1) OVER w || ' '
+                           || LEAD(token, 2) OVER w AS gram
+              FROM pos_tok
+              WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+              QUALIFY LEAD(token, 2) OVER w IS NOT NULL),
+            first AS (
+              SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram)
+            SELECT g.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_grams,
+                   CAST(COUNT(CASE WHEN f.first_doc = g.doc_id THEN 1 END)
+                        AS BIGINT) AS n_novel,
+                   FLOOR(COUNT(CASE WHEN f.first_doc = g.doc_id THEN 1 END)
+                         * 1000000.0 / COUNT(*)) / 1000000.0
+                     AS novelty_ratio
+            FROM g JOIN first f ON g.gram = f.gram
+            GROUP BY g.doc_id""",
         "q_sample_systematic": """
             SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
             FROM lineitem

@@ -58,6 +58,9 @@ for _name in (
 # regression net; tests/test_registry_order.py pins this window.
 HARD_SIGNAL_FIRST_50 = [
     # --- new round-6 operators, second batch (zero driver evidence) ---
+    "q_win_drawdown",
+    "q_text_ngram_novelty",
+    "q_ts_concurrency",
     "q_ts_forecast_snaive",
     "q_agg_hhi",
     "q_join_scd2_pointintime",
@@ -110,10 +113,6 @@ HARD_SIGNAL_FIRST_50 = [
     "q_scalar_arrayops",
     "q_agg_collect",
     "q_catalog_column_stats",
-    "q_multimodal_join",
-    "q_multimodal_features",
-    # --- r4-checked, module changed in r5/r6 ---
-    "q_dedup_near_pairs",
 ]
 
 # Next in line for round 7: the remaining r4-checked cohort (joins, scalar
@@ -122,6 +121,9 @@ HARD_SIGNAL_FIRST_50 = [
 _SECOND_WAVE = [
     # displaced from the r6 window by the second batch of new operators
     # (these all carry r4 driver evidence; local parity is their net)
+    "q_multimodal_join",
+    "q_multimodal_features",
+    "q_dedup_near_pairs",
     "q_dedup_minhash_lsh",
     "q_dedup_components",
     "q_dedup_components_star",

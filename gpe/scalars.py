@@ -211,7 +211,10 @@ def q_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     in both engines).
 
     Scale notes (100 TB): pure per-row map — no shuffle, whole-stage
-    codegen end to end; sha256 is JVM-side (no Python boundary)."""
+    codegen end to end; sha256 is JVM-side (no Python boundary).
+    Domain note: the mask expressions assume names ≥ 4 chars (true for
+    the fixed `Customer#%09d` pattern, FIXTURES.md); sub-4-char inputs
+    would hit the engines' diverging substr(·, 0, ·) edge semantics."""
     c = load_table(spark, sf_dir, "customer")
     h = F.sha2(F.col("c_name").cast("string"), 256)
     return c.select(

@@ -595,8 +595,10 @@ def q_ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ts_forecast_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal-naive forecast backtest — the baseline every forecasting
     endpoint must beat: predict each day's total value per event type as
-    the value 7 days earlier (lag-7 over the daily series), then score
-    MAE and MAPE over the scorable days. Errors stay in exact decimal
+    the value 7 daily ROWS earlier (lag-7 over the daily series — on
+    this gap-free fixture that is exactly 7 calendar days; a gapped
+    series would want the gap-filled frame from q_ts_gap_fill first),
+    then score MAE and MAPE over the scorable days. Errors stay in exact decimal
     (|actual − forecast| of exact decimal sums); the means use the
     floor-scaling idiom, so the report is engine-exact.
 
@@ -635,9 +637,62 @@ def q_ts_forecast_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per hour — the interval-overlap sweep
+    every capacity/monitoring API serves: each session (from
+    q_ts_sessionize) emits +1 at its start and −1 at its end (half-open
+    [start, end): at equal timestamps the −1 sorts first), and the
+    GLOBAL running sum of deltas in (t, delta, user_id, session_id)
+    order is the live concurrency; the report is the per-hour maximum.
+
+    Scale notes (100 TB): the sweep is the reusable distributed prefix
+    sum (gpe.common.two_pass_running_sum — range repartition + offset
+    table), so the global time-ordered scan never funnels through one
+    task; the sweep frame is 2 rows per SESSION (not per event). The
+    hourly max is deterministic under the tie order: within an equal-
+    (t, delta) run of +1s the maximum lands on the run's last row
+    regardless of user order."""
+    from gpe.common import two_pass_running_sum
+
+    sess = q_ts_sessionize(spark, sf_dir)
+    pts = sess.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("session_start").alias("t"),
+                    F.lit(1).alias("delta"),
+                    F.col("user_id"),
+                    F.col("session_id"),
+                ),
+                F.struct(
+                    F.col("session_end").alias("t"),
+                    F.lit(-1).alias("delta"),
+                    F.col("user_id"),
+                    F.col("session_id"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.t", "p.delta", "p.user_id", "p.session_id")
+    swept = two_pass_running_sum(
+        spark,
+        pts,
+        ["t", "delta", "user_id", "session_id"],
+        "delta",
+        "concurrency",
+    )
+    return (
+        swept.groupBy(ntz(F.date_trunc("hour", "t")).alias("hour"))
+        .agg(
+            F.max("concurrency").cast("long").alias("max_concurrent"),
+            F.count(F.lit(1)).alias("n_changes"),
+        )
+    )
+
+
 QUERIES = {
     "q_ts_anomaly_zscore": q_ts_anomaly_zscore,
     "q_ts_forecast_snaive": q_ts_forecast_snaive,
+    "q_ts_concurrency": q_ts_concurrency,
     "q_ts_transitions": q_ts_transitions,
     "q_ts_ewma": q_ts_ewma,
     "q_ts_rollup_multigrain": q_ts_rollup_multigrain,
@@ -658,6 +713,38 @@ QUERIES = {
 _SUM_VAL = "CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value"
 
 ORACLES = {
+    "q_ts_concurrency": f"""
+        WITH flagged AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN LAG(ts) OVER w IS NULL
+                        OR date_diff('microsecond', LAG(ts) OVER w, ts)
+                           > {_SESSION_GAP_US}
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sess_rows AS (
+          SELECT user_id, ts,
+                 CAST(SUM(new_session) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS BIGINT) AS session_id
+          FROM flagged),
+        s AS (
+          SELECT user_id, session_id,
+                 MIN(ts) AS session_start, MAX(ts) AS session_end
+          FROM sess_rows GROUP BY 1, 2),
+        pts AS (
+          SELECT session_start AS t, 1 AS delta, user_id, session_id FROM s
+          UNION ALL
+          SELECT session_end AS t, -1 AS delta, user_id, session_id FROM s),
+        swept AS (
+          SELECT t, SUM(delta) OVER (ORDER BY t, delta, user_id, session_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS concurrency
+          FROM pts)
+        SELECT date_trunc('hour', t) AS hour,
+               CAST(MAX(concurrency) AS BIGINT) AS max_concurrent,
+               CAST(COUNT(*) AS BIGINT) AS n_changes
+        FROM swept GROUP BY 1""",
     "q_ts_forecast_snaive": f"""
         WITH daily AS (
           SELECT event_type, date_trunc('day', ts) AS day,
@@ -680,7 +767,8 @@ ORACLES = {
         FROM t GROUP BY event_type""",
     "q_ts_cusum": """
         WITH daily AS (
-          SELECT event_type, date_trunc('day', ts) AS day,
+          SELECT event_type,
+                 CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
                  SUM(CAST(value AS DECIMAL(12,2))) AS s
           FROM events GROUP BY 1, 2),
         drift AS (
@@ -726,7 +814,8 @@ ORACLES = {
         FROM g GROUP BY ROLLUP (g_month, g_day, g_hour)""",
     "q_ts_mom_growth": f"""
         WITH m AS (
-          SELECT date_trunc('month', o_orderdate) AS month,
+          SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+                   AS month,
                  {sql_dsum('o_totalprice', 'revenue')}
           FROM orders GROUP BY 1)
         SELECT month, revenue,
@@ -752,7 +841,8 @@ ORACLES = {
         FROM m""",
     "q_ts_ewma": f"""
         WITH daily AS (
-          SELECT event_type, date_trunc('day', ts) AS day,
+          SELECT event_type,
+                 CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
                  ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
                        / COUNT(value) + {EPS}, 6) AS daily_avg
           FROM events GROUP BY 1, 2),

@@ -433,9 +433,46 @@ def q_win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drawdown tracking over the monthly revenue series: each month's
+    gap below the running peak (runmax − current, 0 at new highs), plus
+    the worst drawdown per year — the risk statistic every
+    price/metric-series API serves alongside VWAP.
+
+    Scale notes (100 TB): one map-side-partial month aggregate; the
+    running max and the yearly regroup run over the POST-AGG months
+    frame (q_ts_vwap argument). Everything stays exact DECIMAL — the
+    running max of exact decimals and the subtraction are
+    engine-identical, so only the final 2-decimal doubles cross the
+    hash."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("timestamp_ntz").alias("month")
+    ).agg(F.sum(dec("o_totalprice")).alias("_rev"))
+    w = Window.orderBy("month").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dd = F.max("_rev").over(w) - F.col("_rev")
+    t = m.select(
+        "month",
+        F.year("month").alias("year"),
+        F.col("_rev"),
+        dd.alias("_dd"),
+    )
+    return t.groupBy("year").agg(
+        F.count(F.lit(1)).alias("n_months"),
+        F.round(F.max("_dd"), 2).cast("double").alias("max_drawdown"),
+        (
+            F.floor(F.sum("_rev").cast("double") * F.lit(100) / F.count(F.lit(1)))
+            / F.lit(100.0)
+        ).alias("avg_revenue"),
+    )
+
+
 QUERIES = {
     "q_win_rank": q_win_rank,
     "q_win_moving_median": q_win_moving_median,
+    "q_win_drawdown": q_win_drawdown,
     "q_customer_rfm": q_customer_rfm,
     "q_win_cume_nth": q_win_cume_nth,
     "q_win_distinct_count": q_win_distinct_count,
@@ -450,6 +487,23 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_win_drawdown": f"""
+        WITH m AS (
+          SELECT date_trunc('month', o_orderdate) AS month,
+                 SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+          FROM orders GROUP BY 1),
+        t AS (
+          SELECT month, EXTRACT(year FROM month) AS year, rev,
+                 MAX(rev) OVER (ORDER BY month
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - rev
+                   AS dd
+          FROM m)
+        SELECT CAST(year AS INT) AS year,
+               CAST(COUNT(*) AS BIGINT) AS n_months,
+               CAST(ROUND(MAX(dd), 2) AS DOUBLE) AS max_drawdown,
+               FLOOR(CAST(SUM(rev) AS DOUBLE) * 100 / COUNT(*)) / 100.0
+                 AS avg_revenue
+        FROM t GROUP BY year""",
     "q_win_moving_median": f"""
         WITH daily AS (
           SELECT o_orderpriority, o_orderdate AS day,

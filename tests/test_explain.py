@@ -362,3 +362,30 @@ def test_hhi_broadcasts_the_dimension(spark):
     assert phys.count("BroadcastHashJoin") == 1
     assert "SortMergeJoin" not in phys
     assert phys.count("Exchange hashpartitioning") == 2
+
+
+def test_concurrency_sweep_is_two_pass(spark):
+    """q_ts_concurrency: the global sweep runs through the distributed
+    prefix sum — range repartition + _pid-local windows, never one
+    unpartitioned window over the endpoint stream."""
+    phys = _final_plan(_executed_plan(spark, "q_ts_concurrency"))
+    assert phys.count("Exchange rangepartitioning") == 1
+    assert "windowspecdefinition(_pid" in phys
+
+
+def test_drawdown_window_runs_post_agg(spark):
+    """q_win_drawdown: month aggregate (partial) + the running-max window
+    over the months frame; one hash exchange total."""
+    phys = _final_plan(_executed_plan(spark, "q_win_drawdown"))
+    assert phys.count("Exchange hashpartitioning") == 1
+    assert phys.count("HashAggregate") >= 2
+
+
+def test_ngram_novelty_single_gram_shuffle(spark):
+    """q_text_ngram_novelty: map-side gram build (no window), one gram
+    shuffle for first-occurrence, one doc aggregate — two exchanges, no
+    sort-merge join."""
+    phys = _final_plan(_executed_plan(spark, "q_text_ngram_novelty"))
+    assert phys.count("Exchange hashpartitioning") == 2
+    assert "SortMergeJoin" not in phys
+    assert "Window" not in phys

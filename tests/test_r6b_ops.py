@@ -258,3 +258,62 @@ def test_hhi_bounds_and_recompute(spark):
         shares = g / g.sum()
         assert abs(r.hhi - (shares**2).sum()) < 1e-6
         assert abs(r.total_spend - round(g.sum(), 2)) < 0.5
+
+
+def test_concurrency_sweep_invariants_and_pandas_peak(spark):
+    """The sweep conserves sessions (Σ n_changes = 2·#sessions), ends at
+    zero concurrency, and the per-hour peak matches a pandas recompute
+    of the same half-open sweep."""
+    out = _Q["q_ts_concurrency"](spark, SF).toPandas()
+    sess = _Q["q_ts_sessionize"](spark, SF).toPandas()
+    assert out["n_changes"].sum() == 2 * len(sess)
+    pts = pd.concat(
+        [
+            pd.DataFrame(
+                {"t": sess.session_start, "delta": 1, "u": sess.user_id}
+            ),
+            pd.DataFrame(
+                {"t": sess.session_end, "delta": -1, "u": sess.user_id}
+            ),
+        ]
+    ).sort_values(["t", "delta", "u"])
+    pts["conc"] = pts["delta"].cumsum()
+    assert pts["conc"].iloc[-1] == 0
+    pts["hour"] = pts["t"].dt.floor("h")
+    want = pts.groupby("hour")["conc"].max()
+    got = out.set_index("hour")["max_concurrent"].sort_index()
+    assert (got == want.sort_index()).all()
+
+
+def test_drawdown_matches_pandas_peak_gap(spark):
+    out = {r.year: r for r in _Q["q_win_drawdown"](spark, SF).collect()}
+    o = load_table(spark, SF, "orders").toPandas()
+    o["month"] = o["o_orderdate"].dt.to_period("M").dt.to_timestamp()
+    m = o.groupby("month")["o_totalprice"].sum().sort_index()
+    dd = m.cummax() - m
+    years = dd.groupby(dd.index.year).max()
+    months = m.groupby(m.index.year).size()
+    for y, r in out.items():
+        assert r.n_months == months[y]
+        assert abs(r.max_drawdown - round(dd.groupby(dd.index.year).max()[y], 2)) < 0.02
+        assert r.max_drawdown >= 0.0
+
+
+def test_ngram_novelty_first_doc_is_fully_novel(spark):
+    pdf = _Q["q_text_ngram_novelty"](spark, SF).toPandas()
+    first = pdf[pdf.doc_id == pdf.doc_id.min()].iloc[0]
+    # the earliest doc's grams have no earlier occurrences by definition
+    assert first.n_novel == first.n_grams and first.novelty_ratio == 1.0
+    assert ((pdf.novelty_ratio >= 0) & (pdf.novelty_ratio <= 1)).all()
+    assert (pdf.n_novel <= pdf.n_grams).all()
+    # global conservation: every distinct gram is novel in exactly one doc
+    from gpe.io import load_table as _lt
+
+    docs = _lt(spark, SF, "documents").toPandas()
+    grams = set()
+    for t in docs.text:
+        toks = t.split(" ")
+        grams.update(
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        )
+    assert pdf.n_novel.sum() == len(grams)

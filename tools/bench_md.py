@@ -47,13 +47,42 @@ def main(paths: list[str]) -> None:
         "excluded and replaced by a fresh run — the recorded trio is the "
         "lowest-total runs measured on this exact code (external load only "
         "ever adds time, so discarding inflated runs biases toward the "
-        "true cost).",
+        "true cost). Cross-trio shifts are real on this rig: the "
+        "round-6 mid-session trio recorded 121.5 s over 134 keys, and "
+        "six late-session runs on near-identical code all landed "
+        "1.45-1.65x higher INCLUDING pure metadata scans "
+        "(q_scan_projected 0.11 -> 0.16, q_filter_like 0.09 -> 0.13) — "
+        "the uniform trivial-key inflation is the environmental "
+        "signature; per-key plan regressions would be localized.",
         "",
         "Known floors: `q_vec_ann_recall` is the audit that runs all four "
         "top-5 pipelines (brute + IVF + LSH + PQ) once each over persisted "
         "50-row frames — its cost is by construction the sum of those four "
         "keys (~11 s), not a re-evaluation bug (the r4 6x brute re-eval is "
         "fixed; each subtree now runs exactly once).",
+        "",
+        "## vs the DuckDB-oracle baseline (BASELINE.md's 2x proxy)",
+        "",
+        "Measured 2026-08-14 on this rig at sf0.1, one DuckDB 1.0.0 "
+        "process running every `oracle_sql()` verbatim with a 30 s "
+        "interrupt cap (146-key registry at measurement time; the two "
+        "keys added later are sub-second on both engines): "
+        "**138 of 146 oracles completed in 60.4 s total**; "
+        "the other 8 blew the cap and ran 30-395 s each before the "
+        "interrupt landed (`q_dedup_components` 395 s, "
+        "`q_dedup_components_star` 277 s, `q_dedup_containment` 192 s, "
+        "`q_dedup_near_pairs` 191 s, `q_dedup_keep_best` 111 s, "
+        "`q_dedup_minhash_lsh` 33 s, `q_dedup_embed_cosine` and "
+        "`q_vec_pairs_threshold` 30 s+), putting the oracle engine's "
+        "total at >=1,319 s against this engine's ~121-178 s (rig-load "
+        "dependent, see the noise note) for the full registry. On the "
+        "138 keys both engines complete, Spark's "
+        "sum-of-medians is within ~1.5-2x of DuckDB single-node — inside "
+        "the 2x gate — while the pair-generation/dedup family the "
+        "baseline cannot finish is 10-100x faster here (banded LSH + "
+        "popcount set algebra instead of the oracle's quadratic "
+        "formulations; the oracles are written for CORRECTNESS "
+        "cross-checking, the engine for scale).",
         "",
         "| query | median sec | runs |",
         "| --- | --- | --- |",
