@@ -689,10 +689,48 @@ def q_ts_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile per event type: mean daily total
+    by weekday (0 = Monday, ISO — Spark's weekday() and DuckDB's
+    isodow−1 agree; the engines' default dayofweek() origins do NOT)
+    and each weekday's share of the weekly total — the seasonality
+    endpoint behind staffing/traffic dashboards.
+
+    Scale notes (100 TB): one map-side-partial daily aggregate; the
+    profile collapses to ≤|types|×7 rows before the share window.
+    Determinism: means floor-scaled from exact decimal sums; shares
+    e6-floored ratios of those identical doubles."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", ntz(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.sum(dec("value")).alias("_s"))
+    prof = daily.groupBy(
+        "event_type", F.weekday("day").alias("dow")
+    ).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        (
+            F.floor(F.sum("_s").cast("double") * F.lit(100) / F.count(F.lit(1)))
+            / F.lit(100.0)
+        ).alias("avg_day_total"),
+    )
+    w = Window.partitionBy("event_type")
+    share = F.floor(
+        F.col("avg_day_total")
+        / F.sum("avg_day_total").over(w)
+        * F.lit(1_000_000)
+        + F.lit(EPS)
+    ) / F.lit(1_000_000.0)
+    return prof.select(
+        "event_type", "dow", "n_days", "avg_day_total",
+        share.alias("dow_share"),
+    )
+
+
 QUERIES = {
     "q_ts_anomaly_zscore": q_ts_anomaly_zscore,
     "q_ts_forecast_snaive": q_ts_forecast_snaive,
     "q_ts_concurrency": q_ts_concurrency,
+    "q_ts_seasonality": q_ts_seasonality,
     "q_ts_transitions": q_ts_transitions,
     "q_ts_ewma": q_ts_ewma,
     "q_ts_rollup_multigrain": q_ts_rollup_multigrain,
@@ -713,6 +751,24 @@ QUERIES = {
 _SUM_VAL = "CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value"
 
 ORACLES = {
+    "q_ts_seasonality": f"""
+        WITH daily AS (
+          SELECT event_type,
+                 CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                 SUM(CAST(value AS DECIMAL(12,2))) AS s
+          FROM events GROUP BY 1, 2),
+        prof AS (
+          SELECT event_type,
+                 CAST(isodow(day) - 1 AS INT) AS dow,
+                 CAST(COUNT(*) AS BIGINT) AS n_days,
+                 FLOOR(CAST(SUM(s) AS DOUBLE) * 100 / COUNT(*)) / 100.0
+                   AS avg_day_total
+          FROM daily GROUP BY 1, 2)
+        SELECT event_type, dow, n_days, avg_day_total,
+               FLOOR(avg_day_total
+                     / SUM(avg_day_total) OVER (PARTITION BY event_type)
+                     * 1000000 + {EPS}) / 1000000.0 AS dow_share
+        FROM prof""",
     "q_ts_concurrency": f"""
         WITH flagged AS (
           SELECT user_id, ts, event_id,

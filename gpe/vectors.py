@@ -838,10 +838,114 @@ def q_vec_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n_vecs"))
 
 
+def q_vec_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier audit: per label, the count of vectors whose
+    squared distance to their own centroid exceeds mean + 2σ — the
+    mislabeled/corrupt-embedding screen a 100 TB vector store runs after
+    every ingest batch.
+
+    Determinism: d² = Σ(xᵢ−cᵢ)² folds in exact decimal over the
+    e8-floored centroid (the kmeans/IVF recipe), then e6-quantizes to a
+    LONG; mean and variance are exact integer sums over those longs
+    (values ≤4e6, squares ≤1.6e13 — no overflow at any realistic label
+    cardinality), so the threshold compare is engine-identical.
+
+    Scale notes (100 TB): centroid build is one (label, pos) shuffle;
+    the k×dim codebook broadcasts; d² is a map-side array fold; the
+    audit is one label aggregate. No Python boundary anywhere."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "x")
+    )
+    cdims = (
+        ex.groupBy("label", "pos")
+        .agg(
+            F.sum(F.col("x").cast("decimal(12,10)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "label",
+            "pos",
+            (
+                F.floor(
+                    F.col("s").cast("double") * F.lit(100000000) / F.col("n")
+                )
+                / F.lit(100000000.0)
+            )
+            .cast("decimal(9,8)")
+            .alias("cdim"),
+        )
+    )
+    cent = cdims.groupBy("label").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "cdim"))),
+            lambda s: s.cdim,
+        ).alias("cent")
+    )
+    diff2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("cent"),
+            lambda x, c: (x.cast("decimal(12,10)") - c)
+            * (x.cast("decimal(12,10)") - c),
+        ),
+        F.lit(0).cast("decimal(38,20)"),
+        lambda a, v: (a + v).cast("decimal(38,20)"),
+    )
+    from gpe.common import persist_tracked
+
+    # persisted: the quantized-distance frame feeds the stats aggregate
+    # AND the threshold re-scan
+    d2e6 = persist_tracked(
+        emb.join(F.broadcast(cent), "label").select(
+            "vec_id",
+            "label",
+            F.floor(diff2.cast("double") * F.lit(1_000_000) + F.lit(EPS))
+            .cast("long")
+            .alias("_d2e6"),
+        )
+    )
+    stats = d2e6.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("_d2e6").alias("_s1"),
+        F.sum(F.col("_d2e6") * F.col("_d2e6")).alias("_s2"),
+        F.max("_d2e6").alias("_mx"),
+    )
+    mean = F.col("_s1").cast("double") / F.col("n_vecs")
+    var = (
+        F.col("_s2").cast("double")
+        - F.col("_s1").cast("double") * F.col("_s1").cast("double")
+        / F.col("n_vecs")
+    ) / (F.col("n_vecs") - F.lit(1))
+    thr = mean + F.lit(2.0) * F.sqrt(var)
+    flagged = (
+        d2e6.join(
+            F.broadcast(
+                stats.select("label", thr.alias("_thr"))
+            ),
+            "label",
+        )
+        .filter(F.col("_d2e6").cast("double") > F.col("_thr"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_outliers"))
+    )
+    return (
+        stats.join(flagged, "label", "left")
+        .select(
+            "label",
+            "n_vecs",
+            F.coalesce("n_outliers", F.lit(0)).alias("n_outliers"),
+            (F.col("_mx") / F.lit(1_000_000.0)).alias("max_d2"),
+            F.round(mean / F.lit(1_000_000.0) + EPS, 8).alias("mean_d2"),
+        )
+    )
+
+
 QUERIES = {
     "q_vec_knn_brute": q_vec_knn_brute,
     "q_vec_quantize_int8": q_vec_quantize_int8,
     "q_vec_kmeans_step": q_vec_kmeans_step,
+    "q_vec_outliers": q_vec_outliers,
     "q_vec_range_search": q_vec_range_search,
     "q_vec_pairs_threshold": q_vec_pairs_threshold,
     "q_vec_centroids": q_vec_centroids,
@@ -853,6 +957,49 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_vec_outliers": f"""
+        WITH ex AS ({_SQL_EXPLODED}),
+        sums AS (
+          SELECT label, pos, SUM(CAST(x AS DECIMAL(12,10))) AS s,
+                 COUNT(*) AS n
+          FROM ex GROUP BY 1, 2),
+        cd AS (
+          SELECT label, pos,
+                 CAST(FLOOR(CAST(s AS DOUBLE) * 100000000 / n)
+                      / 100000000.0 AS DECIMAL(9,8)) AS cdim
+          FROM sums),
+        d2 AS (
+          SELECT e.vec_id, e.label,
+                 CAST(FLOOR(CAST(SUM(
+                        (CAST(e.x AS DECIMAL(12,10)) - c.cdim)
+                        * (CAST(e.x AS DECIMAL(12,10)) - c.cdim))
+                      AS DOUBLE) * 1000000 + {EPS}) AS BIGINT) AS d2e6
+          FROM ex e JOIN cd c ON e.label = c.label AND e.pos = c.pos
+          GROUP BY 1, 2),
+        stats AS (
+          SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                 SUM(d2e6) AS s1, SUM(d2e6 * d2e6) AS s2,
+                 MAX(d2e6) AS mx
+          FROM d2 GROUP BY 1),
+        thr AS (
+          SELECT label, n_vecs, mx,
+                 CAST(s1 AS DOUBLE) / n_vecs AS mean,
+                 CAST(s1 AS DOUBLE) / n_vecs
+                   + 2.0 * sqrt((CAST(s2 AS DOUBLE)
+                                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                                   / n_vecs)
+                                / (n_vecs - 1)) AS t
+          FROM stats),
+        flagged AS (
+          SELECT d.label, CAST(COUNT(*) AS BIGINT) AS n_outliers
+          FROM d2 d JOIN thr ON d.label = thr.label
+          WHERE CAST(d.d2e6 AS DOUBLE) > thr.t
+          GROUP BY 1)
+        SELECT t.label, t.n_vecs,
+               COALESCE(f.n_outliers, 0) AS n_outliers,
+               t.mx / 1000000.0 AS max_d2,
+               ROUND(t.mean / 1000000.0 + {EPS}, 8) AS mean_d2
+        FROM thr t LEFT JOIN flagged f ON t.label = f.label""",
     "q_vec_kmeans_step": f"""
         WITH ex AS ({_SQL_EXPLODED}),
         sums AS (

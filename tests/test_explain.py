@@ -389,3 +389,20 @@ def test_ngram_novelty_single_gram_shuffle(spark):
     assert phys.count("Exchange hashpartitioning") == 2
     assert "SortMergeJoin" not in phys
     assert "Window" not in phys
+
+
+def test_seasonality_profile_is_post_agg(spark):
+    """q_ts_seasonality: daily agg → dow profile agg → share window, all
+    with map-side partials; three bounded exchanges, no joins."""
+    phys = _final_plan(_executed_plan(spark, "q_ts_seasonality"))
+    assert phys.count("Exchange hashpartitioning") == 3
+    assert "Join" not in phys
+
+
+def test_vec_outliers_broadcast_codebook_no_python(spark):
+    """q_vec_outliers: the codebook and the threshold table broadcast;
+    distance math stays in JVM array folds."""
+    phys = _final_plan(_executed_plan(spark, "q_vec_outliers"))
+    assert phys.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in phys
+    assert "EvalPython" not in phys

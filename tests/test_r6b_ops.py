@@ -317,3 +317,29 @@ def test_ngram_novelty_first_doc_is_fully_novel(spark):
             " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
         )
     assert pdf.n_novel.sum() == len(grams)
+
+
+def test_seasonality_shares_sum_to_one(spark):
+    pdf = _Q["q_ts_seasonality"](spark, SF).toPandas()
+    assert set(pdf.dow.unique()) <= set(range(7))
+    for ty, g in pdf.groupby("event_type"):
+        # floor-quantized shares sum to 1 within 7 quanta
+        assert abs(g.dow_share.sum() - 1.0) < 7e-6
+        assert g.n_days.sum() == 30  # January 2024, every day present
+
+
+def test_vec_outliers_matches_numpy(spark):
+    out = {r.label: r for r in _Q["q_vec_outliers"](spark, SF).collect()}
+    emb = load_table(spark, SF, "embeddings").toPandas()
+    X = np.stack(emb["embedding"].map(lambda v: np.asarray(v, np.float64)))
+    labels = emb["label"].to_numpy()
+    for k in np.unique(labels):
+        Xi = X[labels == k]
+        c = np.floor(Xi.sum(0) * 1e8 / len(Xi)) / 1e8
+        d2e6 = np.floor(((Xi - c) ** 2).sum(1) * 1e6 + 1e-9)
+        mean, sd = d2e6.mean(), d2e6.std(ddof=1)
+        want = int((d2e6 > mean + 2 * sd).sum())
+        r = out[int(k)]
+        assert r.n_vecs == len(Xi)
+        assert r.n_outliers == want
+        assert abs(r.max_d2 - d2e6.max() / 1e6) < 1e-9
