@@ -1308,10 +1308,95 @@ def q_agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend within each market segment —
+    the inequality statistic next to HHI in every market-structure
+    report: G = Σᵢ(2i − n − 1)·xᵢ / (n·Σxᵢ) over the spend-ascending
+    ranking (i = 1..n, c_custkey tiebreak).
+
+    Distributed ranking: the same grouped two-pass range-partition
+    pattern as q_agg_weighted_median — range repartition on (segment,
+    spend, key), local row_number, broadcast per-(partition, segment)
+    COUNT offsets reconstruct the exact global rank i per segment with
+    no single-task sort. The weighted sum Σ(2i−n−1)x stays in exact
+    decimal (integer coefficient × decimal spend), so only the final
+    identical IEEE division crosses the hash.
+
+    Results are partition-count-invariant (offset-table argument;
+    tests/test_two_pass_invariance.py)."""
+    from gpe.common import persist_tracked, two_pass_parts
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    spend = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "c_custkey")
+        # capped to DECIMAL(18,2) so the rank-coefficient product stays
+        # inside decimal width in BOTH engines (DuckDB's int×decimal
+        # widens by 19 digits)
+        .agg(F.sum(dec("o_totalprice")).cast("decimal(18,2)").alias("_x"))
+    )
+    order = ["_x", "c_custkey"]
+    part = persist_tracked(
+        spend.repartitionByRange(
+            two_pass_parts(spark), "c_mktsegment", *order
+        ).withColumn("_pid", F.spark_partition_id())
+    )
+    cnts = part.groupBy("_pid", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("_pn")
+    )
+    w_off = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = Window.partitionBy("c_mktsegment")
+    offs = cnts.select(
+        "_pid",
+        "c_mktsegment",
+        F.coalesce(F.sum("_pn").over(w_off), F.lit(0)).alias("_off"),
+        F.sum("_pn").over(w_tot).alias("_n"),
+    )
+    w_loc = (
+        Window.partitionBy("_pid", "c_mktsegment")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = (
+        part.withColumn("_lrn", F.row_number().over(w_loc))
+        .join(F.broadcast(offs), ["_pid", "c_mktsegment"])
+        .withColumn("_i", F.col("_off") + F.col("_lrn"))
+    )
+    agg = ranked.groupBy("c_mktsegment").agg(
+        F.max("_n").alias("n_customers"),
+        F.sum("_x").alias("_sx"),
+        F.sum(
+            (F.lit(2) * F.col("_i") - F.col("_n") - F.lit(1)) * F.col("_x")
+        ).alias("_num"),
+    )
+    return agg.select(
+        "c_mktsegment",
+        "n_customers",
+        F.round(F.col("_sx"), 2).cast("double").alias("total_spend"),
+        F.round(
+            F.col("_num").cast("double")
+            / (
+                F.col("n_customers").cast("double")
+                * F.col("_sx").cast("double")
+            )
+            + EPS,
+            6,
+        ).alias("gini"),
+    )
+
+
 QUERIES = {
     "q_agg_groupby": q_agg_groupby,
     "q_agg_weighted_median": q_agg_weighted_median,
     "q_agg_hhi": q_agg_hhi,
+    "q_agg_gini": q_agg_gini,
     "q_agg_corr_regr": q_agg_corr_regr,
     "q_agg_bitwise": q_agg_bitwise,
     "q_join_fuzzy_name": q_join_fuzzy_name,
@@ -1367,6 +1452,26 @@ _REV_DEC = f"{sql_dec('l_extendedprice')} * {sql_dec('1 - l_discount')}"
 
 ORACLES = {
     "q_agg_groupby": _Q1_ORACLE,
+    "q_agg_gini": f"""
+        WITH spend AS (
+          SELECT c_mktsegment, c_custkey,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                      AS DECIMAL(18,2)) AS x
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY 1, 2),
+        r AS (
+          SELECT c_mktsegment, x,
+                 ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                    ORDER BY x, c_custkey) AS i,
+                 COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+          FROM spend)
+        SELECT c_mktsegment,
+               CAST(MAX(n) AS BIGINT) AS n_customers,
+               CAST(ROUND(SUM(x), 2) AS DOUBLE) AS total_spend,
+               ROUND(CAST(SUM((2 * i - n - 1) * x) AS DOUBLE)
+                     / (CAST(MAX(n) AS DOUBLE) * CAST(SUM(x) AS DOUBLE))
+                     + {EPS}, 6) AS gini
+        FROM r GROUP BY 1""",
     "q_agg_hhi": f"""
         WITH sp AS (
           SELECT c_mktsegment, c_nationkey,

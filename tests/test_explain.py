@@ -406,3 +406,13 @@ def test_vec_outliers_broadcast_codebook_no_python(spark):
     assert phys.count("BroadcastHashJoin") == 2
     assert "SortMergeJoin" not in phys
     assert "EvalPython" not in phys
+
+
+def test_gini_ranks_are_two_pass(spark):
+    """q_agg_gini: grouped global ranks via range repartition +
+    (_pid, segment)-local row_numbers — never a segment-only window over
+    the customer frame."""
+    phys = _final_plan(_executed_plan(spark, "q_agg_gini"))
+    assert phys.count("Exchange rangepartitioning") == 1
+    assert "windowspecdefinition(_pid" in phys
+    assert "SortMergeJoin" not in phys

@@ -343,3 +343,22 @@ def test_vec_outliers_matches_numpy(spark):
         assert r.n_vecs == len(Xi)
         assert r.n_outliers == want
         assert abs(r.max_d2 - d2e6.max() / 1e6) < 1e-9
+
+
+def test_gini_bounds_and_recompute(spark):
+    rows = _Q["q_agg_gini"](spark, SF).collect()
+    o = load_table(spark, SF, "orders").toPandas()
+    c = load_table(spark, SF, "customer").toPandas()
+    sp = (
+        o.merge(c, left_on="o_custkey", right_on="c_custkey")
+        .groupby(["c_mktsegment", "c_custkey"])["o_totalprice"]
+        .sum()
+    )
+    for r in rows:
+        g = sp[r.c_mktsegment].sort_values().to_numpy()
+        n = len(g)
+        i = np.arange(1, n + 1)
+        want = ((2 * i - n - 1) * g).sum() / (n * g.sum())
+        assert r.n_customers == n
+        assert 0.0 <= r.gini < 1.0
+        assert abs(r.gini - want) < 1e-5

@@ -105,3 +105,13 @@ def test_weighted_median_partition_count_invariant(spark, monkeypatch):
         a = _run_at(monkeypatch, C, R.q_agg_weighted_median, spark, sf, 8)
         b = _run_at(monkeypatch, C, R.q_agg_weighted_median, spark, sf, 64)
         assert a == b
+
+
+def test_gini_partition_count_invariant(spark, monkeypatch):
+    import gpe.common as C
+    import gpe.relational as R
+
+    for sf in (SF_SMOKE, SF_T2):
+        a = _run_at(monkeypatch, C, R.q_agg_gini, spark, sf, 8)
+        b = _run_at(monkeypatch, C, R.q_agg_gini, spark, sf, 64)
+        assert a == b
