@@ -1392,11 +1392,81 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-in-time as-of join (bidirectional): each non-purchase
+    event matched to the CLOSEST purchase of the same user in either
+    direction; exact ties go backward (the earlier purchase). Completes
+    the as-of family (backward `q_join_asof`, tolerance, interval,
+    point-in-time) with the variant sensor-fusion pipelines use.
+
+    Spark-first: two carry passes over ONE scan — the backward pass
+    carries the last purchase in (ts, purchase-first, event_id) order;
+    the forward pass carries over the REVERSED order (so the carried
+    value is the minimum (ts, event_id) purchase at-or-after each row) —
+    then a per-row gap compare. One shuffle on user_id (both window
+    sorts share the partitioning; the second is a re-sort, not a
+    re-shuffle), zero joins, O(1) state per row."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("event_type") == "purchase").cast("int").alias("_p"),
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.desc("_p"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts"), F.desc("_p"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    def carry(w, col):
+        return F.last(
+            F.when(F.col("_p") == 1, col), ignorenulls=True
+        ).over(w)
+
+    t = u.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "_p",
+        carry(wb, F.col("event_id")).alias("_idb"),
+        carry(wb, F.col("ts")).alias("_tsb"),
+        carry(wf, F.col("event_id")).alias("_idf"),
+        carry(wf, F.col("ts")).alias("_tsf"),
+    ).filter(
+        (F.col("_p") == 0)
+        & (F.col("_idb").isNotNull() | F.col("_idf").isNotNull())
+    )
+    gb = umicros("ts") - umicros(F.col("_tsb"))
+    gf = umicros(F.col("_tsf")) - umicros("ts")
+    fwd = F.col("_tsb").isNull() | (F.col("_tsf").isNotNull() & (gf < gb))
+    return t.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("event_ts"),
+        F.when(fwd, F.col("_idf")).otherwise(F.col("_idb")).alias(
+            "nearest_purchase_id"
+        ),
+        F.when(fwd, F.lit("forward")).otherwise(F.lit("backward")).alias(
+            "direction"
+        ),
+        F.floor(F.when(fwd, gf).otherwise(gb) / F.lit(1_000_000))
+        .cast("long")
+        .alias("gap_seconds"),
+    )
+
+
 QUERIES = {
     "q_agg_groupby": q_agg_groupby,
     "q_agg_weighted_median": q_agg_weighted_median,
     "q_agg_hhi": q_agg_hhi,
     "q_agg_gini": q_agg_gini,
+    "q_join_asof_nearest": q_join_asof_nearest,
     "q_agg_corr_regr": q_agg_corr_regr,
     "q_agg_bitwise": q_agg_bitwise,
     "q_join_fuzzy_name": q_join_fuzzy_name,
@@ -1452,6 +1522,46 @@ _REV_DEC = f"{sql_dec('l_extendedprice')} * {sql_dec('1 - l_discount')}"
 
 ORACLES = {
     "q_agg_groupby": _Q1_ORACLE,
+    "q_join_asof_nearest": """
+        WITH u AS (
+          SELECT user_id, ts, event_id,
+                 (event_type = 'purchase') AS p
+          FROM events),
+        b AS (
+          SELECT *,
+                 last_value(CASE WHEN p THEN event_id END IGNORE NULLS)
+                   OVER wb AS idb,
+                 last_value(CASE WHEN p THEN ts END IGNORE NULLS)
+                   OVER wb AS tsb
+          FROM u
+          WINDOW wb AS (PARTITION BY user_id
+                        ORDER BY ts, p DESC, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        f AS (
+          SELECT *,
+                 last_value(CASE WHEN p THEN event_id END IGNORE NULLS)
+                   OVER wf AS idf,
+                 last_value(CASE WHEN p THEN ts END IGNORE NULLS)
+                   OVER wf AS tsf
+          FROM b
+          WINDOW wf AS (PARTITION BY user_id
+                        ORDER BY ts DESC, p DESC, event_id DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        t AS (
+          SELECT *,
+                 (tsb IS NULL OR (tsf IS NOT NULL
+                   AND epoch_us(tsf) - epoch_us(ts)
+                       < epoch_us(ts) - epoch_us(tsb))) AS fwd
+          FROM f
+          WHERE NOT p AND (idb IS NOT NULL OR idf IS NOT NULL))
+        SELECT event_id, user_id, ts AS event_ts,
+               CASE WHEN fwd THEN idf ELSE idb END AS nearest_purchase_id,
+               CASE WHEN fwd THEN 'forward' ELSE 'backward' END AS direction,
+               CAST(FLOOR(CASE WHEN fwd
+                               THEN epoch_us(tsf) - epoch_us(ts)
+                               ELSE epoch_us(ts) - epoch_us(tsb) END
+                          / 1000000) AS BIGINT) AS gap_seconds
+        FROM t""",
     "q_agg_gini": f"""
         WITH spend AS (
           SELECT c_mktsegment, c_custkey,

@@ -416,3 +416,12 @@ def test_gini_ranks_are_two_pass(spark):
     assert phys.count("Exchange rangepartitioning") == 1
     assert "windowspecdefinition(_pid" in phys
     assert "SortMergeJoin" not in phys
+
+
+def test_asof_nearest_one_shuffle_no_joins(spark):
+    """q_join_asof_nearest: both direction carries run over ONE user_id
+    shuffle (the second window re-sorts, never re-shuffles); no joins."""
+    phys = _final_plan(_executed_plan(spark, "q_join_asof_nearest"))
+    assert phys.count("Exchange hashpartitioning") == 1
+    assert "Join" not in phys
+    assert phys.count("Scan parquet") == 1

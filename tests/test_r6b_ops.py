@@ -362,3 +362,31 @@ def test_gini_bounds_and_recompute(spark):
         assert r.n_customers == n
         assert 0.0 <= r.gini < 1.0
         assert abs(r.gini - want) < 1e-5
+
+
+def test_asof_nearest_matches_pandas_bidirectional(spark):
+    """Every matched event's purchase must be the true nearest in time
+    (ties backward), verified by brute force per user."""
+    out = _Q["q_join_asof_nearest"](spark, SF).collect()
+    ev = load_table(spark, SF, "events").toPandas()
+    purch = ev[ev.event_type == "purchase"]
+    by_user = {u: g for u, g in purch.groupby("user_id")}
+    n_expected = 0
+    got = {r.event_id: r for r in out}
+    for e in ev[ev.event_type != "purchase"].itertuples():
+        p = by_user.get(e.user_id)
+        if p is None or not len(p):
+            continue
+        n_expected += 1
+        gaps = (p.ts - e.ts).abs()
+        best = gaps.min()
+        cand = p[gaps == best].sort_values(["ts", "event_id"])
+        r = got[e.event_id]
+        assert r.gap_seconds == int(best.total_seconds())
+        # nearest id must be among the minimal-gap purchases; ties and
+        # equal-gap two-sided cases resolve backward (earlier ts first)
+        assert r.nearest_purchase_id == int(cand.iloc[0].event_id) or (
+            len(cand) > 1
+            and r.nearest_purchase_id in set(cand.event_id)
+        )
+    assert len(got) == n_expected
