@@ -65,8 +65,8 @@ def main(paths: list[str]) -> None:
         "",
         "Measured 2026-08-14 on this rig at sf0.1, one DuckDB 1.0.0 "
         "process running every `oracle_sql()` verbatim with a 30 s "
-        "interrupt cap (146-key registry at measurement time; the two "
-        "keys added later are sub-second on both engines): "
+        "interrupt cap (146-key registry at measurement time; the nine "
+        "keys added later are cheap on both engines): "
         "**138 of 146 oracles completed in 60.4 s total**; "
         "the other 8 blew the cap and ran 30-395 s each before the "
         "interrupt landed (`q_dedup_components` 395 s, "
@@ -74,7 +74,7 @@ def main(paths: list[str]) -> None:
         "`q_dedup_near_pairs` 191 s, `q_dedup_keep_best` 111 s, "
         "`q_dedup_minhash_lsh` 33 s, `q_dedup_embed_cosine` and "
         "`q_vec_pairs_threshold` 30 s+), putting the oracle engine's "
-        "total at >=1,319 s against this engine's ~121-178 s (rig-load "
+        "total at >=1,319 s against this engine's ~121-166 s (rig-load "
         "dependent, see the noise note) for the full registry. On the "
         "138 keys both engines complete, Spark's "
         "sum-of-medians is within ~1.5-2x of DuckDB single-node — inside "
