@@ -525,6 +525,100 @@ def ewma_stream(stream: DataFrame) -> DataFrame:
     )
 
 
+def cusum_stream(stream: DataFrame, drift: dict[str, int]) -> DataFrame:
+    """Streaming twin of gpe.timeseries.q_ts_cusum: the one-sided CUSUM
+    burst monitor maintained continuously. ``drift`` maps event_type →
+    k in integer CENTS (the batch job's e2-floor-scaled mean daily
+    total — in production the periodically-refreshed parameter table a
+    monitor consumes; tiny, so it ships as a plain broadcast variable
+    baked into the closure). Per-type state is four integers: the open
+    day's (day_us, sum_cents) plus the prefix accumulators
+    (cum_cents, runmin_cents) — O(1) regardless of history. A day
+    emits when it closes; arithmetic is ALL integer cents, so every
+    emitted row is BIT-equal to the batch prefix form."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "event_type string, day timestamp, day_sum double,"
+        " drift_k double, cusum double, is_burst boolean"
+    )
+    state_schema = "day_us long, sum_cents long, cum long, runmin long"
+    DAY_US = 86_400_000_000
+
+    def fn(key, pdf_iter, state: GroupState):
+        k_cents = drift[key[0]]
+        if state.exists:
+            day_us, sum_cents, cum, runmin = state.get
+        else:
+            day_us, sum_cents, cum, runmin = -1, 0, 0, 0
+        out: list[tuple] = []
+
+        def close_day():
+            nonlocal cum, runmin
+            cum += sum_cents - k_cents
+            runmin = min(runmin, cum)
+            s = cum - min(runmin, 0)
+            out.append(
+                (
+                    key[0],
+                    day_us,
+                    sum_cents / 100.0,
+                    k_cents / 100.0,
+                    s / 100.0,
+                    s > k_cents,
+                )
+            )
+
+        parts = [p for p in pdf_iter if len(p)]
+        if parts:
+            pdf = pd.concat(parts).sort_values(["ts", "event_id"])
+            ts_us = pdf["ts"].values.astype("datetime64[us]").astype("int64")
+            for t, v in zip(ts_us.tolist(), pdf["value"].tolist()):
+                d = t // DAY_US * DAY_US
+                if d != day_us:
+                    if day_us >= 0:
+                        close_day()
+                    day_us, sum_cents = d, 0
+                sum_cents += round(v * 100)
+        state.update((day_us, sum_cents, cum, runmin))
+        if out:
+            yield pd.DataFrame(
+                {
+                    "event_type": [r[0] for r in out],
+                    "day": [pd.Timestamp(r[1], unit="us") for r in out],
+                    "day_sum": [r[2] for r in out],
+                    "drift_k": [r[3] for r in out],
+                    "cusum": [r[4] for r in out],
+                    "is_burst": [r[5] for r in out],
+                }
+            )
+
+    return stream.groupBy("event_type").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def batch_drift_cents(spark: SparkSession, sf_dir: str) -> dict[str, int]:
+    """The q_ts_cusum drift table as integer cents — the parameter feed
+    for cusum_stream (recomputed batch-side on whatever cadence the
+    monitor refreshes)."""
+    from gpe.common import dec, ntz
+    from gpe.io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", ntz(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.sum(dec("value")).alias("s"))
+    drift = daily.groupBy("event_type").agg(
+        F.floor(
+            F.sum("s").cast("double") * F.lit(100) / F.count(F.lit(1))
+        ).alias("k_cents")
+    )
+    return {r.event_type: int(r.k_cents) for r in drift.collect()}
+
+
 def zscore_stream(stream: DataFrame) -> DataFrame:
     """Streaming twin of q_ts_anomaly_zscore: trailing 1-hour z-score
     anomaly flags per user, via applyInPandasWithState. Per-user state is

@@ -97,3 +97,30 @@ def test_floor_scaling_matches_duckdb(spark, nums, den):
     ]
     con.close()
     assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=300
+    ),
+    parts=st.sampled_from([2, 5, 32]),
+)
+def test_two_pass_running_sum_is_pandas_cumsum(spark, vals, parts, monkeypatch):
+    """The distributed prefix sum equals pandas cumsum over the same total
+    order, for ANY partition count and arbitrary integer sequences."""
+    import gpe.common as C
+
+    monkeypatch.setattr(C, "two_pass_parts", lambda s, _p=parts: _p)
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "k long, v long"
+    )
+    out = C.two_pass_running_sum(spark, df, ["k"], "v", "run")
+    got = {r.k: r.run for r in out.collect()}
+    want = pd.Series(vals).cumsum()
+    assert got == {i: int(want[i]) for i in range(len(vals))}
+    C.release_persists()

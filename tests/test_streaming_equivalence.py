@@ -435,3 +435,26 @@ def test_streaming_ewma_equals_batch_closed_days(spark, stream):
         assert got == want
     finally:
         q.stop()
+
+
+def test_streaming_cusum_equals_batch_closed_days(spark, stream):
+    """cusum_stream (all-integer-cents state, drift fed from the batch
+    parameter table) must be BIT-equal to q_ts_cusum on every closed
+    day; the open final day per type is the only absent row."""
+    drift = streaming.batch_drift_cents(spark, SF)
+    q = streaming.run_to_memory(
+        streaming.cusum_stream(stream, drift), "t_cusum", "update"
+    )
+    try:
+        cols = ["event_type", "day", "day_sum", "drift_k", "cusum",
+                "is_burst"]
+        got = _rows(spark.table("t_cusum"), cols)
+        batch = timeseries.q_ts_cusum(spark, SF)
+        last = batch.groupBy("event_type").agg(F.max("day").alias("d1"))
+        want = _rows(
+            batch.join(last, "event_type").filter(F.col("day") < F.col("d1")),
+            cols,
+        )
+        assert got == want
+    finally:
+        q.stop()

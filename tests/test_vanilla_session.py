@@ -93,6 +93,11 @@ drain("v_attrib", streaming.attribution_stream(ev()), "update")
 drain("v_trans", streaming.transitions_stream(ev()), "update")
 drain("v_grain_month", streaming.grain_counts_stream(ev(), "month"), "complete")
 drain("v_ewma", streaming.ewma_stream(ev()), "update")
+drain(
+    "v_cusum",
+    streaming.cusum_stream(ev(), streaming.batch_drift_cents(spark, SF)),
+    "update",
+)
 drain("v_quality", streaming.quality_scores_stream(docs()), "append")
 drain("v_chunks", streaming.chunk_stream(docs()), "append")
 drain(
