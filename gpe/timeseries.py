@@ -726,11 +726,90 @@ def q_ts_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LTTB_BUCKET = 10  # hours per bucket
+
+
+def q_ts_downsample_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chart downsampling: pick ONE representative point per 10-hour
+    bucket of the global hourly value series by largest triangle area
+    against the neighboring buckets' MEAN points — the parallel
+    bucket-mean variant of LTTB (Steinarsson's largest-triangle
+    downsampling; classic LTTB anchors on the previously SELECTED point,
+    a sequential dependency, so the serving-layer variant anchors on
+    bucket means and every bucket selects independently). The endpoint a
+    dashboard API serves when the chart wants ~N points from millions.
+
+    Scale notes (100 TB): the hourly aggregate bounds the frame by the
+    TIME SPAN, not data volume; bucket means are a tiny broadcast;
+    selection is an argmax-as-aggregate (max-of-struct), no window sort.
+    Determinism: y comes exact-decimal → correctly-rounded double, x is
+    an integer hour index, neighbor means are ratios of exact sums — so
+    the area expression sees identical doubles in both engines and the
+    (area, min-index) argmax is engine-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        ntz(F.date_trunc("hour", "ts")).alias("h")
+    ).agg(F.sum(dec("value")).alias("_y"))
+    t0 = hourly.agg(F.min("h").alias("_h0"))
+    pts = hourly.crossJoin(F.broadcast(t0)).select(
+        "h",
+        F.col("_y"),
+        ((umicros("h") - umicros(F.col("_h0"))) / F.lit(3_600_000_000))
+        .cast("long")
+        .alias("_x"),
+    ).withColumn("_b", F.expr(f"_x div {_LTTB_BUCKET}"))
+    bmeans = pts.groupBy("_b").agg(
+        (F.sum("_x").cast("double") / F.count(F.lit(1))).alias("_mx"),
+        (F.sum("_y").cast("double") / F.count(F.lit(1))).alias("_my"),
+    )
+    prev = bmeans.select(
+        (F.col("_b") + 1).alias("_b"),
+        F.col("_mx").alias("_px"),
+        F.col("_my").alias("_py"),
+    )
+    nxt = bmeans.select(
+        (F.col("_b") - 1).alias("_b"),
+        F.col("_mx").alias("_nx"),
+        F.col("_my").alias("_ny"),
+    )
+    j = pts.join(F.broadcast(prev), "_b").join(F.broadcast(nxt), "_b")
+    x2 = F.col("_x").cast("double")
+    y2 = F.col("_y").cast("double")
+    area = F.abs(
+        (F.col("_px") - F.col("_nx")) * (y2 - F.col("_py"))
+        - (F.col("_px") - x2) * (F.col("_ny") - F.col("_py"))
+    )
+    best = (
+        j.withColumn("_area", area)
+        .groupBy("_b")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("_area").alias("a"),
+                    (-F.col("_x")).alias("negx"),
+                    F.col("h").alias("h"),
+                    F.col("_y").alias("y"),
+                )
+            ).alias("s")
+        )
+    )
+    return best.select(
+        F.col("_b").alias("bucket"),
+        F.col("s.h").alias("sel_hour"),
+        F.round(F.col("s.y"), 2).cast("double").alias("sel_value"),
+        (
+            F.floor(F.col("s.a") * F.lit(1_000_000) + F.lit(EPS))
+            / F.lit(1_000_000.0)
+        ).alias("tri_area"),
+    )
+
+
 QUERIES = {
     "q_ts_anomaly_zscore": q_ts_anomaly_zscore,
     "q_ts_forecast_snaive": q_ts_forecast_snaive,
     "q_ts_concurrency": q_ts_concurrency,
     "q_ts_seasonality": q_ts_seasonality,
+    "q_ts_downsample_triangle": q_ts_downsample_triangle,
     "q_ts_transitions": q_ts_transitions,
     "q_ts_ewma": q_ts_ewma,
     "q_ts_rollup_multigrain": q_ts_rollup_multigrain,
@@ -751,6 +830,40 @@ QUERIES = {
 _SUM_VAL = "CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value"
 
 ORACLES = {
+    "q_ts_downsample_triangle": f"""
+        WITH hourly AS (
+          SELECT date_trunc('hour', ts) AS h,
+                 SUM(CAST(value AS DECIMAL(12,2))) AS y
+          FROM events GROUP BY 1),
+        pts AS (
+          SELECT h, y,
+                 CAST((epoch_us(h) - (SELECT epoch_us(MIN(h)) FROM hourly))
+                      / 3600000000 AS BIGINT) AS x
+          FROM hourly),
+        pb AS (
+          SELECT h, y, x, x // {_LTTB_BUCKET} AS b FROM pts),
+        bm AS (
+          SELECT b, CAST(SUM(x) AS DOUBLE) / COUNT(*) AS mx,
+                 CAST(SUM(y) AS DOUBLE) / COUNT(*) AS my
+          FROM pb GROUP BY b),
+        j AS (
+          SELECT p.b, p.h, p.y, p.x,
+                 ABS((prev.mx - nxt.mx)
+                       * (CAST(p.y AS DOUBLE) - prev.my)
+                     - (prev.mx - CAST(p.x AS DOUBLE))
+                       * (nxt.my - prev.my)) AS area
+          FROM pb p
+          JOIN bm prev ON prev.b = p.b - 1
+          JOIN bm nxt ON nxt.b = p.b + 1),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY b
+                     ORDER BY area DESC, x ASC) AS rn
+          FROM j)
+        SELECT b AS bucket,
+               CAST(h AS TIMESTAMP) AS sel_hour,
+               CAST(ROUND(y, 2) AS DOUBLE) AS sel_value,
+               FLOOR(area * 1000000 + {EPS}) / 1000000.0 AS tri_area
+        FROM ranked WHERE rn = 1""",
     "q_ts_seasonality": f"""
         WITH daily AS (
           SELECT event_type,

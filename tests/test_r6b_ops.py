@@ -390,3 +390,29 @@ def test_asof_nearest_matches_pandas_bidirectional(spark):
             and r.nearest_purchase_id in set(cand.event_id)
         )
     assert len(got) == n_expected
+
+
+def test_downsample_triangle_picks_max_area_per_bucket(spark):
+    """Each bucket's pick must maximize the triangle area against the
+    neighbor buckets' mean points (pandas recompute), one interior
+    bucket per 10 hours, first/last buckets excluded (no neighbor)."""
+    out = {r.bucket: r for r in _Q["q_ts_downsample_triangle"](spark, SF).collect()}
+    ev = load_table(spark, SF, "events").toPandas()
+    ev["h"] = ev["ts"].dt.floor("h")
+    hourly = ev.groupby("h")["value"].sum().sort_index()
+    x = ((hourly.index - hourly.index.min()).total_seconds() / 3600).astype(int)
+    df = pd.DataFrame({"x": x, "y": hourly.values, "h": hourly.index})
+    df["b"] = df["x"] // 10
+    bm = df.groupby("b").agg(mx=("x", "mean"), my=("y", "mean"))
+    n_interior = 0
+    for b, g in df.groupby("b"):
+        if b - 1 not in bm.index or b + 1 not in bm.index:
+            assert b not in out
+            continue
+        n_interior += 1
+        p, nx = bm.loc[b - 1], bm.loc[b + 1]
+        area = ((p.mx - nx.mx) * (g.y - p.my) - (p.mx - g.x) * (nx.my - p.my)).abs()
+        best = g[area == area.max()].sort_values("x").iloc[0]
+        assert out[b].sel_hour == best.h
+        assert abs(out[b].tri_area - area.max()) < 2e-3
+    assert len(out) == n_interior
