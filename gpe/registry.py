@@ -58,6 +58,7 @@ for _name in (
 # regression net; tests/test_registry_order.py pins this window.
 HARD_SIGNAL_FIRST_50 = [
     # --- new round-6 operators, second batch (zero driver evidence) ---
+    "q_ts_holt",
     "q_ts_downsample_triangle",
     "q_join_asof_nearest",
     "q_agg_gini",
@@ -112,7 +113,6 @@ HARD_SIGNAL_FIRST_50 = [
     "q_win_first_last",
     "q_win_cume_nth",
     "q_win_range_frame",
-    "q_win_distinct_count",
 ]
 
 # Next in line for round 7: the remaining r4-checked cohort (joins, scalar
@@ -121,6 +121,7 @@ HARD_SIGNAL_FIRST_50 = [
 _SECOND_WAVE = [
     # displaced from the r6 window by the second batch of new operators
     # (these all carry r4 driver evidence; local parity is their net)
+    "q_win_distinct_count",
     "q_scalar_array",
     "q_scalar_map",
     "q_scalar_arrayops",

@@ -726,6 +726,140 @@ def q_ts_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HOLT_ALPHA, _HOLT_BETA = 0.5, 0.3
+
+
+def _holt_weight_rows(n: int) -> list[tuple]:
+    """Constant table (k, ws, wb, i0, i1) for Holt's linear-trend
+    smoother written as a LINEAR RECURSION v_t = A·v_{t−1} + c·x_t with
+    A = [[1−α, 1−α], [−αβ, 1−αβ]], c = (α, αβ), v = (level, trend):
+    ws/wb are the components of A^k·c (the weight of x_{t−k} in
+    level/trend) and i0/i1 the first column of A^k (the weight of the
+    s₀ = x₀, b₀ = 0 initialization). Pure-Python constants — computed
+    once on the driver, embedded IDENTICALLY into the Spark literal
+    table and the oracle's VALUES list, so both engines convolve with
+    bit-identical weights."""
+    a, b = _HOLT_ALPHA, _HOLT_BETA
+    A = ((1 - a, 1 - a), (-a * b, 1 - a * b))
+    c = (a, a * b)
+    rows = []
+    m = (1.0, 0.0, 0.0, 1.0)  # A^k, row-major, starting at identity
+    for k in range(n + 1):
+        rows.append(
+            (k, m[0] * c[0] + m[1] * c[1], m[2] * c[0] + m[3] * c[1],
+             m[0], m[2])
+        )
+        m = (
+            A[0][0] * m[0] + A[0][1] * m[2],
+            A[0][0] * m[1] + A[0][1] * m[3],
+            A[1][0] * m[0] + A[1][1] * m[2],
+            A[1][0] * m[1] + A[1][1] * m[3],
+        )
+    return rows
+
+
+_HOLT_MAX_DAYS = 40  # weight-table horizon (31 days in the fixture month)
+
+
+def q_ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's double exponential smoothing (level + trend) of the daily
+    mean value per event type, plus the one-step-ahead forecast — the
+    trend-aware upgrade of q_ts_ewma. Spark has no 2-term recursive
+    window, but the recursion is LINEAR, so it unrolls into a
+    convolution against precomputed powers of the 2×2 transition matrix:
+    level_t = Σ_k ws(k)·x_{t−k} + i0(t)·x₀ (trend likewise) — a join of
+    the daily series against a ≤_HOLT_MAX_DAYS-row broadcast weight
+    table and one aggregate. No iteration, no UDF.
+
+    Scale notes (100 TB): the convolution joins the POST-AGG daily frame
+    (#types × #days) against a constant-size broadcast; per-type output
+    is one row per day. For year-scale horizons the weights decay
+    geometrically (spectral radius < 1 for these α, β), so the table
+    truncates at machine precision — k beyond ~60 contributes < 1e-9.
+    Determinism: per-(t, j) terms e6-floor to LONGs before the exact
+    integer sum (the fixed-point idiom), with both engines using the
+    SAME repr-round-tripped weight constants."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", ntz(F.date_trunc("day", "ts")).alias("day")
+    ).agg(
+        F.round(
+            F.sum(dec("value")).cast("double") / F.count("value") + EPS, 6
+        ).alias("x")
+    )
+    w_ord = Window.partitionBy("event_type").orderBy("day")
+    idx = daily.select(
+        "event_type",
+        "day",
+        "x",
+        (F.row_number().over(w_ord) - 1).alias("_t"),
+    )
+    wt = spark.createDataFrame(
+        _holt_weight_rows(_HOLT_MAX_DAYS),
+        "k int, ws double, wb double, i0 double, i1 double",
+    )
+    x0 = idx.filter(F.col("_t") == 0).select(
+        "event_type", F.col("x").alias("_x0")
+    )
+    # contribution of x_j (j ≥ 1) to every later t = j + k
+    contrib = (
+        idx.filter(F.col("_t") >= 1)
+        .join(F.broadcast(wt), how="cross")
+        .select(
+            "event_type",
+            (F.col("_t") + F.col("k")).alias("_tt"),
+            F.floor(F.col("ws") * F.col("x") * F.lit(1_000_000) + F.lit(EPS))
+            .cast("long")
+            .alias("_se6"),
+            F.floor(F.col("wb") * F.col("x") * F.lit(1_000_000) + F.lit(EPS))
+            .cast("long")
+            .alias("_be6"),
+        )
+        .groupBy("event_type", "_tt")
+        .agg(F.sum("_se6").alias("_ss"), F.sum("_be6").alias("_bs"))
+    )
+    init = (
+        wt.crossJoin(F.broadcast(x0))
+        .select(
+            "event_type",
+            F.col("k").alias("_tt"),
+            F.floor(F.col("i0") * F.col("_x0") * F.lit(1_000_000) + F.lit(EPS))
+            .cast("long")
+            .alias("_si"),
+            F.floor(F.col("i1") * F.col("_x0") * F.lit(1_000_000) + F.lit(EPS))
+            .cast("long")
+            .alias("_bi"),
+        )
+    )
+    contrib = contrib.withColumnRenamed("event_type", "_cet")
+    init = init.withColumnRenamed("event_type", "_iet").withColumnRenamed(
+        "_tt", "_it"
+    )
+    out = (
+        idx.join(
+            contrib,
+            (F.col("event_type") == F.col("_cet"))
+            & (F.col("_t") == F.col("_tt")),
+            "left",
+        )
+        .join(
+            F.broadcast(init),
+            (F.col("event_type") == F.col("_iet"))
+            & (F.col("_t") == F.col("_it")),
+        )
+    )
+    level = (F.coalesce("_ss", F.lit(0)) + F.col("_si")) / F.lit(1_000_000.0)
+    trend = (F.coalesce("_bs", F.lit(0)) + F.col("_bi")) / F.lit(1_000_000.0)
+    return out.select(
+        "event_type",
+        "day",
+        "x",
+        level.alias("level"),
+        trend.alias("trend"),
+        fround(level + trend, "forecast_next"),
+    )
+
+
 _LTTB_BUCKET = 10  # hours per bucket
 
 
@@ -810,6 +944,7 @@ QUERIES = {
     "q_ts_concurrency": q_ts_concurrency,
     "q_ts_seasonality": q_ts_seasonality,
     "q_ts_downsample_triangle": q_ts_downsample_triangle,
+    "q_ts_holt": q_ts_holt,
     "q_ts_transitions": q_ts_transitions,
     "q_ts_ewma": q_ts_ewma,
     "q_ts_rollup_multigrain": q_ts_rollup_multigrain,
@@ -829,7 +964,50 @@ QUERIES = {
 
 _SUM_VAL = "CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value"
 
+_HOLT_VALUES = ",\n          ".join(
+    f"({k}, {ws!r}, {wb!r}, {i0!r}, {i1!r})"
+    for k, ws, wb, i0, i1 in _holt_weight_rows(_HOLT_MAX_DAYS)
+)
+
 ORACLES = {
+    "q_ts_holt": f"""
+        WITH wt(k, ws, wb, i0, i1) AS (VALUES
+          {_HOLT_VALUES}),
+        daily AS (
+          SELECT event_type,
+                 CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                 ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                       / COUNT(value) + {EPS}, 6) AS x
+          FROM events GROUP BY 1, 2),
+        idx AS (
+          SELECT event_type, day, x,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY day) - 1 AS t
+          FROM daily),
+        x0 AS (SELECT event_type, x AS x0 FROM idx WHERE t = 0),
+        contrib AS (
+          SELECT i.event_type, i.t + w.k AS tt,
+                 SUM(CAST(FLOOR(w.ws * i.x * 1000000 + {EPS}) AS BIGINT))
+                   AS ss,
+                 SUM(CAST(FLOOR(w.wb * i.x * 1000000 + {EPS}) AS BIGINT))
+                   AS bs
+          FROM idx i CROSS JOIN wt w WHERE i.t >= 1 GROUP BY 1, 2),
+        init AS (
+          SELECT x0.event_type, w.k AS tt,
+                 CAST(FLOOR(w.i0 * x0.x0 * 1000000 + {EPS}) AS BIGINT)
+                   AS si,
+                 CAST(FLOOR(w.i1 * x0.x0 * 1000000 + {EPS}) AS BIGINT)
+                   AS bi
+          FROM wt w CROSS JOIN x0)
+        SELECT i.event_type, i.day, i.x,
+               (COALESCE(c.ss, 0) + n.si) / 1000000.0 AS level,
+               (COALESCE(c.bs, 0) + n.bi) / 1000000.0 AS trend,
+               ROUND((COALESCE(c.ss, 0) + n.si) / 1000000.0
+                     + (COALESCE(c.bs, 0) + n.bi) / 1000000.0
+                     + {EPS}, 6) AS forecast_next
+        FROM idx i
+        LEFT JOIN contrib c ON c.event_type = i.event_type AND c.tt = i.t
+        JOIN init n ON n.event_type = i.event_type AND n.tt = i.t""",
     "q_ts_downsample_triangle": f"""
         WITH hourly AS (
           SELECT date_trunc('hour', ts) AS h,

@@ -416,3 +416,26 @@ def test_downsample_triangle_picks_max_area_per_bucket(spark):
         assert out[b].sel_hour == best.h
         assert abs(out[b].tri_area - area.max()) < 2e-3
     assert len(out) == n_interior
+
+
+def test_holt_convolution_matches_iterative_recurrence(spark):
+    """The matrix-power convolution must reproduce the textbook Holt
+    recurrence s_t = αx_t + (1−α)(s+b), b_t = β(s_t−s_prev) + (1−β)b
+    (s_0 = x_0, b_0 = 0) to fixed-point precision (≤1e-6 floor error
+    per convolution term)."""
+    rows = _Q["q_ts_holt"](spark, SF).collect()
+    by_type: dict = {}
+    for r in sorted(rows, key=lambda r: (r.event_type, r.day)):
+        by_type.setdefault(r.event_type, []).append(r)
+    for series in by_type.values():
+        s = b = None
+        for r in series:
+            if s is None:
+                s, b = r.x, 0.0
+            else:
+                s_new = 0.5 * r.x + 0.5 * (s + b)
+                b = 0.3 * (s_new - s) + 0.7 * b
+                s = s_new
+            assert abs(r.level - s) < 5e-5, (r.event_type, r.day, r.level, s)
+            assert abs(r.trend - b) < 5e-5
+            assert abs(r.forecast_next - (r.level + r.trend)) < 2e-6
