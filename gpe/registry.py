@@ -39,88 +39,23 @@ for _name in (
 
 
 # The driver hash-verifies exactly the FIRST 50 keys of queries() each round
-# (verified r1–r5: CORRECTNESS_r0N covers precisely registry indices 0-49),
+# (verified r1–r6: CORRECTNESS_r0N covers precisely registry indices 0-49),
 # so registry order decides which keys get hard correctness signal.
-# Round-6 window: (a0) the SEVEN second-batch r6 operators (transitions,
-# ewma, moving_median, pii_mask, quantize_int8, token_entropy,
-# weighted_median — zero driver evidence, added later in round 6; they
-# displaced the tail r4-green cohort asof/asof_tolerance/interval/rollup/
-# cube/grouping_sets/ntile_pctrank to the head of _SECOND_WAVE);
-# (a) the five operators NEW this round plus q_merge_upsert,
-# whose output CHANGED (insert offset now derived from max(o_orderkey)+1 —
-# ADVICE r5); (b) q_win_streaks (added r5, never driver-checked); (c) the 3
-# keys whose only driver row is round 1 and the 24 whose only row is round 2
-# (the r5 _SECOND_WAVE, promoted as planned); (d) r4-checked keys whose
-# modules changed in r5/r6 (dedup seam + containment, vectors persist +
-# range search, windows streaks, relational two-pass audit, cdc).
-# After this round every key's latest driver row is round 4 or newer.
+# Round-7 window (VERDICT r6 next-round #1): (a) operators NEW this round
+# (zero driver evidence) at the very front; (b) the 23 keys displaced from
+# the r6 window by its second batch — the 8 r2-stale keys FIRST
+# (q_win_distinct_count, q_scalar_array/_map/_arrayops, q_agg_collect,
+# q_catalog_column_stats, q_multimodal_join/_features — their only driver
+# row predates four rounds of module churn), then the r4-green cohort
+# (dedup pair/components family, ann_pq, window basics, asof/interval
+# joins, rollup/cube/grouping_sets, ntile); (c) fill to 50 with the oldest
+# remaining r4-green keys (mode, equi-join family) whose modules changed
+# during r5/r6. After this round every key's latest driver row is
+# round 4 or newer and the r2-staleness debt is zero.
 # Keys after position 50 keep local parity (tools/parity.py) as their
 # regression net; tests/test_registry_order.py pins this window.
 HARD_SIGNAL_FIRST_50 = [
-    # --- new round-6 operators, second batch (zero driver evidence) ---
-    "q_ts_holt",
-    "q_ts_downsample_triangle",
-    "q_join_asof_nearest",
-    "q_agg_gini",
-    "q_ts_seasonality",
-    "q_vec_outliers",
-    "q_win_drawdown",
-    "q_text_ngram_novelty",
-    "q_ts_concurrency",
-    "q_ts_forecast_snaive",
-    "q_agg_hhi",
-    "q_join_scd2_pointintime",
-    "q_ts_cusum",
-    "q_ts_rollup_multigrain",
-    "q_ts_mom_growth",
-    "q_vec_kmeans_step",
-    "q_ts_transitions",
-    "q_ts_ewma",
-    "q_win_moving_median",
-    "q_pii_mask",
-    "q_vec_quantize_int8",
-    "q_text_token_entropy",
-    "q_agg_weighted_median",
-    # --- new round-6 operators (zero driver evidence) ---
-    "q_dedup_containment",
-    "q_vec_range_search",
-    "q_ts_vwap",
-    "q_ts_attribution",
-    "q_mv_incremental",
-    "q_customer_rfm",
-    # --- output changed r6 (insert-offset derivation) ---
-    "q_merge_upsert",
-    # --- new r5, never driver-checked ---
-    "q_win_streaks",
-    # --- r1-stale ---
-    "q_agg_bitwise",
-    "q_agg_stats",
-    "q_sort_multi",
-    # --- r2-stale (promoted from the r5 second wave) ---
-    "q_sample_systematic",
-    "q_sample_stratified",
-    "q_mix_sources",
-    "q_ts_tumbling",
-    "q_ts_sliding",
-    "q_ts_sessionize",
-    "q_ts_funnel",
-    "q_ts_retention",
-    "q_ts_gap_fill",
-    "q_ts_ohlc",
-    "q_ts_interpolate",
-    "q_win_topk_per_group",
-    "q_win_moving_avg_time",
-    "q_win_first_last",
-    "q_win_cume_nth",
-    "q_win_range_frame",
-]
-
-# Next in line for round 7: the remaining r4-checked cohort (joins, scalar
-# families, aggregate extensions, text r4 additions, packing, catalog).
-# r5-checked keys fall to the tail of the registry automatically.
-_SECOND_WAVE = [
-    # displaced from the r6 window by the second batch of new operators
-    # (these all carry r4 driver evidence; local parity is their net)
+    # --- displaced r6 cohort: the 8 r2-stale keys first ---
     "q_win_distinct_count",
     "q_scalar_array",
     "q_scalar_map",
@@ -129,6 +64,7 @@ _SECOND_WAVE = [
     "q_catalog_column_stats",
     "q_multimodal_join",
     "q_multimodal_features",
+    # --- displaced r6 cohort: r4-green, modules churned r5/r6 ---
     "q_dedup_near_pairs",
     "q_dedup_minhash_lsh",
     "q_dedup_components",
@@ -144,6 +80,7 @@ _SECOND_WAVE = [
     "q_agg_cube",
     "q_agg_grouping_sets",
     "q_win_ntile_pctrank",
+    # --- fill: oldest remaining r4-green keys ---
     "q_agg_mode",
     "q_join_inner_bcast",
     "q_join_inner_shuffle",
@@ -171,6 +108,11 @@ _SECOND_WAVE = [
     "q_pivot_status_by_year",
     "q_catalog_schema",
     "q_text_unigram_logprob",
+]
+
+# Next in line for round 8: the rest of the r4-green cohort, then r5-green
+# keys in churned modules. r6-green keys fall to the tail automatically.
+_SECOND_WAVE = [
     "q_text_keyphrases",
     "q_pack_sequences",
     "q_text_chunk_windows",

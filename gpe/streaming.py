@@ -411,10 +411,15 @@ def transitions_stream(stream: DataFrame) -> DataFrame:
 
         last = state.get[0] if state.exists else None
         c: Counter = Counter()
-        for pdf in pdf_iter:
-            if not len(pdf):
-                continue
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # A micro-batch group can span multiple Arrow chunks (when it
+        # exceeds arrow.maxRecordsPerBatch); each chunk is only locally
+        # ordered, so concat ALL parts before the one global sort —
+        # per-chunk sorting would interleave cross-chunk event times and
+        # corrupt both the transition counts and the carried last_type
+        # (mirrors ewma_stream / cusum_stream; ADVICE r6).
+        parts = [p for p in pdf_iter if len(p)]
+        if parts:
+            pdf = pd.concat(parts).sort_values(["ts", "event_id"])
             for ty in pdf["event_type"].tolist():
                 if last is not None:
                     c[(last, ty)] += 1

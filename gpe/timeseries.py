@@ -846,10 +846,19 @@ def q_ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(init),
             (F.col("event_type") == F.col("_iet"))
             & (F.col("_t") == F.col("_it")),
+            # LEFT: a series longer than the weight horizon must KEEP its
+            # tail rows (an inner join silently dropped them — ADVICE r6);
+            # beyond the horizon the init weight has geometrically decayed
+            # below the e6 fixed point, so missing-init ≡ 0 is exact.
+            "left",
         )
     )
-    level = (F.coalesce("_ss", F.lit(0)) + F.col("_si")) / F.lit(1_000_000.0)
-    trend = (F.coalesce("_bs", F.lit(0)) + F.col("_bi")) / F.lit(1_000_000.0)
+    level = (
+        F.coalesce("_ss", F.lit(0)) + F.coalesce("_si", F.lit(0))
+    ) / F.lit(1_000_000.0)
+    trend = (
+        F.coalesce("_bs", F.lit(0)) + F.coalesce("_bi", F.lit(0))
+    ) / F.lit(1_000_000.0)
     return out.select(
         "event_type",
         "day",
@@ -1000,14 +1009,14 @@ ORACLES = {
                    AS bi
           FROM wt w CROSS JOIN x0)
         SELECT i.event_type, i.day, i.x,
-               (COALESCE(c.ss, 0) + n.si) / 1000000.0 AS level,
-               (COALESCE(c.bs, 0) + n.bi) / 1000000.0 AS trend,
-               ROUND((COALESCE(c.ss, 0) + n.si) / 1000000.0
-                     + (COALESCE(c.bs, 0) + n.bi) / 1000000.0
+               (COALESCE(c.ss, 0) + COALESCE(n.si, 0)) / 1000000.0 AS level,
+               (COALESCE(c.bs, 0) + COALESCE(n.bi, 0)) / 1000000.0 AS trend,
+               ROUND((COALESCE(c.ss, 0) + COALESCE(n.si, 0)) / 1000000.0
+                     + (COALESCE(c.bs, 0) + COALESCE(n.bi, 0)) / 1000000.0
                      + {EPS}, 6) AS forecast_next
         FROM idx i
         LEFT JOIN contrib c ON c.event_type = i.event_type AND c.tt = i.t
-        JOIN init n ON n.event_type = i.event_type AND n.tt = i.t""",
+        LEFT JOIN init n ON n.event_type = i.event_type AND n.tt = i.t""",
     "q_ts_downsample_triangle": f"""
         WITH hourly AS (
           SELECT date_trunc('hour', ts) AS h,

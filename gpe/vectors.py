@@ -58,6 +58,41 @@ def _dot_dbl(a: Column, b: Column) -> Column:
     )
 
 
+def _centroid_dims(emb: DataFrame) -> DataFrame:
+    """The e8-floored per-(label, pos) centroid component table —
+    ONE definition shared by q_vec_centroids / q_vec_ann_ivf /
+    q_vec_ann_pq / q_vec_kmeans_step / q_vec_outliers (VERDICT r6 #4:
+    each previously rebuilt this subtree from its own posexplode).
+    Columns: label, pos, n, cdim_e8 (LONG), cdim (double).
+
+    Determinism: component sums are exact DECIMAL(12,10) (order-free);
+    the single double multiply-divide-floor is the same correctly-rounded
+    sequence in both engines, so consumers see bit-identical components.
+
+    Scale notes (100 TB): one (label, pos) shuffle with map-side partial
+    aggregation (#vecs × dim rows in, k × dim out); the output is
+    codebook-sized and consumers always broadcast it. Callers that run
+    several consumers in one audit (q_vec_ann_recall) persist this frame
+    once and pass it down."""
+    ex = emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+    return (
+        ex.groupBy("label", "pos")
+        .agg(
+            F.sum(F.col("x").cast("decimal(12,10)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "label",
+            "pos",
+            "n",
+            F.floor(
+                F.col("s").cast("double") * F.lit(100000000) / F.col("n")
+            ).alias("cdim_e8"),
+        )
+        .withColumn("cdim", F.col("cdim_e8") / F.lit(100000000.0))
+    )
+
+
 # DuckDB twin: positional unnest join + exact decimal sum.
 # The float component is widened to DOUBLE *before* any decimal cast —
 # DuckDB's direct FLOAT→DECIMAL cast scales in float32 precision (measured:
@@ -720,9 +755,17 @@ def q_vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     produce ulp drift."""
     emb = load_table(spark, sf_dir, "embeddings")
     xs = F.transform("embedding", lambda x: x.cast("double"))
-    scale = (
-        F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
-        / F.lit(127.0)
+    # greatest(·, 1e-30): an all-zero vector would give scale = 0 and a
+    # 0/0 NaN inside the quantize expression, where the two engines'
+    # divide-by-zero semantics diverge (ADVICE r6). With the floor, a
+    # zero vector quantizes to all-zero codes, mse = 0, scale reported
+    # as 0 after the 12-decimal round — identical in both engines.
+    scale = F.greatest(
+        F.array_max(
+            F.transform("embedding", lambda x: F.abs(x.cast("double")))
+        )
+        / F.lit(127.0),
+        F.lit(1e-30),
     )
 
     def _sq_err(x, s):
@@ -1032,8 +1075,9 @@ ORACLES = {
     "q_vec_quantize_int8": f"""
         WITH v AS (
           SELECT label,
-                 list_aggregate(list_transform(embedding,
-                     x -> abs(CAST(x AS DOUBLE))), 'max') / 127.0 AS scale,
+                 GREATEST(list_aggregate(list_transform(embedding,
+                     x -> abs(CAST(x AS DOUBLE))), 'max') / 127.0,
+                     1e-30) AS scale,
                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
           FROM embeddings),
         e AS (

@@ -365,8 +365,12 @@ def test_gini_bounds_and_recompute(spark):
 
 
 def test_asof_nearest_matches_pandas_bidirectional(spark):
-    """Every matched event's purchase must be the true nearest in time
-    (ties backward), verified by brute force per user."""
+    """Every matched event's purchase must be the EXACT documented
+    winner (ADVICE r6 — no set-membership escape hatch): backward
+    candidate = max-ts purchase at-or-before, ties to HIGHEST event_id
+    (the carry order's last()); forward candidate = min-ts purchase
+    at-or-after, ties to LOWEST event_id; forward wins only on a
+    strictly smaller µs gap — equal gaps go backward."""
     out = _Q["q_join_asof_nearest"](spark, SF).collect()
     ev = load_table(spark, SF, "events").toPandas()
     purch = ev[ev.event_type == "purchase"]
@@ -378,17 +382,32 @@ def test_asof_nearest_matches_pandas_bidirectional(spark):
         if p is None or not len(p):
             continue
         n_expected += 1
-        gaps = (p.ts - e.ts).abs()
-        best = gaps.min()
-        cand = p[gaps == best].sort_values(["ts", "event_id"])
-        r = got[e.event_id]
-        assert r.gap_seconds == int(best.total_seconds())
-        # nearest id must be among the minimal-gap purchases; ties and
-        # equal-gap two-sided cases resolve backward (earlier ts first)
-        assert r.nearest_purchase_id == int(cand.iloc[0].event_id) or (
-            len(cand) > 1
-            and r.nearest_purchase_id in set(cand.event_id)
+        back = p[p.ts <= e.ts]
+        fwd = p[p.ts >= e.ts]
+        b_row = (
+            back.sort_values(["ts", "event_id"]).iloc[-1]
+            if len(back)
+            else None
         )
+        f_row = (
+            fwd.sort_values(["ts", "event_id"]).iloc[0]
+            if len(fwd)
+            else None
+        )
+        if b_row is None:
+            want_id, want_dir, want_gap = f_row.event_id, "forward", f_row.ts - e.ts
+        elif f_row is None:
+            want_id, want_dir, want_gap = b_row.event_id, "backward", e.ts - b_row.ts
+        else:
+            gb, gf = e.ts - b_row.ts, f_row.ts - e.ts
+            if gf < gb:
+                want_id, want_dir, want_gap = f_row.event_id, "forward", gf
+            else:
+                want_id, want_dir, want_gap = b_row.event_id, "backward", gb
+        r = got[e.event_id]
+        assert r.nearest_purchase_id == int(want_id), (e.event_id, r)
+        assert r.direction == want_dir, (e.event_id, r)
+        assert r.gap_seconds == int(want_gap.total_seconds())
     assert len(got) == n_expected
 
 
