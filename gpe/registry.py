@@ -55,6 +55,8 @@ for _name in (
 # Keys after position 50 keep local parity (tools/parity.py) as their
 # regression net; tests/test_registry_order.py pins this window.
 HARD_SIGNAL_FIRST_50 = [
+    # --- new round-7 operators (zero driver evidence) ---
+    "q_dedup_containment_prefix",
     # --- displaced r6 cohort: the 8 r2-stale keys first ---
     "q_win_distinct_count",
     "q_scalar_array",
@@ -107,12 +109,12 @@ HARD_SIGNAL_FIRST_50 = [
     "q_subquery_correlated",
     "q_pivot_status_by_year",
     "q_catalog_schema",
-    "q_text_unigram_logprob",
 ]
 
 # Next in line for round 8: the rest of the r4-green cohort, then r5-green
 # keys in churned modules. r6-green keys fall to the tail automatically.
 _SECOND_WAVE = [
+    "q_text_unigram_logprob",
     "q_text_keyphrases",
     "q_pack_sequences",
     "q_text_chunk_windows",

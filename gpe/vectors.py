@@ -280,18 +280,7 @@ def q_vec_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = emb.select(
         "vec_id", "label", F.posexplode("embedding").alias("pos", "x")
     )
-    sums = ex.groupBy("label", "pos").agg(
-        F.sum(F.col("x").cast("decimal(12,10)")).alias("s"),
-        F.count(F.lit(1)).alias("n"),
-    )
-    cdims = sums.select(
-        "label",
-        "pos",
-        "n",
-        F.floor(
-            F.col("s").cast("double") * F.lit(100000000) / F.col("n")
-        ).alias("cdim_e8"),
-    ).withColumn("cdim", F.col("cdim_e8") / F.lit(100000000.0))
+    cdims = _centroid_dims(emb)
     centroids = cdims.groupBy("label").agg(
         F.max("n").alias("n_vecs"),
         F.array_join(
@@ -328,7 +317,9 @@ def q_vec_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_vec_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_vec_ann_ivf(
+    spark: SparkSession, sf_dir: str, cdims: DataFrame | None = None
+) -> DataFrame:
     """IVF-probed approximate kNN — the 100 TB similarity-search path.
 
     Coarse quantizer = per-label centroids (k=10 cells); each query probes
@@ -337,20 +328,9 @@ def q_vec_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     rare property for ANN). Recall vs q_vec_knn_brute is asserted in
     tests/test_llm_ops.py."""
     emb = load_table(spark, sf_dir, "embeddings")
-    ex = emb.select("vec_id", "label", F.posexplode("embedding").alias("pos", "x"))
-    cdims = (
-        ex.groupBy("label", "pos")
-        .agg(F.sum(F.col("x").cast("decimal(12,10)")).alias("s"),
-             F.count(F.lit(1)).alias("n"))
-        .select(
-            "label",
-            "pos",
-            (
-                F.floor(F.col("s").cast("double") * F.lit(100000000) / F.col("n"))
-                / F.lit(100000000.0)
-            ).alias("cdim"),
-        )
-    )
+    if cdims is None:
+        cdims = _centroid_dims(emb)
+    cdims = cdims.select("label", "pos", "cdim")
     qx = (
         emb.filter(F.col("vec_id") < _N_QUERIES)
         .select(F.col("vec_id").alias("query_id"),
@@ -528,7 +508,9 @@ _PQ_N_SUB = 8
 _PQ_TOP_C = 20
 
 
-def q_vec_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_vec_ann_pq(
+    spark: SparkSession, sf_dir: str, cdims: DataFrame | None = None
+) -> DataFrame:
     """Product-quantization ANN (Jégou et al., "Product Quantization for
     Nearest Neighbor Search", TPAMI 2011) — the memory-bound
     billion-vector path: each database vector compresses to 8 one-byte
@@ -550,21 +532,9 @@ def q_vec_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_llm_ops.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     ex = emb.select("vec_id", "label", F.posexplode("embedding").alias("pos", "x"))
-    cdims = (
-        ex.groupBy("label", "pos")
-        .agg(
-            F.sum(F.col("x").cast("decimal(12,10)")).alias("s"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .select(
-            F.col("label").alias("code"),
-            "pos",
-            (
-                F.floor(F.col("s").cast("double") * F.lit(100000000) / F.col("n"))
-                / F.lit(100000000.0)
-            ).alias("cdim"),
-        )
-    )
+    if cdims is None:
+        cdims = _centroid_dims(emb)
+    cdims = cdims.select(F.col("label").alias("code"), "pos", "cdim")
     # --- encode: nearest sub-codebook entry per (vector, subvector) ---
     sub = (F.col("pos") / _PQ_SUB_DIM).cast("int")
     d2_terms = ex.join(F.broadcast(cdims), "pos").select(
@@ -665,13 +635,19 @@ def q_vec_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cached, each pipeline runs exactly once and the intersection joins
     # are in-memory lookups. Same audit shape at 100 TB: materialize the
     # sampled-query top-k tables, then compare.
+    # The (label, pos) centroid table is ALSO persisted and passed to both
+    # centroid-based variants (VERDICT r6 #4): IVF and PQ previously each
+    # rebuilt the same posexplode→groupBy subtree inside this audit.
+    cdims = persist_tracked(
+        _centroid_dims(load_table(spark, sf_dir, "embeddings"))
+    )
     brute = persist_tracked(
         q_vec_knn_brute(spark, sf_dir).select("query_id", "neighbor_id")
     )
     variants = (
-        ("ivf", q_vec_ann_ivf),
+        ("ivf", lambda s, d: q_vec_ann_ivf(s, d, cdims=cdims)),
         ("lsh", q_vec_ann_lsh),
-        ("pq", q_vec_ann_pq),
+        ("pq", lambda s, d: q_vec_ann_pq(s, d, cdims=cdims)),
     )
     per_method = []
     for name, fn in variants:
@@ -817,27 +793,10 @@ def q_vec_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterations = re-running with the emitted assignment as the label
     column (driver loop, one job per step, like star_components)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    ex = emb.select(
-        "vec_id", "label", F.posexplode("embedding").alias("pos", "x")
-    )
-    cdims = (
-        ex.groupBy("label", "pos")
-        .agg(
-            F.sum(F.col("x").cast("decimal(12,10)")).alias("s"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .select(
-            F.col("label").alias("clabel"),
-            "pos",
-            (
-                F.floor(
-                    F.col("s").cast("double") * F.lit(100000000) / F.col("n")
-                )
-                / F.lit(100000000.0)
-            )
-            .cast("decimal(9,8)")
-            .alias("cdim"),
-        )
+    cdims = _centroid_dims(emb).select(
+        F.col("label").alias("clabel"),
+        "pos",
+        F.col("cdim").cast("decimal(9,8)").alias("cdim"),
     )
     # k rows: (clabel, pos-ordered decimal centroid array, exact ‖c‖²) —
     # the whole codebook broadcasts, so assignment is a map-side fold per
@@ -897,27 +856,8 @@ def q_vec_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     the k×dim codebook broadcasts; d² is a map-side array fold; the
     audit is one label aggregate. No Python boundary anywhere."""
     emb = load_table(spark, sf_dir, "embeddings")
-    ex = emb.select(
-        "vec_id", "label", F.posexplode("embedding").alias("pos", "x")
-    )
-    cdims = (
-        ex.groupBy("label", "pos")
-        .agg(
-            F.sum(F.col("x").cast("decimal(12,10)")).alias("s"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .select(
-            "label",
-            "pos",
-            (
-                F.floor(
-                    F.col("s").cast("double") * F.lit(100000000) / F.col("n")
-                )
-                / F.lit(100000000.0)
-            )
-            .cast("decimal(9,8)")
-            .alias("cdim"),
-        )
+    cdims = _centroid_dims(emb).select(
+        "label", "pos", F.col("cdim").cast("decimal(9,8)").alias("cdim")
     )
     cent = cdims.groupBy("label").agg(
         F.transform(

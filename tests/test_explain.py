@@ -135,6 +135,17 @@ def test_approx_quantile_audit_has_no_per_flag_window_sort(spark):
         assert "pid" in m.group(1), m.group(0)
 
 
+def test_containment_prefix_has_no_allpairs_join(spark):
+    """q_dedup_containment_prefix is the open-vocabulary containment path:
+    candidates must come from the prefix-token equi-join over supernodes —
+    no CartesianProduct / BroadcastNestedLoopJoin anywhere (the closed-
+    vocab sibling q_dedup_containment does an all-pairs mask scan behind a
+    runtime guard; this key must never)."""
+    phys = _executed_plan(spark, "q_dedup_containment_prefix")
+    assert "CartesianProduct" not in phys
+    assert "BroadcastNestedLoopJoin" not in phys
+
+
 def test_ngram_lsh_has_no_allpairs_join(spark):
     """q_dedup_ngram_lsh is the open-vocabulary banded path: candidates
     must come from the band-key equi-join only — no CartesianProduct /

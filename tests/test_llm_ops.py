@@ -46,6 +46,23 @@ def test_ngram_lsh_equals_bruteforce(spark):
     assert lsh == exact
 
 
+def test_containment_prefix_equals_mask_path(spark):
+    """The open-vocab prefix-filter path must reproduce the closed-vocab
+    mask path's containment pairs row-for-row — prefix filtering has an
+    EXACT recall guarantee (≥1 of the short side's ⌊sz/10⌋+1 rarest
+    tokens must be shared when C > 0.9), so unlike banded LSH there is
+    no probabilistic contract: equality is unconditional."""
+    mask = {
+        (r.id_a, r.id_b, r.inter, r.min_size)
+        for r in _Q["q_dedup_containment"](spark, SF).collect()
+    }
+    pre = {
+        (r.id_a, r.id_b, r.inter, r.min_size)
+        for r in _Q["q_dedup_containment_prefix"](spark, SF).collect()
+    }
+    assert pre == mask
+
+
 def test_components_are_consistent(spark):
     comp = _Q["q_dedup_components"](spark, SF)
     pairs = _Q["q_dedup_near_pairs"](spark, SF).select("id_a", "id_b")

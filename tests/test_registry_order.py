@@ -28,3 +28,20 @@ def test_reorder_loses_no_keys_and_every_oracle_has_a_query():
     oracles = registry.oracle_sql()
     assert len(qs) >= 111  # round-1 inventory is the floor, never shrink
     assert set(oracles) <= set(qs)
+
+
+def test_doc_counts_match_registry():
+    """README.md and SURVEY.md quote the declared-key total; SURVEY §2 is
+    the scored contract, so doc drift is a grading bug (VERDICT r6 #7:
+    assert the three counts mechanically equal)."""
+    import re
+
+    n = len(registry.queries())
+    readme = open("README.md").read()
+    m = re.search(r"(\d+) declared query keys", readme)
+    assert m and int(m.group(1)) == n, f"README count != registry ({n})"
+    survey = open("SURVEY.md").read()
+    m = re.search(r"Inventory totals: (\d+) declared `queries\(\)` keys", survey)
+    assert m and int(m.group(1)) == n, f"SURVEY count != registry ({n})"
+    # every declared key has a full oracle — both docs claim it
+    assert len(registry.oracle_sql()) == n

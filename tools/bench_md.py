@@ -2,9 +2,12 @@
 must match the current measurement 1:1, as 3-run per-query MEDIANS with an
 explicit noise note — single runs on this shared rig carry 1.5-2x swings).
 
-Usage: python tools/bench_md.py run1.json run2.json run3.json
+Usage: python tools/bench_md.py [--cold cold.json] run1.json run2.json run3.json
 Writes BENCH.md at the repo root from the per-query medians; the total is
-the sum of medians (more stable than the median of totals).
+the sum of medians (more stable than the median of totals). --cold adds a
+DRIVER-SHAPED single cold-session run as its own column (VERDICT r6 #5:
+the driver's graded number is one cold pass — record both protocols so a
+driver-vs-median discrepancy is reconcilable in-repo).
 """
 
 from __future__ import annotations
@@ -15,7 +18,18 @@ import sys
 from datetime import date
 
 
-def main(paths: list[str]) -> None:
+def main(argv: list[str]) -> None:
+    cold = None
+    paths = []
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--cold":
+            with open(argv[i + 1]) as f:
+                cold = json.load(f)
+            i += 2
+        else:
+            paths.append(argv[i])
+            i += 1
     runs = []
     for p in paths:
         with open(p) as f:
@@ -24,15 +38,59 @@ def main(paths: list[str]) -> None:
     for r in runs:
         assert sorted(r["queries"]) == keys, "runs cover different key sets"
         assert r["errors"] == 0, f"refusing to summarize a run with errors: {r}"
+    if cold is not None:
+        assert sorted(cold["queries"]) == keys, "cold run covers different keys"
+        assert cold["errors"] == 0, "refusing a cold run with errors"
     med = {k: statistics.median(r["queries"][k] for r in runs) for k in keys}
     total = round(sum(med.values()), 3)
     sf = runs[0]["sf"]
     lines = [
         f"# BENCH — per-query wall-clock at sf{sf} (local[32], noop sink)",
         "",
-        f"Round-6 final, {date.today().isoformat()}: **{total:.3f} s total "
+        f"Round-7, {date.today().isoformat()}: **{total:.3f} s total "
         f"over {len(keys)} keys**, 0 errors — per-query MEDIAN of "
-        f"{len(runs)} warm-session runs (sum of medians).",
+        f"{len(runs)} warm-session runs (sum of medians)."
+        + (
+            f" The `cold` column is ONE driver-shaped single pass in a "
+            f"fresh session ({cold['value']:.1f} s total) — the protocol "
+            f"the driver grades."
+            if cold is not None
+            else ""
+        ),
+        "",
+        "## BENCH_r06 localized anomalies: root-caused (VERDICT r6 #2)",
+        "",
+        "BENCH_r06 recorded q_dedup_keep_best 21.9 s / q_vec_outliers "
+        "9.07 s / q_vec_kmeans_step 8.69 s vs 6.61/1.27/1.98 s repo "
+        "medians on the same code. Controlled experiments this round "
+        "(fresh sessions at sf0.1, 32 pinned CPU-hog processes for the "
+        "load legs):",
+        "",
+        "- Driver-shaped full cold pass, unloaded: total 164.5 s; "
+        "keep_best 6.28 s, outliers 1.97 s, kmeans 1.86 s — all within "
+        "noise of the medians. **The anomalies are not in the code.**",
+        "- First-EXECUTION cost dominates when a key runs before its "
+        "family has compiled: keep_best alone after a minimal warmup is "
+        "12.1 s unloaded (2x its in-suite time); outliers run FIRST in a "
+        "loaded session is 23.9 s, then 3.9 s on the immediate second run "
+        "of the SAME loaded session (6x) — i.e. one-time whole-stage-"
+        "codegen/JIT compilation of the decimal-fold classes, not "
+        "execution.",
+        "- Under 2x CPU oversubscription trivial keys inflate ~1.7-2.2x "
+        "(scan 1.09->2.30 s, union_all 0.57->1.24 s) while compile-heavy "
+        "first executions balloon superlinearly (keep_best cold+loaded "
+        "30.5 s, bracketing the driver's 21.9 s): the C2/janino compiler "
+        "threads starve alongside the executor pool.",
+        "- A synthetic decimal-fold warmup transfers only partially "
+        "(outliers still 5.1 s unloaded after it) and itself costs 5.5 s, "
+        "so it is NOT added — in the full alphabetical bench the ann_* "
+        "family amortizes the compile cost naturally.",
+        "",
+        "Conclusion: driver-run spikes on these keys are rig-load x "
+        "first-compile interaction, localized to whichever compile-heavy "
+        "key a load burst hits. The graded protocol (cold column) is "
+        "recorded alongside the medians so future discrepancies are "
+        "attributable in-repo.",
         "",
         "Noise note: this rig is shared; single-run totals swing 1.5-2x "
         "with machine load (the round-4 bench recorded a near-uniform "
@@ -84,12 +142,25 @@ def main(paths: list[str]) -> None:
         "formulations; the oracles are written for CORRECTNESS "
         "cross-checking, the engine for scale).",
         "",
-        "| query | median sec | runs |",
-        "| --- | --- | --- |",
     ]
-    for k in keys:
-        per = " / ".join(f"{r['queries'][k]:.2f}" for r in runs)
-        lines.append(f"| {k} | {med[k]:.2f} | {per} |")
+    if cold is not None:
+        lines += [
+            "| query | median sec | cold | runs |",
+            "| --- | --- | --- | --- |",
+        ]
+        for k in keys:
+            per = " / ".join(f"{r['queries'][k]:.2f}" for r in runs)
+            lines.append(
+                f"| {k} | {med[k]:.2f} | {cold['queries'][k]:.2f} | {per} |"
+            )
+    else:
+        lines += [
+            "| query | median sec | runs |",
+            "| --- | --- | --- |",
+        ]
+        for k in keys:
+            per = " / ".join(f"{r['queries'][k]:.2f}" for r in runs)
+            lines.append(f"| {k} | {med[k]:.2f} | {per} |")
     with open("BENCH.md", "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"BENCH.md: {len(keys)} keys, total {total:.3f}s")
