@@ -140,6 +140,41 @@ def q_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_compact_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog compaction WITH TOMBSTONES — the missing op-code half of
+    q_cdc_compact: each change carries an upsert/delete op (derived
+    deterministically here: value < 5 marks the change a tombstone —
+    data-derived so the fixture exercises BOTH latest-op branches per
+    key), the final state keeps the latest change per key and DROPS keys
+    whose latest op is a delete. This is the Debezium/Kafka-compaction
+    contract (null-payload tombstone removes the key) that a lakehouse
+    MERGE sink must honor.
+
+    Scale notes (100 TB): identical shape to q_cdc_compact — one shuffle
+    on the key, row_number argmax, state bounded by #keys; the tombstone
+    filter is a post-argmax predicate, zero extra cost."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("value") < F.lit(5.0), F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        e.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col("op") == "U"))
+        .select("user_id", "event_type", "ts", "event_id", "value")
+    )
+
+
 def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 historization of the purchase stream: per user, each purchase
     event opens a validity interval [valid_from, valid_to) that the next
@@ -304,6 +339,7 @@ QUERIES = {
     "q_join_scd2_pointintime": q_join_scd2_pointintime,
     "q_mv_incremental": q_mv_incremental,
     "q_cdc_compact": q_cdc_compact,
+    "q_cdc_compact_deletes": q_cdc_compact_deletes,
     "q_scd2_intervals": q_scd2_intervals,
 }
 
@@ -362,6 +398,15 @@ ORACLES = {
                                     ORDER BY ts DESC, event_id DESC) AS rn
           FROM events)
         WHERE rn = 1""",
+    "q_cdc_compact_deletes": """
+        SELECT user_id, event_type, ts, event_id, value
+        FROM (
+          SELECT user_id, event_type, ts, event_id, value,
+                 CASE WHEN value < 5.0 THEN 'D' ELSE 'U' END AS op,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+        WHERE rn = 1 AND op = 'U'""",
     "q_scd2_intervals": """
         SELECT user_id,
                event_id AS version_event_id,

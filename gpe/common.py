@@ -147,6 +147,15 @@ def two_pass_running_sum(spark, df, order_cols, value_col: str, out_col: str):
 
     Internal columns are underscore-prefixed and dropped; the input
     schema plus ``out_col`` comes back."""
+    return two_pass_running_sums(spark, df, order_cols, [(value_col, out_col)])
+
+
+def two_pass_running_sums(spark, df, order_cols, value_out_pairs):
+    """N-column variant of two_pass_running_sum: one range repartition +
+    one local window pass computes a global prefix sum for EVERY
+    (value_col, out_col) pair — callers needing both a running total and
+    a running count (e.g. rank + cumulative share) pay one shuffle, not
+    two."""
     from pyspark.sql import Window
 
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
@@ -158,20 +167,32 @@ def two_pass_running_sum(spark, df, order_cols, value_col: str, out_col: str):
         .orderBy(*cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    loc = persist_tracked(
-        part.withColumn("_lsum", F.sum(value_col).over(w_local))
+    loc = part
+    for i, (value_col, _) in enumerate(value_out_pairs):
+        loc = loc.withColumn(f"_lsum{i}", F.sum(value_col).over(w_local))
+    loc = persist_tracked(loc)
+    cnts = loc.groupBy("_pid").agg(
+        *[
+            F.sum(value_col).alias(f"_psum{i}")
+            for i, (value_col, _) in enumerate(value_out_pairs)
+        ]
     )
-    cnts = loc.groupBy("_pid").agg(F.sum(value_col).alias("_psum"))
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offs = cnts.select(
         "_pid",
-        F.coalesce(F.sum("_psum").over(w_off), F.lit(0)).alias("_off"),
+        *[
+            F.coalesce(F.sum(f"_psum{i}").over(w_off), F.lit(0)).alias(
+                f"_off{i}"
+            )
+            for i in range(len(value_out_pairs))
+        ],
     )
-    return (
-        loc.join(F.broadcast(offs), "_pid")
-        .withColumn(out_col, F.col("_off") + F.col("_lsum"))
-        .drop("_pid", "_lsum", "_off")
-    )
+    out = loc.join(F.broadcast(offs), "_pid")
+    drop = ["_pid"]
+    for i, (_, out_col) in enumerate(value_out_pairs):
+        out = out.withColumn(out_col, F.col(f"_off{i}") + F.col(f"_lsum{i}"))
+        drop += [f"_lsum{i}", f"_off{i}"]
+    return out.drop(*drop)
 
 
 def dec(col: Column | str) -> Column:

@@ -311,6 +311,77 @@ _SQL_CONTAINMENT_PAIRS = """
 """
 
 
+def q_dedup_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the near-duplicate graph (J > 0.9 edges):
+    how many docs have 0, 1, 2, … near-dup neighbors — the corpus-health
+    histogram a dedup pipeline reports before choosing its clustering
+    strategy (a heavy tail ⇒ super-node contraction pays; all-zero ⇒ skip
+    components entirely). Zero-degree docs are COUNTED (left join against
+    the full doc spine), so the histogram masses sum to the corpus size.
+
+    Scale notes (100 TB): pair stream → map-side symmetric explode → one
+    doc_id partial-agg shuffle → one degree-cardinality aggregate; the
+    spine join ships only (doc_id, degree). All-integer output."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = _exact_jaccard_pairs(d).select("id_a", "id_b")
+    sym = pairs.select(
+        F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("doc_id")
+    )
+    deg = sym.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_deg"))
+    per_doc = (
+        d.select("doc_id")
+        .join(deg, "doc_id", "left")
+        .select(F.coalesce("_deg", F.lit(0)).cast("long").alias("degree"))
+    )
+    return per_doc.groupBy("degree").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+def q_text_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 nearest neighbors per document by token-set Jaccard, ranked
+    WITHIN the J > 0.9 near-dup graph (ties by neighbor id) — the
+    text-side nearest-neighbor search endpoint ("show me this doc's
+    closest duplicates"), complementing the vector-side q_vec_knn_brute.
+
+    Determinism: jaccard is ROUND(|∩|/|∪|, 6) of integer counts —
+    bit-identical in both engines — and the (jaccard DESC, neighbor ASC)
+    rank is therefore engine-exact. Scale notes (100 TB): the pair
+    stream is the already-contracted LSH/mask output (never all-pairs);
+    the symmetric explode is map-side; the top-k window shuffles once on
+    doc_id with O(pairs) rows."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = _exact_jaccard_pairs(d)
+    sym = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("doc_id"), F.col("id_b").alias("nbr")
+                ),
+                F.struct(
+                    F.col("id_b").alias("doc_id"), F.col("id_a").alias("nbr")
+                ),
+            )
+        ).alias("e"),
+        "jaccard",
+    ).select("e.doc_id", "e.nbr", "jaccard")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("jaccard"), F.asc("nbr")
+    )
+    return (
+        sym.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("nbr").alias("neighbor_id"),
+            "jaccard",
+        )
+    )
+
+
 def q_dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Containment near-dup pairs over an OPEN vocabulary — the 100 TB
     path q_dedup_containment's closed-vocab mask algebra cannot take
@@ -1216,6 +1287,8 @@ QUERIES = {
     "q_dedup_near_pairs": q_dedup_near_pairs,
     "q_dedup_containment": q_dedup_containment,
     "q_dedup_containment_prefix": q_dedup_containment_prefix,
+    "q_dedup_graph_degree": q_dedup_graph_degree,
+    "q_text_jaccard_topk": q_text_jaccard_topk,
     "q_dedup_embed_cosine": q_dedup_embed_cosine,
     "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "q_dedup_ngram_lsh": q_dedup_ngram_lsh,
@@ -1265,6 +1338,30 @@ ORACLES = {
     # shares the exact containment oracle unconditionally — no band-miss
     # probability contract needed, unlike q_dedup_ngram_lsh below.
     "q_dedup_containment_prefix": _SQL_CONTAINMENT_PAIRS,
+    "q_dedup_graph_degree": f"""
+        WITH pairs AS ({_SQL_JACCARD_PAIRS}),
+        sym AS (
+          SELECT id_a AS doc_id FROM pairs
+          UNION ALL SELECT id_b FROM pairs),
+        deg AS (SELECT doc_id, COUNT(*) AS d FROM sym GROUP BY 1)
+        SELECT CAST(COALESCE(deg.d, 0) AS BIGINT) AS degree,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents LEFT JOIN deg ON documents.doc_id = deg.doc_id
+        GROUP BY 1""",
+    "q_text_jaccard_topk": f"""
+        WITH pairs AS ({_SQL_JACCARD_PAIRS}),
+        sym AS (
+          SELECT id_a AS doc_id, id_b AS nbr, jaccard FROM pairs
+          UNION ALL
+          SELECT id_b AS doc_id, id_a AS nbr, jaccard FROM pairs),
+        r AS (
+          SELECT doc_id, nbr, jaccard,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                     ORDER BY jaccard DESC, nbr ASC) AS rank
+          FROM sym)
+        SELECT doc_id, CAST(rank AS INTEGER) AS rank,
+               nbr AS neighbor_id, jaccard
+        FROM r WHERE rank <= 3""",
     "q_dedup_embed_cosine": None,  # filled below — needs gpe.vectors' SQL
     "q_dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
     # RECALL CONTRACT: q_dedup_ngram_lsh is oracle-compared against the

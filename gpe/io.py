@@ -217,13 +217,80 @@ def write_partitioned(df: DataFrame, path: str, partition_col: str) -> None:
     df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
 
 
+def q_join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed CO-LOCATED fact-fact join, driver-visible: lineitem and
+    orders are written as managed tables bucketed 8-ways on the join key,
+    then joined through the bucket layout — at 100 TB this is the
+    difference between re-shuffling petabytes on every join and reading
+    pre-shuffled buckets (the warehouse's standing layout investment).
+    The driver-green hash proves the bucketed write + bucketed-table join
+    produces exactly the plain join's answer; the ZERO-join-side-exchange
+    plan property is asserted in tests/test_explain.py (broadcast
+    disabled there so the bucket layout, not a broadcast, is what removes
+    the shuffle).
+
+    WRITE-PATH-BY-DESIGN: plan construction performs the two bucketed
+    writes (the layout IS the operator under test); the returned plan is
+    the lazy join + aggregate over the bucketed tables.
+    tests/test_builders_lazy.py carries the pinned exemption."""
+    import os as _os
+
+    sfname = _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    tli, to = f"gpe_bjoin_li_{sfname}", f"gpe_bjoin_o_{sfname}"
+
+    # a managed table's LOCATION outlives the session-scoped metastore:
+    # a fresh session that re-runs the key would fail saveAsTable with
+    # LOCATION_ALREADY_EXISTS — drop both the catalog entry and the dir
+    def _clear(table: str) -> None:
+        import shutil
+        from urllib.parse import urlparse
+
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        shutil.rmtree(_os.path.join(wh, table), ignore_errors=True)
+
+    _clear(tli)
+    _clear(to)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    write_bucketed(li, tli, "l_orderkey", 8)
+    write_bucketed(o, to, "o_orderkey", 8)
+    from gpe.common import dec
+
+    revenue = dec("l_extendedprice") * dec(1 - F.col("l_discount"))
+    return (
+        spark.table(tli)
+        .join(
+            spark.table(to), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .groupBy("o_orderpriority", "l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(revenue), 2).cast("double").alias("revenue"),
+        )
+    )
+
+
 QUERIES = {
     "q_scan_parquet": q_scan_parquet,
     "q_scan_projected": q_scan_projected,
     "q_scan_all_tables_counts": q_scan_all_tables_counts,
+    "q_join_bucketed_colocated": q_join_bucketed_colocated,
 }
 
 ORACLES = {
+    "q_join_bucketed_colocated": """
+        SELECT o_orderpriority, l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                              * CAST(1 - l_discount AS DECIMAL(12,2))), 2)
+                    AS DOUBLE) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2""",
     "q_scan_parquet": "SELECT * FROM lineitem",
     "q_scan_projected": "SELECT l_orderkey, l_quantity, l_shipdate FROM lineitem",
     "q_scan_all_tables_counts": " UNION ALL ".join(

@@ -57,6 +57,14 @@ for _name in (
 HARD_SIGNAL_FIRST_50 = [
     # --- new round-7 operators (zero driver evidence) ---
     "q_dedup_containment_prefix",
+    "q_catalog_partition_profile",
+    "q_ts_acf",
+    "q_ts_max_gap",
+    "q_dedup_graph_degree",
+    "q_text_jaccard_topk",
+    "q_text_vocab_coverage",
+    "q_join_bucketed_colocated",
+    "q_cdc_compact_deletes",
     # --- displaced r6 cohort: the 8 r2-stale keys first ---
     "q_win_distinct_count",
     "q_scalar_array",
@@ -101,6 +109,11 @@ HARD_SIGNAL_FIRST_50 = [
     "q_explode_tokens",
     "q_scalar_json",
     "q_scalar_string2",
+]
+
+# Next in line for round 8: the rest of the r4-green cohort, then r5-green
+# keys in churned modules. r6-green keys fall to the tail automatically.
+_SECOND_WAVE = [
     "q_agg_listagg",
     "q_agg_percentiles",
     "q_agg_histogram",
@@ -109,11 +122,6 @@ HARD_SIGNAL_FIRST_50 = [
     "q_subquery_correlated",
     "q_pivot_status_by_year",
     "q_catalog_schema",
-]
-
-# Next in line for round 8: the rest of the r4-green cohort, then r5-green
-# keys in churned modules. r6-green keys fall to the tail automatically.
-_SECOND_WAVE = [
     "q_text_unigram_logprob",
     "q_text_keyphrases",
     "q_pack_sequences",

@@ -386,7 +386,57 @@ def q_text_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: tokens ranked by corpus frequency
+    (freq DESC, token ASC), each with its cumulative occurrence count and
+    cumulative share of all tokens — the Zipf/coverage profile behind
+    every tokenizer-budget decision ("the top-k types cover X% of the
+    stream"). On this closed 31-token fixture the curve is short; the
+    construction assumes nothing about vocabulary size.
+
+    Spark-first: the rank AND the cumulative sum are one call to
+    `gpe.common.two_pass_running_sums` (range repartition + broadcast
+    offset table, TWO prefix columns in one pass) — at open-vocab scale
+    the type table has millions of rows and a naive global ORDER BY
+    window would funnel them through one task. The share is the
+    floor-scale idiom over exact integers.
+
+    Scale notes (100 TB): one token-frequency shuffle (map-side partial),
+    one range repartition of the TYPE table (vocabulary-sized, not
+    corpus-sized), a 1-row total broadcast."""
+    from gpe.common import two_pass_running_sums
+
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        _tokens(d)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("_one", F.lit(1).cast("long"))
+    )
+    run = two_pass_running_sums(
+        spark,
+        freq,
+        [F.desc("freq"), F.asc("token")],
+        [("_one", "rank"), ("freq", "cum_freq")],
+    )
+    total = freq.agg(F.sum("freq").alias("_total"))
+    return (
+        run.crossJoin(F.broadcast(total))
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            "token",
+            "freq",
+            F.col("cum_freq").cast("long").alias("cum_freq"),
+            (
+                F.floor(F.col("cum_freq") * F.lit(1_000_000) / F.col("_total"))
+                / F.lit(1_000_000.0)
+            ).alias("cum_share"),
+        )
+    )
+
+
 QUERIES = {
+    "q_text_vocab_coverage": q_text_vocab_coverage,
     "q_text_keyphrases": q_text_keyphrases,
     "q_text_token_entropy": q_text_token_entropy,
     "q_text_unigram_logprob": q_text_unigram_logprob,
@@ -400,6 +450,24 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_text_vocab_coverage": """
+        WITH freq AS (
+          SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+          FROM (SELECT unnest(string_split(text, ' ')) AS token
+                FROM documents)
+          GROUP BY 1),
+        r AS (
+          SELECT token, freq,
+                 ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC) AS rank,
+                 SUM(freq) OVER (ORDER BY freq DESC, token ASC
+                                 ROWS UNBOUNDED PRECEDING) AS cum_freq
+          FROM freq)
+        SELECT CAST(rank AS BIGINT) AS rank, token, freq,
+               CAST(cum_freq AS BIGINT) AS cum_freq,
+               FLOOR(cum_freq * 1000000
+                     / (SELECT SUM(freq) FROM freq)) / 1000000.0
+                 AS cum_share
+        FROM r""",
     "q_text_token_entropy": f"""
         WITH tok AS (
           SELECT doc_id, unnest(string_split(text, ' ')) AS token

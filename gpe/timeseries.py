@@ -947,6 +947,121 @@ def q_ts_downsample_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ACF_MAX_LAG = 7
+
+
+def q_ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily total value per event type,
+    lags 1..7 — the seasonality/persistence diagnostic every forecasting
+    endpoint (q_ts_forecast_snaive, q_ts_holt) should be driven by: a
+    lag-7 spike says "weekly season", near-zero everywhere says the
+    snaive baseline is unbeatable.
+
+    ACF_k here is the Pearson correlation of the (x_t, x_{t−k}) overlap
+    pairs (the q_agg_corr_regr recipe applied to a lagged self-pairing):
+    five EXACT decimal co-moment sums per (type, lag) — order-free, so
+    partitioning can't drift them — then one closed-form IEEE expression
+    identical in both engines, ε-rounded to 6.
+
+    Scale notes (100 TB): one daily partial-agg shuffle; the lag window
+    runs on the POST-AGG days-cardinality frame (the q_ts_vwap argument);
+    the 7 lags stack map-side via one explode (no 7-way self-join); the
+    final co-moment aggregate is ≤ |types|·7 groups."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", ntz(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.sum(dec("value")).cast("decimal(18,2)").alias("x"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "x",
+        *[
+            F.lag("x", k).over(w).alias(f"_l{k}")
+            for k in range(1, _ACF_MAX_LAG + 1)
+        ],
+    )
+    stacked = (
+        lagged.select(
+            "event_type",
+            "x",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).alias("k"), F.col(f"_l{k}").alias("xl")
+                        )
+                        for k in range(1, _ACF_MAX_LAG + 1)
+                    ]
+                )
+            ).alias("p"),
+        )
+        .select("event_type", F.col("p.k").alias("lag"), "x", F.col("p.xl").alias("xl"))
+        .filter(F.col("xl").isNotNull())
+    )
+    agg = stacked.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("xl").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("xl") * F.col("xl")).cast("double").alias("syy"),
+        F.sum(F.col("x") * F.col("xl")).cast("double").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return agg.select(
+        "event_type",
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").cast("bigint").alias("n_pairs"),
+        fround(num / F.sqrt(denx * deny), "acf"),
+    )
+
+
+def q_ts_max_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest silent gap per user — the monitoring/watchdog complement to
+    sessionization: the longest interval between consecutive events, with
+    its endpoints. The outage-detection primitive a device/user-activity
+    API serves ("when did this sensor go quiet, and for how long").
+
+    Spark-first: one lag window over (ts, event_id) order, then the
+    argmax AS AN AGGREGATE (max-of-struct keyed on (gap_µs, start_µs,
+    end event_id) — equal gaps resolve to the LATEST start and the
+    end-side event_id makes the key strictly unique per row, so the
+    winner is engine-exact), never a rank-window re-sort. One shuffle on
+    user_id, O(1) state per row; users with a single event have no gap
+    and drop out."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lag("ts").over(w).alias("_pts"),
+    ).filter(F.col("_pts").isNotNull())
+    gap_us = umicros("ts") - umicros(F.col("_pts"))
+    best = g.groupBy("user_id").agg(
+        (F.count(F.lit(1)) + F.lit(1)).alias("n_events"),
+        F.max(
+            F.struct(
+                gap_us.alias("gap"),
+                umicros(F.col("_pts")).alias("su"),
+                F.col("event_id").alias("eid"),
+                F.col("_pts").alias("gs"),
+                F.col("ts").alias("ge"),
+            )
+        ).alias("b"),
+    )
+    return best.select(
+        "user_id",
+        "n_events",
+        F.floor(F.col("b.gap") / F.lit(1_000_000)).cast("long").alias(
+            "max_gap_seconds"
+        ),
+        F.col("b.gs").alias("gap_start"),
+        F.col("b.ge").alias("gap_end"),
+    )
+
+
 QUERIES = {
     "q_ts_anomaly_zscore": q_ts_anomaly_zscore,
     "q_ts_forecast_snaive": q_ts_forecast_snaive,
@@ -954,6 +1069,8 @@ QUERIES = {
     "q_ts_seasonality": q_ts_seasonality,
     "q_ts_downsample_triangle": q_ts_downsample_triangle,
     "q_ts_holt": q_ts_holt,
+    "q_ts_acf": q_ts_acf,
+    "q_ts_max_gap": q_ts_max_gap,
     "q_ts_transitions": q_ts_transitions,
     "q_ts_ewma": q_ts_ewma,
     "q_ts_rollup_multigrain": q_ts_rollup_multigrain,
@@ -978,7 +1095,67 @@ _HOLT_VALUES = ",\n          ".join(
     for k, ws, wb, i0, i1 in _holt_weight_rows(_HOLT_MAX_DAYS)
 )
 
+_ACF_LAG_STACK = "\n          UNION ALL ".join(
+    f"SELECT event_type, {k} AS lag, x, l{k} AS xl FROM lagged "
+    f"WHERE l{k} IS NOT NULL"
+    for k in range(1, _ACF_MAX_LAG + 1)
+)
+
+_ACF_LAG_COLS = ",\n                 ".join(
+    f"LAG(x, {k}) OVER w AS l{k}" for k in range(1, _ACF_MAX_LAG + 1)
+)
+
 ORACLES = {
+    "q_ts_acf": f"""
+        WITH daily AS (
+          SELECT event_type,
+                 date_trunc('day', ts) AS day,
+                 CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2))
+                   AS x
+          FROM events GROUP BY 1, 2),
+        lagged AS (
+          SELECT event_type, x,
+                 {_ACF_LAG_COLS}
+          FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        stacked AS (
+          {_ACF_LAG_STACK}),
+        agg AS (
+          SELECT event_type, lag,
+                 CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(x) AS DOUBLE) AS sx,
+                 CAST(SUM(xl) AS DOUBLE) AS sy,
+                 CAST(SUM(x * x) AS DOUBLE) AS sxx,
+                 CAST(SUM(xl * xl) AS DOUBLE) AS syy,
+                 CAST(SUM(x * xl) AS DOUBLE) AS sxy
+          FROM stacked GROUP BY 1, 2)
+        SELECT event_type,
+               CAST(lag AS INTEGER) AS lag,
+               CAST(n AS BIGINT) AS n_pairs,
+               {sql_fround(
+                   '(n * sxy - sx * sy) / sqrt((n * sxx - sx * sx)'
+                   ' * (n * syy - sy * sy))', 'acf')}
+        FROM agg""",
+    "q_ts_max_gap": """
+        WITH g AS (
+          SELECT user_id, ts, event_id,
+                 LAG(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS pts
+          FROM events),
+        g2 AS (SELECT * FROM g WHERE pts IS NOT NULL),
+        r AS (
+          SELECT user_id, ts, event_id, pts,
+                 epoch_us(ts) - epoch_us(pts) AS gap_us,
+                 COUNT(*) OVER (PARTITION BY user_id) AS n_pairs,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                     ORDER BY (epoch_us(ts) - epoch_us(pts)) DESC,
+                              epoch_us(pts) DESC, event_id DESC) AS rn
+          FROM g2)
+        SELECT user_id,
+               n_pairs + 1 AS n_events,
+               CAST(FLOOR(gap_us / 1000000) AS BIGINT) AS max_gap_seconds,
+               pts AS gap_start,
+               ts AS gap_end
+        FROM r WHERE rn = 1""",
     "q_ts_holt": f"""
         WITH wt(k, ws, wb, i0, i1) AS (VALUES
           {_HOLT_VALUES}),

@@ -20,6 +20,10 @@ ITERATIVE_BY_DESIGN = {
     "q_dedup_components",
     "q_dedup_components_star",  # star rounds converge via driver loop
     "q_dedup_keep_best",  # composes q_dedup_components
+    # WRITE-PATH-BY-DESIGN: the write action IS the operator under test;
+    # the returned plan is the lazy readback/join
+    "q_catalog_partition_profile",
+    "q_join_bucketed_colocated",
 }
 
 

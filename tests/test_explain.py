@@ -135,6 +135,50 @@ def test_approx_quantile_audit_has_no_per_flag_window_sort(spark):
         assert "pid" in m.group(1), m.group(0)
 
 
+def test_partition_profile_write_enables_partition_pruning(spark):
+    """q_catalog_partition_profile writes a Hive-partitioned layout; a
+    filtered readback must prune to ONE partition directory
+    (PartitionFilters reach the scan) — the §4.1 partition-pruning
+    feature the single-file test inputs can't otherwise exercise."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    _Q["q_catalog_partition_profile"](spark, SF)  # performs the write
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "gpe_lake",
+        f"partition_profile_{os.path.basename(SF)}",
+    )
+    back = spark.read.parquet(path).filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters:")[1][:200]
+    assert "o_orderpriority" in pf, pf
+    # the filter must NOT degrade to a post-scan data filter only
+    assert back.count() > 0
+
+
+def test_bucketed_colocated_join_has_no_join_exchange(spark):
+    """q_join_bucketed_colocated: with broadcast disabled, the ONLY
+    Exchange in the plan may be the post-join aggregation shuffle — the
+    join itself must read the co-located buckets (zero join-side
+    exchange, the layout's whole point)."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = _Q["q_join_bucketed_colocated"](spark, SF)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        join_part = plan.split("SortMergeJoin")[-1] if "SortMergeJoin" in plan else plan
+        # everything BELOW the join (its inputs) must be exchange-free
+        assert "SortMergeJoin" in plan, plan[:500]
+        assert "Exchange" not in join_part, join_part[:800]
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
 def test_containment_prefix_has_no_allpairs_join(spark):
     """q_dedup_containment_prefix is the open-vocabulary containment path:
     candidates must come from the prefix-token equi-join over supernodes —
