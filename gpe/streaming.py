@@ -316,6 +316,60 @@ def compact_stream(stream: DataFrame) -> DataFrame:
     )
 
 
+def max_gap_stream(stream: DataFrame) -> DataFrame:
+    """Streaming twin of gpe.timeseries.q_ts_max_gap: the per-user
+    watchdog ("how long has this user/sensor ever gone quiet") maintained
+    continuously. O(1) state per user: the last event's µs timestamp, the
+    running event count, and the best (gap, start_µs, end_event_id)
+    triple — the same strictly-unique argmax key the batch operator's
+    max-of-struct uses, so the final state row is IDENTICAL to the batch
+    answer (all-integer arithmetic, nothing to drift). Assumes per-user
+    batches arrive in event-time order across batches (single-replay /
+    watermark-ordered ingest), like the other stateful twins here."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id long, n_events long, max_gap_seconds long,"
+        " gap_start timestamp, gap_end timestamp"
+    )
+    state_schema = "lts long, n long, gap long, su long, eid long, ge long"
+
+    def fn(key, pdf_iter, state: GroupState):
+        lts, n, gap, su, eid, ge = (
+            state.get if state.exists else (None, 0, None, None, None, None)
+        )
+        parts = [p for p in pdf_iter if len(p)]
+        if not parts:
+            return
+        pdf = pd.concat(parts).sort_values(["ts", "event_id"])
+        ts_us = pdf["ts"].values.astype("datetime64[us]").astype("int64")
+        for t, e in zip(ts_us.tolist(), pdf["event_id"].tolist()):
+            if lts is not None:
+                g = t - lts
+                if gap is None or (g, lts, e) > (gap, su, eid):
+                    gap, su, eid, ge = g, lts, e, t
+            lts = t
+            n += 1
+        state.update((lts, n, gap, su, eid, ge))
+        if gap is None:  # single event so far — no gap to report yet
+            return
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "max_gap_seconds": [gap // 1_000_000],
+                "gap_start": [pd.Timestamp(su, unit="us")],
+                "gap_end": [pd.Timestamp(ge, unit="us")],
+            }
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def attribution_stream(stream: DataFrame) -> DataFrame:
     """Streaming twin of gpe.timeseries.q_ts_attribution: last-touch
     attribution maintained continuously — per-user state is ONLY the

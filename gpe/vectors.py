@@ -531,32 +531,64 @@ def q_vec_ann_pq(
     SQL-oracle-checkable. Recall vs q_vec_knn_brute is asserted in
     tests/test_llm_ops.py."""
     emb = load_table(spark, sf_dir, "embeddings")
-    ex = emb.select("vec_id", "label", F.posexplode("embedding").alias("pos", "x"))
     if cdims is None:
         cdims = _centroid_dims(emb)
     cdims = cdims.select(F.col("label").alias("code"), "pos", "cdim")
     # --- encode: nearest sub-codebook entry per (vector, subvector) ---
+    # kmeans-step recipe (r7): the per-(code, sub) codebook collapses to
+    # 80 broadcast rows of (8-dim decimal array, exact ‖c_sub‖²) and the
+    # assignment is a map-side fold over the embedding SLICE — argmin d²
+    # ≡ argmax(2·x_sub·c_sub − ‖c_sub‖²) since ‖x_sub‖² is constant per
+    # (vector, sub) — with the argmax AS AN AGGREGATE (max-of-struct,
+    # ties to the smaller code exactly like the former (d² ASC, code ASC)
+    # rank). Replaces the positional-explode join that pushed
+    # #vecs × dim × k rows into a hash aggregate (the former PQ-encode
+    # was the slowest stage of the whole ANN audit).
     sub = (F.col("pos") / _PQ_SUB_DIM).cast("int")
-    d2_terms = ex.join(F.broadcast(cdims), "pos").select(
-        "vec_id",
-        "code",
-        sub.alias("sub"),
-        (
-            (F.col("x").cast("decimal(12,10)") - F.col("cdim").cast("decimal(14,8)"))
-            * (F.col("x").cast("decimal(12,10)") - F.col("cdim").cast("decimal(14,8)"))
-        ).alias("t"),
+    cent_sub = (
+        cdims.withColumn("sub", sub)
+        .groupBy("code", "sub")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "cdim"))),
+                lambda s: s.cdim.cast("decimal(14,8)"),
+            ).alias("csub"),
+            F.sum(
+                F.col("cdim").cast("decimal(14,8)")
+                * F.col("cdim").cast("decimal(14,8)")
+            ).alias("c2s"),
+        )
     )
-    d2 = d2_terms.groupBy("vec_id", "sub", "code").agg(F.sum("t").alias("d2"))
-    from pyspark.sql import Window
-
-    w_code = Window.partitionBy("vec_id", "sub").orderBy(
-        F.asc("d2"), F.asc("code")
+    xsub = F.slice(
+        F.col("embedding"), F.col("sub") * _PQ_SUB_DIM + 1, _PQ_SUB_DIM
+    )
+    sdot = F.aggregate(
+        F.zip_with(
+            xsub, F.col("csub"), lambda x, c: x.cast("decimal(12,10)") * c
+        ),
+        F.lit(0).cast("decimal(38,18)"),
+        lambda a, v: (a + v).cast("decimal(38,18)"),
     )
     codes = (
-        d2.withColumn("crn", F.row_number().over(w_code))
-        .filter(F.col("crn") == 1)
-        .select("vec_id", "sub", "code")
+        emb.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cent_sub))
+        .withColumn(
+            "margin", sdot + sdot - F.col("c2s").cast("decimal(38,18)")
+        )
+        .groupBy("vec_id", "sub")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("margin").alias("m"),
+                    (-F.col("code")).alias("neg"),
+                    F.col("code").alias("code"),
+                )
+            ).alias("b")
+        )
+        .select("vec_id", "sub", F.col("b.code").alias("code"))
     )
+    from pyspark.sql import Window
+
     # --- LUT: query × codebook partial dot products (the ADC table) ---
     qx = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),

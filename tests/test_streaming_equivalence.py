@@ -261,6 +261,42 @@ def test_streaming_compact_equals_batch(spark, stream):
         q.stop()
 
 
+def test_streaming_max_gap_equals_batch(spark, stream):
+    """max_gap_stream's final per-user state must equal q_ts_max_gap
+    row-for-row — all-integer state, identical (gap, start_µs, end
+    event_id) argmax key, so equality is exact (n_events settles the
+    'final' emission per user: it grows monotonically)."""
+    q = streaming.run_to_memory(
+        streaming.max_gap_stream(stream), "t_maxgap", "update"
+    )
+    try:
+        final = {}
+        for r in spark.table("t_maxgap").collect():
+            k = r["user_id"]
+            cur = (
+                r["n_events"],
+                r["max_gap_seconds"],
+                r["gap_start"],
+                r["gap_end"],
+            )
+            if k not in final or cur[0] > final[k][0]:
+                final[k] = cur
+        got = sorted((k,) + v for k, v in final.items())
+        want = sorted(
+            (
+                r["user_id"],
+                r["n_events"],
+                r["max_gap_seconds"],
+                r["gap_start"],
+                r["gap_end"],
+            )
+            for r in timeseries.q_ts_max_gap(spark, SF).collect()
+        )
+        assert got == want
+    finally:
+        q.stop()
+
+
 def test_streaming_zscore_equals_batch(spark, stream):
     """zscore_stream must be BIT-equal to q_ts_anomaly_zscore: same
     window counts, same IEEE z-scores (including the null-on-singleton /

@@ -91,6 +91,7 @@ drain("v_zscore", streaming.zscore_stream(ev()), "update")
 drain("v_compact", streaming.compact_stream(ev()), "update")
 drain("v_attrib", streaming.attribution_stream(ev()), "update")
 drain("v_trans", streaming.transitions_stream(ev()), "update")
+drain("v_maxgap", streaming.max_gap_stream(ev()), "update")
 drain("v_grain_month", streaming.grain_counts_stream(ev(), "month"), "complete")
 drain("v_ewma", streaming.ewma_stream(ev()), "update")
 drain(
