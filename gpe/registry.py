@@ -65,6 +65,10 @@ HARD_SIGNAL_FIRST_50 = [
     "q_text_vocab_coverage",
     "q_join_bucketed_colocated",
     "q_cdc_compact_deletes",
+    "q_agg_iqr_fences",
+    "q_agg_ttest_welch",
+    "q_text_cooccurrence_pmi",
+    "q_ts_user_paths",
     # --- displaced r6 cohort: the 8 r2-stale keys first ---
     "q_win_distinct_count",
     "q_scalar_array",
@@ -105,15 +109,15 @@ HARD_SIGNAL_FIRST_50 = [
     "q_agg_groupby",
     "q_scalar_string",
     "q_scalar_date",
-    "q_scalar_math",
-    "q_explode_tokens",
-    "q_scalar_json",
-    "q_scalar_string2",
 ]
 
 # Next in line for round 8: the rest of the r4-green cohort, then r5-green
 # keys in churned modules. r6-green keys fall to the tail automatically.
 _SECOND_WAVE = [
+    "q_scalar_math",
+    "q_explode_tokens",
+    "q_scalar_json",
+    "q_scalar_string2",
     "q_agg_listagg",
     "q_agg_percentiles",
     "q_agg_histogram",

@@ -1052,6 +1052,103 @@ def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_iqr_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust-statistics outlier screen: per order status, the exact
+    interquartile range and the Tukey-fence outlier counts
+    (x < q1 − 1.5·IQR or x > q3 + 1.5·IQR) — the box-plot numbers every
+    data-profiling endpoint serves, and the robust sibling of
+    q_ts_anomaly_zscore's mean/σ flags.
+
+    Determinism: q1/q3 are exact continuous percentiles over 2-decimal
+    values (the q_agg_percentiles recipe — interpolation is the same IEEE
+    expression in both engines), so the fences and the per-row compares
+    see identical doubles. Scale notes (100 TB): one percentile aggregate
+    (Spark's exact percentile is a single-shuffle sort-based aggregate
+    per group), then one broadcast of the |status|-row fence table back
+    onto the fact scan for the counts — two passes, no global sort."""
+    o = load_table(spark, sf_dir, "orders")
+    stats = o.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", F.lit(0.25)).alias("q1"),
+        F.percentile("o_totalprice", F.lit(0.75)).alias("q3"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    fences = stats.select(
+        "o_orderstatus",
+        "n",
+        "q1",
+        "q3",
+        (F.col("q3") - F.col("q1")).alias("iqr"),
+        (F.col("q1") - F.lit(1.5) * (F.col("q3") - F.col("q1"))).alias("_lo"),
+        (F.col("q3") + F.lit(1.5) * (F.col("q3") - F.col("q1"))).alias("_hi"),
+    )
+    counts = (
+        o.join(F.broadcast(fences.select("o_orderstatus", "_lo", "_hi")),
+               "o_orderstatus")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.when(F.col("o_totalprice") < F.col("_lo"), 1)).alias(
+                "n_low_outliers"
+            ),
+            F.count(F.when(F.col("o_totalprice") > F.col("_hi"), 1)).alias(
+                "n_high_outliers"
+            ),
+        )
+    )
+    return fences.join(counts, "o_orderstatus").select(
+        "o_orderstatus",
+        "n",
+        F.round(F.col("q1") + EPS, 2).alias("q1"),
+        F.round(F.col("q3") + EPS, 2).alias("q3"),
+        F.round(F.col("iqr") + EPS, 2).alias("iqr"),
+        "n_low_outliers",
+        "n_high_outliers",
+    )
+
+
+def q_agg_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t-statistic of event `value` for every event
+    type against the 'view' baseline — the A/B-comparison endpoint of an
+    analytics API ("is this event type's value distribution different
+    from baseline browsing"), including the Welch–Satterthwaite degrees
+    of freedom.
+
+    Determinism: per-type n/Σx/Σx² are EXACT decimal sums (order-free);
+    means, variances, t, and df are one closed-form IEEE expression over
+    those exact sums — identical in both engines — ε-rounded at the end
+    (the q_agg_corr_regr recipe). Scale notes (100 TB): one partial-agg
+    shuffle to |types| rows, a 1-row broadcast of the baseline, map-side
+    arithmetic after that."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dec("value")).cast("double").alias("sx"),
+        F.sum(dec("value") * dec("value")).cast("double").alias("sxx"),
+    )
+    mean = F.col("sx") / F.col("n")
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (
+        F.col("n") - F.lit(1.0)
+    )
+    s = s.select("event_type", "n", mean.alias("m"), var.alias("v"))
+    base = s.filter(F.col("event_type") == "view").select(
+        F.col("n").alias("_n0"), F.col("m").alias("_m0"), F.col("v").alias("_v0")
+    )
+    t = s.filter(F.col("event_type") != "view").crossJoin(F.broadcast(base))
+    se2 = F.col("v") / F.col("n") + F.col("_v0") / F.col("_n0")
+    df_ws = (se2 * se2) / (
+        (F.col("v") / F.col("n")) * (F.col("v") / F.col("n"))
+        / (F.col("n") - F.lit(1.0))
+        + (F.col("_v0") / F.col("_n0")) * (F.col("_v0") / F.col("_n0"))
+        / (F.col("_n0") - F.lit(1.0))
+    )
+    return t.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        fround(F.col("m"), "mean_value"),
+        fround((F.col("m") - F.col("_m0")) / F.sqrt(se2), "t_stat"),
+        fround(df_ws, "welch_df", 2),
+    )
+
+
 def q_page_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyset-stable pagination (the data-lake API's list endpoint):
     ORDER BY unique key, rows 101-150. offset+limit compiles to a global
@@ -1477,6 +1574,8 @@ QUERIES = {
     "q_subquery_correlated": q_subquery_correlated,
     "q_agg_listagg": q_agg_listagg,
     "q_agg_percentiles": q_agg_percentiles,
+    "q_agg_iqr_fences": q_agg_iqr_fences,
+    "q_agg_ttest_welch": q_agg_ttest_welch,
     "q_page_orders": q_page_orders,
     "q_unpivot_order_counts": q_unpivot_order_counts,
     "q_join_lateral": q_join_lateral,
@@ -1717,6 +1816,59 @@ ORACLES = {
                CAST(COUNT(*) AS BIGINT) AS n_nations
         FROM nation JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name ORDER BY r_name""",
+    "q_agg_iqr_fences": f"""
+        WITH s AS (
+          SELECT o_orderstatus,
+                 quantile_cont(o_totalprice, 0.25) AS q1,
+                 quantile_cont(o_totalprice, 0.75) AS q3,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM orders GROUP BY o_orderstatus),
+        f AS (
+          SELECT o_orderstatus, n, q1, q3, q3 - q1 AS iqr,
+                 q1 - 1.5 * (q3 - q1) AS lo,
+                 q3 + 1.5 * (q3 - q1) AS hi
+          FROM s),
+        c AS (
+          SELECT o.o_orderstatus,
+                 CAST(COUNT(*) FILTER (o.o_totalprice < f.lo) AS BIGINT)
+                   AS n_low_outliers,
+                 CAST(COUNT(*) FILTER (o.o_totalprice > f.hi) AS BIGINT)
+                   AS n_high_outliers
+          FROM orders o JOIN f ON o.o_orderstatus = f.o_orderstatus
+          GROUP BY 1)
+        SELECT f.o_orderstatus, f.n,
+               {sql_fround('f.q1', 'q1', 2)},
+               {sql_fround('f.q3', 'q3', 2)},
+               {sql_fround('f.iqr', 'iqr', 2)},
+               c.n_low_outliers, c.n_high_outliers
+        FROM f JOIN c ON f.o_orderstatus = c.o_orderstatus""",
+    "q_agg_ttest_welch": f"""
+        WITH s AS (
+          SELECT event_type,
+                 CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM({sql_dec('value')}) AS DOUBLE) AS sx,
+                 CAST(SUM({sql_dec('value')} * {sql_dec('value')})
+                      AS DOUBLE) AS sxx
+          FROM events GROUP BY 1),
+        m AS (
+          SELECT event_type, n, sx / n AS m,
+                 (sxx - sx * sx / n) / (n - 1.0) AS v
+          FROM s),
+        b AS (SELECT n AS n0, m AS m0, v AS v0 FROM m
+              WHERE event_type = 'view'),
+        t AS (
+          SELECT m.event_type, m.n, m.m, m.v, b.n0, b.m0, b.v0,
+                 m.v / m.n + b.v0 / b.n0 AS se2
+          FROM m CROSS JOIN b WHERE m.event_type <> 'view')
+        SELECT event_type,
+               CAST(n AS BIGINT) AS n,
+               {sql_fround('m', 'mean_value')},
+               {sql_fround('(m - m0) / sqrt(se2)', 't_stat')},
+               {sql_fround(
+                   '(se2 * se2) / ((v / n) * (v / n) / (n - 1.0)'
+                   ' + (v0 / n0) * (v0 / n0) / (n0 - 1.0))',
+                   'welch_df', 2)}
+        FROM t""",
     "q_agg_percentiles": """
         SELECT o_orderstatus,
                quantile_cont(o_totalprice, 0.25) AS p25,

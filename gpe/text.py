@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from gpe.common import EPS
+from gpe.common import EPS, persist_tracked
 from gpe.io import load_table
 
 _STOPWORDS = ("the", "a")
@@ -435,7 +435,69 @@ def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token co-occurrence PMI (pointwise mutual information) over doc
+    token SETS: for every unordered token pair appearing together in ≥ 20
+    documents, PMI = ln(N·c_xy / (c_x·c_y)) — the collocation/phrase-
+    mining statistic an LLM-data pipeline runs to find multi-word
+    expressions worth protecting from tokenizer splits.
+
+    Determinism: all counts are exact integers; the single ratio is one
+    IEEE division of exact ints, ln() may differ in the last ulp between
+    libm builds — absorbed by the e6 floor + ε nudge (the
+    q_text_unigram_logprob fixed-point idiom). Scale notes (100 TB): the
+    pair stream comes from a doc_id equi-self-join of the DISTINCT
+    (doc, token) frame — per-doc cost is C(|set|, 2), bounded by doc
+    length, never corpus-quadratic; df and N are one aggregate each and
+    broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = persist_tracked(
+        d.select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split("text", " "))).alias("token"),
+        )
+    )
+    ta = toks.select("doc_id", F.col("token").alias("token_a"))
+    tb = toks.select("doc_id", F.col("token").alias("token_b"))
+    pairs = (
+        ta.join(tb, "doc_id")
+        .filter(F.col("token_a") < F.col("token_b"))
+        .groupBy("token_a", "token_b")
+        .agg(F.count(F.lit(1)).alias("n_docs_both"))
+        .filter(F.col("n_docs_both") >= 20)
+    )
+    dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("_n"))
+    ratio = (
+        F.col("n_docs_both").cast("double") * F.col("_n")
+        / (F.col("_dfa").cast("double") * F.col("_dfb"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(dfreq.select(F.col("token").alias("token_a"),
+                                     F.col("_df").alias("_dfa"))),
+            "token_a",
+        )
+        .join(
+            F.broadcast(dfreq.select(F.col("token").alias("token_b"),
+                                     F.col("_df").alias("_dfb"))),
+            "token_b",
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "token_a",
+            "token_b",
+            "n_docs_both",
+            (
+                F.floor(F.log(ratio) * F.lit(1_000_000) + F.lit(EPS))
+                / F.lit(1_000_000.0)
+            ).alias("pmi"),
+        )
+    )
+
+
 QUERIES = {
+    "q_text_cooccurrence_pmi": q_text_cooccurrence_pmi,
     "q_text_vocab_coverage": q_text_vocab_coverage,
     "q_text_keyphrases": q_text_keyphrases,
     "q_text_token_entropy": q_text_token_entropy,
@@ -450,6 +512,28 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_text_cooccurrence_pmi": f"""
+        WITH toks AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_distinct(string_split(text, ' '))) AS token
+          FROM documents),
+        pairs AS (
+          SELECT a.token AS token_a, b.token AS token_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs_both
+          FROM toks a JOIN toks b
+            ON a.doc_id = b.doc_id AND a.token < b.token
+          GROUP BY 1, 2
+          HAVING COUNT(*) >= 20),
+        df AS (SELECT token, COUNT(*) AS dfc FROM toks GROUP BY 1),
+        n AS (SELECT COUNT(*) AS nd FROM documents)
+        SELECT p.token_a, p.token_b, p.n_docs_both,
+               FLOOR(ln(CAST(p.n_docs_both AS DOUBLE) * n.nd
+                        / (CAST(da.dfc AS DOUBLE) * db.dfc))
+                     * 1000000 + {EPS}) / 1000000.0 AS pmi
+        FROM pairs p
+        JOIN df da ON da.token = p.token_a
+        JOIN df db ON db.token = p.token_b
+        CROSS JOIN n""",
     "q_text_vocab_coverage": """
         WITH freq AS (
           SELECT token, CAST(COUNT(*) AS BIGINT) AS freq

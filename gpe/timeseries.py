@@ -947,6 +947,40 @@ def q_ts_downsample_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top entry paths: each user's first 3 events (by ts, event_id)
+    joined into a '>'-separated path string, counted across users — the
+    clickstream path-analysis endpoint ("how do sessions begin") that
+    complements the funnel (fixed target order) and the transition matrix
+    (first-order, memoryless).
+
+    Spark-first: one rank window on user_id keeps rows 1-3, then the path
+    assembles MAP-SIDE from a sorted struct array (collect over ≤3 rows
+    per user — O(1) state) and one path-cardinality aggregate finishes.
+    Scale notes (100 TB): two shuffles total (user_id window + path
+    count), both with map-side partials; no string aggregation ever sees
+    more than 3 elements."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first3 = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 3)
+    )
+    paths = first3.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("_rn", "event_type"))
+                ),
+                lambda s: s.event_type,
+            ),
+            ">",
+        ).alias("path")
+    )
+    return paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_users"))
+
+
 _ACF_MAX_LAG = 7
 
 
@@ -1071,6 +1105,7 @@ QUERIES = {
     "q_ts_holt": q_ts_holt,
     "q_ts_acf": q_ts_acf,
     "q_ts_max_gap": q_ts_max_gap,
+    "q_ts_user_paths": q_ts_user_paths,
     "q_ts_transitions": q_ts_transitions,
     "q_ts_ewma": q_ts_ewma,
     "q_ts_rollup_multigrain": q_ts_rollup_multigrain,
@@ -1106,6 +1141,18 @@ _ACF_LAG_COLS = ",\n                 ".join(
 )
 
 ORACLES = {
+    "q_ts_user_paths": """
+        WITH r AS (
+          SELECT user_id, event_type,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
+          FROM events),
+        p AS (
+          SELECT user_id,
+                 string_agg(event_type, '>' ORDER BY rn) AS path
+          FROM r WHERE rn <= 3 GROUP BY 1)
+        SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM p GROUP BY 1""",
     "q_ts_acf": f"""
         WITH daily AS (
           SELECT event_type,
