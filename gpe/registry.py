@@ -69,6 +69,9 @@ HARD_SIGNAL_FIRST_50 = [
     "q_agg_ttest_welch",
     "q_text_cooccurrence_pmi",
     "q_ts_user_paths",
+    "q_agg_mad",
+    "q_vec_pca_power",
+    "q_ts_cohort_ltv",
     # --- displaced r6 cohort: the 8 r2-stale keys first ---
     "q_win_distinct_count",
     "q_scalar_array",
@@ -106,14 +109,14 @@ HARD_SIGNAL_FIRST_50 = [
     "q_join_fuzzy_name",
     "q_join_skew_salted",
     "q_join_lateral",
-    "q_agg_groupby",
-    "q_scalar_string",
-    "q_scalar_date",
 ]
 
 # Next in line for round 8: the rest of the r4-green cohort, then r5-green
 # keys in churned modules. r6-green keys fall to the tail automatically.
 _SECOND_WAVE = [
+    "q_agg_groupby",
+    "q_scalar_string",
+    "q_scalar_date",
     "q_scalar_math",
     "q_explode_tokens",
     "q_scalar_json",

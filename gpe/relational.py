@@ -1105,6 +1105,36 @@ def q_agg_iqr_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation of order totalprice per status — the
+    robust dispersion statistic (breakdown point 50% vs the standard
+    deviation's 0%), completing the robust family beside q_agg_iqr_fences
+    and the moving median.
+
+    Two exact-percentile passes: median per group, broadcast back, then
+    the median of |x − med|. Exact continuous percentiles over 2-decimal
+    values interpolate with the same IEEE expression in both engines (the
+    q_agg_percentiles recipe); |x − med| subtraction of exact values is
+    exact. Scale notes (100 TB): two sort-based percentile aggregates
+    (each one shuffle), one |status|-row broadcast between them."""
+    o = load_table(spark, sf_dir, "orders")
+    med = o.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("_med"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    dev = o.join(F.broadcast(med), "o_orderstatus").select(
+        "o_orderstatus",
+        "n",
+        F.abs(F.col("o_totalprice") - F.col("_med")).alias("_ad"),
+        F.col("_med"),
+    )
+    return dev.groupBy("o_orderstatus").agg(
+        F.max("n").alias("n"),
+        F.round(F.max("_med") + EPS, 2).alias("median_price"),
+        F.round(F.percentile("_ad", F.lit(0.5)) + EPS, 2).alias("mad"),
+    )
+
+
 def q_agg_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Welch's two-sample t-statistic of event `value` for every event
     type against the 'view' baseline — the A/B-comparison endpoint of an
@@ -1576,6 +1606,7 @@ QUERIES = {
     "q_agg_percentiles": q_agg_percentiles,
     "q_agg_iqr_fences": q_agg_iqr_fences,
     "q_agg_ttest_welch": q_agg_ttest_welch,
+    "q_agg_mad": q_agg_mad,
     "q_page_orders": q_page_orders,
     "q_unpivot_order_counts": q_unpivot_order_counts,
     "q_join_lateral": q_join_lateral,
@@ -1816,6 +1847,21 @@ ORACLES = {
                CAST(COUNT(*) AS BIGINT) AS n_nations
         FROM nation JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name ORDER BY r_name""",
+    "q_agg_mad": f"""
+        WITH m AS (
+          SELECT o_orderstatus,
+                 quantile_cont(o_totalprice, 0.5) AS med,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM orders GROUP BY 1),
+        d AS (
+          SELECT o.o_orderstatus, m.n, m.med,
+                 ABS(o.o_totalprice - m.med) AS ad
+          FROM orders o JOIN m ON o.o_orderstatus = m.o_orderstatus)
+        SELECT o_orderstatus,
+               MAX(n) AS n,
+               {sql_fround('MAX(med)', 'median_price', 2)},
+               {sql_fround('quantile_cont(ad, 0.5)', 'mad', 2)}
+        FROM d GROUP BY o_orderstatus""",
     "q_agg_iqr_fences": f"""
         WITH s AS (
           SELECT o_orderstatus,

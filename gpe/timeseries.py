@@ -947,6 +947,52 @@ def q_ts_downsample_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime value: per signup cohort day and day-age, the
+    purchase revenue earned that day and the CUMULATIVE revenue to date —
+    the LTV curve every subscription/commerce analytics API serves next
+    to the retention matrix (q_ts_retention shares the cohort spine).
+
+    Determinism: daily revenue is an exact decimal sum; the cumulative
+    window adds exact decimals, rounded only at emission. Scale notes
+    (100 TB): cohort spine = one signup aggregate (map-side partial),
+    broadcast onto purchases; one (cohort, age) partial-agg shuffle; the
+    running-sum window runs on the POST-AGG cohort×age frame (≤ span²
+    rows), never on raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    cohort = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(ntz(F.date_trunc("day", F.min("ts"))).alias("cohort_day"))
+    )
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(cohort), "user_id")
+        .withColumn(
+            "age_days",
+            F.datediff(F.date_trunc("day", "ts"), F.col("cohort_day")),
+        )
+        .filter(F.col("age_days") >= 0)
+        .groupBy("cohort_day", "age_days")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(dec("value")).alias("_rev"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_day")
+        .orderBy("age_days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "cohort_day",
+        "age_days",
+        "n_purchases",
+        F.round(F.col("_rev"), 2).cast("double").alias("revenue"),
+        F.round(F.sum("_rev").over(w), 2).cast("double").alias("cum_revenue"),
+    )
+
+
 def q_ts_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top entry paths: each user's first 3 events (by ts, event_id)
     joined into a '>'-separated path string, counted across users — the
@@ -1106,6 +1152,7 @@ QUERIES = {
     "q_ts_acf": q_ts_acf,
     "q_ts_max_gap": q_ts_max_gap,
     "q_ts_user_paths": q_ts_user_paths,
+    "q_ts_cohort_ltv": q_ts_cohort_ltv,
     "q_ts_transitions": q_ts_transitions,
     "q_ts_ewma": q_ts_ewma,
     "q_ts_rollup_multigrain": q_ts_rollup_multigrain,
@@ -1141,6 +1188,32 @@ _ACF_LAG_COLS = ",\n                 ".join(
 )
 
 ORACLES = {
+    "q_ts_cohort_ltv": """
+        WITH cohort AS (
+          SELECT user_id,
+                 CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP) AS cohort_day
+          FROM events WHERE event_type = 'signup' GROUP BY 1),
+        daily AS (
+          SELECT c.cohort_day,
+                 datediff('day', c.cohort_day,
+                          CAST(date_trunc('day', e.ts) AS TIMESTAMP))
+                   AS age_days,
+                 CAST(COUNT(*) AS BIGINT) AS n_purchases,
+                 SUM(CAST(e.value AS DECIMAL(12,2))) AS rev
+          FROM events e JOIN cohort c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase'
+            AND datediff('day', c.cohort_day,
+                         CAST(date_trunc('day', e.ts) AS TIMESTAMP)) >= 0
+          GROUP BY 1, 2)
+        SELECT cohort_day,
+               CAST(age_days AS INTEGER) AS age_days,
+               n_purchases,
+               CAST(ROUND(rev, 2) AS DOUBLE) AS revenue,
+               CAST(ROUND(SUM(rev) OVER (PARTITION BY cohort_day
+                                         ORDER BY age_days
+                                         ROWS UNBOUNDED PRECEDING), 2)
+                    AS DOUBLE) AS cum_revenue
+        FROM daily""",
     "q_ts_user_paths": """
         WITH r AS (
           SELECT user_id, event_type,

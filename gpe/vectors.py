@@ -712,6 +712,76 @@ def q_vec_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("method", "query_id")
 
 
+def q_vec_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One POWER-ITERATION step toward the corpus's top principal
+    direction: y = Σᵢ (xᵢ·v₀)·xᵢ from the fixed deterministic seed
+    v₀ = (1/8, …, 1/8) (unit for d=64; 0.125 is exactly representable in
+    both binary and decimal), reported as the e8-floored mean update
+    m = floor(y/n·1e8) per dimension plus its normalized component — the
+    iterative-linear-algebra representative beside q_vec_kmeans_step
+    (further iterations = re-run with the emitted vector as the seed, a
+    driver loop of one job per step).
+
+    Determinism: projections are exact decimal folds e6-floored to LONGs;
+    the per-dimension accumulation is an exact LONG×DECIMAL sum; the norm
+    is an exact integer sum of squares (m ≤ 1e8 ⇒ Σm² ≤ 6.4e17, no
+    overflow); only the final normalize is IEEE, identical from identical
+    integers. Scale notes (100 TB): one map-side fold per vector, ONE
+    (pos)-keyed partial-agg shuffle (64 groups), two 1-row broadcasts —
+    the same shape as the centroid builder."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = F.aggregate(
+        F.transform(
+            "embedding",
+            lambda x: x.cast("decimal(12,10)")
+            * F.lit(0.125).cast("decimal(4,3)"),
+        ),
+        F.lit(0).cast("decimal(30,13)"),
+        lambda a, v: (a + v).cast("decimal(30,13)"),
+    )
+    p6 = (
+        F.floor(proj.cast("double") * F.lit(1_000_000) + F.lit(EPS))
+        .cast("long")
+    )
+    # materialize the fold in a projection BEFORE the explode (SCALE.md
+    # principle 10): inlined into the Generate it would re-evaluate the
+    # whole 64-term decimal fold once per exploded row (64× per vector —
+    # measured 37 s → 2 s at sf0.1)
+    ex = emb.select(p6.alias("_p6"), "embedding").select(
+        "_p6", F.posexplode("embedding").alias("pos", "x")
+    )
+    nv = emb.agg(F.count(F.lit(1)).alias("_nv"))
+    y = (
+        ex.groupBy("pos")
+        .agg(F.sum(F.col("_p6") * F.col("x").cast("decimal(12,10)")).alias("_ys"))
+        .crossJoin(F.broadcast(nv))
+        .select(
+            "pos",
+            F.floor(
+                F.col("_ys").cast("double") * F.lit(100) / F.col("_nv")
+                + F.lit(EPS)
+            )
+            .cast("long")
+            .alias("m_e8"),
+        )
+    )
+    from gpe.common import persist_tracked as _pt
+
+    y = _pt(y)  # feeds the norm aggregate AND the output projection
+    nrm = y.agg(
+        F.sqrt(F.sum(F.col("m_e8") * F.col("m_e8")).cast("double")).alias(
+            "_nrm"
+        )
+    )
+    return y.crossJoin(F.broadcast(nrm)).select(
+        # 1-based dimension ordinal (posexplode is 0-based; the oracle's
+        # generate_subscripts is 1-based)
+        (F.col("pos") + 1).cast("int").alias("pos"),
+        "m_e8",
+        F.round(F.col("m_e8") / F.col("_nrm") + F.lit(EPS), 8).alias("v1"),
+    )
+
+
 def q_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text ⋈ vector modality join on doc_id = vec_id (inner semantics —
     cardinalities legitimately diverge at sf0.1), with per-(lang, label)
@@ -959,6 +1029,7 @@ def q_vec_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_vec_knn_brute": q_vec_knn_brute,
     "q_vec_quantize_int8": q_vec_quantize_int8,
+    "q_vec_pca_power": q_vec_pca_power,
     "q_vec_kmeans_step": q_vec_kmeans_step,
     "q_vec_outliers": q_vec_outliers,
     "q_vec_range_search": q_vec_range_search,
@@ -1044,6 +1115,27 @@ ORACLES = {
         SELECT label AS old_label, clabel AS new_label,
                CAST(COUNT(*) AS BIGINT) AS n_vecs
         FROM best WHERE rn = 1 GROUP BY 1, 2""",
+    "q_vec_pca_power": f"""
+        WITH ex AS ({_SQL_EXPLODED}),
+        proj AS (
+          SELECT vec_id,
+                 CAST(FLOOR(CAST(SUM(CAST(x AS DECIMAL(12,10))
+                                     * CAST(0.125 AS DECIMAL(4,3)))
+                                 AS DOUBLE) * 1000000 + {EPS}) AS BIGINT)
+                   AS p6
+          FROM ex GROUP BY 1),
+        nn AS (SELECT COUNT(*) AS nv FROM embeddings),
+        y AS (
+          SELECT e.pos,
+                 CAST(FLOOR(CAST(SUM(p.p6 * CAST(e.x AS DECIMAL(12,10)))
+                                 AS DOUBLE) * 100 / nn.nv + {EPS})
+                      AS BIGINT) AS m_e8
+          FROM ex e JOIN proj p USING (vec_id) CROSS JOIN nn
+          GROUP BY e.pos, nn.nv),
+        nrm AS (SELECT SQRT(CAST(SUM(m_e8 * m_e8) AS DOUBLE)) AS nrm FROM y)
+        SELECT CAST(pos AS INTEGER) AS pos, m_e8,
+               ROUND(m_e8 / nrm + {EPS}, 8) AS v1
+        FROM y CROSS JOIN nrm""",
     "q_vec_quantize_int8": f"""
         WITH v AS (
           SELECT label,

@@ -39,3 +39,9 @@ def test_monitoring_demo_runs():
     stdout = _run("monitoring_demo.py")
     assert "rollup ladder" in stdout
     assert "monitoring surface demo complete" in stdout
+
+
+def test_lakehouse_demo_runs():
+    stdout = _run("lakehouse_demo.py")
+    assert "partitioned write" in stdout
+    assert "lakehouse demo complete" in stdout
