@@ -275,14 +275,57 @@ def q_join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON source/sink made driver-visible (the csv/json readers were
+    unit-test-only per the §2.1 plan): the part table is written as
+    JSON-lines and read back with an EXPLICIT schema (schema-on-read,
+    no inference pass), then profiled per brand. The oracle profiles the
+    SOURCE parquet, so a green hash proves the JSON round trip is
+    lossless — including the double shortest-repr print → re-parse cycle
+    for retail prices.
+
+    WRITE-PATH-BY-DESIGN: plan construction performs the write (the
+    interchange format round trip IS the operator under test); the
+    returned plan is the lazy readback profile. Scale notes (100 TB):
+    the write is a shuffle-free pass; the explicit schema keeps the read
+    single-pass (inference would double-scan the files)."""
+    import os as _os
+    import tempfile
+
+    sfname = _os.path.basename(sf_dir.rstrip("/"))
+    path = _os.path.join(
+        tempfile.gettempdir(), "gpe_lake", f"json_roundtrip_{sfname}"
+    )
+    part = load_table(spark, sf_dir, "part")
+    part.write.mode("overwrite").json(path)
+    back = spark.read.schema(part.schema).json(path)
+    return back.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.sum(F.col("p_retailprice").cast("decimal(12,2)")), 2)
+        .cast("double")
+        .alias("total_price"),
+        F.min("p_size").alias("min_size"),
+        F.max("p_size").alias("max_size"),
+    )
+
+
 QUERIES = {
     "q_scan_parquet": q_scan_parquet,
     "q_scan_projected": q_scan_projected,
     "q_scan_all_tables_counts": q_scan_all_tables_counts,
     "q_join_bucketed_colocated": q_join_bucketed_colocated,
+    "q_source_json_roundtrip": q_source_json_roundtrip,
 }
 
 ORACLES = {
+    "q_source_json_roundtrip": """
+        SELECT p_brand,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(ROUND(SUM(CAST(p_retailprice AS DECIMAL(12,2))), 2)
+                    AS DOUBLE) AS total_price,
+               MIN(p_size) AS min_size,
+               MAX(p_size) AS max_size
+        FROM part GROUP BY 1""",
     "q_join_bucketed_colocated": """
         SELECT o_orderpriority, l_returnflag,
                CAST(COUNT(*) AS BIGINT) AS n_items,

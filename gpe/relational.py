@@ -1105,6 +1105,50 @@ def q_agg_iqr_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample skewness and excess kurtosis of lineitem quantity per
+    return flag — the 3rd/4th-moment distribution profile beside
+    q_agg_stats and q_agg_corr_regr. Native skewness()/kurtosis()
+    accumulate in doubles (partitioning-dependent, the q_agg_stats
+    hazard), so both come from the four EXACT decimal power sums via the
+    standard central-moment identities, combined in one closed-form IEEE
+    expression identical in both engines.
+
+    Scale notes (100 TB): one partial-agg shuffle of 5 numbers per group
+    — the same profile as every co-moment key here."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # tight DECIMAL(4,2): quantity ∈ [1, 50] with 2 decimals; the default
+    # (12,2) cast would push q⁴ past precision 38 in both engines
+    q = F.col("l_quantity").cast("decimal(4,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(q).cast("double").alias("s1"),
+        F.sum(q * q).cast("double").alias("s2"),
+        F.sum(q * q * q).cast("double").alias("s3"),
+        F.sum(q * q * q * q).cast("double").alias("s4"),
+    )
+    n = F.col("n")
+    m = F.col("s1") / n
+    # central moments from raw power sums
+    m2 = F.col("s2") / n - m * m
+    m3 = F.col("s3") / n - F.lit(3.0) * m * F.col("s2") / n + F.lit(2.0) * m * m * m
+    m4 = (
+        F.col("s4") / n
+        - F.lit(4.0) * m * F.col("s3") / n
+        + F.lit(6.0) * m * m * F.col("s2") / n
+        - F.lit(3.0) * m * m * m * m
+    )
+    g1 = m3 / F.sqrt(m2 * m2 * m2)
+    g2 = m4 / (m2 * m2) - F.lit(3.0)
+    return s.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n_rows"),
+        fround(m, "mean_qty", 4),
+        fround(g1, "skewness"),
+        fround(g2, "excess_kurtosis"),
+    )
+
+
 def q_agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median absolute deviation of order totalprice per status — the
     robust dispersion statistic (breakdown point 50% vs the standard
@@ -1607,6 +1651,7 @@ QUERIES = {
     "q_agg_iqr_fences": q_agg_iqr_fences,
     "q_agg_ttest_welch": q_agg_ttest_welch,
     "q_agg_mad": q_agg_mad,
+    "q_agg_skew_kurtosis": q_agg_skew_kurtosis,
     "q_page_orders": q_page_orders,
     "q_unpivot_order_counts": q_unpivot_order_counts,
     "q_join_lateral": q_join_lateral,
@@ -1847,6 +1892,34 @@ ORACLES = {
                CAST(COUNT(*) AS BIGINT) AS n_nations
         FROM nation JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name ORDER BY r_name""",
+    "q_agg_skew_kurtosis": f"""
+        WITH s AS (
+          SELECT l_returnflag,
+                 CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(4,2))) AS DOUBLE) AS s1,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(4,2)) * CAST(l_quantity AS DECIMAL(4,2)))
+                      AS DOUBLE) AS s2,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(4,2)) * CAST(l_quantity AS DECIMAL(4,2))
+                          * CAST(l_quantity AS DECIMAL(4,2))) AS DOUBLE) AS s3,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(4,2)) * CAST(l_quantity AS DECIMAL(4,2))
+                          * CAST(l_quantity AS DECIMAL(4,2)) * CAST(l_quantity AS DECIMAL(4,2)))
+                      AS DOUBLE) AS s4
+          FROM lineitem GROUP BY 1),
+        m AS (
+          SELECT l_returnflag, n, s1 / n AS mu,
+                 s2 / n - (s1 / n) * (s1 / n) AS m2,
+                 s3 / n - 3.0 * (s1 / n) * s2 / n
+                   + 2.0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+                 s4 / n - 4.0 * (s1 / n) * s3 / n
+                   + 6.0 * (s1 / n) * (s1 / n) * s2 / n
+                   - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+          FROM s)
+        SELECT l_returnflag,
+               CAST(n AS BIGINT) AS n_rows,
+               {sql_fround('mu', 'mean_qty', 4)},
+               {sql_fround('m3 / sqrt(m2 * m2 * m2)', 'skewness')},
+               {sql_fround('m4 / (m2 * m2) - 3.0', 'excess_kurtosis')}
+        FROM m""",
     "q_agg_mad": f"""
         WITH m AS (
           SELECT o_orderstatus,

@@ -24,6 +24,7 @@ ITERATIVE_BY_DESIGN = {
     # the returned plan is the lazy readback/join
     "q_catalog_partition_profile",
     "q_join_bucketed_colocated",
+    "q_source_json_roundtrip",
 }
 
 
