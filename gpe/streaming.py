@@ -316,6 +316,49 @@ def compact_stream(stream: DataFrame) -> DataFrame:
     )
 
 
+def user_paths_stream(stream: DataFrame) -> DataFrame:
+    """Streaming twin of gpe.timeseries.q_ts_user_paths' per-user stage:
+    each user's first-3-event entry path maintained continuously. O(1)
+    state per user (event count + the ≤3-type path string); once the
+    third event lands the state freezes and the group stops emitting —
+    the path histogram itself lives in the sink (group the final per-user
+    emissions by path), the same aggregation split as transitions_stream.
+    Assumes per-user batches arrive in event-time order across batches,
+    like the other stateful twins here."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, path string, n_seen long"
+    state_schema = "n long, path string"
+
+    def fn(key, pdf_iter, state: GroupState):
+        n, path = state.get if state.exists else (0, "")
+        if n >= 3:
+            return  # path frozen — nothing to update or emit
+        parts = [p for p in pdf_iter if len(p)]
+        if not parts:
+            return
+        pdf = pd.concat(parts).sort_values(["ts", "event_id"])
+        changed = False
+        for ty in pdf["event_type"].tolist():
+            if n >= 3:
+                break
+            path = ty if not path else f"{path}>{ty}"
+            n += 1
+            changed = True
+        if not changed:
+            return
+        state.update((n, path))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "path": [path], "n_seen": [n]}
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def max_gap_stream(stream: DataFrame) -> DataFrame:
     """Streaming twin of gpe.timeseries.q_ts_max_gap: the per-user
     watchdog ("how long has this user/sensor ever gone quiet") maintained

@@ -261,6 +261,32 @@ def test_streaming_compact_equals_batch(spark, stream):
         q.stop()
 
 
+def test_streaming_user_paths_equal_batch(spark, stream):
+    """user_paths_stream's final per-user paths, grouped in the sink,
+    must reproduce q_ts_user_paths' path histogram exactly (n_seen
+    settles the final emission per user — it grows monotonically and
+    freezes at 3)."""
+    from collections import Counter
+
+    q = streaming.run_to_memory(
+        streaming.user_paths_stream(stream), "t_paths", "update"
+    )
+    try:
+        final = {}
+        for r in spark.table("t_paths").collect():
+            k = r["user_id"]
+            if k not in final or r["n_seen"] > final[k][1]:
+                final[k] = (r["path"], r["n_seen"])
+        got = sorted(Counter(p for p, _ in final.values()).items())
+        want = sorted(
+            (r["path"], r["n_users"])
+            for r in timeseries.q_ts_user_paths(spark, SF).collect()
+        )
+        assert got == want
+    finally:
+        q.stop()
+
+
 def test_streaming_max_gap_equals_batch(spark, stream):
     """max_gap_stream's final per-user state must equal q_ts_max_gap
     row-for-row — all-integer state, identical (gap, start_µs, end

@@ -92,6 +92,7 @@ drain("v_compact", streaming.compact_stream(ev()), "update")
 drain("v_attrib", streaming.attribution_stream(ev()), "update")
 drain("v_trans", streaming.transitions_stream(ev()), "update")
 drain("v_maxgap", streaming.max_gap_stream(ev()), "update")
+drain("v_paths", streaming.user_paths_stream(ev()), "update")
 drain("v_grain_month", streaming.grain_counts_stream(ev(), "month"), "complete")
 drain("v_ewma", streaming.ewma_stream(ev()), "update")
 drain(
