@@ -947,6 +947,35 @@ def q_ts_downsample_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: per session-START day, total sessions,
+    single-event ("bounce") sessions, and the floor-scaled bounce ratio —
+    the engagement headline metric beside sessionization and
+    concurrency (sessions reuse q_ts_sessionize's 30-min-gap formula
+    verbatim, so the two keys cannot drift apart).
+
+    Scale notes (100 TB): the session build is one user_id shuffle (lag
+    window + groupBy share the partitioning); the daily rollup is a
+    second partial-agg shuffle onto a days-cardinality frame; the ratio
+    is exact-integer floor-scaling."""
+    sess = q_ts_sessionize(spark, sf_dir)
+    daily = sess.groupBy(
+        ntz(F.date_trunc("day", "session_start")).alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.count(F.when(F.col("n_events") == 1, 1)).alias("n_bounces"),
+    )
+    return daily.select(
+        "day",
+        "n_sessions",
+        "n_bounces",
+        (
+            F.floor(F.col("n_bounces") * F.lit(1_000_000) / F.col("n_sessions"))
+            / F.lit(1_000_000.0)
+        ).alias("bounce_rate"),
+    )
+
+
 def q_ts_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort lifetime value: per signup cohort day and day-age, the
     purchase revenue earned that day and the CUMULATIVE revenue to date —
@@ -1153,6 +1182,7 @@ QUERIES = {
     "q_ts_max_gap": q_ts_max_gap,
     "q_ts_user_paths": q_ts_user_paths,
     "q_ts_cohort_ltv": q_ts_cohort_ltv,
+    "q_ts_bounce_rate": q_ts_bounce_rate,
     "q_ts_transitions": q_ts_transitions,
     "q_ts_ewma": q_ts_ewma,
     "q_ts_rollup_multigrain": q_ts_rollup_multigrain,
@@ -1638,6 +1668,34 @@ ORACLES = {
                {_SUM_VAL}
         FROM events CROSS JOIN (SELECT unnest([0,1,2,3]) AS k)
         GROUP BY 1""",
+    "q_ts_bounce_rate": f"""
+        WITH flagged AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN LAG(ts) OVER w IS NULL
+                        OR date_diff('microsecond', LAG(ts) OVER w, ts)
+                           > {_SESSION_GAP_US}
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sessions AS (
+          SELECT user_id, ts,
+                 CAST(SUM(new_session) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS BIGINT) AS session_id
+          FROM flagged),
+        s AS (
+          SELECT user_id, session_id, MIN(ts) AS session_start,
+                 CAST(COUNT(*) AS BIGINT) AS n_events
+          FROM sessions GROUP BY 1, 2),
+        d AS (
+          SELECT CAST(date_trunc('day', session_start) AS TIMESTAMP) AS day,
+                 CAST(COUNT(*) AS BIGINT) AS n_sessions,
+                 CAST(COUNT(*) FILTER (n_events = 1) AS BIGINT) AS n_bounces
+          FROM s GROUP BY 1)
+        SELECT day, n_sessions, n_bounces,
+               FLOOR(n_bounces * 1000000 / n_sessions) / 1000000.0
+                 AS bounce_rate
+        FROM d""",
     "q_ts_sessionize": f"""
         WITH flagged AS (
           SELECT user_id, ts, event_id, value,
