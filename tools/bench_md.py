@@ -123,23 +123,27 @@ def main(argv: list[str]) -> None:
         "",
         "Measured 2026-08-14 on this rig at sf0.1, one DuckDB 1.0.0 "
         "process running every `oracle_sql()` verbatim with a 30 s "
-        "interrupt cap (146-key registry at measurement time; the nine "
-        "keys added later are cheap on both engines): "
+        "interrupt cap. Round-6 measurement (146-key registry): "
         "**138 of 146 oracles completed in 60.4 s total**; "
         "the other 8 blew the cap and ran 30-395 s each before the "
         "interrupt landed (`q_dedup_components` 395 s, "
         "`q_dedup_components_star` 277 s, `q_dedup_containment` 192 s, "
         "`q_dedup_near_pairs` 191 s, `q_dedup_keep_best` 111 s, "
         "`q_dedup_minhash_lsh` 33 s, `q_dedup_embed_cosine` and "
-        "`q_vec_pairs_threshold` 30 s+), putting the oracle engine's "
-        "total at >=1,319 s against this engine's ~121-166 s (rig-load "
-        "dependent, see the noise note) for the full registry. On the "
-        "138 keys both engines complete, Spark's "
+        "`q_vec_pairs_threshold` 30 s+). Round-7 re-measurement of the "
+        "19 NEW keys: 16 oracles complete in 1.2 s combined; three more "
+        "dedup-family oracles blow the cap "
+        "(`q_dedup_containment_prefix` interrupted at 81 s, "
+        "`q_text_jaccard_topk` at 50 s, `q_dedup_graph_degree` at 38 s "
+        "— all quadratic pair formulations this engine answers in "
+        "~2-9 s). That puts the oracle engine's registry total at "
+        ">=1,480 s against this engine's ~165-237 s (rig-load dependent, "
+        "see the noise note). On the keys both engines complete, Spark's "
         "sum-of-medians is within ~1.5-2x of DuckDB single-node — inside "
         "the 2x gate — while the pair-generation/dedup family the "
-        "baseline cannot finish is 10-100x faster here (banded LSH + "
-        "popcount set algebra instead of the oracle's quadratic "
-        "formulations; the oracles are written for CORRECTNESS "
+        "baseline cannot finish is 10-100x faster here (banded LSH, "
+        "prefix filtering + popcount set algebra instead of the oracles' "
+        "quadratic formulations; the oracles are written for CORRECTNESS "
         "cross-checking, the engine for scale).",
         "",
     ]
