@@ -115,3 +115,45 @@ def test_gini_partition_count_invariant(spark, monkeypatch):
         a = _run_at(monkeypatch, C, R.q_agg_gini, spark, sf, 8)
         b = _run_at(monkeypatch, C, R.q_agg_gini, spark, sf, 64)
         assert a == b
+
+
+def test_vocab_coverage_partition_count_invariant(spark, monkeypatch):
+    # q_text_vocab_coverage runs rank + cumulative share through the
+    # N-column two_pass_running_sums (r7) — both prefix columns must
+    # reconstruct identically for ANY range partition count
+    import gpe.common as C
+    import gpe.text as T
+
+    for sf in (SF_SMOKE, SF_T2):
+        a = _run_at(monkeypatch, C, T.q_text_vocab_coverage, spark, sf, 8)
+        b = _run_at(monkeypatch, C, T.q_text_vocab_coverage, spark, sf, 64)
+        assert a == b
+
+
+def test_running_sums_plural_matches_singular(spark):
+    # the N-column variant with one pair must equal the original helper
+    from pyspark.sql import functions as F
+
+    from gpe.common import two_pass_running_sum, two_pass_running_sums
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).alias("v")
+    )
+    a = sorted(
+        tuple(r)
+        for r in two_pass_running_sum(spark, df, ["id"], "v", "cum")
+        .select("id", "v", "cum")
+        .collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in two_pass_running_sums(spark, df, ["id"], [("v", "cum")])
+        .select("id", "v", "cum")
+        .collect()
+    )
+    assert a == b
+    # and the prefix really is the running total
+    run = 0
+    for _id, v, cum in a:
+        run += v
+        assert cum == run
