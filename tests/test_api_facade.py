@@ -1,0 +1,91 @@
+"""gpe.api.LakeAPI — the reference-shaped endpoint façade (SURVEY §0.2).
+
+The façade must stay a pure composition layer: every endpoint returns a
+lazy DataFrame whose semantics equal the underlying declared operator."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gpe.api import LakeAPI
+from tests.conftest import SF_T2
+
+
+@pytest.fixture()
+def api(spark):
+    return LakeAPI(spark, SF_T2)
+
+
+def test_list_datasets_covers_the_lake(api):
+    rows = {r.table_name: r for r in api.list_datasets().collect()}
+    assert len(rows) == 10
+    assert rows["lineitem"].n_rows > 0
+    assert rows["embeddings"].format == "parquet"
+
+
+def test_dataset_schema_filters_and_rejects_unknown(api):
+    cols = api.dataset_schema("events").collect()
+    assert {r.column_name for r in cols} >= {"event_id", "ts", "user_id"}
+    assert all(r.table_name == "events" for r in cols)
+    with pytest.raises(KeyError):
+        api.dataset_schema("nope")
+    with pytest.raises(KeyError):
+        api.table("nope")
+
+
+def test_query_endpoint_filters_projects_and_pages(api):
+    page = api.query(
+        "orders",
+        columns=["o_orderkey", "o_totalprice"],
+        where="o_totalprice > 100000",
+        order_by=["o_orderkey"],
+        limit=10,
+        offset=5,
+    ).collect()
+    assert len(page) == 10
+    assert all(r.o_totalprice > 100000 for r in page)
+    keys = [r.o_orderkey for r in page]
+    assert keys == sorted(keys)
+    # pagination is keyset-stable: page 0 ends before this page starts
+    first = api.query(
+        "orders",
+        columns=["o_orderkey"],
+        where="o_totalprice > 100000",
+        order_by=["o_orderkey"],
+        limit=5,
+    ).collect()
+    assert first[-1].o_orderkey < keys[0]
+
+
+def test_sql_endpoint_matches_dataframe_path(api, spark):
+    got = api.sql(
+        "SELECT COUNT(*) AS n FROM lineitem WHERE l_quantity > 45"
+    ).collect()[0].n
+    want = api.table("lineitem").filter(F.col("l_quantity") > 45).count()
+    assert got == want
+
+
+def test_series_endpoints_delegate_to_declared_operators(api, spark):
+    from gpe import timeseries
+
+    day = api.series_rollup("day")
+    assert day.count() > 0
+    assert {r.grain for r in day.select("grain").distinct().collect()} == {
+        "day"
+    }
+    assert api.series_vwap().count() == timeseries.q_ts_vwap(
+        spark, SF_T2
+    ).count()
+    assert api.pricing_summary().count() == 6
+
+
+def test_query_pushes_predicates_to_the_scan(api):
+    df = api.query(
+        "lineitem",
+        columns=["l_orderkey", "l_quantity"],
+        where="l_shipdate >= '1996-01-01'",
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:300]
