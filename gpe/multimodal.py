@@ -133,6 +133,61 @@ def frame_sample(
     )
 
 
+# audio-window layout for q_multimodal_audio_windows: the payload bytes
+# read as 8-bit unsigned PCM samples, energy computed per fixed window —
+# the STFT/feature-frame access pattern with byte arithmetic standing in
+# for the codec (the decode swap point is identical to decode_stub).
+_AUDIO_WIN = 32
+_AUDIO_HOP = 16
+
+
+def audio_windows(
+    media: DataFrame, win: int = _AUDIO_WIN, hop: int = _AUDIO_HOP
+) -> DataFrame:
+    """mapInPandas windowed-energy extraction: one payload row in, one row
+    per FULL analysis window out (50% overlap) — the audio feature-frame
+    shape (RMS/energy contours, VAD front-ends). Samples center at 128
+    (unsigned→signed), energy = Σv² and peak = max|v| stay all-integer so
+    the oracle recomputes them exactly. Partition-preserving — window
+    extraction parallelizes with the scan at 100 TB."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict = {
+                "media_id": [], "window_idx": [], "energy": [], "peak": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                n = len(b)
+                if n < win:
+                    continue
+                for widx in range((n - win) // hop + 1):
+                    seg = b[widx * hop : widx * hop + win]
+                    vs = [x - 128 for x in seg]
+                    out["media_id"].append(mid)
+                    out["window_idx"].append(widx)
+                    out["energy"].append(sum(v * v for v in vs))
+                    out["peak"].append(max(abs(v) for v in vs))
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="int64") for k, v in out.items()}
+            )
+
+    return media.mapInPandas(
+        batches,
+        "media_id long, window_idx long, energy long, peak long",
+    )
+
+
+def q_multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query: windowed audio-energy extraction over binary
+    payloads (32-sample windows, 16-sample hop) — completes the
+    multimodal triad (features ≈ image, frames ≈ video, windows ≈ audio).
+    All-integer output; the oracle recomputes energy/peak with SQL
+    substring + ord arithmetic (ASCII corpus: byte == codepoint)."""
+    d = load_table(spark, sf_dir, "documents")
+    return audio_windows(attach_payload(d))
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declared query: frame-sampling over binary payloads — every 4th
     16-byte frame with integer byte features (frame length, byte sum,
@@ -161,9 +216,33 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_multimodal_features": q_multimodal_features,
     "q_multimodal_frames": q_multimodal_frames,
+    "q_multimodal_audio_windows": q_multimodal_audio_windows,
 }
 
 ORACLES = {
+    "q_multimodal_audio_windows": f"""
+        WITH d AS (
+          SELECT doc_id, text, LENGTH(text) AS n FROM documents
+          WHERE LENGTH(text) >= {_AUDIO_WIN}),
+        w AS (
+          SELECT doc_id, text,
+                 unnest(generate_series(
+                   0, CAST(FLOOR((n - {_AUDIO_WIN}) / {_AUDIO_HOP}.0)
+                           AS INTEGER))) AS widx
+          FROM d),
+        s AS (
+          SELECT doc_id, widx,
+                 unnest(generate_series(1, {_AUDIO_WIN})) AS off, text
+          FROM w),
+        v AS (
+          SELECT doc_id, widx,
+                 ord(substr(text, widx * {_AUDIO_HOP} + off, 1)) - 128 AS x
+          FROM s)
+        SELECT doc_id AS media_id,
+               CAST(widx AS BIGINT) AS window_idx,
+               CAST(SUM(x * x) AS BIGINT) AS energy,
+               CAST(MAX(ABS(x)) AS BIGINT) AS peak
+        FROM v GROUP BY 1, 2""",
     # same ASCII byte==codepoint note as q_multimodal_features; frames are
     # substrings at fixed offsets, features are pure integer arithmetic
     "q_multimodal_frames": f"""
