@@ -112,3 +112,44 @@ def test_measures_are_two_decimal(con):
             f" WHERE ROUND({col}, 2) <> {col}"
         ).fetchone()[0]
         assert n == 0, f"{table}.{col} has >2-decimal values"
+
+
+def test_quantity_fits_tight_decimal(con):
+    """q_agg_skew_kurtosis casts quantity to DECIMAL(4,2) so q**4 stays
+    inside precision 38 — a regenerated fixture with quantities >= 100
+    would overflow the cast loudly, but assert the domain here so the
+    failure names the cause."""
+    lo, hi = con.execute(
+        f"SELECT MIN(l_quantity), MAX(l_quantity)"
+        f" FROM read_parquet('{SF}/lineitem.parquet')"
+    ).fetchone()
+    assert lo >= 0 and hi < 100, (lo, hi)
+
+
+def test_documents_are_ascii(con):
+    """The multimodal oracles equate byte arithmetic with ord(substr(...))
+    codepoints — only true for ASCII text. A regenerated fixture with
+    multibyte text must fail HERE, not as a silent hash mismatch."""
+    n = con.execute(
+        f"SELECT COUNT(*) FROM read_parquet('{SF}/documents.parquet')"
+        " WHERE strlen(text) <> length(text)"
+    ).fetchone()[0]
+    assert n == 0
+
+
+def test_event_values_cover_tombstone_branches(con):
+    """q_cdc_compact_deletes derives op = 'D' from value < 5; the fixture
+    must exercise BOTH branches among per-key LATEST changes or the
+    delete path degenerates to untested."""
+    alive, total = con.execute(
+        f"""
+        WITH r AS (
+          SELECT user_id, event_type, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM read_parquet('{SF}/events.parquet'))
+        SELECT COUNT(*) FILTER (value >= 5.0), COUNT(*)
+        FROM r WHERE rn = 1
+        """
+    ).fetchone()
+    assert 0 < alive < total, (alive, total)
