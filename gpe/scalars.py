@@ -76,9 +76,9 @@ def q_scalar_date2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.trunc(F.col("o_orderdate"), "quarter")
         .cast("timestamp_ntz")
         .alias("quarter_start"),
-        (F.year("o_orderdate") * F.lit(12) + F.month("o_orderdate")).alias(
-            "month_index"
-        ),
+        (F.year("o_orderdate") * F.lit(12) + F.month("o_orderdate"))
+        .cast("long")
+        .alias("month_index"),
     )
 
 
