@@ -179,6 +179,64 @@ def test_bucketed_colocated_join_has_no_join_exchange(spark):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
 
+def test_acf_stacks_lags_without_self_join(spark):
+    """q_ts_acf: the 7 lags must stack via one explode over the lag
+    window — a 7-way self-join of the daily frame (or any join at all)
+    is the shape this key exists to avoid."""
+    phys = _executed_plan(spark, "q_ts_acf")
+    assert "Join" not in phys, phys[:400]
+    # AQE's toString prints the final AND initial plan of the same tree,
+    # so the single events scan appears at most twice
+    assert phys.count("FileScan parquet") <= 2
+
+
+def test_max_gap_is_single_shuffle_argmax(spark):
+    """q_ts_max_gap: lag window and final aggregate share the user_id
+    partitioning; no join, no rank re-sort window after the argmax."""
+    phys = _executed_plan(spark, "q_ts_max_gap")
+    assert "Join" not in phys
+    assert phys.count("Exchange hashpartitioning") <= 2
+
+
+def test_vocab_coverage_uses_range_partitioned_prefix_sum(spark):
+    """q_text_vocab_coverage: both prefix columns must come from the
+    two-pass range partitioning, never a global ORDER BY window over the
+    type table."""
+    phys = _executed_plan(spark, "q_text_vocab_coverage")
+    assert "rangepartitioning" in phys
+
+
+def test_cohort_ltv_broadcasts_the_cohort_spine(spark):
+    """q_ts_cohort_ltv: the signup cohort spine joins as a broadcast —
+    a shuffle join on user_id would re-shuffle the purchase fact side."""
+    phys = _executed_plan(spark, "q_ts_cohort_ltv")
+    assert "BroadcastHashJoin" in phys
+    assert "SortMergeJoin" not in phys
+
+
+def test_pmi_has_no_allpairs_join(spark):
+    """q_text_cooccurrence_pmi: pairs come from the doc_id equi-self-join
+    only; df/N attach via broadcasts."""
+    phys = _executed_plan(spark, "q_text_cooccurrence_pmi")
+    assert "CartesianProduct" not in phys
+
+
+def test_audio_windows_is_shuffle_free(spark):
+    """q_multimodal_audio_windows: scan → mapInPandas, partition-
+    preserving — zero exchanges anywhere (the decode cost parallelizes
+    with the scan)."""
+    phys = _executed_plan(spark, "q_multimodal_audio_windows")
+    assert "Exchange" not in phys
+
+
+def test_pca_power_has_no_fact_side_shuffle_join(spark):
+    """q_vec_pca_power: the only joins are 1-row broadcasts (corpus count
+    and norm); the accumulation is one (pos)-keyed aggregate."""
+    phys = _executed_plan(spark, "q_vec_pca_power")
+    assert "SortMergeJoin" not in phys
+    assert "CartesianProduct" not in phys
+
+
 def test_containment_prefix_has_no_allpairs_join(spark):
     """q_dedup_containment_prefix is the open-vocabulary containment path:
     candidates must come from the prefix-token equi-join over supernodes —
