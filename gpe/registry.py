@@ -77,6 +77,8 @@ HARD_SIGNAL_FIRST_50 = [
     "q_ts_bounce_rate",
     "q_scalar_date2",
     "q_multimodal_audio_windows",
+    "q_win_rolling_corr",
+    "q_ts_session_attach",
     # --- displaced r6 cohort: the 8 r2-stale keys first ---
     "q_win_distinct_count",
     "q_scalar_array",
@@ -107,13 +109,13 @@ HARD_SIGNAL_FIRST_50 = [
     "q_join_inner_bcast",
     "q_join_inner_shuffle",
     "q_join_multiway_star",
-    "q_join_left_outer",
-    "q_join_semi",
 ]
 
 # Next in line for round 8: the rest of the r4-green cohort, then r5-green
 # keys in churned modules. r6-green keys fall to the tail automatically.
 _SECOND_WAVE = [
+    "q_join_left_outer",
+    "q_join_semi",
     "q_join_anti",
     "q_join_theta_range",
     "q_join_fuzzy_name",

@@ -947,6 +947,83 @@ def q_ts_downsample_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day correlation between the daily 'click' and 'view'
+    value totals — the co-movement diagnostic a metrics API serves next
+    to the ACF ("are these two streams still coupled this week"). Only
+    full 7-day windows emit.
+
+    Determinism: the q_agg_corr_regr recipe applied to a bounded rows
+    frame — the windowed co-moment sums run over EXACT decimal daily
+    totals (conditional aggregation, one pass), and the closed-form IEEE
+    combination is identical in both engines, ε-rounded. Scale notes
+    (100 TB): one daily partial-agg shuffle; every window runs on the
+    POST-AGG days-cardinality frame (bounded by the time span)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(ntz(F.date_trunc("day", "ts")).alias("day")).agg(
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "click", dec("value"))),
+            F.lit(0),
+        )
+        .cast("decimal(18,2)")
+        .alias("c"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "view", dec("value"))),
+            F.lit(0),
+        )
+        .cast("decimal(18,2)")
+        .alias("v"),
+    )
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    wn = Window.orderBy("day")
+    r = daily.select(
+        "day",
+        F.row_number().over(wn).alias("_rn"),
+        F.count(F.lit(1)).over(w).cast("double").alias("n"),
+        F.sum("c").over(w).cast("double").alias("sx"),
+        F.sum("v").over(w).cast("double").alias("sy"),
+        F.sum(F.col("c") * F.col("c")).over(w).cast("double").alias("sxx"),
+        F.sum(F.col("v") * F.col("v")).over(w).cast("double").alias("syy"),
+        F.sum(F.col("c") * F.col("v")).over(w).cast("double").alias("sxy"),
+    ).filter(F.col("_rn") >= 7)
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return r.select(
+        "day",
+        F.col("n").cast("int").alias("n_days"),
+        fround(num / den, "rolling_corr"),
+    )
+
+
+def q_ts_session_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event → session attachment: every event labeled with its session
+    ordinal (the q_ts_sessionize 30-min-gap formula BEFORE the session
+    rollup) plus its 1-based position within the session — the
+    enrichment an analytics API applies before any per-session drill-
+    down. Shares the gap formula with sessionize/bounce-rate verbatim.
+
+    Scale notes (100 TB): one user_id shuffle; both windows (the session
+    running-sum and the in-session position) reuse that partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = umicros("ts") - umicros(F.lag("ts").over(w))
+    flag = F.when(gap.isNull() | (gap > _SESSION_GAP_US), 1).otherwise(0)
+    tagged = ev.withColumn("session_id", F.sum(flag).over(wrun))
+    w_sess = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts", "event_id"
+    )
+    return tagged.select(
+        "event_id",
+        "user_id",
+        "session_id",
+        F.row_number().over(w_sess).alias("event_in_session"),
+    )
+
+
 def q_ts_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily bounce rate: per session-START day, total sessions,
     single-event ("bounce") sessions, and the floor-scaled bounce ratio —
@@ -1183,6 +1260,8 @@ QUERIES = {
     "q_ts_user_paths": q_ts_user_paths,
     "q_ts_cohort_ltv": q_ts_cohort_ltv,
     "q_ts_bounce_rate": q_ts_bounce_rate,
+    "q_win_rolling_corr": q_win_rolling_corr,
+    "q_ts_session_attach": q_ts_session_attach,
     "q_ts_transitions": q_ts_transitions,
     "q_ts_ewma": q_ts_ewma,
     "q_ts_rollup_multigrain": q_ts_rollup_multigrain,
@@ -1218,6 +1297,55 @@ _ACF_LAG_COLS = ",\n                 ".join(
 )
 
 ORACLES = {
+    "q_win_rolling_corr": f"""
+        WITH daily AS (
+          SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                 CAST(COALESCE(SUM(CASE WHEN event_type = 'click'
+                                        THEN CAST(value AS DECIMAL(12,2))
+                                   END), 0) AS DECIMAL(18,2)) AS c,
+                 CAST(COALESCE(SUM(CASE WHEN event_type = 'view'
+                                        THEN CAST(value AS DECIMAL(12,2))
+                                   END), 0) AS DECIMAL(18,2)) AS v
+          FROM events GROUP BY 1),
+        r AS (
+          SELECT day,
+                 ROW_NUMBER() OVER wo AS rn,
+                 CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+                 CAST(SUM(c) OVER w AS DOUBLE) AS sx,
+                 CAST(SUM(v) OVER w AS DOUBLE) AS sy,
+                 CAST(SUM(c * c) OVER w AS DOUBLE) AS sxx,
+                 CAST(SUM(v * v) OVER w AS DOUBLE) AS syy,
+                 CAST(SUM(c * v) OVER w AS DOUBLE) AS sxy
+          FROM daily
+          WINDOW wo AS (ORDER BY day),
+                 w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING
+                       AND CURRENT ROW))
+        SELECT day, CAST(n AS INTEGER) AS n_days,
+               {sql_fround(
+                   '(n * sxy - sx * sy)'
+                   ' / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))',
+                   'rolling_corr')}
+        FROM r WHERE rn >= 7""",
+    "q_ts_session_attach": f"""
+        WITH flagged AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN LAG(ts) OVER w IS NULL
+                        OR date_diff('microsecond', LAG(ts) OVER w, ts)
+                           > {_SESSION_GAP_US}
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (
+          SELECT user_id, ts, event_id,
+                 CAST(SUM(new_session) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+          FROM flagged)
+        SELECT event_id, user_id, session_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                     ORDER BY ts, event_id) AS INTEGER)
+                 AS event_in_session
+        FROM s""",
     "q_ts_cohort_ltv": """
         WITH cohort AS (
           SELECT user_id,
