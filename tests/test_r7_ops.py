@@ -296,3 +296,42 @@ def test_cdc_deletes_subset_of_compact(spark):
         assert r.value >= 5.0  # tombstoned keys are gone
     dropped = set(full) - set(alive)
     assert dropped and all(full[k].value < 5.0 for k in dropped)
+
+
+def test_rolling_corr_matches_pandas(spark):
+    ev = load_table(spark, SF, "events").toPandas()
+    ev["day"] = ev["ts"].dt.floor("D")
+    piv = (
+        ev.pivot_table(
+            index="day", columns="event_type", values="value", aggfunc="sum"
+        )
+        .reindex(columns=["click", "view"])
+        .fillna(0.0)
+        .sort_index()
+    )
+    roll = piv["click"].rolling(7).corr(piv["view"])
+    got = {r.day: r for r in _Q["q_win_rolling_corr"](spark, SF).collect()}
+    days = list(piv.index)
+    assert set(got) == set(days[6:])
+    for day, r in got.items():
+        assert r.n_days == 7
+        assert abs(r.rolling_corr - roll.loc[day]) < 1e-4
+
+
+def test_session_attach_consistent_with_sessionize(spark):
+    """Attachment must partition events exactly like the session rollup:
+    per (user, session) the attached event count equals n_events, and
+    in-session positions are 1..n."""
+    att = _Q["q_ts_session_attach"](spark, SF).collect()
+    sess = {
+        (r.user_id, r.session_id): r.n_events
+        for r in _Q["q_ts_sessionize"](spark, SF).collect()
+    }
+    per: dict = {}
+    for r in att:
+        per.setdefault((r.user_id, r.session_id), []).append(
+            r.event_in_session
+        )
+    assert set(per) == set(sess)
+    for k, positions in per.items():
+        assert sorted(positions) == list(range(1, sess[k] + 1))
