@@ -124,3 +124,62 @@ def test_two_pass_running_sum_is_pandas_cumsum(spark, vals, parts, monkeypatch):
     want = pd.Series(vals).cumsum()
     assert got == {i: int(want[i]) for i in range(len(vals))}
     C.release_persists()
+
+
+# ---- prefix-filter containment: exact recall on ARBITRARY corpora ----
+# The fixture is adversarial for pruning but benign for recall; this
+# property test drives q_dedup_containment_prefix over random corpora
+# (including forced subset/quotation pairs) and asserts pair-for-pair
+# equality with a pure-Python brute force — the exact-recall theorem
+# (≥1 of the short side's ⌊sz/10⌋+1 rarest tokens must be shared when
+# C > 0.9) checked on data the fixture can never produce.
+
+_tok = st.sampled_from([f"w{i}" for i in range(12)])
+_doc = st.lists(_tok, min_size=1, max_size=10)
+_corpus = st.lists(_doc, min_size=2, max_size=14)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=_corpus, subset_seed=st.integers(min_value=0, max_value=10**6))
+def test_containment_prefix_exact_recall_on_random_corpora(
+    spark, scratch, docs, subset_seed
+):
+    from gpe.dedup import q_dedup_containment_prefix
+
+    # force at least one true containment pair: append a random doc's
+    # token-subset as an extra doc
+    base = docs[subset_seed % len(docs)]
+    toks = sorted(set(base))
+    extra = toks[: max(1, len(toks) - 1)]
+    texts = [" ".join(d) for d in docs] + [" ".join(extra)]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": "en",
+            "source": "prop",
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    key = abs(hash((tuple(texts), subset_seed))) % 10**9
+    d = scratch / f"containment_{key}"
+    d.mkdir(exist_ok=True)
+    pdf.to_parquet(str(d / "documents.parquet"))
+
+    got = {
+        (r.id_a, r.id_b, r.inter, r.min_size)
+        for r in q_dedup_containment_prefix(spark, str(d)).collect()
+    }
+    sets = [set(t.split(" ")) for t in texts]
+    want = set()
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            inter = len(sets[i] & sets[j])
+            mn = min(len(sets[i]), len(sets[j]))
+            if 10 * inter > 9 * mn:
+                want.add((i, j, inter, mn))
+    assert got == want
