@@ -183,3 +183,78 @@ def test_containment_prefix_exact_recall_on_random_corpora(
             if 10 * inter > 9 * mn:
                 want.add((i, j, inter, mn))
     assert got == want
+
+
+# ---- asof-nearest: exact tie semantics on ARBITRARY event sets ----
+# Timestamps draw from a tiny integer range so equal-ts and equal-gap
+# collisions are COMMON — the documented resolution (backward carry keeps
+# the highest at-or-before event_id, forward the lowest at-or-after,
+# equal µs gaps go backward) is hammered far beyond what the fixture's
+# microsecond-unique timestamps can exercise.
+
+_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),   # user_id
+        st.integers(min_value=0, max_value=12),  # second offset (tiny!)
+        st.booleans(),                           # is_purchase
+    ),
+    min_size=2,
+    max_size=24,
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=_events)
+def test_asof_nearest_tie_semantics_on_random_events(spark, scratch, events):
+    from gpe.relational import q_join_asof_nearest
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(len(events)),
+            "ts": pd.to_datetime(
+                [1_700_000_000 + sec for _, sec, _ in events], unit="s"
+            ).astype("datetime64[us]"),
+            "user_id": [u for u, _, _ in events],
+            "event_type": [
+                "purchase" if p else "view" for _, _, p in events
+            ],
+            "value": 1.0,
+            "props": '{"k": 1}',
+        }
+    )
+    key = abs(hash(tuple(events))) % 10**9
+    d = scratch / f"asof_{key}"
+    d.mkdir(exist_ok=True)
+    pdf.to_parquet(str(d / "events.parquet"))
+
+    got = {
+        r.event_id: (r.nearest_purchase_id, r.direction, r.gap_seconds)
+        for r in q_join_asof_nearest(spark, str(d)).collect()
+    }
+    purch = pdf[pdf.event_type == "purchase"]
+    n_expected = 0
+    for e in pdf[pdf.event_type != "purchase"].itertuples():
+        p = purch[purch.user_id == e.user_id]
+        if not len(p):
+            continue
+        n_expected += 1
+        back = p[p.ts <= e.ts].sort_values(["ts", "event_id"])
+        fwd = p[p.ts >= e.ts].sort_values(["ts", "event_id"])
+        b = back.iloc[-1] if len(back) else None
+        f = fwd.iloc[0] if len(fwd) else None
+        if b is None:
+            want = (f.event_id, "forward", int((f.ts - e.ts).total_seconds()))
+        elif f is None:
+            want = (b.event_id, "backward", int((e.ts - b.ts).total_seconds()))
+        else:
+            gb, gf = e.ts - b.ts, f.ts - e.ts
+            if gf < gb:
+                want = (f.event_id, "forward", int(gf.total_seconds()))
+            else:
+                want = (b.event_id, "backward", int(gb.total_seconds()))
+        assert got[e.event_id] == want, (e.event_id, got[e.event_id], want)
+    assert len(got) == n_expected
