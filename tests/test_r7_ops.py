@@ -335,3 +335,45 @@ def test_session_attach_consistent_with_sessionize(spark):
     assert set(per) == set(sess)
     for k, positions in per.items():
         assert sorted(positions) == list(range(1, sess[k] + 1))
+
+
+def test_holt_keeps_rows_beyond_weight_horizon(spark, tmp_path):
+    """ADVICE r6: the init-table inner join silently DROPPED days beyond
+    _HOLT_MAX_DAYS; the fixture spans 30 days so parity never exercised
+    the fix. A crafted 50-day series must (a) keep every day and
+    (b) still match the iterative recurrence — beyond the horizon the
+    init weight has decayed below ~ρ^41 ≈ 6e-7 (ρ = √det(A) ≈ 0.707), so
+    the truncation tolerance loosens only slightly."""
+    n_days = 50
+    ts = pd.to_datetime(
+        [pd.Timestamp("2024-01-01") + pd.Timedelta(days=d, hours=1)
+         for d in range(n_days)]
+    ).astype("datetime64[us]")
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(n_days),
+            "ts": ts,
+            "user_id": 1,
+            "event_type": "view",
+            "value": [round(50 + 10 * math.sin(d / 3), 2)
+                      for d in range(n_days)],
+            "props": '{"k": 1}',
+        }
+    )
+    d = tmp_path / "holt50"
+    d.mkdir()
+    pdf.to_parquet(str(d / "events.parquet"))
+    rows = sorted(
+        _Q["q_ts_holt"](spark, str(d)).collect(), key=lambda r: r.day
+    )
+    assert len(rows) == n_days  # the inner join dropped days 42-50
+    s = b = None
+    for r in rows:
+        if s is None:
+            s, b = r.x, 0.0
+        else:
+            s_new = 0.5 * r.x + 0.5 * (s + b)
+            b = 0.3 * (s_new - s) + 0.7 * b
+            s = s_new
+        assert abs(r.level - s) < 5e-4, (r.day, r.level, s)
+        assert abs(r.trend - b) < 5e-4
