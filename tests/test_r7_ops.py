@@ -377,3 +377,51 @@ def test_holt_keeps_rows_beyond_weight_horizon(spark, tmp_path):
             s = s_new
         assert abs(r.level - s) < 5e-4, (r.day, r.level, s)
         assert abs(r.trend - b) < 5e-4
+
+
+def test_quantize_int8_zero_vector_guard_cross_engine(spark, tmp_path):
+    """ADVICE r6: an all-zero embedding used to make scale = 0 and the
+    quantize expression 0/0 — where the engines' NaN semantics diverge.
+    The fixture is unit-norm so parity never sees it; craft a corpus WITH
+    a zero vector and run the REAL oracle comparison on it."""
+    import duckdb
+
+    import __spark_entry__ as spec2
+
+    vecs = [
+        [0.0] * 8,                       # the degenerate vector
+        [0.5, -0.25, 0.0, 0.125, 0.0, 0.0, 0.0, 0.0],
+        [0.1] * 8,
+    ]
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(3),
+            "embedding": [np.array(v, dtype=np.float32) for v in vecs],
+            "label": [0, 1, 1],
+        }
+    )
+    d = tmp_path / "zerovec"
+    d.mkdir()
+    pdf.to_parquet(str(d / "embeddings.parquet"))
+
+    got = sorted(
+        (
+            (r.label, r.n_vecs, r.avg_scale, r.avg_mse)
+            for r in _Q["q_vec_quantize_int8"](spark, str(d)).collect()
+        )
+    )
+    # no NaN anywhere, zero vector quantizes losslessly
+    assert all(not math.isnan(s) and not math.isnan(m) for *_, s, m in got)
+    by_label = {g[0]: g for g in got}
+    # zero vector: mse is 0 up to the epsilon-nudge every rounded float
+    # output carries (round(x + 1e-9, 12) — see gpe/common.py)
+    assert by_label[0][3] < 1e-8
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{d}/embeddings.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.execute(
+        spec2.oracle_sql()["q_vec_quantize_int8"]
+    ).fetchall())
+    assert got == want
