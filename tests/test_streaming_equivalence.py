@@ -261,6 +261,36 @@ def test_streaming_compact_equals_batch(spark, stream):
         q.stop()
 
 
+def test_streaming_transitions_survive_chunked_arrow_batches(spark):
+    """ADVICE r6: a group spanning multiple Arrow record batches used to
+    be sorted PER CHUNK, corrupting cross-chunk event-time order. The
+    fixture's groups fit one chunk, so force pathological chunking
+    (maxRecordsPerBatch = 7) and assert batch equivalence still holds."""
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        stream = streaming.stream_events(spark, SF)
+        q = streaming.run_to_memory(
+            streaming.transitions_stream(stream), "t_trans_chunked", "update"
+        )
+        try:
+            got: dict = {}
+            for r in spark.table("t_trans_chunked").collect():
+                k = (r["from_type"], r["to_type"])
+                got[k] = got.get(k, 0) + r["n_delta"]
+            want = {
+                (r["from_type"], r["to_type"]): r["n_transitions"]
+                for r in timeseries.q_ts_transitions(spark, SF).collect()
+            }
+            assert got == want
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old
+        )
+
+
 def test_streaming_user_paths_equal_batch(spark, stream):
     """user_paths_stream's final per-user paths, grouped in the sink,
     must reproduce q_ts_user_paths' path histogram exactly (n_seen
