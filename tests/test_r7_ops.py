@@ -425,3 +425,33 @@ def test_quantize_int8_zero_vector_guard_cross_engine(spark, tmp_path):
         spec2.oracle_sql()["q_vec_quantize_int8"]
     ).fetchall())
     assert got == want
+
+
+def test_max_gap_equal_gaps_resolve_to_latest_start(spark, tmp_path):
+    """Two identical maximal gaps for one user: the documented winner is
+    the LATEST start (max-of-struct on (gap, start_µs, end event_id)).
+    The fixture's microsecond-unique gaps never tie, so craft the tie."""
+    base = pd.Timestamp("2024-01-01")
+    ts = [base, base + pd.Timedelta(hours=2),          # gap A: 2h
+          base + pd.Timedelta(hours=3),
+          base + pd.Timedelta(hours=5)]                # gap B: 2h (later)
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(4),
+            "ts": pd.to_datetime(ts).astype("datetime64[us]"),
+            "user_id": 7,
+            "event_type": "view",
+            "value": 1.0,
+            "props": '{"k": 1}',
+        }
+    )
+    d = tmp_path / "maxgap_tie"
+    d.mkdir()
+    pdf.to_parquet(str(d / "events.parquet"))
+    rows = _Q["q_ts_max_gap"](spark, str(d)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.max_gap_seconds == 7200
+    assert r.gap_start == ts[2]  # the LATER of the two equal gaps
+    assert r.gap_end == ts[3]
+    assert r.n_events == 4
