@@ -68,3 +68,61 @@ def test_scd2_intervals_chain_without_gaps(spark):
         F.col("valid_to").isNotNull()
     )
     assert chained.filter(F.col("valid_to") != F.col("nxt_from")).count() == 0
+
+
+def test_scd2_pointintime_shadows_zero_length_versions(spark, tmp_path):
+    """Two purchases in the SAME microsecond create a zero-length SCD2
+    version; the docstring claims the carry order shadows it exactly as
+    the oracle's from <= ts < to predicate would — craft the collision
+    (the fixture's unique timestamps never produce one) and compare the
+    operator against the DuckDB oracle on the same file."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as spec
+    from gpe.cdc import q_join_scd2_pointintime
+
+    t0 = pd.Timestamp("2024-01-01 10:00:00")
+    rows = [
+        # (event_id, ts, type)
+        (1, t0, "purchase"),                      # zero-length version
+        (2, t0, "purchase"),                      # shadows version 1
+        (3, t0, "view"),                          # same-µs fact row
+        (4, t0 + pd.Timedelta(minutes=30), "view"),
+        (5, t0 - pd.Timedelta(hours=1), "view"),  # before any version
+    ]
+    pdf = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[1] for r in rows]).astype(
+                "datetime64[us]"
+            ),
+            "user_id": 1,
+            "event_type": [r[2] for r in rows],
+            "value": [float(r[0]) for r in rows],
+            "props": '{"k": 1}',
+        }
+    )
+    d = tmp_path / "scd2_zero"
+    d.mkdir()
+    pdf.to_parquet(str(d / "events.parquet"))
+
+    got = sorted(
+        (r.event_id, r.version_event_id, r.attr_value)
+        for r in q_join_scd2_pointintime(spark, str(d)).collect()
+    )
+    # both views at/after t0 see version 2 (the shadowing row); the
+    # pre-version view drops (inner semantics)
+    assert got == [(3, 2, 2.0), (4, 2, 2.0)]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{d}/events.parquet')"
+    )
+    want = sorted(
+        (r[0], r[4], r[5])
+        for r in con.execute(
+            spec.oracle_sql()["q_join_scd2_pointintime"]
+        ).fetchall()
+    )
+    assert got == want
