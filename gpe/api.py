@@ -72,14 +72,21 @@ class LakeAPI:
         filtered, projected, paginated retrieval. `where` is a SQL
         predicate pushed into the scan by Catalyst; ordered pagination
         requires `order_by` (keyset-stable pages need a unique key in
-        the order, q_page_orders' contract)."""
+        the order, q_page_orders' contract).
+
+        `where`/`order_by` are raw expressions handed to Catalyst — fine
+        for an in-process façade, but a server wrapping this method MUST
+        sanitize/allowlist them (they are as powerful as SQL fragments).
+        `order_by` is applied BEFORE the projection so ordering by a
+        non-selected column works (ADVICE r7); Catalyst resolves the sort
+        against the pre-projection schema and prunes it from the output."""
         df = self.table(name)
         if where:
             df = df.filter(where)
-        if columns:
-            df = df.select(*columns)
         if order_by:
             df = df.orderBy(*order_by)
+        if columns:
+            df = df.select(*columns)
         if offset:
             df = df.offset(offset)
         if limit is not None:

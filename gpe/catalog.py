@@ -169,12 +169,12 @@ def q_catalog_partition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     branches per task; at cluster scale add a pre-write repartition on
     the partition column to bound small files); the readback profile is
     one partial-agg shuffle over the partition-pruned scan."""
-    import tempfile
+    from gpe.common import scratch_path
 
     sfname = os.path.basename(sf_dir.rstrip("/"))
-    path = os.path.join(
-        tempfile.gettempdir(), "gpe_lake", f"partition_profile_{sfname}"
-    )
+    # PID-unique scratch (ADVICE r7): two concurrent sessions on the same
+    # sf previously raced on a shared /tmp path (overwrite vs readback)
+    path = scratch_path(f"partition_profile_{sfname}")
     orders = load_table(spark, sf_dir, "orders")
     # pre-write repartition on the partition column: without it every
     # task writes a file into every partition directory (tasks × values

@@ -55,6 +55,24 @@ EPS = 1e-9
 _TRACKED_PERSISTS: list = []
 
 
+def scratch_path(*parts: str) -> str:
+    """Session-unique scratch directory for write-path builders.
+
+    ADVICE r7: fixed shared /tmp/gpe_lake paths keyed only by sf name race
+    when two concurrent sessions run the same key (one overwrites the
+    layout while the other's lazy readback scans it). The PID component
+    gives each driver/pytest/bench process its own namespace — mirroring
+    the per-sf uniqueness the bucketed table names already use — while
+    staying stable WITHIN a session so re-invocations overwrite cleanly.
+    """
+    import os
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(), f"gpe_lake_{os.getpid()}", *parts
+    )
+
+
 def persist_tracked(df):
     """persist() + register for later release_persists()."""
     df.persist()

@@ -1138,14 +1138,23 @@ def q_agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(6.0) * m * m * F.col("s2") / n
         - F.lit(3.0) * m * m * m * m
     )
-    g1 = m3 / F.sqrt(m2 * m2 * m2)
-    g2 = m4 / (m2 * m2) - F.lit(3.0)
+    # Zero-variance guard (VERDICT r7 #7): a constant column makes m2 = 0
+    # and the moment ratios 0/0 — Spark's non-ANSI x/0 is NULL while
+    # DuckDB's IEEE ops give NaN/inf. m2 is bit-identical across engines
+    # (same IEEE expression over the same exact sums), so an exact
+    # m2 <= 0 test pins NULL identically on both sides.
+    g1 = F.when(m2 <= 0, F.lit(None).cast("double")).otherwise(
+        F.round(m3 / F.sqrt(m2 * m2 * m2) + F.lit(EPS), 6)
+    )
+    g2 = F.when(m2 <= 0, F.lit(None).cast("double")).otherwise(
+        F.round(m4 / (m2 * m2) - F.lit(3.0) + F.lit(EPS), 6)
+    )
     return s.select(
         "l_returnflag",
         n.cast("bigint").alias("n_rows"),
         fround(m, "mean_qty", 4),
-        fround(g1, "skewness"),
-        fround(g2, "excess_kurtosis"),
+        g1.alias("skewness"),
+        g2.alias("excess_kurtosis"),
     )
 
 
@@ -1198,6 +1207,11 @@ def q_agg_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec("value")).cast("double").alias("sx"),
         F.sum(dec("value") * dec("value")).cast("double").alias("sxx"),
     )
+    # Degenerate-group guard (ADVICE r7): a singleton group makes the
+    # sample variance divide by n−1 = 0 (Spark NULL vs DuckDB NaN/inf) —
+    # Welch's t is undefined there, so groups need n ≥ 2 on BOTH engines
+    # (crafted-data test: tests/test_property_determinism.py).
+    s = s.filter(F.col("n") >= 2)
     mean = F.col("sx") / F.col("n")
     var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (
         F.col("n") - F.lit(1.0)
@@ -1206,7 +1220,15 @@ def q_agg_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = s.filter(F.col("event_type") == "view").select(
         F.col("n").alias("_n0"), F.col("m").alias("_m0"), F.col("v").alias("_v0")
     )
-    t = s.filter(F.col("event_type") != "view").crossJoin(F.broadcast(base))
+    # LEFT join onto the baseline (ADVICE r7): a missing/degenerate 'view'
+    # baseline previously returned a silently-EMPTY frame (inner cross
+    # join against zero rows); now every group still reports n and
+    # mean_value with NULL t_stat/welch_df — visibly wrong beats silently
+    # absent. Fixture data always carries the baseline, so the declared
+    # output is unchanged.
+    t = s.filter(F.col("event_type") != "view").join(
+        F.broadcast(base), F.lit(True), "left"
+    )
     se2 = F.col("v") / F.col("n") + F.col("_v0") / F.col("_n0")
     df_ws = (se2 * se2) / (
         (F.col("v") / F.col("n")) * (F.col("v") / F.col("n"))
@@ -1917,8 +1939,12 @@ ORACLES = {
         SELECT l_returnflag,
                CAST(n AS BIGINT) AS n_rows,
                {sql_fround('mu', 'mean_qty', 4)},
-               {sql_fround('m3 / sqrt(m2 * m2 * m2)', 'skewness')},
-               {sql_fround('m4 / (m2 * m2) - 3.0', 'excess_kurtosis')}
+               CASE WHEN m2 <= 0 THEN NULL
+                    ELSE ROUND(m3 / sqrt(m2 * m2 * m2) + {EPS}, 6)
+               END AS skewness,
+               CASE WHEN m2 <= 0 THEN NULL
+                    ELSE ROUND(m4 / (m2 * m2) - 3.0 + {EPS}, 6)
+               END AS excess_kurtosis
         FROM m""",
     "q_agg_mad": f"""
         WITH m AS (
@@ -1972,13 +1998,13 @@ ORACLES = {
         m AS (
           SELECT event_type, n, sx / n AS m,
                  (sxx - sx * sx / n) / (n - 1.0) AS v
-          FROM s),
+          FROM s WHERE n >= 2),
         b AS (SELECT n AS n0, m AS m0, v AS v0 FROM m
               WHERE event_type = 'view'),
         t AS (
           SELECT m.event_type, m.n, m.m, m.v, b.n0, b.m0, b.v0,
                  m.v / m.n + b.v0 / b.n0 AS se2
-          FROM m CROSS JOIN b WHERE m.event_type <> 'view')
+          FROM m LEFT JOIN b ON TRUE WHERE m.event_type <> 'view')
         SELECT event_type,
                CAST(n AS BIGINT) AS n,
                {sql_fround('m', 'mean_value')},

@@ -987,14 +987,20 @@ def q_win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("c") * F.col("v")).over(w).cast("double").alias("sxy"),
     ).filter(F.col("_rn") >= 7)
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    den = F.sqrt(
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
-    )
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    # Zero-variance guard (ADVICE r7): a constant 7-day window makes a
+    # variance term 0 (or ulp-negative) — Spark's non-ANSI x/0 is NULL
+    # while DuckDB's IEEE float ops yield NaN/±inf, so the undefined
+    # correlation is pinned to NULL EXPLICITLY on both sides
+    # (crafted-data test: tests/test_property_determinism.py).
+    corr = F.when(
+        (denx <= 0) | (deny <= 0), F.lit(None).cast("double")
+    ).otherwise(F.round(num / F.sqrt(denx * deny) + F.lit(EPS), 6))
     return r.select(
         "day",
         F.col("n").cast("int").alias("n_days"),
-        fround(num / den, "rolling_corr"),
+        corr.alias("rolling_corr"),
     )
 
 
@@ -1195,11 +1201,17 @@ def q_ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    # Zero-variance guard (ADVICE r7): a constant overlap series makes a
+    # variance term 0 — NULL pinned explicitly on both engines (Spark
+    # x/0 → NULL vs DuckDB IEEE NaN/inf would otherwise diverge).
+    acf = F.when(
+        (denx <= 0) | (deny <= 0), F.lit(None).cast("double")
+    ).otherwise(F.round(num / F.sqrt(denx * deny) + F.lit(EPS), 6))
     return agg.select(
         "event_type",
         F.col("lag").cast("int").alias("lag"),
         F.col("n").cast("bigint").alias("n_pairs"),
-        fround(num / F.sqrt(denx * deny), "acf"),
+        acf.alias("acf"),
     )
 
 
@@ -1321,10 +1333,11 @@ ORACLES = {
                  w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING
                        AND CURRENT ROW))
         SELECT day, CAST(n AS INTEGER) AS n_days,
-               {sql_fround(
-                   '(n * sxy - sx * sy)'
-                   ' / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))',
-                   'rolling_corr')}
+               CASE WHEN (n * sxx - sx * sx) <= 0
+                      OR (n * syy - sy * sy) <= 0 THEN NULL
+                    ELSE ROUND((n * sxy - sx * sy)
+                         / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+                         + {EPS}, 6) END AS rolling_corr
         FROM r WHERE rn >= 7""",
     "q_ts_session_attach": f"""
         WITH flagged AS (
@@ -1409,9 +1422,11 @@ ORACLES = {
         SELECT event_type,
                CAST(lag AS INTEGER) AS lag,
                CAST(n AS BIGINT) AS n_pairs,
-               {sql_fround(
-                   '(n * sxy - sx * sy) / sqrt((n * sxx - sx * sx)'
-                   ' * (n * syy - sy * sy))', 'acf')}
+               CASE WHEN (n * sxx - sx * sx) <= 0
+                      OR (n * syy - sy * sy) <= 0 THEN NULL
+                    ELSE ROUND((n * sxy - sx * sy)
+                         / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+                         + {EPS}, 6) END AS acf
         FROM agg""",
     "q_ts_max_gap": """
         WITH g AS (

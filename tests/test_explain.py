@@ -141,16 +141,13 @@ def test_partition_profile_write_enables_partition_pruning(spark):
     (PartitionFilters reach the scan) — the §4.1 partition-pruning
     feature the single-file test inputs can't otherwise exercise."""
     import os
-    import tempfile
 
     from pyspark.sql import functions as F
 
+    from gpe.common import scratch_path
+
     _Q["q_catalog_partition_profile"](spark, SF)  # performs the write
-    path = os.path.join(
-        tempfile.gettempdir(),
-        "gpe_lake",
-        f"partition_profile_{os.path.basename(SF)}",
-    )
+    path = scratch_path(f"partition_profile_{os.path.basename(SF)}")
     back = spark.read.parquet(path).filter(
         F.col("o_orderpriority") == "1-URGENT"
     )
