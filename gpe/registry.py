@@ -39,81 +39,23 @@ for _name in (
 
 
 # The driver hash-verifies exactly the FIRST 50 keys of queries() each round
-# (verified r1–r6: CORRECTNESS_r0N covers precisely registry indices 0-49),
+# (verified r1–r7: CORRECTNESS_r0N covers precisely registry indices 0-49),
 # so registry order decides which keys get hard correctness signal.
-# Round-7 window (VERDICT r6 next-round #1): (a) operators NEW this round
-# (zero driver evidence) at the very front; (b) the 23 keys displaced from
-# the r6 window by its second batch — the 8 r2-stale keys FIRST
-# (q_win_distinct_count, q_scalar_array/_map/_arrayops, q_agg_collect,
-# q_catalog_column_stats, q_multimodal_join/_features — their only driver
-# row predates four rounds of module churn), then the r4-green cohort
-# (dedup pair/components family, ann_pq, window basics, asof/interval
-# joins, rollup/cube/grouping_sets, ntile); (c) fill to 50 with the oldest
-# remaining r4-green keys (mode, equi-join family) whose modules changed
-# during r5/r6. After this round every key's latest driver row is
-# round 4 or newer and the r2-staleness debt is zero.
+# Round-8 window (VERDICT r7 next-round #1): (a) operators NEW this round
+# (zero driver evidence) at the very front; (b) ALL 31 keys whose latest
+# driver row is round 4 (four rounds of module churn since — the staged
+# r7 _SECOND_WAVE plus q_except/q_distinct_dropdup/q_ts_anomaly_zscore/
+# q_multimodal_frames); (c) fill to 50 with the oldest r5-green keys in
+# the modules that churn again THIS round (dedup.py / vectors.py perf
+# rewrites, cdc, scans). After this round every key's latest driver row
+# is round 5 or newer and the r4-staleness debt is zero.
 # Keys after position 50 keep local parity (tools/parity.py) as their
 # regression net; tests/test_registry_order.py pins this window.
 HARD_SIGNAL_FIRST_50 = [
-    # --- new round-7 operators (zero driver evidence) ---
-    "q_dedup_containment_prefix",
-    "q_catalog_partition_profile",
-    "q_ts_acf",
-    "q_ts_max_gap",
-    "q_dedup_graph_degree",
-    "q_text_jaccard_topk",
-    "q_text_vocab_coverage",
-    "q_join_bucketed_colocated",
-    "q_cdc_compact_deletes",
-    "q_agg_iqr_fences",
-    "q_agg_ttest_welch",
-    "q_text_cooccurrence_pmi",
-    "q_ts_user_paths",
-    "q_agg_mad",
-    "q_vec_pca_power",
-    "q_ts_cohort_ltv",
-    "q_agg_skew_kurtosis",
-    "q_source_json_roundtrip",
-    "q_ts_bounce_rate",
-    "q_scalar_date2",
-    "q_multimodal_audio_windows",
-    "q_win_rolling_corr",
-    "q_ts_session_attach",
-    # --- displaced r6 cohort: the 8 r2-stale keys first ---
-    "q_win_distinct_count",
-    "q_scalar_array",
-    "q_scalar_map",
-    "q_scalar_arrayops",
-    "q_agg_collect",
-    "q_catalog_column_stats",
-    "q_multimodal_join",
-    "q_multimodal_features",
-    # --- displaced r6 cohort: r4-green, modules churned r5/r6 ---
-    "q_dedup_near_pairs",
-    "q_dedup_minhash_lsh",
-    "q_dedup_components",
-    "q_dedup_components_star",
-    "q_vec_ann_pq",
-    "q_win_rank",
-    "q_win_lag_lead",
-    "q_win_running_sum",
-    "q_join_asof",
-    "q_join_asof_tolerance",
-    "q_join_interval",
-    "q_agg_rollup",
-    "q_agg_cube",
-    "q_agg_grouping_sets",
-    "q_win_ntile_pctrank",
-    # --- fill: oldest remaining r4-green keys ---
-    "q_agg_mode",
-    "q_join_inner_bcast",
-    "q_join_inner_shuffle",
-    "q_join_multiway_star",
-]
-
-# Next in line for round 8: the rest of the r4-green cohort, then r5-green
-# keys in churned modules. r6-green keys fall to the tail automatically.
-_SECOND_WAVE = [
+    # --- new round-8 operators (zero driver evidence) ---
+    "q_source_csv_roundtrip",
+    "q_source_schema_evolution",
+    # --- the 31 r4-stale keys (VERDICT r7 #1) ---
     "q_join_left_outer",
     "q_join_semi",
     "q_join_anti",
@@ -141,6 +83,67 @@ _SECOND_WAVE = [
     "q_pack_sequences",
     "q_text_chunk_windows",
     "q_mix_temperature",
+    "q_except",
+    "q_distinct_dropdup",
+    "q_ts_anomaly_zscore",
+    "q_multimodal_frames",
+    # --- fill: oldest r5-green keys, churned-again modules first ---
+    "q_dedup_exact",
+    "q_dedup_simhash",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_ngram_lsh",
+    "q_dedup_embed_cosine",
+    "q_vec_knn_brute",
+    "q_vec_pairs_threshold",
+    "q_vec_centroids",
+    "q_vec_ann_ivf",
+    "q_vec_ann_lsh",
+    "q_vec_ann_recall",
+    "q_cdc_compact",
+    "q_scd2_intervals",
+    "q_scan_parquet",
+    "q_scan_projected",
+    "q_scan_all_tables_counts",
+    "q_split_train_val",
+]
+
+# Next in line for round 9: the remaining r5-green keys (oldest driver
+# evidence after this window lands). r6/r7/r8-green keys fall to the tail
+# automatically.
+_SECOND_WAVE = [
+    "q_project_compute",
+    "q_filter_conj",
+    "q_filter_disj_in",
+    "q_filter_like",
+    "q_filter_between_dates",
+    "q_case_when",
+    "q_join_full_outer",
+    "q_join_cross_limited",
+    "q_agg_global",
+    "q_agg_count_distinct",
+    "q_agg_approx_quantile",
+    "q_agg_approx_distinct",
+    "q_agg_multi_distinct",
+    "q_agg_having",
+    "q_union_all",
+    "q_union_distinct",
+    "q_intersect",
+    "q_subquery_scalar",
+    "q_page_orders",
+    "q_unpivot_order_counts",
+    "q_text_stats",
+    "q_text_tfidf_topterms",
+    "q_text_ngrams",
+    "q_text_quality",
+    "q_text_langid",
+    "q_text_tokencount",
+    "q_text_fingerprint",
+    "q_dedup_keep_best",
+    "q_text_contamination",
+    "q_udf_pandas_scalar",
+    "q_udaf_applyinpandas",
+    "q_udf_cogroup",
+    "q_sort_multi",
 ]
 
 

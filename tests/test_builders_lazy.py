@@ -25,6 +25,8 @@ ITERATIVE_BY_DESIGN = {
     "q_catalog_partition_profile",
     "q_join_bucketed_colocated",
     "q_source_json_roundtrip",
+    "q_source_csv_roundtrip",
+    "q_source_schema_evolution",
 }
 
 
