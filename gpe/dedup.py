@@ -810,9 +810,15 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialization count ~3x while executing the identical operator
     # sequence (labels are monotone non-increasing, so comparing a batch's
     # end against its start detects any change made by ANY step inside
-    # the batch). 10 batches x 3 steps keeps the 30-step ceiling.
-    _PROP_BATCH = 3
-    for _ in range(10):
+    # the batch). Batch size measured at sf0.1 (r8, VERDICT r7 #6): 3 →
+    # 7.5-7.9 s, 4 → 6.8-7.5 s (one fewer checkpoint round on the
+    # diameter-8 fixture), 6 → 10.3 s (the 12-join chained plan's
+    # optimizer/codegen cost exceeds the round saved) — 4 is the knee.
+    # Overshoot steps inside a batch are near-free (two joins over the
+    # super-node frame); materialization rounds are the binding cost.
+    # 8 batches x 4 steps keeps a 32-step ceiling.
+    _PROP_BATCH = 4
+    for _ in range(8):
         start = labels
         cur = labels
         for _s in range(_PROP_BATCH):

@@ -110,27 +110,42 @@ _SQL_DOT = (
 )
 
 
-def q_vec_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact top-5 cosine neighbors for each query vector (vec_id < 10),
-    excluding self; ties broken by neighbor id. Brute force is the baseline
-    the ANN variant (q_vec_ann_ivf) is judged against."""
-    emb = load_table(spark, sf_dir, "embeddings")
+def _query_corpus_dots(emb: DataFrame) -> DataFrame:
+    """Exact-decimal (query_id, neighbor_id, dot) scores for EVERY
+    query × corpus pair (self excluded) — the frame brute force ranks
+    over and every ANN rerank re-derives a subset of. q_vec_ann_recall
+    persists this ONCE and passes it to all four pipelines (VERDICT r7
+    #3: the audit previously compiled + evaluated the decimal fold in
+    brute AND each variant's rerank — 2-3× the same scores).
+
+    Scale notes (100 TB): queries broadcast, one corpus scan — the same
+    sampled-query audit shape as each variant's own rerank."""
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     c = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
-    scored = (
+    return (
         F.broadcast(q)
         .join(c, F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("dot", _dot_dec("q_emb", "embedding"))
+        .select("query_id", "neighbor_id", _dot_dec("q_emb", "embedding").alias("dot"))
     )
+
+
+def q_vec_knn_brute(
+    spark: SparkSession, sf_dir: str, dots: DataFrame | None = None
+) -> DataFrame:
+    """Exact top-5 cosine neighbors for each query vector (vec_id < 10),
+    excluding self; ties broken by neighbor id. Brute force is the baseline
+    the ANN variants (q_vec_ann_ivf/lsh/pq) are judged against."""
+    if dots is None:
+        dots = _query_corpus_dots(load_table(spark, sf_dir, "embeddings"))
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(
         F.desc("dot"), F.asc("neighbor_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        dots.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _TOP_K)
         .select(
             "query_id",
@@ -317,16 +332,51 @@ def q_vec_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_vec_ann_ivf(
-    spark: SparkSession, sf_dir: str, cdims: DataFrame | None = None
+def _rerank_top5(
+    cand: DataFrame, emb: DataFrame, dots: DataFrame | None
 ) -> DataFrame:
-    """IVF-probed approximate kNN — the 100 TB similarity-search path.
+    """Exact top-5 rerank of a (query_id, neighbor_id) ANN shortlist —
+    shared by IVF/LSH/PQ. With a shared `dots` frame (the audit path,
+    VERDICT r7 #3) the scores are an in-memory lookup join; standalone,
+    the broadcast shortlist pays the exact-decimal fold only on shortlist
+    pairs (VERDICT r3 #5: explicit broadcast keeps the plan
+    stats-independent)."""
+    from pyspark.sql import Window
 
-    Coarse quantizer = per-label centroids (k=10 cells); each query probes
-    its top-2 cells by centroid similarity, then ranks exact within the
-    probed cells. Every step is exact-decimal → fully oracle-checkable (a
-    rare property for ANN). Recall vs q_vec_knn_brute is asserted in
-    tests/test_llm_ops.py."""
+    if dots is not None:
+        scored = dots.join(F.broadcast(cand), ["query_id", "neighbor_id"])
+    else:
+        q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+        )
+        nbr = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+        scored = (
+            F.broadcast(cand.join(q, "query_id"))
+            .join(nbr, "neighbor_id")
+            .withColumn("dot", _dot_dec("q_emb", "embedding"))
+        )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("dot"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("dot", 6).cast("double").alias("sim"),
+            "rank",
+        )
+    )
+
+
+def _ivf_cand(
+    spark: SparkSession, sf_dir: str, cdims: DataFrame | None
+) -> DataFrame:
+    """IVF candidate shortlist (query_id, neighbor_id) — the probe step
+    of q_vec_ann_ivf, exposed so q_vec_ann_recall can rerank all
+    variants' shortlists in ONE pass."""
     emb = load_table(spark, sf_dir, "embeddings")
     if cdims is None:
         cdims = _centroid_dims(emb)
@@ -353,34 +403,34 @@ def q_vec_ann_ivf(
         .filter(F.col("prn") <= _IVF_PROBES)
         .select("query_id", "label")
     )
-    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
     # the (probe, query) shortlist is O(queries × probes) rows — broadcast
     # it EXPLICITLY against the full embeddings table so the plan is a
     # broadcast join regardless of AQE stats freshness (VERDICT r3 #5: at
     # billion-vector scale stale stats can degrade the hint-free join to a
     # full shuffle of the big side)
-    cand = (
-        F.broadcast(probes.join(q, "query_id"))
-        .join(
-            emb.select(F.col("vec_id").alias("neighbor_id"), "label", "embedding"),
-            "label",
-        )
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("dot", _dot_dec("q_emb", "embedding"))
-    )
-    wr = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
     return (
-        cand.withColumn("rank", F.row_number().over(wr))
-        .filter(F.col("rank") <= _TOP_K)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round("dot", 6).cast("double").alias("sim"),
-            "rank",
-        )
+        F.broadcast(probes)
+        .join(emb.select(F.col("vec_id").alias("neighbor_id"), "label"), "label")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
     )
+
+
+def q_vec_ann_ivf(
+    spark: SparkSession,
+    sf_dir: str,
+    cdims: DataFrame | None = None,
+    dots: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-probed approximate kNN — the 100 TB similarity-search path.
+
+    Coarse quantizer = per-label centroids (k=10 cells); each query probes
+    its top-2 cells by centroid similarity, then ranks exact within the
+    probed cells. Every step is exact-decimal → fully oracle-checkable (a
+    rare property for ANN). Recall vs q_vec_knn_brute is asserted in
+    tests/test_llm_ops.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _rerank_top5(_ivf_cand(spark, sf_dir, cdims), emb, dots)
 
 
 _N_PLANES = 16  # sign-LSH hyperplanes → 4 bands × 4 bits
@@ -388,22 +438,9 @@ _LSH_BAND_BITS = 4
 _DIM = 64
 
 
-def q_vec_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane (sign) LSH-bucketed approximate kNN — the
-    unlabeled-corpus scale path (q_vec_ann_ivf needs a label/cluster
-    column; this needs nothing).
-
-    Hyperplane components are deterministic ±1 drawn from md5 parity of
-    "plane|dim" (portable across engines — no RNG), so bit_p(v) =
-    sign(Σ ±x_i) computed in exact decimal is engine-identical and the
-    whole pipeline carries a full SQL oracle — like the IVF variant, a
-    rare property for ANN. 16 bits → 4 bands of 4; vectors sharing any
-    band with a query are candidates, then exact-decimal rank top-5.
-
-    At 100 TB: signatures are one cheap map-side pass (64 mults/plane),
-    the band join is an equi-join on (band, value) — shuffle-partitioned,
-    no cross join ever materializes; recall tunes by adding planes/bands.
-    Recall vs q_vec_knn_brute is asserted in tests/test_llm_ops.py."""
+def _lsh_cand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH candidate shortlist (query_id, neighbor_id) — the banded
+    bucket probe of q_vec_ann_lsh, exposed for the shared audit rerank."""
     emb = load_table(spark, sf_dir, "embeddings")
     # per-dim sign VECTOR (array of the 16 plane signs, ordered by plane)
     # instead of a (plane, pos) pair table: the projection pass then stays
@@ -460,10 +497,19 @@ def q_vec_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bb"),
     ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
+    # the band table feeds BOTH join sides (query probe + corpus
+    # postings); unpersisted, the projection+groupBy subtree executes
+    # twice (the broadcast side and the stream side cannot share an
+    # exchange) — persist it once (50 rows/query-side, n·bands corpus
+    # rows; at 100 TB this is the standing LSH index you materialize
+    # anyway, not a per-query rebuild)
+    from gpe.common import persist_tracked
+
+    bands = persist_tracked(bands)
     qb = bands.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "band", "bval"
     )
-    cand = (
+    return (
         # query-side band table is (n_queries × n_bands) rows — broadcast it
         # so the bucket probe never shuffles the full corpus band table
         F.broadcast(qb)
@@ -472,30 +518,28 @@ def q_vec_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
-    n = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
-    # explicit broadcast of the (candidate, query-vector) shortlist against
-    # the full embeddings table (VERDICT r3 #5) — stats-independent plan
-    scored = (
-        F.broadcast(cand.join(q, "query_id"))
-        .join(n, "neighbor_id")
-        .withColumn("dot", _dot_dec("q_emb", "embedding"))
-    )
-    from pyspark.sql import Window
 
-    wr = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(wr))
-        .filter(F.col("rank") <= _TOP_K)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round("dot", 6).cast("double").alias("sim"),
-            "rank",
-        )
-    )
+
+def q_vec_ann_lsh(
+    spark: SparkSession, sf_dir: str, dots: DataFrame | None = None
+) -> DataFrame:
+    """Random-hyperplane (sign) LSH-bucketed approximate kNN — the
+    unlabeled-corpus scale path (q_vec_ann_ivf needs a label/cluster
+    column; this needs nothing).
+
+    Hyperplane components are deterministic ±1 drawn from md5 parity of
+    "plane|dim" (portable across engines — no RNG), so bit_p(v) =
+    sign(Σ ±x_i) computed in exact decimal is engine-identical and the
+    whole pipeline carries a full SQL oracle — like the IVF variant, a
+    rare property for ANN. 16 bits → 4 bands of 4; vectors sharing any
+    band with a query are candidates, then exact-decimal rank top-5.
+
+    At 100 TB: signatures are one cheap map-side pass (64 mults/plane),
+    the band join is an equi-join on (band, value) — shuffle-partitioned,
+    no cross join ever materializes; recall tunes by adding planes/bands.
+    Recall vs q_vec_knn_brute is asserted in tests/test_llm_ops.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _rerank_top5(_lsh_cand(spark, sf_dir), emb, dots)
 
 
 # PQ layout: 64 dims → 8 subvectors of 8 dims; codebook per subvector =
@@ -508,8 +552,24 @@ _PQ_N_SUB = 8
 _PQ_TOP_C = 20
 
 
+def _pq_cand(
+    spark: SparkSession, sf_dir: str, cdims: DataFrame | None
+) -> DataFrame:
+    """PQ ADC candidate shortlist (query_id, neighbor_id) — the encode +
+    LUT + ADC + top-C stages of q_vec_ann_pq, exposed for the shared
+    audit rerank. See q_vec_ann_pq for the full design notes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    if cdims is None:
+        cdims = _centroid_dims(emb)
+    cdims = cdims.select(F.col("label").alias("code"), "pos", "cdim")
+    return _pq_cand_body(emb, cdims)
+
+
 def q_vec_ann_pq(
-    spark: SparkSession, sf_dir: str, cdims: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    cdims: DataFrame | None = None,
+    dots: DataFrame | None = None,
 ) -> DataFrame:
     """Product-quantization ANN (Jégou et al., "Product Quantization for
     Nearest Neighbor Search", TPAMI 2011) — the memory-bound
@@ -531,9 +591,10 @@ def q_vec_ann_pq(
     SQL-oracle-checkable. Recall vs q_vec_knn_brute is asserted in
     tests/test_llm_ops.py."""
     emb = load_table(spark, sf_dir, "embeddings")
-    if cdims is None:
-        cdims = _centroid_dims(emb)
-    cdims = cdims.select(F.col("label").alias("code"), "pos", "cdim")
+    return _rerank_top5(_pq_cand(spark, sf_dir, cdims), emb, dots)
+
+
+def _pq_cand_body(emb: DataFrame, cdims: DataFrame) -> DataFrame:
     # --- encode: nearest sub-codebook entry per (vector, subvector) ---
     # kmeans-step recipe (r7): the per-(code, sub) codebook collapses to
     # 80 broadcast rows of (8-dim decimal array, exact ‖c_sub‖²) and the
@@ -612,35 +673,12 @@ def q_vec_ann_pq(
         .agg(F.sum("plut").alias("adc"))
     )
     w_c = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("vec_id"))
-    cand = (
+    # the ADC top-C shortlist (≤ queries × _PQ_TOP_C) feeds the exact
+    # rerank in _rerank_top5
+    return (
         adc.withColumn("arn", F.row_number().over(w_c))
         .filter(F.col("arn") <= _PQ_TOP_C)
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
-    )
-    # --- exact rerank of the ADC shortlist ---
-    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
-    nbr = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
-    # explicit broadcast of the ADC shortlist (≤ queries × _PQ_TOP_C rows)
-    # against the full embeddings table (VERDICT r3 #5)
-    scored = (
-        F.broadcast(cand.join(q, "query_id"))
-        .join(nbr, "neighbor_id")
-        .withColumn("dot", _dot_dec("q_emb", "embedding"))
-    )
-    w_r = Window.partitionBy("query_id").orderBy(
-        F.desc("dot"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w_r))
-        .filter(F.col("rank") <= _TOP_K)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round("dot", 6).cast("double").alias("sim"),
-            "rank",
-        )
     )
 
 
@@ -667,49 +705,83 @@ def q_vec_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cached, each pipeline runs exactly once and the intersection joins
     # are in-memory lookups. Same audit shape at 100 TB: materialize the
     # sampled-query top-k tables, then compare.
-    # The (label, pos) centroid table is ALSO persisted and passed to both
-    # centroid-based variants (VERDICT r6 #4): IVF and PQ previously each
-    # rebuilt the same posexplode→groupBy subtree inside this audit.
-    cdims = persist_tracked(
-        _centroid_dims(load_table(spark, sf_dir, "embeddings"))
-    )
-    brute = persist_tracked(
-        q_vec_knn_brute(spark, sf_dir).select("query_id", "neighbor_id")
-    )
+    # TWO more frames are shared across the pipelines (VERDICT r6 #4 +
+    # r7 #3): the (label, pos) centroid table feeds IVF and PQ, and the
+    # exact query×corpus score frame `dots` feeds brute AND every
+    # variant's rerank — unshared, the audit compiled and evaluated the
+    # same decimal dot-product fold four times.
+    emb = load_table(spark, sf_dir, "embeddings")
+    cdims = persist_tracked(_centroid_dims(emb))
+    dots = persist_tracked(_query_corpus_dots(emb))
+    # The audit's residual cost at this scale is PER-STAGE SCHEDULING,
+    # not data (every comparison frame is ≤ 150 rows; AQE runs each
+    # shuffle boundary as its own job) — so brute + the three variants'
+    # rerank steps run ONCE over a method-tagged candidate union (brute's
+    # "candidates" are simply ALL pairs, i.e. the dots frame itself), and
+    # the hit-count step runs once over the tagged top-5 table (r8: one
+    # dots join + one top-5 window + one semi join + one aggregate + one
+    # left join replace four windows and three of each comparison step;
+    # 13.3 s → ~7 s median). Per-(method, query) top-5 semantics are
+    # unchanged: the window partitions by (method, query_id).
+    from pyspark.sql import Window
+
     variants = (
-        ("ivf", lambda s, d: q_vec_ann_ivf(s, d, cdims=cdims)),
-        ("lsh", q_vec_ann_lsh),
-        ("pq", lambda s, d: q_vec_ann_pq(s, d, cdims=cdims)),
+        ("brute", lambda: dots.select("query_id", "neighbor_id")),
+        ("ivf", lambda: _ivf_cand(spark, sf_dir, cdims)),
+        ("lsh", lambda: _lsh_cand(spark, sf_dir)),
+        ("pq", lambda: _pq_cand(spark, sf_dir, cdims)),
     )
-    per_method = []
+    tagged_cand = None
     for name, fn in variants:
-        ann = persist_tracked(
-            fn(spark, sf_dir).select("query_id", "neighbor_id")
+        c = fn().select(
+            F.lit(name).alias("method"), "query_id", "neighbor_id"
         )
-        hits = (
-            brute.join(ann, ["query_id", "neighbor_id"], "semi")
-            .groupBy("query_id")
-            .agg(F.count(F.lit(1)).alias("n_hits"))
-        )
-        per_method.append(
-            brute.select("query_id")
-            .distinct()
-            .join(hits, "query_id", "left")
-            .select(
-                F.lit(name).alias("method"),
-                "query_id",
-                F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        tagged_cand = c if tagged_cand is None else tagged_cand.unionAll(c)
+    w = Window.partitionBy("method", "query_id").orderBy(
+        F.desc("dot"), F.asc("neighbor_id")
+    )
+    tagged = persist_tracked(
+        dots.join(F.broadcast(tagged_cand), ["query_id", "neighbor_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("method", "query_id", "neighbor_id")
+    )
+    brute = tagged.filter(F.col("method") == "brute").select(
+        "query_id", "neighbor_id"
+    )
+    tagged = tagged.filter(F.col("method") != "brute")
+    hits = (
+        tagged.join(brute, ["query_id", "neighbor_id"], "semi")
+        .groupBy("method", "query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    spine = (
+        brute.select("query_id")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                spark.createDataFrame(
+                    [(n,) for n, _ in variants if n != "brute"],
+                    ["method"],
+                )
             )
         )
-    out = per_method[0]
-    for p in per_method[1:]:
-        out = out.unionAll(p)
-    return out.select(
-        "method",
-        "query_id",
-        "n_hits",
-        (F.col("n_hits") / F.lit(float(_TOP_K))).alias("recall"),
-    ).orderBy("method", "query_id")
+    )
+    return (
+        spine.join(F.broadcast(hits), ["method", "query_id"], "left")
+        .select(
+            "method",
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        )
+        .select(
+            "method",
+            "query_id",
+            "n_hits",
+            (F.col("n_hits") / F.lit(float(_TOP_K))).alias("recall"),
+        )
+        .orderBy("method", "query_id")
+    )
 
 
 def q_vec_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
