@@ -221,6 +221,54 @@ def q_dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _exact_jaccard_pairs(load_table(spark, sf_dir, "documents"))
 
 
+def q_dedup_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup observability: per source, document count, distinct
+    normalized-content count (q_dedup_exact's sha2(lower(trim)) hash),
+    exact-duplicate count, floor-scaled duplication ratio, and the
+    distinct-TOKEN-SET count (the super-node contraction's cardinality)
+    — the corpus-health report a curation pipeline reads BEFORE choosing
+    a dedup strategy (exact-dup-heavy sources want the hash pass first;
+    mask-collapsed sources want the set contraction).
+
+    Scale notes (100 TB): one partial-agg shuffle to |sources| rows —
+    two exact distincts per group over map-side-hashed values; the
+    token-set key is sorted before hashing so the distinct is
+    order-insensitive and engine-identical."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.sha2(F.lower(F.trim(F.col("text"))).cast("binary"), 256)
+    mask_key = F.sha2(
+        F.array_join(
+            F.array_sort(F.array_distinct(F.split(F.col("text"), " "))), " "
+        ).cast("binary"),
+        256,
+    )
+    s = d.select("source", h.alias("_h"), mask_key.alias("_m"))
+    return (
+        s.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("_h").alias("n_distinct_texts"),
+            (F.count(F.lit(1)) - F.count_distinct("_h")).alias("n_exact_dups"),
+            F.count_distinct("_m").alias("n_token_sets"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_distinct_texts",
+            "n_exact_dups",
+            "n_token_sets",
+            (
+                F.floor(
+                    (F.col("n_docs") - F.col("n_distinct_texts"))
+                    * F.lit(1_000_000)
+                    / F.col("n_docs")
+                )
+                / F.lit(1_000_000.0)
+            ).alias("dup_ratio"),
+        )
+    )
+
+
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Containment near-dup pairs: |A∩B| / min(|A|,|B|) > 0.9 over token
     SETS — the asymmetric complement to Jaccard dedup. A short doc quoted
@@ -1290,6 +1338,7 @@ def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
+    "q_dedup_dup_stats": q_dedup_dup_stats,
     "q_dedup_near_pairs": q_dedup_near_pairs,
     "q_dedup_containment": q_dedup_containment,
     "q_dedup_containment_prefix": q_dedup_containment_prefix,
@@ -1337,6 +1386,22 @@ ORACLES = {
         SELECT sha256(LOWER(TRIM(text))) AS content_hash,
                MIN(doc_id) AS keeper_doc_id,
                CAST(COUNT(*) AS BIGINT) AS n_copies
+        FROM documents GROUP BY 1""",
+    # distinct counts over the normalized keys equal the hashed-key
+    # distincts (sha2 is injective on this corpus; hashing is the
+    # engine's shuffle-bytes optimization, not part of the semantics)
+    "q_dedup_dup_stats": """
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT LOWER(TRIM(text))) AS BIGINT)
+                 AS n_distinct_texts,
+               CAST(COUNT(*) - COUNT(DISTINCT LOWER(TRIM(text))) AS BIGINT)
+                 AS n_exact_dups,
+               CAST(COUNT(DISTINCT array_to_string(
+                      list_sort(list_distinct(string_split(text, ' '))),
+                      ' ')) AS BIGINT) AS n_token_sets,
+               FLOOR((COUNT(*) - COUNT(DISTINCT LOWER(TRIM(text))))
+                     * 1000000 / COUNT(*)) / 1000000.0 AS dup_ratio
         FROM documents GROUP BY 1""",
     "q_dedup_near_pairs": _SQL_JACCARD_PAIRS,
     "q_dedup_containment": _SQL_CONTAINMENT_PAIRS,

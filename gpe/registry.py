@@ -55,6 +55,11 @@ HARD_SIGNAL_FIRST_50 = [
     # --- new round-8 operators (zero driver evidence) ---
     "q_source_csv_roundtrip",
     "q_source_schema_evolution",
+    "q_join_theta_bucketed",
+    "q_join_bloom_prefilter",
+    "q_ts_active_users",
+    "q_dedup_dup_stats",
+    "q_text_winnowing",
     # --- the 31 r4-stale keys (VERDICT r7 #1) ---
     "q_join_left_outer",
     "q_join_semi",
@@ -100,17 +105,17 @@ HARD_SIGNAL_FIRST_50 = [
     "q_vec_ann_lsh",
     "q_vec_ann_recall",
     "q_cdc_compact",
-    "q_scd2_intervals",
-    "q_scan_parquet",
-    "q_scan_projected",
-    "q_scan_all_tables_counts",
-    "q_split_train_val",
 ]
 
 # Next in line for round 9: the remaining r5-green keys (oldest driver
 # evidence after this window lands). r6/r7/r8-green keys fall to the tail
 # automatically.
 _SECOND_WAVE = [
+    "q_scd2_intervals",
+    "q_scan_parquet",
+    "q_scan_projected",
+    "q_scan_all_tables_counts",
+    "q_split_train_val",
     "q_project_compute",
     "q_filter_conj",
     "q_filter_disj_in",

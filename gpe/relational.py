@@ -308,6 +308,162 @@ def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_theta_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same ≤-5-minute same-user pair set as q_join_theta_range,
+    computed through TIME-BUCKET DECOMPOSITION — the scalable range-join
+    pattern for when the band predicate has no (or a low-selectivity)
+    equi component: bucket both sides into band-width windows, equi-join
+    on (key, bucket) with the left side expanded to {b, b+1}, then apply
+    the exact predicate as a residual filter.
+
+    Every qualifying pair (0 ≤ Δt ≤ W) satisfies bucket(b) ∈
+    {bucket(a), bucket(a)+1} when the bucket width equals the band W —
+    EXACT recall, no missed pairs (same argument as the containment
+    prefix filter). Shares q_join_theta_range's oracle: hash-equality
+    proves the decomposition is lossless.
+
+    Scale notes (100 TB): the naive theta join relies on the user_id
+    equi key to bound the per-key cartesian; with millions of events per
+    user (or no user key at all) the (key, bucket) join bounds every
+    reducer by the events-per-bucket instead — the 2× replication of
+    the probe side is the whole cost, and the bucket count grows with
+    the time span, not the data."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    W = 300_000_000  # 5 minutes in µs == the bucket width
+    a = ev.select(
+        "user_id",
+        F.col("event_id").alias("a_id"),
+        F.col("ts").alias("a_ts"),
+        F.explode(
+            F.array(
+                (umicros("ts") / W).cast("long"),
+                (umicros("ts") / W).cast("long") + 1,
+            )
+        ).alias("bucket"),
+    )
+    b = ev.select(
+        "user_id",
+        F.col("event_id").alias("b_id"),
+        F.col("ts").alias("b_ts"),
+        (umicros("ts") / W).cast("long").alias("bucket"),
+    )
+    diff = umicros(F.col("b_ts")) - umicros(F.col("a_ts"))
+    return (
+        a.join(b, ["user_id", "bucket"])
+        .filter(
+            (F.col("a_id") < F.col("b_id")) & (diff >= 0) & (diff <= W)
+        )
+        .select(
+            "user_id",
+            "a_id",
+            "b_id",
+            diff.alias("micros_apart"),
+        )
+    )
+
+
+# the bloom filter: m bits in m/64 longs, _BLOOM_K md5-derived positions
+# per key (md5, not xxhash64 — the oracle needs the same membership
+# decisions and DuckDB has no xxhash64)
+_BLOOM_BITS = 1 << 16
+_BLOOM_K = 3
+
+
+def q_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning — the pattern that avoids shuffling a
+    100 TB fact for a selective dim-filtered join: build an m-bit Bloom
+    filter over the qualifying dim keys (AUTOMOBILE-segment customers),
+    broadcast the BITMAP (1 row, m/64 longs), pre-filter the fact
+    MAP-SIDE (zero shuffle — false positives only, never false
+    negatives), then remove the false positives with an exact broadcast
+    semi join over the tiny survivor set. Output = revenue profile of
+    the qualifying orders per priority.
+
+    The oracle is the PLAIN semi-join aggregate: hash-equality proves
+    the bloom pass is a pure (lossless) pre-filter. Membership bits are
+    md5-derived on both engines, but correctness needs no cross-engine
+    bit agreement — the exact verify decides the final set.
+
+    Scale notes (100 TB): Spark's own runtime row-filtering
+    (InjectRuntimeFilter) does this transparently for shuffle joins;
+    the explicit operator is for when the verify side must stay
+    broadcast (billion-row fact, thousand-row qualifying dim) or the
+    filter is reused across queries (write the bitmap once, prefilter
+    many scans)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    dim = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+    nwords = _BLOOM_BITS // 64
+
+    def positions(col):
+        # k md5-derived bit positions per key (deterministic, portable)
+        return [
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("|", F.lit(i), col)), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(_BLOOM_BITS),
+            )
+            for i in range(_BLOOM_K)
+        ]
+
+    bits = dim.select(
+        F.explode(F.array(*positions(F.col("c_custkey")))).alias("pos")
+    )
+    words = (
+        bits.groupBy((F.col("pos") / 64).cast("int").alias("word"))
+        .agg(
+            F.bit_or(
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"
+                )
+            ).alias("mask")
+        )
+    )
+    # assemble the bitmap as ONE array<long> row: missing words → 0
+    bitmap = words.agg(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(nwords - 1)),
+            lambda i: F.coalesce(
+                F.element_at(
+                    F.map_from_entries(
+                        F.collect_list(F.struct("word", "mask"))
+                    ),
+                    i.cast("int"),
+                ),
+                F.lit(0).cast("long"),
+            ),
+        ).alias("_bloom")
+    )
+    probed = o.crossJoin(F.broadcast(bitmap))
+    for i, p in enumerate(positions(F.col("o_custkey"))):
+        probed = probed.withColumn(f"_p{i}", p)
+    hit = None
+    for i in range(_BLOOM_K):
+        test = F.expr(
+            f"(element_at(_bloom, CAST(_p{i} / 64 AS INT) + 1)"
+            f" & shiftleft(CAST(1 AS BIGINT), CAST(_p{i} % 64 AS INT)))"
+            " != 0"
+        )
+        hit = test if hit is None else (hit & test)
+    survivors = probed.filter(hit).select(
+        "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    exact = survivors.join(
+        F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"), "semi"
+    )
+    return exact.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum(dec("o_totalprice")), 2)
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
 def q_join_fuzzy_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy self-join: per supplier, its COMPLETE edit-distance-<=2
     neighborhood (count at distance 1 and 2, plus the nearest neighbor
@@ -1698,6 +1854,8 @@ QUERIES = {
     "q_join_anti": q_join_anti,
     "q_join_cross_limited": q_join_cross_limited,
     "q_join_theta_range": q_join_theta_range,
+    "q_join_theta_bucketed": q_join_theta_bucketed,
+    "q_join_bloom_prefilter": q_join_bloom_prefilter,
     "q_join_asof": q_join_asof,
     "q_join_asof_tolerance": q_join_asof_tolerance,
     "q_join_interval": q_join_interval,
@@ -2185,6 +2343,29 @@ ORACLES = {
           ON a.user_id = b.user_id
          AND a.event_id < b.event_id
          AND date_diff('microsecond', a.ts, b.ts) BETWEEN 0 AND 300000000""",
+    # shares the exact theta-range oracle: hash-equality proves the
+    # time-bucket decomposition is lossless (the minhash↔near_pairs
+    # precedent)
+    "q_join_theta_bucketed": """
+        SELECT a.user_id AS user_id,
+               a.event_id AS a_id,
+               b.event_id AS b_id,
+               date_diff('microsecond', a.ts, b.ts) AS micros_apart
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND a.event_id < b.event_id
+         AND date_diff('microsecond', a.ts, b.ts) BETWEEN 0 AND 300000000""",
+    # the PLAIN semi-join aggregate — equality proves the bloom pass is
+    # a pure pre-filter (false positives removed, no false negatives)
+    "q_join_bloom_prefilter": f"""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(ROUND(SUM({sql_dec('o_totalprice')}), 2) AS DOUBLE)
+                 AS total_price
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_mktsegment = 'AUTOMOBILE')
+        GROUP BY 1""",
     # deterministic as-of: "latest view at or before the purchase in
     # (ts, event_id) order". DuckDB's native ASOF JOIN matches on ts alone
     # and picks an ARBITRARY view among equal-µs ties (verified), so the

@@ -249,6 +249,72 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WINNOW_W = 4  # fingerprint-selection window (in gram positions)
+
+
+def q_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD'03 — the MOSS algorithm): hash every rolling token 3-gram,
+    slide a w=4 window over the gram positions, keep each window's
+    MINIMUM hash, and report the selected-fingerprint set per doc. The
+    guarantee: any shared substring of ≥ k+w−1 tokens between two docs
+    shares at least one selected fingerprint — position-aware partial-
+    overlap detection that q_text_fingerprint's single global min (and
+    set-based MinHash) cannot give.
+
+    Determinism: fingerprints are md5 hex; window minima are
+    lexicographic string minima (engine-portable); the fingerprint SET
+    per doc makes the within-window tie rule moot. Docs with < k+w−1
+    tokens have no full window and drop (inner semantics).
+
+    Scale notes (100 TB): ONE doc_id shuffle feeds the gram build, the
+    selection window, and the rank (all reuse the (doc_id, pos)
+    partitioning); the distinct + per-doc rollup is a second shuffle
+    bounded by selected fingerprints (≤ grams/w on average — the paper's
+    2/(w+1) density bound)."""
+    d = load_table(spark, sf_dir, "documents")
+    pos_tok = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = pos_tok.select(
+        "doc_id",
+        "pos",
+        F.md5(
+            F.concat_ws(
+                " ",
+                "token",
+                F.lead("token", 1).over(w),
+                F.lead("token", 2).over(w),
+            ).cast("binary")
+        ).alias("fp"),
+        F.lead("token", 2).over(w).alias("_t2"),
+    ).filter(F.col("_t2").isNotNull())
+    wsel = w.rowsBetween(-(_WINNOW_W - 1), Window.currentRow)
+    sel = grams.select(
+        "doc_id",
+        F.count(F.lit(1)).over(
+            Window.partitionBy("doc_id")
+        ).alias("n_grams"),
+        F.min("fp").over(wsel).alias("_winmin"),
+        F.row_number().over(w).alias("_rn"),
+    ).filter(F.col("_rn") >= _WINNOW_W)
+    fps = sel.select("doc_id", "n_grams", "_winmin").distinct()
+    return fps.groupBy("doc_id").agg(
+        F.max("n_grams").alias("n_grams"),
+        F.count(F.lit(1)).alias("n_fps"),
+        F.min("_winmin").alias("min_fp"),
+        F.max("_winmin").alias("max_fp"),
+        (
+            F.floor(
+                F.count(F.lit(1)) * F.lit(1_000_000) / F.max("n_grams")
+            )
+            / F.lit(1_000_000.0)
+        ).alias("density"),
+    )
+
+
 def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc mean unigram log-probability against the corpus's own
     unigram model — the cheap LM-score quality filter (docs of common
@@ -509,6 +575,7 @@ QUERIES = {
     "q_text_langid": q_text_langid,
     "q_text_tokencount": q_text_tokencount,
     "q_text_fingerprint": q_text_fingerprint,
+    "q_text_winnowing": q_text_winnowing,
 }
 
 ORACLES = {
@@ -740,4 +807,38 @@ ORACLES = {
         SELECT doc_id, MIN(md5(gram)) AS fingerprint,
                CAST(COUNT(*) AS BIGINT) AS n_grams
         FROM g WHERE t2 IS NOT NULL GROUP BY doc_id""",
+    "q_text_winnowing": f"""
+        WITH pos_tok AS (
+          SELECT doc_id,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos,
+                 unnest(string_split(text, ' ')) AS token
+          FROM documents),
+        g0 AS (
+          SELECT doc_id, pos,
+                 md5(token || ' ' || LEAD(token, 1) OVER w || ' '
+                           || LEAD(token, 2) OVER w) AS fp,
+                 LEAD(token, 2) OVER w AS t2
+          FROM pos_tok
+          WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        g AS (SELECT doc_id, pos, fp FROM g0 WHERE t2 IS NOT NULL),
+        s AS (
+          SELECT doc_id,
+                 CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT)
+                   AS n_grams,
+                 MIN(fp) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN {_WINNOW_W - 1} PRECEDING
+                               AND CURRENT ROW) AS winmin,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS rn
+          FROM g),
+        f AS (SELECT DISTINCT doc_id, n_grams, winmin
+              FROM s WHERE rn >= {_WINNOW_W})
+        SELECT doc_id,
+               MAX(n_grams) AS n_grams,
+               CAST(COUNT(*) AS BIGINT) AS n_fps,
+               MIN(winmin) AS min_fp,
+               MAX(winmin) AS max_fp,
+               FLOOR(COUNT(*) * 1000000 / MAX(n_grams)) / 1000000.0
+                 AS density
+        FROM f GROUP BY doc_id""",
 }

@@ -1260,7 +1260,58 @@ def q_ts_max_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily/weekly active users + stickiness: per day, the EXACT
+    distinct users active that day (DAU), the distinct users active in
+    the trailing 7-day window (WAU), and DAU/WAU — the engagement
+    headline every product-analytics API serves. A windowed
+    COUNT(DISTINCT) has no native Spark form and a naive per-day
+    re-scan is 7× the work.
+
+    Spark-first shape: ONE distinct (day, user) shuffle contracts the
+    stream to user-days, each user-day then contributes map-side to the
+    7 target days it keeps active (explode of a 7-element sequence — no
+    self-join, no re-scan), and one count-distinct shuffle finishes; the
+    day spine join drops windows past the data's edge. Scale notes
+    (100 TB): both shuffles carry user-day-bounded rows (≤ users × span
+    after the first distinct), the 7× expansion happens AFTER the
+    contraction, and the spine broadcast is span-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    du = (
+        ev.select(
+            ntz(F.date_trunc("day", "ts")).alias("day"), "user_id"
+        ).distinct()
+    )
+    days = du.select("day").distinct()
+    dau = du.groupBy("day").agg(
+        F.count_distinct("user_id").alias("dau")
+    )
+    target = du.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("_g"),
+        "day",
+        "user_id",
+    ).select(
+        F.timestamp_add("DAY", F.col("_g"), F.col("day")).alias("day"),
+        "user_id",
+    )
+    wau = (
+        target.join(F.broadcast(days), "day")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        (
+            F.floor(F.col("dau") * F.lit(1_000_000) / F.col("wau"))
+            / F.lit(1_000_000.0)
+        ).alias("stickiness"),
+    )
+
+
 QUERIES = {
+    "q_ts_active_users": q_ts_active_users,
     "q_ts_anomaly_zscore": q_ts_anomaly_zscore,
     "q_ts_forecast_snaive": q_ts_forecast_snaive,
     "q_ts_concurrency": q_ts_concurrency,
@@ -1309,6 +1360,25 @@ _ACF_LAG_COLS = ",\n                 ".join(
 )
 
 ORACLES = {
+    "q_ts_active_users": """
+        WITH du AS (
+          SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                 user_id
+          FROM events),
+        days AS (SELECT DISTINCT day FROM du),
+        tgt AS (
+          SELECT du.day + to_days(CAST(g.g AS INTEGER)) AS day, du.user_id
+          FROM du CROSS JOIN
+               (SELECT unnest(generate_series(0, 6)) AS g) g),
+        wau AS (
+          SELECT t.day, CAST(COUNT(DISTINCT t.user_id) AS BIGINT) AS wau
+          FROM tgt t JOIN days d ON t.day = d.day GROUP BY 1),
+        dau AS (
+          SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+          FROM du GROUP BY 1)
+        SELECT d.day, d.dau, w.wau,
+               FLOOR(d.dau * 1000000 / w.wau) / 1000000.0 AS stickiness
+        FROM dau d JOIN wau w ON d.day = w.day""",
     "q_win_rolling_corr": f"""
         WITH daily AS (
           SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
