@@ -148,8 +148,45 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_bin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency report over q_pack_sequences' assignment: pack
+    count, doc/token totals, average docs per pack, overflow-pack count
+    (a pack whose token total exceeds the 512 context window — the doc
+    that starts near the boundary spills past it under document-level
+    packing), the worst pack, and the floor-scaled capacity utilization
+    — the number a training-data pipeline watches to decide whether
+    greedy packing is leaving GPU context on the table.
+
+    Scale notes (100 TB): one aggregate over the pack frame (already
+    bounded by total_tokens/512 rows); everything upstream is the
+    two-pass distributed prefix sum."""
+    packs = q_pack_sequences(spark, sf_dir)
+    return packs.agg(
+        F.count(F.lit(1)).alias("n_packs"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("tokens_in_pack").cast("long").alias("total_tokens"),
+        (
+            F.floor(F.sum("n_docs") * F.lit(1_000_000) / F.count(F.lit(1)))
+            / F.lit(1_000_000.0)
+        ).alias("avg_docs_per_pack"),
+        F.count(F.when(F.col("tokens_in_pack") > _PACK_C, 1)).alias(
+            "n_overflow_packs"
+        ),
+        F.max("tokens_in_pack").cast("long").alias("max_pack_tokens"),
+        (
+            F.floor(
+                F.sum("tokens_in_pack")
+                * F.lit(1_000_000)
+                / (F.count(F.lit(1)) * F.lit(_PACK_C))
+            )
+            / F.lit(1_000_000.0)
+        ).alias("utilization"),
+    )
+
+
 QUERIES = {
     "q_pack_sequences": q_pack_sequences,
+    "q_pack_bin_stats": q_pack_bin_stats,
     "q_text_chunk_windows": q_text_chunk_windows,
     "q_mix_temperature": q_mix_temperature,
 }
@@ -172,6 +209,33 @@ ORACLES = {
                MAX(doc_id) AS last_doc,
                CAST(SUM(n) AS BIGINT) AS tokens_in_pack
         FROM c GROUP BY 1""",
+    "q_pack_bin_stats": f"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+          FROM documents),
+        c AS (
+          SELECT doc_id, n,
+                 COALESCE(SUM(n) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cb
+          FROM t),
+        p AS (
+          SELECT CAST(cb // {_PACK_C} AS BIGINT) AS pack_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n) AS BIGINT) AS tokens_in_pack
+          FROM c GROUP BY 1)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_packs,
+               CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+               CAST(SUM(tokens_in_pack) AS BIGINT) AS total_tokens,
+               FLOOR(SUM(n_docs) * 1000000 / COUNT(*)) / 1000000.0
+                 AS avg_docs_per_pack,
+               CAST(COUNT(*) FILTER (tokens_in_pack > {_PACK_C})
+                    AS BIGINT) AS n_overflow_packs,
+               CAST(MAX(tokens_in_pack) AS BIGINT) AS max_pack_tokens,
+               FLOOR(SUM(tokens_in_pack) * 1000000
+                     / (COUNT(*) * {_PACK_C})) / 1000000.0 AS utilization
+        FROM p""",
     "q_text_chunk_windows": f"""
         WITH t AS (
           SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -60,6 +60,9 @@ HARD_SIGNAL_FIRST_50 = [
     "q_ts_active_users",
     "q_dedup_dup_stats",
     "q_text_winnowing",
+    "q_pack_bin_stats",
+    "q_vec_dim_stats",
+    "q_ts_daily_percentiles",
     # --- the 31 r4-stale keys (VERDICT r7 #1) ---
     "q_join_left_outer",
     "q_join_semi",
@@ -94,8 +97,6 @@ HARD_SIGNAL_FIRST_50 = [
     "q_multimodal_frames",
     # --- fill: oldest r5-green keys, churned-again modules first ---
     "q_dedup_exact",
-    "q_dedup_simhash",
-    "q_dedup_ngram_jaccard",
     "q_dedup_ngram_lsh",
     "q_dedup_embed_cosine",
     "q_vec_knn_brute",
@@ -104,13 +105,15 @@ HARD_SIGNAL_FIRST_50 = [
     "q_vec_ann_ivf",
     "q_vec_ann_lsh",
     "q_vec_ann_recall",
-    "q_cdc_compact",
 ]
 
 # Next in line for round 9: the remaining r5-green keys (oldest driver
 # evidence after this window lands). r6/r7/r8-green keys fall to the tail
 # automatically.
 _SECOND_WAVE = [
+    "q_cdc_compact",
+    "q_dedup_simhash",
+    "q_dedup_ngram_jaccard",
     "q_scd2_intervals",
     "q_scan_parquet",
     "q_scan_projected",

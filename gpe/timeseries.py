@@ -1310,8 +1310,32 @@ def q_ts_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_daily_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily p50 / p95 / max of event value per event type — the
+    latency-dashboard staple (exact percentiles, not sketches: the
+    monitoring endpoint that pages someone must be reproducible).
+
+    Determinism: exact continuous percentiles over 2-decimal values
+    interpolate with the same IEEE expression in both engines (the
+    q_agg_percentiles/q_agg_mad recipe), ε-rounded to 2. Scale notes
+    (100 TB): one sort-based percentile aggregate per (type, day) group
+    — a single shuffle with bounded groups; at extreme cardinality the
+    approx_percentile sketch family (q_agg_approx_quantile) is the
+    declared fallback."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", ntz(F.date_trunc("day", "ts")).alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.percentile("value", F.lit(0.5)) + EPS, 2).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)) + EPS, 2).alias("p95"),
+        F.round(F.max("value"), 2).alias("max_value"),
+    )
+
+
 QUERIES = {
     "q_ts_active_users": q_ts_active_users,
+    "q_ts_daily_percentiles": q_ts_daily_percentiles,
     "q_ts_anomaly_zscore": q_ts_anomaly_zscore,
     "q_ts_forecast_snaive": q_ts_forecast_snaive,
     "q_ts_concurrency": q_ts_concurrency,
@@ -1360,6 +1384,14 @@ _ACF_LAG_COLS = ",\n                 ".join(
 )
 
 ORACLES = {
+    "q_ts_daily_percentiles": f"""
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(quantile_cont(value, 0.5) + {EPS}, 2) AS p50,
+               ROUND(quantile_cont(value, 0.95) + {EPS}, 2) AS p95,
+               ROUND(MAX(value), 2) AS max_value
+        FROM events GROUP BY 1, 2""",
     "q_ts_active_users": """
         WITH du AS (
           SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

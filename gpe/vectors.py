@@ -1098,7 +1098,54 @@ def q_vec_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vec_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION embedding health profile: count, e8-floored mean,
+    exact min/max, and a near-zero count per coordinate — the ingest
+    screen that catches dead dimensions (all ≈0: wasted capacity /
+    truncated exports) and collapsed ones (mean far from 0 on a
+    supposedly centered space) before an index build. Complements
+    q_vec_outliers (per-vector screen) with the per-coordinate view.
+
+    Determinism: component sums are exact DECIMAL(12,10) (order-free);
+    the single multiply-divide-floor is the same correctly-rounded
+    IEEE sequence in both engines; min/max of float32 widened to double
+    are exact. Scale notes (100 TB): one (pos) shuffle with map-side
+    partial aggregation — #vecs × dim rows in, dim rows out."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(F.posexplode("embedding").alias("pos", "x")).select(
+        "pos", F.col("x").cast("double").alias("x")
+    )
+    return (
+        ex.groupBy("pos")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.floor(
+                    F.sum(F.col("x").cast("decimal(12,10)")).cast("double")
+                    * F.lit(100000000)
+                    / F.count(F.lit(1))
+                )
+                / F.lit(100000000.0)
+            ).alias("mean_x"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.count(F.when(F.abs("x") < 0.01, 1)).alias("n_near_zero"),
+        )
+        # 1-based dimension ordinal (posexplode is 0-based; the oracle's
+        # generate_subscripts is 1-based)
+        .select(
+            (F.col("pos") + 1).cast("int").alias("pos"),
+            "n",
+            "mean_x",
+            "min_x",
+            "max_x",
+            "n_near_zero",
+        )
+    )
+
+
 QUERIES = {
+    "q_vec_dim_stats": q_vec_dim_stats,
     "q_vec_knn_brute": q_vec_knn_brute,
     "q_vec_quantize_int8": q_vec_quantize_int8,
     "q_vec_pca_power": q_vec_pca_power,
@@ -1115,6 +1162,17 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_vec_dim_stats": f"""
+        WITH ex AS ({_SQL_EXPLODED})
+        SELECT CAST(pos AS INTEGER) AS pos,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               FLOOR(CAST(SUM(CAST(x AS DECIMAL(12,10))) AS DOUBLE)
+                     * 100000000 / COUNT(*)) / 100000000.0 AS mean_x,
+               MIN(x) AS min_x,
+               MAX(x) AS max_x,
+               CAST(COUNT(*) FILTER (ABS(x) < 0.01) AS BIGINT)
+                 AS n_near_zero
+        FROM ex GROUP BY 1""",
     "q_vec_outliers": f"""
         WITH ex AS ({_SQL_EXPLODED}),
         sums AS (
