@@ -178,6 +178,62 @@ def audio_windows(
     )
 
 
+def resize_pool(media: DataFrame, factor: int = 2) -> DataFrame:
+    """mapInPandas downsample/resize: the payload bytes average-pooled in
+    non-overlapping pairs (factor 2) — the image-resize access pattern
+    (decode → pool → re-encode) with integer byte pooling standing in
+    for the codec; a real resizer plugs in at the pooling line exactly
+    like decode_stub. One row in, one row out with the resized length
+    and integer features of the pooled signal (checksum, min, max,
+    first value) so the oracle recomputes them exactly. A trailing
+    odd byte is dropped (only full pools emit); payloads shorter than
+    one pool drop entirely. Partition-preserving — resize cost
+    parallelizes with the scan at 100 TB."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict = {
+                "media_id": [], "n_in": [], "n_out": [],
+                "checksum": [], "p_min": [], "p_max": [], "p_first": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                n_pools = len(b) // factor
+                if n_pools == 0:
+                    continue
+                pooled = [
+                    sum(b[i * factor : (i + 1) * factor]) // factor
+                    for i in range(n_pools)
+                ]
+                out["media_id"].append(mid)
+                out["n_in"].append(len(b))
+                out["n_out"].append(n_pools)
+                out["checksum"].append(sum(pooled))
+                out["p_min"].append(min(pooled))
+                out["p_max"].append(max(pooled))
+                out["p_first"].append(pooled[0])
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="int64") for k, v in out.items()}
+            )
+
+    return media.mapInPandas(
+        batches,
+        "media_id long, n_in long, n_out long, checksum long,"
+        " p_min long, p_max long, p_first long",
+    )
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query: factor-2 average-pool downsample over binary
+    payloads — the resize leg that completes the multimodal access-
+    pattern quartet (features ≈ image decode, frames ≈ video sampling,
+    windows ≈ audio framing, resize ≈ image scaling). All-integer
+    output; the oracle recomputes the pooling with SQL substring + ord
+    arithmetic (ASCII corpus: byte == codepoint)."""
+    d = load_table(spark, sf_dir, "documents")
+    return resize_pool(attach_payload(d))
+
+
 def q_multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declared query: windowed audio-energy extraction over binary
     payloads (32-sample windows, 16-sample hop) — completes the
@@ -217,9 +273,36 @@ QUERIES = {
     "q_multimodal_features": q_multimodal_features,
     "q_multimodal_frames": q_multimodal_frames,
     "q_multimodal_audio_windows": q_multimodal_audio_windows,
+    "q_multimodal_resize": q_multimodal_resize,
 }
 
 ORACLES = {
+    # integer pair-pooling recomputed with substring + ord arithmetic
+    # (ASCII corpus: byte == codepoint); // is DuckDB integer division,
+    # matching the builder's Python floor division on non-negative bytes
+    "q_multimodal_resize": """
+        WITH d AS (
+          SELECT doc_id, text, LENGTH(text) AS n FROM documents
+          WHERE LENGTH(text) >= 2),
+        p AS (
+          SELECT doc_id, n,
+                 unnest(generate_series(0,
+                   CAST(n // 2 AS INTEGER) - 1)) AS i, text
+          FROM d),
+        v AS (
+          SELECT doc_id, n, i,
+                 (ord(substr(text, i * 2 + 1, 1))
+                  + ord(substr(text, i * 2 + 2, 1))) // 2 AS pooled
+          FROM p)
+        SELECT doc_id AS media_id,
+               CAST(MAX(n) AS BIGINT) AS n_in,
+               CAST(COUNT(*) AS BIGINT) AS n_out,
+               CAST(SUM(pooled) AS BIGINT) AS checksum,
+               CAST(MIN(pooled) AS BIGINT) AS p_min,
+               CAST(MAX(pooled) AS BIGINT) AS p_max,
+               CAST(MAX(CASE WHEN i = 0 THEN pooled END) AS BIGINT)
+                 AS p_first
+        FROM v GROUP BY 1""",
     "q_multimodal_audio_windows": f"""
         WITH d AS (
           SELECT doc_id, text, LENGTH(text) AS n FROM documents

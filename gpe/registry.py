@@ -63,6 +63,7 @@ HARD_SIGNAL_FIRST_50 = [
     "q_pack_bin_stats",
     "q_vec_dim_stats",
     "q_ts_daily_percentiles",
+    "q_multimodal_resize",
     # --- the 31 r4-stale keys (VERDICT r7 #1) ---
     "q_join_left_outer",
     "q_join_semi",
@@ -97,7 +98,6 @@ HARD_SIGNAL_FIRST_50 = [
     "q_multimodal_frames",
     # --- fill: oldest r5-green keys, churned-again modules first ---
     "q_dedup_exact",
-    "q_dedup_ngram_lsh",
     "q_dedup_embed_cosine",
     "q_vec_knn_brute",
     "q_vec_pairs_threshold",
@@ -114,6 +114,7 @@ _SECOND_WAVE = [
     "q_cdc_compact",
     "q_dedup_simhash",
     "q_dedup_ngram_jaccard",
+    "q_dedup_ngram_lsh",
     "q_scd2_intervals",
     "q_scan_parquet",
     "q_scan_projected",

@@ -345,3 +345,26 @@ def test_winnowing_guarantee_on_crafted_overlap(spark, tmp_path):
     by_id = {r.doc_id: r for r in rows}
     assert by_id[0].n_fps == len(f0)
     assert by_id[1].n_fps == len(f1)
+
+
+def test_resize_pool_matches_python_recompute(spark):
+    """The pooled features must equal a pure-Python recompute of the
+    factor-2 average pooling over the raw text bytes."""
+    from gpe.io import load_table
+
+    docs = {r.doc_id: r.text for r in load_table(spark, SF, "documents").collect()}
+    rows = {r.media_id: r for r in _Q["q_multimodal_resize"](spark, SF).collect()}
+    checked = 0
+    for doc_id, text in docs.items():
+        b = text.encode()
+        n_pools = len(b) // 2
+        if n_pools == 0:
+            assert doc_id not in rows
+            continue
+        pooled = [(b[2 * i] + b[2 * i + 1]) // 2 for i in range(n_pools)]
+        r = rows[doc_id]
+        assert (r.n_in, r.n_out, r.checksum, r.p_min, r.p_max, r.p_first) == (
+            len(b), n_pools, sum(pooled), min(pooled), max(pooled), pooled[0]
+        )
+        checked += 1
+    assert checked > 0
