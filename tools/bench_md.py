@@ -47,9 +47,10 @@ def main(argv: list[str]) -> None:
     lines = [
         f"# BENCH — per-query wall-clock at sf{sf} (local[32], noop sink)",
         "",
-        f"Round-7, {date.today().isoformat()}: **{total:.3f} s total "
+        f"Round-8, {date.today().isoformat()}: **{total:.3f} s total "
         f"over {len(keys)} keys**, 0 errors — per-query MEDIAN of "
-        f"{len(runs)} warm-session runs (sum of medians)."
+        f"{len(runs)} runs (sum of medians); every run is a full fresh-"
+        f"session pass."
         + (
             f" The `cold` column is ONE driver-shaped single pass in a "
             f"fresh session ({cold['value']:.1f} s total) — the protocol "
@@ -58,39 +59,47 @@ def main(argv: list[str]) -> None:
             else ""
         ),
         "",
-        "## BENCH_r06 localized anomalies: root-caused (VERDICT r6 #2)",
+        "## BENCH_r07 spike-key reconciliation (VERDICT r7 #2)",
         "",
-        "BENCH_r06 recorded q_dedup_keep_best 21.9 s / q_vec_outliers "
-        "9.07 s / q_vec_kmeans_step 8.69 s vs 6.61/1.27/1.98 s repo "
-        "medians on the same code. Controlled experiments this round "
-        "(fresh sessions at sf0.1, 32 pinned CPU-hog processes for the "
-        "load legs):",
+        "BENCH_r07's four localized spikes (q_dedup_components 25.6 s, "
+        "q_customer_rfm 14.4 s, q_vec_quantize_int8 13.6 s, "
+        "q_udaf_applyinpandas 8.0 s vs 9.4/4.5/2.7/2.4 s medians) carry "
+        "the r7 root cause — first-execution codegen/JIT amplified "
+        "superlinearly by rig CPU contention. Round-8 isolation on an "
+        "UNLOADED rig (fresh session, one trivial query first, then the "
+        "key): q_customer_rfm 9.1 s first / 1.7 s second (≈7.4 s of "
+        "one-time compile across its three chained two-pass-ntile "
+        "plans), q_vec_quantize_int8 2.7 s first / 2.1 s second and "
+        "q_udaf_applyinpandas 3.1 s first / 1.0 s second (small compile "
+        "components — their r7 driver numbers were contention-amplified, "
+        "not code). Decoupling rfm's three passes (score off a persisted "
+        "base + join back) was measured and REJECTED: cold 9.1→8.3 s "
+        "but warm 1.7→4.0 s — the chained plan is the right steady-state "
+        "shape and the compile cost is one-time. Code-side r8 changes "
+        "that do land: q_dedup_components propagation batch 3→4 "
+        "(7.5-7.9→6.8-7.5 s at sf0.1; batch 6 regresses to 10.3 s from "
+        "12-join chained-plan optimizer cost), and the q_vec_ann_recall "
+        "restructuring below.",
         "",
-        "- Driver-shaped full cold pass, unloaded: total 164.5 s; "
-        "keep_best 6.28 s, outliers 1.97 s, kmeans 1.86 s — all within "
-        "noise of the medians. **The anomalies are not in the code.**",
-        "- First-EXECUTION cost dominates when a key runs before its "
-        "family has compiled: keep_best alone after a minimal warmup is "
-        "12.1 s unloaded (2x its in-suite time); outliers run FIRST in a "
-        "loaded session is 23.9 s, then 3.9 s on the immediate second run "
-        "of the SAME loaded session (6x) — i.e. one-time whole-stage-"
-        "codegen/JIT compilation of the decimal-fold classes, not "
-        "execution.",
-        "- Under 2x CPU oversubscription trivial keys inflate ~1.7-2.2x "
-        "(scan 1.09->2.30 s, union_all 0.57->1.24 s) while compile-heavy "
-        "first executions balloon superlinearly (keep_best cold+loaded "
-        "30.5 s, bracketing the driver's 21.9 s): the C2/janino compiler "
-        "threads starve alongside the executor pool.",
-        "- A synthetic decimal-fold warmup transfers only partially "
-        "(outliers still 5.1 s unloaded after it) and itself costs 5.5 s, "
-        "so it is NOT added — in the full alphabetical bench the ann_* "
-        "family amortizes the compile cost naturally.",
+        "## q_vec_ann_recall floor (VERDICT r7 #3): measured closure",
         "",
-        "Conclusion: driver-run spikes on these keys are rig-load x "
-        "first-compile interaction, localized to whichever compile-heavy "
-        "key a load burst hits. The graded protocol (cold column) is "
-        "recorded alongside the medians so future discrepancies are "
-        "attributable in-repo.",
+        "The audit now shares EVERYTHING shareable: the exact "
+        "query×corpus decimal score frame is computed once (persisted "
+        "`dots`) and every rerank is a lookup join; brute + all three "
+        "variants rank through ONE method-tagged window; the comparison "
+        "is one semi join + one aggregate + one left join (was three of "
+        "each); the LSH band table is persisted (its projection subtree "
+        "previously executed twice); centroids are persisted once for "
+        "IVF+PQ. Result: 13.3 s → ~9 s median (8.2-10.2 over 5 runs). "
+        "The residual is NOT shareable compute: ~2.5 s of Py4J plan "
+        "CONSTRUCTION (hundreds of Column RPCs building four pipelines' "
+        "expression trees, paid per invocation) + ~6.5 s executing ~18 "
+        "AQE-scheduled jobs whose frames are all ≤20k rows — per-stage "
+        "scheduling floor, not data. The four candidate generators are "
+        "genuinely distinct algorithms (probe/band/ADC machinery) and "
+        "irreducible; the remaining lever would be fusing their "
+        "candidate generation, which would stop auditing the real "
+        "variants. Recorded as the known floor.",
         "",
         "Noise note: this rig is shared; single-run totals swing 1.5-2x "
         "with machine load (the round-4 bench recorded a near-uniform "
@@ -113,11 +122,12 @@ def main(argv: list[str]) -> None:
         "the uniform trivial-key inflation is the environmental "
         "signature; per-key plan regressions would be localized.",
         "",
-        "Known floors: `q_vec_ann_recall` is the audit that runs all four "
-        "top-5 pipelines (brute + IVF + LSH + PQ) once each over persisted "
-        "50-row frames — its cost is by construction the sum of those four "
-        "keys (~11 s), not a re-evaluation bug (the r4 6x brute re-eval is "
-        "fixed; each subtree now runs exactly once).",
+        "Known floors: `q_vec_ann_recall` runs all four top-5 pipelines "
+        "through one shared score frame and one tagged rank window "
+        "(section above) — its ~9 s median is plan-construction + "
+        "per-stage scheduling over four genuinely distinct candidate "
+        "generators, not re-evaluation. `q_dedup_components`/`_star` "
+        "carry the iterative-fixpoint floor (checkpoint rounds).",
         "",
         "## vs the DuckDB-oracle baseline (BASELINE.md's 2x proxy)",
         "",
@@ -136,7 +146,11 @@ def main(argv: list[str]) -> None:
         "(`q_dedup_containment_prefix` interrupted at 81 s, "
         "`q_text_jaccard_topk` at 50 s, `q_dedup_graph_degree` at 38 s "
         "— all quadratic pair formulations this engine answers in "
-        "~2-9 s). That puts the oracle engine's registry total at "
+        "~2-9 s). Round-8 re-measurement of the 11 NEW keys: all 11 "
+        "oracles complete in 0.93 s combined at sf0.1 (no new "
+        "cap-blowers; csv/schema-evolution/bloom/active-users/dup-stats/"
+        "winnowing/bin-stats/dim-stats/percentiles/resize 0.01-0.33 s "
+        "each). That puts the oracle engine's registry total at "
         ">=1,480 s against this engine's ~165-237 s (rig-load dependent, "
         "see the noise note). On the keys both engines complete, Spark's "
         "sum-of-medians is within ~1.5-2x of DuckDB single-node — inside "
