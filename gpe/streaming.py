@@ -115,6 +115,48 @@ def dedup_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def active_users_stream(stream: DataFrame) -> DataFrame:
+    """Streaming twin of q_ts_active_users' DAU/WAU counts: each event
+    contributes one ('dau', its day) entry and seven ('wau', day+k)
+    entries (the same map-side target-day explode as the batch
+    operator), streaming DISTINCT collapses repeat (kind, day, user)
+    activity, and a count per (kind, day) finishes. The stickiness
+    ratio and the trailing-edge day cut are sink-side derivations
+    (exactly like the transitions twin's histogram) — the state-carrying
+    counts are what stream.
+
+    Production shape: add ``withWatermark("ts", "8 days")`` +
+    ``dropDuplicatesWithinWatermark`` so dedup state evicts once a
+    target day's horizon passes (the +6-day shift needs a horizon one
+    week past the day itself). The twin replays a finite file, so the
+    unbounded-dedup form keeps the equivalence test exact."""
+    day = F.date_trunc("day", F.col("ts"))
+    entries = F.array(
+        F.struct(
+            F.lit("dau").alias("kind"), F.col("day").alias("tday")
+        ),
+        *[
+            F.struct(
+                F.lit("wau").alias("kind"),
+                F.timestamp_add("DAY", F.lit(g), F.col("day")).alias(
+                    "tday"
+                ),
+            )
+            for g in range(7)
+        ],
+    )
+    tgt = (
+        stream.select(day.alias("day"), "user_id")
+        .select(F.explode(entries).alias("e"), "user_id")
+        .select("e.kind", "e.tday", "user_id")
+    )
+    return (
+        tgt.dropDuplicates(["kind", "tday", "user_id"])
+        .groupBy("kind", "tday")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
 def running_user_stats(stream: DataFrame) -> DataFrame:
     """Arbitrary stateful op via applyInPandasWithState: running per-user
     event count + running max value (one tiny state row per user)."""

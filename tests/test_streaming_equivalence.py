@@ -550,3 +550,29 @@ def test_streaming_cusum_equals_batch_closed_days(spark, stream):
         assert got == want
     finally:
         q.stop()
+
+
+def test_streaming_active_users_equals_batch(spark, stream):
+    """DAU rows must equal the batch q_ts_active_users dau column for
+    every day, and WAU rows (restricted to days that exist in the data —
+    the batch spine cut) its wau column."""
+    q = streaming.run_to_memory(
+        streaming.active_users_stream(stream), "t_active", "complete"
+    )
+    try:
+        got = {
+            (r.kind, r.tday): r.n_users
+            for r in spark.table("t_active").collect()
+        }
+        batch = timeseries.q_ts_active_users(spark, SF).collect()
+        assert len(batch) > 0
+        for r in batch:
+            assert got[("dau", r.day)] == r.dau, r.day
+            assert got[("wau", r.day)] == r.wau, r.day
+        # streaming emits wau entries for up to 6 days past the data's
+        # edge (no spine cut mid-stream); dau entries exist only for
+        # real days
+        dau_days = {d for (k, d) in got if k == "dau"}
+        assert dau_days == {r.day for r in batch}
+    finally:
+        q.stop()

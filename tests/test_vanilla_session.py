@@ -94,6 +94,7 @@ drain("v_trans", streaming.transitions_stream(ev()), "update")
 drain("v_maxgap", streaming.max_gap_stream(ev()), "update")
 drain("v_paths", streaming.user_paths_stream(ev()), "update")
 drain("v_grain_month", streaming.grain_counts_stream(ev(), "month"), "complete")
+drain("v_active", streaming.active_users_stream(ev()), "complete")
 drain("v_ewma", streaming.ewma_stream(ev()), "update")
 drain(
     "v_cusum",
