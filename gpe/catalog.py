@@ -194,13 +194,72 @@ def q_catalog_partition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning made driver-visible — the last §4.1
+    Catalyst feature the single-file fixture inputs could not exercise:
+    orders is written Hive-partitioned by o_orderpriority, then joined
+    on the PARTITION column against a runtime-filtered dim side (the
+    urgent/high priorities, derived from the data, never hard-coded
+    row values). Catalyst turns the dim filter into a
+    dynamicpruningexpression on the fact scan's PartitionFilters, so
+    only the matching partition DIRECTORIES are read — at 100 TB this
+    is the difference between scanning the whole lake and scanning 2/5
+    of it, with zero manual predicate plumbing (plan-asserted in
+    tests/test_explain.py).
+
+    The oracle computes the same aggregate with a plain IN-subquery
+    over the SOURCE table, so a green hash proves the pruned scan is
+    lossless. WRITE-PATH-BY-DESIGN (the partitioned layout IS the
+    operator's precondition); tests/test_builders_lazy.py carries the
+    pinned exemption."""
+    from gpe.common import dec, scratch_path
+
+    sfname = os.path.basename(sf_dir.rstrip("/"))
+    path = scratch_path(f"dpp_orders_{sfname}")
+    orders = load_table(spark, sf_dir, "orders")
+    write_partitioned(
+        orders.repartition(F.col("o_orderpriority")), path, "o_orderpriority"
+    )
+    fact = spark.read.parquet(path)
+    dim = (
+        orders.select(F.col("o_orderpriority").alias("prio"))
+        .distinct()
+        .filter(F.col("prio").rlike("^[12]-"))
+    )
+    return (
+        fact.join(
+            F.broadcast(dim), fact.o_orderpriority == F.col("prio")
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(dec("o_totalprice")), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
 QUERIES = {
     "q_catalog_column_stats": q_catalog_column_stats,
     "q_catalog_schema": q_catalog_schema,
     "q_catalog_partition_profile": q_catalog_partition_profile,
+    "q_join_partition_pruned": q_join_partition_pruned,
 }
 
 ORACLES = {
+    # plain IN-subquery over the SOURCE table — equality proves the
+    # dynamically-pruned partitioned scan is lossless
+    "q_join_partition_pruned": """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2)
+                    AS DOUBLE) AS total_price
+        FROM orders
+        WHERE o_orderpriority IN (
+            SELECT DISTINCT o_orderpriority FROM orders
+            WHERE regexp_matches(o_orderpriority, '^[12]-'))
+        GROUP BY 1""",
     # profile of the SOURCE table — hash-equality with the readback side
     # proves the partitioned write round trip is lossless
     "q_catalog_partition_profile": """

@@ -64,6 +64,7 @@ HARD_SIGNAL_FIRST_50 = [
     "q_vec_dim_stats",
     "q_ts_daily_percentiles",
     "q_multimodal_resize",
+    "q_join_partition_pruned",
     # --- the 31 r4-stale keys (VERDICT r7 #1) ---
     "q_join_left_outer",
     "q_join_semi",
@@ -97,7 +98,6 @@ HARD_SIGNAL_FIRST_50 = [
     "q_ts_anomaly_zscore",
     "q_multimodal_frames",
     # --- fill: oldest r5-green keys, churned-again modules first ---
-    "q_dedup_exact",
     "q_dedup_embed_cosine",
     "q_vec_knn_brute",
     "q_vec_pairs_threshold",
@@ -111,6 +111,7 @@ HARD_SIGNAL_FIRST_50 = [
 # evidence after this window lands). r6/r7/r8-green keys fall to the tail
 # automatically.
 _SECOND_WAVE = [
+    "q_dedup_exact",
     "q_cdc_compact",
     "q_dedup_simhash",
     "q_dedup_ngram_jaccard",

@@ -535,3 +535,18 @@ def test_asof_nearest_one_shuffle_no_joins(spark):
     assert phys.count("Exchange hashpartitioning") == 1
     assert "Join" not in phys
     assert phys.count("Scan parquet") == 1
+
+
+def test_partition_pruned_join_uses_dynamic_pruning(spark):
+    """q_join_partition_pruned: the fact scan's PartitionFilters must
+    carry a dynamicpruningexpression (the runtime dim filter reaches the
+    partitioned scan as directory pruning — §4.1's DPP feature, only
+    exercisable on a partitioned layout)."""
+    from gpe.catalog import q_join_partition_pruned
+
+    df = q_join_partition_pruned(spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters:" in plan
+    pf = plan.split("PartitionFilters:")[1][:400]
+    assert "dynamicpruningexpression" in pf, pf
