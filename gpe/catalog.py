@@ -240,14 +240,145 @@ def q_join_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_catalog_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit — the validation suite a lake catalog runs on
+    every ingest: primary-key uniqueness (orders/customer/events),
+    referential integrity (lineitem → orders via anti-join), value-range
+    checks (positive prices, order dates inside the business window).
+    One row per check with row count, violation count, and a pass flag —
+    the contract a data-quality dashboard (or a CI gate on the lake)
+    consumes.
+
+    Scale notes (100 TB): each uniqueness check is one partial-agg
+    count-distinct; the FK check is an anti join that AQE plans by
+    cardinality (broadcast when the key side fits); range checks are
+    map-side conditional counts. Every check is a scan-bounded
+    aggregate — nothing materializes wide."""
+    from gpe.io import load_table as _lt
+
+    o = _lt(spark, sf_dir, "orders")
+    li = _lt(spark, sf_dir, "lineitem")
+    c = _lt(spark, sf_dir, "customer")
+    ev = _lt(spark, sf_dir, "events")
+
+    def one(table: str, check: str, frame, n_rows_col, viol_col):
+        return frame.select(
+            F.lit(table).alias("table_name"),
+            F.lit(check).alias("check_name"),
+            n_rows_col.alias("n_rows"),
+            viol_col.alias("n_violations"),
+            (viol_col == 0).alias("passed"),
+        )
+
+    def pk_unique(table: str, frame, key: str):
+        agg = frame.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.count_distinct(F.col(key)).alias("_d"),
+        )
+        return one(
+            table,
+            f"pk_unique_{key}",
+            agg,
+            F.col("_n"),
+            F.col("_n") - F.col("_d"),
+        )
+
+    orphan = (
+        li.select("l_orderkey")
+        .join(
+            o.select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "anti",
+        )
+        .agg(F.count(F.lit(1)).alias("_v"))
+    )
+    li_n = li.agg(F.count(F.lit(1)).alias("_n"))
+    fk = one(
+        "lineitem",
+        "fk_orderkey_resolves",
+        li_n.crossJoin(F.broadcast(orphan)),
+        F.col("_n"),
+        F.col("_v"),
+    )
+    price = o.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("_v"),
+    )
+    dates = o.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.count(
+            F.when(
+                (F.col("o_orderdate") < F.lit("1990-01-01"))
+                | (F.col("o_orderdate") >= F.lit("2010-01-01")),
+                1,
+            )
+        ).alias("_v"),
+    )
+    parts = [
+        pk_unique("orders", o, "o_orderkey"),
+        pk_unique("customer", c, "c_custkey"),
+        pk_unique("events", ev, "event_id"),
+        fk,
+        one("orders", "totalprice_positive", price, F.col("_n"), F.col("_v")),
+        one("orders", "orderdate_in_range", dates, F.col("_n"), F.col("_v")),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 QUERIES = {
     "q_catalog_column_stats": q_catalog_column_stats,
     "q_catalog_schema": q_catalog_schema,
     "q_catalog_partition_profile": q_catalog_partition_profile,
     "q_join_partition_pruned": q_join_partition_pruned,
+    "q_catalog_quality_checks": q_catalog_quality_checks,
 }
 
 ORACLES = {
+    "q_catalog_quality_checks": """
+        SELECT 'orders' AS table_name, 'pk_unique_o_orderkey' AS check_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+                 AS n_violations,
+               COUNT(*) = COUNT(DISTINCT o_orderkey) AS passed
+        FROM orders
+        UNION ALL
+        SELECT 'customer', 'pk_unique_c_custkey',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT),
+               COUNT(*) = COUNT(DISTINCT c_custkey)
+        FROM customer
+        UNION ALL
+        SELECT 'events', 'pk_unique_event_id',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT),
+               COUNT(*) = COUNT(DISTINCT event_id)
+        FROM events
+        UNION ALL
+        SELECT 'lineitem', 'fk_orderkey_resolves',
+               CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+               CAST((SELECT COUNT(*) FROM lineitem
+                     WHERE l_orderkey NOT IN
+                           (SELECT o_orderkey FROM orders)) AS BIGINT),
+               (SELECT COUNT(*) FROM lineitem
+                WHERE l_orderkey NOT IN
+                      (SELECT o_orderkey FROM orders)) = 0
+        UNION ALL
+        SELECT 'orders', 'totalprice_positive',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(*) FILTER (o_totalprice <= 0) AS BIGINT),
+               COUNT(*) FILTER (o_totalprice <= 0) = 0
+        FROM orders
+        UNION ALL
+        SELECT 'orders', 'orderdate_in_range',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(*) FILTER (o_orderdate < TIMESTAMP '1990-01-01'
+                     OR o_orderdate >= TIMESTAMP '2010-01-01') AS BIGINT),
+               COUNT(*) FILTER (o_orderdate < TIMESTAMP '1990-01-01'
+                     OR o_orderdate >= TIMESTAMP '2010-01-01') = 0
+        FROM orders""",
     # plain IN-subquery over the SOURCE table — equality proves the
     # dynamically-pruned partitioned scan is lossless
     "q_join_partition_pruned": """

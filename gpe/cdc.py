@@ -200,6 +200,45 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_scd2_current(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Current-snapshot extraction from the SCD2 purchase history — the
+    `dim_current` view every warehouse derives from its historized
+    dimension (q_scd2_intervals' NULL-open row), enriched with the
+    version count and first-seen timestamp per key.
+
+    Spark-first: instead of building the full interval table and
+    filtering is_current (two consumers of the window pass), the
+    snapshot is ONE groupBy with argmax-as-aggregate (max-of-struct on
+    the same (ts, event_id) version order the SCD2 build sorts by —
+    identical winner, engine-exact) plus count/min — a single shuffle,
+    no window, no join. Scale notes (100 TB): one map-side-partial
+    shuffle to #keys rows; state O(1) per key."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id", "value")
+    )
+    agg = e.groupBy("user_id").agg(
+        F.max(
+            F.struct(
+                F.col("ts").alias("ts"),
+                F.col("event_id").alias("eid"),
+                F.col("value").alias("v"),
+            )
+        ).alias("cur"),
+        F.count(F.lit(1)).alias("n_versions"),
+        F.min("ts").alias("first_seen"),
+    )
+    return agg.select(
+        "user_id",
+        F.col("cur.eid").alias("current_event_id"),
+        F.col("cur.v").alias("current_value"),
+        F.col("cur.ts").alias("valid_from"),
+        "n_versions",
+        "first_seen",
+    )
+
+
 def q_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-view maintenance (IVM): the per-customer
     view  (n_orders, total_spent)  updated from the CDC change batch by
@@ -341,9 +380,28 @@ QUERIES = {
     "q_cdc_compact": q_cdc_compact,
     "q_cdc_compact_deletes": q_cdc_compact_deletes,
     "q_scd2_intervals": q_scd2_intervals,
+    "q_cdc_scd2_current": q_cdc_scd2_current,
 }
 
 ORACLES = {
+    "q_cdc_scd2_current": """
+        WITH p AS (
+          SELECT user_id, ts, event_id, value FROM events
+          WHERE event_type = 'purchase'),
+        r AS (
+          SELECT user_id, ts, event_id, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn,
+                 COUNT(*) OVER (PARTITION BY user_id) AS n_versions,
+                 MIN(ts) OVER (PARTITION BY user_id) AS first_seen
+          FROM p)
+        SELECT user_id,
+               event_id AS current_event_id,
+               value AS current_value,
+               ts AS valid_from,
+               CAST(n_versions AS BIGINT) AS n_versions,
+               first_seen
+        FROM r WHERE rn = 1""",
     "q_join_scd2_pointintime": """
         WITH dim AS (
           SELECT user_id, event_id AS version_event_id,

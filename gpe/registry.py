@@ -65,6 +65,10 @@ HARD_SIGNAL_FIRST_50 = [
     "q_ts_daily_percentiles",
     "q_multimodal_resize",
     "q_join_partition_pruned",
+    "q_agg_topn_share",
+    "q_catalog_quality_checks",
+    "q_cdc_scd2_current",
+    "q_text_length_histogram",
     # --- the 31 r4-stale keys (VERDICT r7 #1) ---
     "q_join_left_outer",
     "q_join_semi",
@@ -97,11 +101,9 @@ HARD_SIGNAL_FIRST_50 = [
     "q_distinct_dropdup",
     "q_ts_anomaly_zscore",
     "q_multimodal_frames",
-    # --- fill: oldest r5-green keys, churned-again modules first ---
-    "q_dedup_embed_cosine",
-    "q_vec_knn_brute",
-    "q_vec_pairs_threshold",
-    "q_vec_centroids",
+    # --- fill: r5-green keys whose PLANS changed this round (the ANN
+    # rerank refactor) — the driver hash re-verifies the rewrite; the
+    # brute path is covered by q_vec_ann_recall's brute leg ---
     "q_vec_ann_ivf",
     "q_vec_ann_lsh",
     "q_vec_ann_recall",
@@ -111,6 +113,10 @@ HARD_SIGNAL_FIRST_50 = [
 # evidence after this window lands). r6/r7/r8-green keys fall to the tail
 # automatically.
 _SECOND_WAVE = [
+    "q_vec_knn_brute",
+    "q_dedup_embed_cosine",
+    "q_vec_pairs_threshold",
+    "q_vec_centroids",
     "q_dedup_exact",
     "q_cdc_compact",
     "q_dedup_simhash",

@@ -1613,6 +1613,61 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_topn_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N concentration drill-down beside HHI/Gini: per market
+    segment, the revenue share captured by its top-5 customers (plus the
+    top customer's own share and the customer count) — the "how much of
+    this market is 5 accounts" number a commercial analytics API serves
+    where HHI is too abstract.
+
+    Determinism: per-customer spend is an exact decimal sum; the top-5
+    cut is a (spend DESC, custkey ASC) row_number with a total-order
+    tiebreak; shares are e6-floored IEEE ratios of exact sums. Scale
+    notes (100 TB): one per-customer partial-agg shuffle, one
+    segment-partitioned rank window over the CONTRACTED per-customer
+    frame (#customers rows, never #orders), one |segments|-row
+    aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    spend = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(F.sum(dec("o_totalprice")).alias("_spend"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("_spend"), F.asc("c_custkey")
+    )
+    r = spend.withColumn("_rn", F.row_number().over(w))
+    out = r.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("_spend"), 2).cast("double").alias("total_spend"),
+        F.round(F.sum(F.when(F.col("_rn") <= 5, F.col("_spend"))), 2)
+        .cast("double")
+        .alias("top5_spend"),
+        # IEEE ratios of exact-decimal sums (cast to double FIRST —
+        # decimal÷decimal scale rules differ across engines), e6-floored
+        (
+            F.floor(
+                F.sum(F.when(F.col("_rn") <= 5, F.col("_spend")))
+                .cast("double")
+                * F.lit(1_000_000)
+                / F.sum("_spend").cast("double")
+            )
+            / F.lit(1_000_000.0)
+        ).alias("top5_share"),
+        (
+            F.floor(
+                F.max(F.when(F.col("_rn") == 1, F.col("_spend")))
+                .cast("double")
+                * F.lit(1_000_000)
+                / F.sum("_spend").cast("double")
+            )
+            / F.lit(1_000_000.0)
+        ).alias("top1_share"),
+    )
+    return out
+
+
 def q_agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-concentration report: the Herfindahl–Hirschman index of
     customer spend across nations within each market segment —
@@ -1813,6 +1868,7 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_agg_groupby": q_agg_groupby,
     "q_agg_weighted_median": q_agg_weighted_median,
+    "q_agg_topn_share": q_agg_topn_share,
     "q_agg_hhi": q_agg_hhi,
     "q_agg_gini": q_agg_gini,
     "q_join_asof_nearest": q_join_asof_nearest,
@@ -1936,6 +1992,30 @@ ORACLES = {
                ROUND(CAST(SUM((2 * i - n - 1) * x) AS DOUBLE)
                      / (CAST(MAX(n) AS DOUBLE) * CAST(SUM(x) AS DOUBLE))
                      + {EPS}, 6) AS gini
+        FROM r GROUP BY 1""",
+    "q_agg_topn_share": """
+        WITH spend AS (
+          SELECT c_mktsegment, c_custkey,
+                 SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS spend
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY 1, 2),
+        r AS (
+          SELECT c_mktsegment, spend,
+                 ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                    ORDER BY spend DESC, c_custkey ASC)
+                   AS rn
+          FROM spend)
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(ROUND(SUM(spend), 2) AS DOUBLE) AS total_spend,
+               CAST(ROUND(SUM(CASE WHEN rn <= 5 THEN spend END), 2)
+                    AS DOUBLE) AS top5_spend,
+               FLOOR(CAST(SUM(CASE WHEN rn <= 5 THEN spend END) AS DOUBLE)
+                     * 1000000 / CAST(SUM(spend) AS DOUBLE)) / 1000000.0
+                 AS top5_share,
+               FLOOR(CAST(MAX(CASE WHEN rn = 1 THEN spend END) AS DOUBLE)
+                     * 1000000 / CAST(SUM(spend) AS DOUBLE)) / 1000000.0
+                 AS top1_share
         FROM r GROUP BY 1""",
     "q_agg_hhi": f"""
         WITH sp AS (

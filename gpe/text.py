@@ -249,6 +249,47 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LEN_BUCKET = 5  # token-count histogram bucket width
+
+
+def q_text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length distribution of the corpus in fixed-width buckets —
+    the first profile a training-data pipeline draws (too-short docs are
+    filter fodder, too-long ones chunker input; the mix decides packing
+    and context-window policy). Per bucket: doc count, floor-scaled
+    corpus share, exact token min/max inside the bucket.
+
+    Scale notes (100 TB): token counts are a map-side size(split(…));
+    the histogram is one partial-agg shuffle to ≤ (max_len/width) rows;
+    the share denominator is a 1-row broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    n = F.size(F.split("text", " ")).cast("long")
+    t = d.select(n.alias("n_tokens"))
+    tot = t.agg(F.count(F.lit(1)).alias("_total"))
+    h = (
+        t.groupBy(
+            (F.floor(F.col("n_tokens") / _LEN_BUCKET) * _LEN_BUCKET)
+            .cast("long")
+            .alias("bucket_lo")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )
+    return h.crossJoin(F.broadcast(tot)).select(
+        "bucket_lo",
+        "n_docs",
+        "min_tokens",
+        "max_tokens",
+        (
+            F.floor(F.col("n_docs") * F.lit(1_000_000) / F.col("_total"))
+            / F.lit(1_000_000.0)
+        ).alias("share"),
+    )
+
+
 _WINNOW_W = 4  # fingerprint-selection window (in gram positions)
 
 
@@ -576,6 +617,7 @@ QUERIES = {
     "q_text_tokencount": q_text_tokencount,
     "q_text_fingerprint": q_text_fingerprint,
     "q_text_winnowing": q_text_winnowing,
+    "q_text_length_histogram": q_text_length_histogram,
 }
 
 ORACLES = {
@@ -807,6 +849,19 @@ ORACLES = {
         SELECT doc_id, MIN(md5(gram)) AS fingerprint,
                CAST(COUNT(*) AS BIGINT) AS n_grams
         FROM g WHERE t2 IS NOT NULL GROUP BY doc_id""",
+    "q_text_length_histogram": f"""
+        WITH t AS (
+          SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          FROM documents),
+        tot AS (SELECT COUNT(*) AS total FROM t)
+        SELECT CAST((n_tokens // {_LEN_BUCKET}) * {_LEN_BUCKET} AS BIGINT)
+                 AS bucket_lo,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               MIN(n_tokens) AS min_tokens,
+               MAX(n_tokens) AS max_tokens,
+               FLOOR(COUNT(*) * 1000000 / (SELECT total FROM tot))
+                 / 1000000.0 AS share
+        FROM t GROUP BY 1""",
     "q_text_winnowing": f"""
         WITH pos_tok AS (
           SELECT doc_id,
