@@ -29,6 +29,16 @@ def main() -> None:
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     print(f"corpus: {n_docs} docs")
 
+    print("== profile FIRST (r8): length distribution + per-source dup health ==")
+    text.q_text_length_histogram(spark, sf_dir).orderBy("bucket_lo").show(5)
+    dedup.q_dedup_dup_stats(spark, sf_dir).orderBy(
+        F.desc("dup_ratio"), "source"
+    ).show(5)
+
+    print("== winnowing fingerprints (partial-overlap detection) ==")
+    fps = text.q_text_winnowing(spark, sf_dir)
+    fps.orderBy(F.desc("density")).show(3)
+
     print("== quality scores (worst 5) ==")
     text.q_text_quality(spark, sf_dir).orderBy("quality_score").show(5)
 
@@ -59,6 +69,8 @@ def main() -> None:
     chunks = packing.q_text_chunk_windows(spark, sf_dir)
     packs = packing.q_pack_sequences(spark, sf_dir)
     print(f"   {chunks.count()} chunks; {packs.count()} packs")
+    print("== packing efficiency (r8) ==")
+    packing.q_pack_bin_stats(spark, sf_dir).show()
 
     print("== order-sensitive near-dups via shingle MinHash-LSH (open vocab) ==")
     ngram = dedup.q_dedup_ngram_lsh(spark, sf_dir)

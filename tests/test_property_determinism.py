@@ -258,3 +258,53 @@ def test_asof_nearest_tie_semantics_on_random_events(spark, scratch, events):
                 want = (b.event_id, "backward", int(gb.total_seconds()))
         assert got[e.event_id] == want, (e.event_id, got[e.event_id], want)
     assert len(got) == n_expected
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),          # user_id
+            st.integers(min_value=0, max_value=2_000),      # seconds offset
+        ),
+        min_size=2,
+        max_size=60,
+    )
+)
+def test_theta_bucket_decomposition_exact_recall(spark, scratch, events):
+    """q_join_theta_bucketed's {b, b+1} expansion must reproduce the
+    naive theta join on ARBITRARY timestamps — including pairs exactly
+    at the 300 s band edge, zero gaps, and duplicate timestamps (the
+    fixture's microsecond-unique clock never exercises those)."""
+    import pandas as pd
+
+    import __spark_entry__ as spec
+
+    base = pd.Timestamp("2024-01-01")
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(len(events)),
+            "ts": pd.to_datetime(
+                [base + pd.Timedelta(seconds=s) for _, s in events]
+            ).astype("datetime64[us]"),
+            "user_id": [u for u, _ in events],
+            "event_type": "view",
+            "value": 1.0,
+            "props": '{"k": 1}',
+        }
+    )
+    d = scratch / f"theta{abs(hash(tuple(events))) % 10**9}"
+    d.mkdir()
+    pdf.to_parquet(str(d / "events.parquet"))
+    qs = spec.queries()
+    naive = sorted(
+        map(tuple, qs["q_join_theta_range"](spark, str(d)).collect())
+    )
+    bucketed = sorted(
+        map(tuple, qs["q_join_theta_bucketed"](spark, str(d)).collect())
+    )
+    assert naive == bucketed
