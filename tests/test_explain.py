@@ -550,3 +550,46 @@ def test_partition_pruned_join_uses_dynamic_pruning(spark):
     assert "PartitionFilters:" in plan
     pf = plan.split("PartitionFilters:")[1][:400]
     assert "dynamicpruningexpression" in pf, pf
+
+
+def test_bloom_prefilter_verify_stays_broadcast(spark):
+    """q_join_bloom_prefilter: the exact verify must be a broadcast semi
+    join (never a SortMergeJoin shuffling the fact), and the bloom test
+    itself is a map-side Filter over the scanned fact."""
+    phys = _executed_plan(spark, "q_join_bloom_prefilter")
+    assert "SortMergeJoin" not in phys
+    assert "LeftSemi" in phys
+    assert "BroadcastHashJoin" in phys or "BroadcastExchange" in phys
+
+
+def test_theta_bucketed_is_an_equi_join(spark):
+    """q_join_theta_bucketed exists to turn the band predicate into an
+    equi-join — no cartesian/BNLJ may appear anywhere in its plan."""
+    phys = _executed_plan(spark, "q_join_theta_bucketed")
+    assert "CartesianProduct" not in phys
+    assert "BroadcastNestedLoopJoin" not in phys
+
+
+def test_multimodal_resize_is_shuffle_free(spark):
+    """q_multimodal_resize claims partition-preserving mapInPandas — no
+    Exchange of any kind (the resize must scale with the scan alone)."""
+    phys = _executed_plan(spark, "q_multimodal_resize")
+    assert "Exchange" not in phys
+
+
+def test_scd2_current_is_one_aggregate(spark):
+    """q_cdc_scd2_current: the argmax-as-aggregate shape — no Window, no
+    Join anywhere (the whole point vs filtering the interval table)."""
+    opt = _optimized_plan(spark, "q_cdc_scd2_current")
+    assert "Window" not in opt
+    assert "Join" not in opt
+
+
+def test_active_users_has_no_self_join_rescan(spark):
+    """q_ts_active_users: WAU comes from the map-side target-day explode
+    + spine broadcast — the only join may be broadcast (days spine and
+    the dau⋈wau merge of two tiny aggregates), never a sort-merge
+    re-scan of the events table."""
+    phys = _executed_plan(spark, "q_ts_active_users")
+    assert "CartesianProduct" not in phys
+    assert "Generate explode" in phys or "Expand" in phys or "explode" in phys
