@@ -150,13 +150,65 @@ def q_udf_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §2.11 UDTF surface as a declared key (previously pytest-only):
+    a Python table function emits (pos, token) rows per document through
+    a LATERAL join, then a plain aggregate profiles each token (count,
+    doc count, earliest 1-based position). The oracle recomputes the
+    same rows with unnest + subscripts, so a green hash pins the whole
+    UDTF path — registration, LATERAL correlation, the Python row
+    emitter, and the 1-based position contract.
+
+    Scale notes (100 TB): UDTFs are row-at-a-time Python — this key is
+    the SURFACE demonstrator over the document corpus; the declared
+    scale path for tokenization is the codegen'd explode
+    (q_explode_tokens), and the pytest equivalence between the two is
+    the real guard. Keep UDTFs for logic that genuinely needs arbitrary
+    Python per row, and batch everything else."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: int, token: string")
+    class TokenEmitter:
+        def eval(self, text: str):  # noqa: ANN001
+            for i, tok in enumerate(text.split(" ")):
+                yield i + 1, tok
+
+    spark.udtf.register("gpe_token_emitter", TokenEmitter)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "gpe_udtf_docs"
+    )
+    rows = spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token
+        FROM gpe_udtf_docs d, LATERAL gpe_token_emitter(d.text) t
+        """
+    )
+    return rows.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.min("pos").alias("min_pos"),
+    )
+
+
 QUERIES = {
     "q_udf_pandas_scalar": q_udf_pandas_scalar,
     "q_udaf_applyinpandas": q_udaf_applyinpandas,
     "q_udf_cogroup": q_udf_cogroup,
+    "q_udtf_tokens": q_udtf_tokens,
 }
 
 ORACLES = {
+    "q_udtf_tokens": """
+        WITH t AS (
+          SELECT doc_id,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos,
+                 unnest(string_split(text, ' ')) AS token
+          FROM documents)
+        SELECT token,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(MIN(pos) AS INTEGER) AS min_pos
+        FROM t GROUP BY 1""",
     # full twin of normalize_text: lowercase, strip ALL leading/trailing
     # whitespace classes, collapse internal runs — LOWER(TRIM(.)) alone
     # would diverge on any doubled space / tab / newline
