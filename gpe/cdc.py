@@ -373,7 +373,94 @@ def q_join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lake_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-snapshot table diff — the time-travel `DESCRIBE CHANGES`
+    endpoint every lakehouse exposes (Delta CDF / Iceberg changelog):
+    snapshot v1 and v2 of orders are WRITTEN as real parquet snapshots
+    (deterministically derived — v2 drops o_orderkey%89=5, adds back
+    %97=3 which v1 lacked, bumps price +1.00 on %10=0), read back, and
+    FULL-OUTER diffed on the key into per-(change_type, status) counts
+    with the exact-decimal price delta and key range.
+
+    WRITE-PATH-BY-DESIGN (the snapshot pair on disk IS the operator
+    under test); the oracle recomputes both snapshot definitions
+    logically from the source table, so a green hash proves the diff
+    classification AND the parquet round-trip of both eras.
+
+    Scale notes (100 TB): the diff is ONE full-outer sort-merge join
+    co-partitioned on the snapshot key — in a real lakehouse you'd
+    prune unchanged FILES first via manifest min/max, then run exactly
+    this join over the touched partitions; the summary is one partial-
+    agg shuffle of ≤ |types|×|statuses| rows."""
+    import os as _os
+
+    from gpe.common import dec, scratch_path
+
+    sfname = _os.path.basename(sf_dir.rstrip("/"))
+    base = scratch_path(f"snapshot_diff_{sfname}")
+    p1, p2 = _os.path.join(base, "v1"), _os.path.join(base, "v2")
+    # both snapshots carry the price as exact DECIMAL(12,2) so the v2
+    # bump and the diff delta never touch float rounding
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        dec("o_totalprice").alias("o_totalprice"),
+    )
+    k = F.col("o_orderkey")
+    v1 = o.filter(k % 97 != 3)
+    v2 = o.filter(k % 89 != 5).withColumn(
+        "o_totalprice",
+        F.when(
+            k % 10 == 0,
+            (F.col("o_totalprice") + F.lit(1).cast("decimal(12,2)")).cast(
+                "decimal(12,2)"
+            ),
+        ).otherwise(F.col("o_totalprice")),
+    )
+    v1.write.mode("overwrite").parquet(p1)
+    v2.write.mode("overwrite").parquet(p2)
+    b1 = spark.read.parquet(p1).alias("v1")
+    b2 = spark.read.parquet(p2).alias("v2")
+    j = b1.join(
+        b2, F.col("v1.o_orderkey") == F.col("v2.o_orderkey"), "full_outer"
+    )
+    ctype = (
+        F.when(F.col("v1.o_orderkey").isNull(), F.lit("added"))
+        .when(F.col("v2.o_orderkey").isNull(), F.lit("removed"))
+        .when(
+            dec("v1.o_totalprice") != dec("v2.o_totalprice"),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    delta = F.when(
+        F.col("v1.o_orderkey").isNotNull()
+        & F.col("v2.o_orderkey").isNotNull(),
+        dec("v2.o_totalprice") - dec("v1.o_totalprice"),
+    ).otherwise(F.lit(0).cast("decimal(12,2)"))
+    return (
+        j.select(
+            ctype.alias("change_type"),
+            F.coalesce(
+                F.col("v2.o_orderstatus"), F.col("v1.o_orderstatus")
+            ).alias("status"),
+            F.coalesce(
+                F.col("v2.o_orderkey"), F.col("v1.o_orderkey")
+            ).alias("key"),
+            delta.alias("delta"),
+        )
+        .groupBy("change_type", "status")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("delta"), 2).cast("double").alias("price_delta"),
+            F.min("key").alias("min_key"),
+            F.max("key").alias("max_key"),
+        )
+    )
+
+
 QUERIES = {
+    "q_lake_snapshot_diff": q_lake_snapshot_diff,
     "q_merge_upsert": q_merge_upsert,
     "q_join_scd2_pointintime": q_join_scd2_pointintime,
     "q_mv_incremental": q_mv_incremental,
@@ -384,6 +471,38 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_lake_snapshot_diff": """
+        WITH o AS (
+          SELECT o_orderkey, o_orderstatus,
+                 CAST(o_totalprice AS DECIMAL(12,2)) AS p
+          FROM orders),
+        v1 AS (SELECT * FROM o WHERE o_orderkey % 97 <> 3),
+        v2 AS (
+          SELECT o_orderkey, o_orderstatus,
+                 CASE WHEN o_orderkey % 10 = 0
+                      THEN CAST(p + CAST(1 AS DECIMAL(12,2))
+                                AS DECIMAL(12,2))
+                      ELSE p END AS p
+          FROM o WHERE o_orderkey % 89 <> 5),
+        j AS (
+          SELECT CASE
+                   WHEN v1.o_orderkey IS NULL THEN 'added'
+                   WHEN v2.o_orderkey IS NULL THEN 'removed'
+                   WHEN v1.p <> v2.p THEN 'changed'
+                   ELSE 'unchanged' END AS change_type,
+                 COALESCE(v2.o_orderstatus, v1.o_orderstatus) AS status,
+                 COALESCE(v2.o_orderkey, v1.o_orderkey) AS key,
+                 CASE WHEN v1.o_orderkey IS NOT NULL
+                       AND v2.o_orderkey IS NOT NULL
+                      THEN CAST(v2.p - v1.p AS DECIMAL(12,2))
+                      ELSE CAST(0 AS DECIMAL(12,2)) END AS delta
+          FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey)
+        SELECT change_type, status,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(ROUND(SUM(delta), 2) AS DOUBLE) AS price_delta,
+               MIN(key) AS min_key,
+               MAX(key) AS max_key
+        FROM j GROUP BY 1, 2""",
     "q_cdc_scd2_current": """
         WITH p AS (
           SELECT user_id, ts, event_id, value FROM events

@@ -41,18 +41,22 @@ for _name in (
 # The driver hash-verifies exactly the FIRST 50 keys of queries() each round
 # (verified r1–r7: CORRECTNESS_r0N covers precisely registry indices 0-49),
 # so registry order decides which keys get hard correctness signal.
-# Round-8 window (VERDICT r7 next-round #1): (a) operators NEW this round
-# (zero driver evidence) at the very front; (b) ALL 31 keys whose latest
-# driver row is round 4 (four rounds of module churn since — the staged
-# r7 _SECOND_WAVE plus q_except/q_distinct_dropdup/q_ts_anomaly_zscore/
-# q_multimodal_frames); (c) fill to 50 with the oldest r5-green keys in
-# the modules that churn again THIS round (dedup.py / vectors.py perf
-# rewrites, cdc, scans). After this round every key's latest driver row
-# is round 5 or newer and the r4-staleness debt is zero.
+# Round-8 window (VERDICT r7 next-round #1): (a) the 20 operators NEW
+# this round (zero driver evidence) at the very front; (b) 30 of the 31
+# keys whose latest driver row is round 4 (four rounds of module churn
+# since — the staged r7 _SECOND_WAVE plus q_except/q_ts_anomaly_zscore/
+# q_multimodal_frames; the 31st, the frozen trivial set-op
+# q_distinct_dropdup, heads _SECOND_WAVE for r9 with q_except in-window
+# as the family sentinel). After this round every key's latest driver
+# row is round 5 or newer except that one, and the r4-staleness debt is
+# near zero.
 # Keys after position 50 keep local parity (tools/parity.py) as their
 # regression net; tests/test_registry_order.py pins this window.
 HARD_SIGNAL_FIRST_50 = [
     # --- new round-8 operators (zero driver evidence) ---
+    "q_text_repetition",
+    "q_agg_market_basket",
+    "q_lake_snapshot_diff",
     "q_source_csv_roundtrip",
     "q_source_schema_evolution",
     "q_join_theta_bucketed",
@@ -69,6 +73,7 @@ HARD_SIGNAL_FIRST_50 = [
     "q_catalog_quality_checks",
     "q_cdc_scd2_current",
     "q_text_length_histogram",
+    "q_udtf_tokens",
     # --- the 31 r4-stale keys (VERDICT r7 #1) ---
     "q_join_left_outer",
     "q_join_semi",
@@ -98,21 +103,22 @@ HARD_SIGNAL_FIRST_50 = [
     "q_text_chunk_windows",
     "q_mix_temperature",
     "q_except",
-    "q_distinct_dropdup",
     "q_ts_anomaly_zscore",
     "q_multimodal_frames",
-    # --- fill: r5-green keys whose PLANS changed this round (the ANN
-    # rerank refactor) — the driver hash re-verifies the rewrite; the
-    # brute path is covered by q_vec_ann_recall's brute leg ---
-    "q_vec_ann_ivf",
-    "q_vec_ann_lsh",
-    "q_vec_ann_recall",
 ]
 
-# Next in line for round 9: the remaining r5-green keys (oldest driver
-# evidence after this window lands). r6/r7/r8-green keys fall to the tail
+# Next in line for round 9: first the three keys displaced by the late-r8
+# additions (the ANN-rerank fills whose rewrite q_vec_ann_pq's r7 row and
+# local parity already cover, plus the frozen trivial set-op
+# q_distinct_dropdup — its sibling q_except stays in-window as the family
+# sentinel), then the remaining r5-green keys (oldest driver evidence
+# after this window lands). r6/r7/r8-green keys fall to the tail
 # automatically.
 _SECOND_WAVE = [
+    "q_vec_ann_lsh",
+    "q_vec_ann_recall",
+    "q_distinct_dropdup",
+    "q_vec_ann_ivf",
     "q_vec_knn_brute",
     "q_dedup_embed_cosine",
     "q_vec_pairs_threshold",

@@ -1865,7 +1865,85 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand co-purchase affinity (market-basket support + lift) over
+    the order "baskets": for every unordered brand pair that appears
+    together in an order, the co-order count, each brand's own order
+    count, the floor-scaled support (share of all orders carrying the
+    pair) and lift (observed co-occurrence over the independence
+    expectation). The classic recommendation / assortment endpoint.
+
+    Scale notes (100 TB): part is a broadcast dimension; the pair
+    generator is a SELF-join of the distinct (order, brand) frame on
+    l_orderkey — co-partitioned on the same key so the sort-merge join
+    reuses one exchange, and the expansion is bounded per order at
+    C(b,2) where b ≤ distinct brands per order (≤7 lines in this
+    schema) — never corpus-quadratic. Marginals (≤ |brands| rows) and
+    the 1-row order total are broadcast back onto the ~|brands|² result.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = ob.alias("a")
+    b = ob.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"),
+            F.col("b.p_brand").alias("brand_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_co_orders"))
+    )
+    marg = ob.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.count(F.lit(1)).alias("n_orders_brand")
+    )
+    total = ob.select(
+        F.count_distinct("l_orderkey").alias("n_orders_total")
+    )
+    f6 = lambda num, den: F.floor(num * F.lit(1_000_000) / den) / F.lit(
+        1_000_000.0
+    )
+    return (
+        pairs.join(
+            F.broadcast(marg).withColumnRenamed("n_orders_brand", "n_a"),
+            F.col("brand_a") == F.col("brand"),
+        )
+        .drop("brand")
+        .join(
+            F.broadcast(marg).withColumnRenamed("n_orders_brand", "n_b"),
+            F.col("brand_b") == F.col("brand"),
+        )
+        .drop("brand")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_co_orders",
+            "n_a",
+            "n_b",
+            f6(F.col("n_co_orders"), F.col("n_orders_total")).alias(
+                "support"
+            ),
+            f6(
+                F.col("n_co_orders") * F.col("n_orders_total"),
+                F.col("n_a") * F.col("n_b"),
+            ).alias("lift"),
+        )
+    )
+
+
 QUERIES = {
+    "q_agg_market_basket": q_agg_market_basket,
     "q_agg_groupby": q_agg_groupby,
     "q_agg_weighted_median": q_agg_weighted_median,
     "q_agg_topn_share": q_agg_topn_share,
@@ -1932,6 +2010,32 @@ QUERIES = {
 _REV_DEC = f"{sql_dec('l_extendedprice')} * {sql_dec('1 - l_discount')}"
 
 ORACLES = {
+    "q_agg_market_basket": """
+        WITH ob AS (
+          SELECT DISTINCT l.l_orderkey, p.p_brand
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        pairs AS (
+          SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_co_orders
+          FROM ob a JOIN ob b
+            ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+          GROUP BY 1, 2),
+        marg AS (
+          SELECT p_brand AS brand, CAST(COUNT(*) AS BIGINT) AS n
+          FROM ob GROUP BY 1),
+        tot AS (
+          SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_total
+          FROM ob)
+        SELECT p.brand_a, p.brand_b, p.n_co_orders,
+               ma.n AS n_a, mb.n AS n_b,
+               FLOOR(p.n_co_orders * 1000000.0 / t.n_total)
+                 / 1000000.0 AS support,
+               FLOOR(p.n_co_orders * t.n_total * 1000000.0
+                     / (ma.n * mb.n)) / 1000000.0 AS lift
+        FROM pairs p
+        JOIN marg ma ON p.brand_a = ma.brand
+        JOIN marg mb ON p.brand_b = mb.brand
+        CROSS JOIN tot t""",
     "q_agg_groupby": _Q1_ORACLE,
     "q_join_asof_nearest": """
         WITH u AS (

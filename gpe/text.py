@@ -603,7 +603,68 @@ def q_text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition profile — the Gopher-style (Rae et al.
+    2021, public arXiv 2112.11446 §A1.1) quality filters a pretraining
+    pipeline runs before anything else: type-token ratio and the
+    duplicate 2-gram / 3-gram fractions, plus the combined repetitive
+    flag used to drop boilerplate/spam docs.
+
+    Scale notes (100 TB): ENTIRELY map-side — every measure is a scalar
+    array expression (split → transform → array_distinct → size) inside
+    whole-stage codegen; no explode, no shuffle, no state. This is the
+    cheapest possible per-doc profile shape: at 1000 executors it scans
+    the text column once and writes one row per doc, so throughput is
+    bounded by parquet scan speed alone. The n-gram arrays are
+    per-document (≤ doc length), never corpus-wide.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    d = d.withColumn("toks", F.split("text", " "))
+    n = F.size("toks")
+    # guard n>=2 / n>=3: Spark sequence(0, -1) would DESCEND, not empty
+    g2 = F.when(
+        n >= 2,
+        F.expr(
+            "transform(sequence(0, size(toks)-2),"
+            " i -> concat_ws(' ', toks[i], toks[i+1]))"
+        ),
+    ).otherwise(F.expr("array()"))
+    g3 = F.when(
+        n >= 3,
+        F.expr(
+            "transform(sequence(0, size(toks)-3),"
+            " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+        ),
+    ).otherwise(F.expr("array()"))
+    d = d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_types"),
+        g2.alias("g2"),
+        g3.alias("g3"),
+    )
+    dup2 = _floor6(
+        F.size("g2") - F.size(F.array_distinct("g2")), F.size("g2")
+    )
+    dup3 = _floor6(
+        F.size("g3") - F.size(F.array_distinct("g3")), F.size("g3")
+    )
+    out = d.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        _floor6(F.col("n_types"), F.col("n_tokens")).alias("ttr"),
+        F.when(F.size("g2") > 0, dup2).alias("dup2_ratio"),
+        F.when(F.size("g3") > 0, dup3).alias("dup3_ratio"),
+    )
+    return out.withColumn(
+        "is_repetitive",
+        (F.col("dup2_ratio") >= 0.03) | (F.col("ttr") <= 0.45),
+    )
+
+
 QUERIES = {
+    "q_text_repetition": q_text_repetition,
     "q_text_cooccurrence_pmi": q_text_cooccurrence_pmi,
     "q_text_vocab_coverage": q_text_vocab_coverage,
     "q_text_keyphrases": q_text_keyphrases,
@@ -621,6 +682,34 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_text_repetition": """
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        g AS (
+          SELECT doc_id,
+                 len(toks) AS n_tokens,
+                 len(list_distinct(toks)) AS n_types,
+                 list_transform(range(1, len(toks)),
+                   i -> toks[i] || ' ' || toks[i+1]) AS g2,
+                 list_transform(range(1, len(toks)-1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                   AS g3
+          FROM t),
+        m AS (
+          SELECT doc_id,
+                 CAST(n_tokens AS INTEGER) AS n_tokens,
+                 CAST(n_types AS INTEGER) AS n_types,
+                 FLOOR(n_types * 1000000.0 / n_tokens) / 1000000.0
+                   AS ttr,
+                 CASE WHEN len(g2) > 0 THEN
+                   FLOOR((len(g2) - len(list_distinct(g2))) * 1000000.0
+                         / len(g2)) / 1000000.0 END AS dup2_ratio,
+                 CASE WHEN len(g3) > 0 THEN
+                   FLOOR((len(g3) - len(list_distinct(g3))) * 1000000.0
+                         / len(g3)) / 1000000.0 END AS dup3_ratio
+          FROM g)
+        SELECT *, (dup2_ratio >= 0.03 OR ttr <= 0.45) AS is_repetitive
+        FROM m""",
     "q_text_cooccurrence_pmi": f"""
         WITH toks AS (
           SELECT DISTINCT doc_id,
