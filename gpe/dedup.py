@@ -200,6 +200,72 @@ _SQL_JACCARD_PAIRS = """
 """
 
 
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 unrolled power iterations, damping 0.85) over the
+    undirected near-duplicate graph — ranks the most "central" documents
+    of each duplicate cluster, the canonical-representative picker a
+    curation pipeline uses when `min doc_id` is too arbitrary (Page et
+    al. 1999; iterations fixed so both engines run the identical
+    computation).
+
+    Determinism: ranks live as LONGS scaled by 1e12; each per-edge
+    contribution is integer-DIV'd by the out-degree, the damped sum is
+    (85 * S) DIV 100, and the teleport term is 150e9 DIV N — every
+    intermediate is an exact integer, so the result hashes identically
+    cross-engine regardless of join order or summation order.
+
+    Scale notes (100 TB): the edge list (from the banded/popcount pair
+    generator — never all-pairs) is persisted once and re-joined 3×; the
+    per-iteration shape is join-on-src + partial-agg-on-dst — both
+    co-partitioned on the node key, so a real cluster pays one edge
+    shuffle up front and 3 small rank shuffles. A variable-iteration
+    variant would checkpoint every k rounds exactly like
+    q_dedup_components; 3 fixed rounds keep the oracle expressible."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = _exact_jaccard_pairs(d).select("id_a", "id_b")
+    edges = persist_tracked(
+        pairs.select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        ).unionByName(
+            pairs.select(
+                F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+            )
+        )
+    )
+    deg = persist_tracked(
+        edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    )
+    n = deg.select(F.count(F.lit(1)).alias("n"))
+    # r0 = FLOOR(1e12 / N): every node starts at the uniform rank
+    ranks = deg.crossJoin(F.broadcast(n)).select(
+        F.col("src").alias("node"),
+        F.expr("1000000000000 DIV n").alias("r"),
+    )
+    ed = edges.join(deg, "src")
+    for _ in range(3):
+        contrib = ed.join(
+            ranks, ed.src == ranks.node
+        ).select("dst", F.expr("r DIV deg").alias("c"))
+        ranks = (
+            contrib.groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").alias("s"))
+            .crossJoin(F.broadcast(n))
+            .select(
+                "node",
+                (
+                    F.expr("150000000000 DIV n")
+                    + F.expr("(85 * s) DIV 100")
+                ).alias("r"),
+            )
+        )
+    return ranks.join(deg, ranks.node == deg.src).select(
+        F.col("node").alias("doc_id"),
+        "deg",
+        F.col("r").alias("rank_e12"),
+        (F.col("r") / F.lit(1_000_000_000_000.0)).alias("rank"),
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by normalized content hash; deterministic keeper =
     min doc_id per hash group."""
@@ -1337,6 +1403,7 @@ def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "q_graph_pagerank": q_graph_pagerank,
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_dup_stats": q_dedup_dup_stats,
     "q_dedup_near_pairs": q_dedup_near_pairs,
@@ -1404,6 +1471,53 @@ ORACLES = {
                      * 1000000 / COUNT(*)) / 1000000.0 AS dup_ratio
         FROM documents GROUP BY 1""",
     "q_dedup_near_pairs": _SQL_JACCARD_PAIRS,
+    # 3 unrolled integer-scaled power iterations over the same pair set
+    # as q_dedup_near_pairs; every arithmetic step is integer (// and
+    # *85//100), so the hash matches the Spark DIV chain exactly.
+    "q_graph_pagerank": f"""
+        WITH pr_pairs AS (
+          SELECT id_a, id_b FROM ({_SQL_JACCARD_PAIRS})),
+        ed AS (
+          SELECT id_a AS src, id_b AS dst FROM pr_pairs
+          UNION ALL
+          SELECT id_b AS src, id_a AS dst FROM pr_pairs),
+        deg AS (
+          SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM ed GROUP BY 1),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
+        r0 AS (
+          SELECT src AS node, 1000000000000 // n AS r FROM deg, nn),
+        it1 AS (
+          SELECT e.dst AS node,
+                 (150000000000 // MAX(nn.n))
+                 + (85 * SUM(r.r // d.deg)) // 100 AS r
+          FROM ed e
+          JOIN r0 r ON r.node = e.src
+          JOIN deg d ON d.src = e.src
+          CROSS JOIN nn
+          GROUP BY 1),
+        it2 AS (
+          SELECT e.dst AS node,
+                 (150000000000 // MAX(nn.n))
+                 + (85 * SUM(r.r // d.deg)) // 100 AS r
+          FROM ed e
+          JOIN it1 r ON r.node = e.src
+          JOIN deg d ON d.src = e.src
+          CROSS JOIN nn
+          GROUP BY 1),
+        it3 AS (
+          SELECT e.dst AS node,
+                 (150000000000 // MAX(nn.n))
+                 + (85 * SUM(r.r // d.deg)) // 100 AS r
+          FROM ed e
+          JOIN it2 r ON r.node = e.src
+          JOIN deg d ON d.src = e.src
+          CROSS JOIN nn
+          GROUP BY 1)
+        SELECT it3.node AS doc_id,
+               deg.deg,
+               CAST(it3.r AS BIGINT) AS rank_e12,
+               CAST(it3.r AS DOUBLE) / 1000000000000.0 AS rank
+        FROM it3 JOIN deg ON deg.src = it3.node""",
     "q_dedup_containment": _SQL_CONTAINMENT_PAIRS,
     # exact-recall guarantee (prefix filtering), so the open-vocab path
     # shares the exact containment oracle unconditionally — no band-miss

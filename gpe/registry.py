@@ -41,19 +41,21 @@ for _name in (
 # The driver hash-verifies exactly the FIRST 50 keys of queries() each round
 # (verified r1–r7: CORRECTNESS_r0N covers precisely registry indices 0-49),
 # so registry order decides which keys get hard correctness signal.
-# Round-8 window (VERDICT r7 next-round #1): (a) the 20 operators NEW
-# this round (zero driver evidence) at the very front; (b) 30 of the 31
+# Round-8 window (VERDICT r7 next-round #1): (a) the 21 operators NEW
+# this round (zero driver evidence) at the very front; (b) 29 of the 31
 # keys whose latest driver row is round 4 (four rounds of module churn
-# since — the staged r7 _SECOND_WAVE plus q_except/q_ts_anomaly_zscore/
-# q_multimodal_frames; the 31st, the frozen trivial set-op
-# q_distinct_dropdup, heads _SECOND_WAVE for r9 with q_except in-window
-# as the family sentinel). After this round every key's latest driver
-# row is round 5 or newer except that one, and the r4-staleness debt is
-# near zero.
+# since — the staged r7 _SECOND_WAVE plus q_ts_anomaly_zscore/
+# q_multimodal_frames). The two displaced r4-stale keys — the frozen
+# trivial set-ops q_distinct_dropdup and q_except, the least-churned
+# code in relational.py — head _SECOND_WAVE for r9 behind the ANN
+# fills; new keys outrank stale re-checks because they have ZERO driver
+# evidence. After this round every other key's latest driver row is
+# round 5 or newer.
 # Keys after position 50 keep local parity (tools/parity.py) as their
 # regression net; tests/test_registry_order.py pins this window.
 HARD_SIGNAL_FIRST_50 = [
     # --- new round-8 operators (zero driver evidence) ---
+    "q_graph_pagerank",
     "q_text_repetition",
     "q_agg_market_basket",
     "q_lake_snapshot_diff",
@@ -74,7 +76,7 @@ HARD_SIGNAL_FIRST_50 = [
     "q_cdc_scd2_current",
     "q_text_length_histogram",
     "q_udtf_tokens",
-    # --- the 31 r4-stale keys (VERDICT r7 #1) ---
+    # --- 29 of the 31 r4-stale keys (VERDICT r7 #1) ---
     "q_join_left_outer",
     "q_join_semi",
     "q_join_anti",
@@ -102,22 +104,21 @@ HARD_SIGNAL_FIRST_50 = [
     "q_pack_sequences",
     "q_text_chunk_windows",
     "q_mix_temperature",
-    "q_except",
     "q_ts_anomaly_zscore",
     "q_multimodal_frames",
 ]
 
-# Next in line for round 9: first the three keys displaced by the late-r8
+# Next in line for round 9: first the four keys displaced by the late-r8
 # additions (the ANN-rerank fills whose rewrite q_vec_ann_pq's r7 row and
-# local parity already cover, plus the frozen trivial set-op
-# q_distinct_dropdup — its sibling q_except stays in-window as the family
-# sentinel), then the remaining r5-green keys (oldest driver evidence
-# after this window lands). r6/r7/r8-green keys fall to the tail
-# automatically.
+# local parity already cover, plus the frozen trivial set-ops
+# q_distinct_dropdup / q_except), then the remaining r5-green keys
+# (oldest driver evidence after this window lands). r6/r7/r8-green keys
+# fall to the tail automatically.
 _SECOND_WAVE = [
     "q_vec_ann_lsh",
     "q_vec_ann_recall",
     "q_distinct_dropdup",
+    "q_except",
     "q_vec_ann_ivf",
     "q_vec_knn_brute",
     "q_dedup_embed_cosine",

@@ -159,3 +159,50 @@ def test_snapshot_diff_classification_edges_cross_engine(spark, tmp_path):
     assert _rows(_Q["q_lake_snapshot_diff"](spark, str(d))) == _pdf_rows(
         _oracle(d, "q_lake_snapshot_diff", ["orders"])
     )
+
+
+# ----------------------------------------------------------------- pagerank
+
+
+def test_pagerank_triangle_and_isolated_doc_cross_engine(spark, tmp_path):
+    """Crafted corpus: docs 1/2 share a token SET (Jaccard 1), doc 3
+    overlaps both at 19/21 = 0.904 > 0.9 -> a triangle; doc 4 is
+    disjoint -> not in the graph at all. On a symmetric triangle every
+    node has deg 2 and the uniform distribution is the fixpoint, so all
+    ranks equal floor-of-1/3 at every iteration."""
+    shared = " ".join(f"t{i}" for i in range(19))
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                shared + " t19",
+                shared + " t19",
+                shared + " t20",
+                "zz yy xx",
+            ],
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+            "n_chars": [1] * 4,
+        }
+    )
+    d = tmp_path / "pr"
+    d.mkdir()
+    pdf.to_parquet(str(d / "documents.parquet"))
+    got = {r.doc_id: r for r in _Q["q_graph_pagerank"](spark, str(d)).collect()}
+    assert set(got) == {1, 2, 3}  # doc 4 has no edges
+    assert all(r.deg == 2 for r in got.values())
+    ranks = {r.rank_e12 for r in got.values()}
+    assert len(ranks) == 1  # uniform fixpoint
+    assert abs(ranks.pop() - 333333333333) <= 3  # 1/3 modulo DIV floors
+    assert _rows(_Q["q_graph_pagerank"](spark, str(d))) == _pdf_rows(
+        _oracle(d, "q_graph_pagerank", ["documents"])
+    )
+
+
+def test_pagerank_mass_conserved_on_fixture(spark):
+    """Total rank mass stays ~1: every arithmetic step only FLOORS, so
+    the scaled sum must sit just under 1e12 and never exceed it."""
+    rows = _Q["q_graph_pagerank"](spark, SF).collect()
+    total = sum(r.rank_e12 for r in rows)
+    assert total <= 1_000_000_000_000
+    assert total >= 990_000_000_000
