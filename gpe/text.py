@@ -663,7 +663,75 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE merge step as a distributed computation (Sennrich et al.
+    2016, arXiv 1508.07909): count every adjacent token pair corpus-wide
+    (overlaps included, like the reference get_stats), pick the argmax
+    pair (ties → lexicographically smallest, so the choice is total),
+    and APPLY the merge to every document left-to-right non-overlapping
+    via an array fold — the inner loop of tokenizer training, run where
+    the data lives instead of on a driver.
+
+    The fold's non-overlap is structural: a merged symbol "a_b" can
+    never equal the left half of the pair again (the corpus vocabulary
+    carries no underscores), so a fresh merge never chains. The oracle
+    derives the same merge count through gaps-and-islands over match
+    positions (a run of k consecutive matches — only possible when
+    a = b — greedily merges ceil(k/2) times).
+
+    Scale notes (100 TB): pair counting is one explode → partial-agg
+    shuffle (map-side combine carries most of the weight — pair
+    cardinality ≤ |vocab|²); the argmax is a 1-row sort broadcast back;
+    the merge application is per-row scalar array work inside codegen,
+    no second shuffle. A full trainer loops this; each step stays this
+    exact shape with the merged pair appended to a broadcast merge
+    table."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split("text", " ")
+    )
+    big = d.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) >= 2 THEN"
+                " transform(sequence(0, size(toks)-2),"
+                "   i -> struct(toks[i] AS a, toks[i+1] AS b))"
+                " ELSE CAST(array() AS array<struct<a:string,b:string>>)"
+                " END"
+            )
+        ).alias("p")
+    )
+    top = (
+        big.groupBy(
+            F.col("p.a").alias("pair_a"), F.col("p.b").alias("pair_b")
+        )
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "pair_a", "pair_b")
+        .limit(1)
+    )
+    merged = d.crossJoin(F.broadcast(top)).withColumn(
+        "merged",
+        F.expr(
+            "aggregate(toks, CAST(array() AS array<string>),"
+            " (acc, t) -> CASE WHEN size(acc) > 0"
+            "   AND element_at(acc, -1) = pair_a AND t = pair_b"
+            " THEN concat(slice(acc, 1, size(acc)-1),"
+            "             array(concat(element_at(acc, -1), '_', t)))"
+            " ELSE concat(acc, array(t)) END)"
+        ),
+    )
+    return merged.select(
+        "doc_id",
+        "pair_a",
+        "pair_b",
+        "pair_count",
+        F.size("toks").alias("n_tokens_before"),
+        F.size("merged").alias("n_tokens_after"),
+        (F.size("toks") - F.size("merged")).alias("n_merges"),
+    )
+
+
 QUERIES = {
+    "q_text_bpe_merge_step": q_text_bpe_merge_step,
     "q_text_repetition": q_text_repetition,
     "q_text_cooccurrence_pmi": q_text_cooccurrence_pmi,
     "q_text_vocab_coverage": q_text_vocab_coverage,
@@ -682,6 +750,42 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_text_bpe_merge_step": """
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        p0 AS (
+          SELECT doc_id, generate_subscripts(toks, 1) AS pos,
+                 unnest(toks) AS tok
+          FROM t),
+        prs AS (
+          SELECT a.doc_id, a.pos, a.tok AS pa, b.tok AS pb
+          FROM p0 a JOIN p0 b
+            ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+        top AS (
+          SELECT pa, pb, CAST(COUNT(*) AS BIGINT) AS pair_count
+          FROM prs GROUP BY 1, 2
+          ORDER BY pair_count DESC, pa, pb LIMIT 1),
+        matches AS (
+          SELECT p.doc_id, p.pos FROM prs p, top
+          WHERE p.pa = top.pa AND p.pb = top.pb),
+        runs AS (
+          SELECT doc_id, pos,
+                 pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                          ORDER BY pos) AS grp
+          FROM matches),
+        runcnt AS (
+          SELECT doc_id, grp, COUNT(*) AS rl FROM runs GROUP BY 1, 2),
+        merges AS (
+          SELECT doc_id, SUM((rl + 1) // 2) AS n_merges
+          FROM runcnt GROUP BY 1)
+        SELECT t.doc_id, top.pa AS pair_a, top.pb AS pair_b,
+               top.pair_count,
+               CAST(len(t.toks) AS INTEGER) AS n_tokens_before,
+               CAST(len(t.toks) - COALESCE(m.n_merges, 0) AS INTEGER)
+                 AS n_tokens_after,
+               CAST(COALESCE(m.n_merges, 0) AS INTEGER) AS n_merges
+        FROM t CROSS JOIN top
+        LEFT JOIN merges m ON m.doc_id = t.doc_id""",
     "q_text_repetition": """
         WITH t AS (
           SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

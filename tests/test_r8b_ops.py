@@ -206,3 +206,65 @@ def test_pagerank_mass_conserved_on_fixture(spark):
     total = sum(r.rank_e12 for r in rows)
     assert total <= 1_000_000_000_000
     assert total >= 990_000_000_000
+
+
+# ---------------------------------------------------------------- bpe merge
+
+
+def test_bpe_merge_runs_and_ties_cross_engine(spark, tmp_path):
+    """The overlap case the fixture never forces: the winning pair is
+    (a,a) and docs carry odd/even runs of 'a', so left-to-right
+    non-overlapping application must merge ceil(k/2) per run — pinning
+    the fold (engine) against the gaps-and-islands formula (oracle).
+    Pair counts: 'a a' appears 3+2 = 5 times (overlaps included),
+    beating 'b c' (2) and the tie is never reached; doc 3 checks that
+    a doc without the winning pair merges zero times."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "a a a a x b c",  # run of 3 matches -> 2 merges
+                "a a a b c",  # run of 2 matches -> 1 merge
+                "b c d",  # no winning pair -> 0 merges
+            ],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [1] * 3,
+        }
+    )
+    d = tmp_path / "bpe"
+    d.mkdir()
+    pdf.to_parquet(str(d / "documents.parquet"))
+    got = {
+        r.doc_id: r
+        for r in _Q["q_text_bpe_merge_step"](spark, str(d)).collect()
+    }
+    assert (got[1].pair_a, got[1].pair_b, got[1].pair_count) == ("a", "a", 5)
+    assert (got[1].n_merges, got[1].n_tokens_after) == (2, 5)
+    assert (got[2].n_merges, got[2].n_tokens_after) == (1, 4)
+    assert (got[3].n_merges, got[3].n_tokens_after) == (0, 3)
+    assert _rows(_Q["q_text_bpe_merge_step"](spark, str(d))) == _pdf_rows(
+        _oracle(d, "q_text_bpe_merge_step", ["documents"])
+    )
+
+
+def test_bpe_merge_argmax_tiebreak_is_lexicographic(spark, tmp_path):
+    """Equal counts -> the lexicographically smallest pair must win in
+    BOTH engines (the total order that makes the key deterministic)."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1],
+            "text": ["z y x w z y x w"],  # zy/yx/xw twice each, wz once
+            "lang": ["en"],
+            "source": ["s"],
+            "n_chars": [1],
+        }
+    )
+    d = tmp_path / "bpetie"
+    d.mkdir()
+    pdf.to_parquet(str(d / "documents.parquet"))
+    row = _Q["q_text_bpe_merge_step"](spark, str(d)).collect()[0]
+    assert (row.pair_a, row.pair_b) == ("x", "w")
+    assert _rows(_Q["q_text_bpe_merge_step"](spark, str(d))) == _pdf_rows(
+        _oracle(d, "q_text_bpe_merge_step", ["documents"])
+    )
