@@ -41,22 +41,24 @@ for _name in (
 # The driver hash-verifies exactly the FIRST 50 keys of queries() each round
 # (verified r1–r7: CORRECTNESS_r0N covers precisely registry indices 0-49),
 # so registry order decides which keys get hard correctness signal.
-# Round-8 window (VERDICT r7 next-round #1): (a) the 22 operators NEW
-# this round (zero driver evidence) at the very front; (b) 28 of the 31
+# Round-8 window (VERDICT r7 next-round #1): (a) the 23 operators NEW
+# this round (zero driver evidence) at the very front; (b) 27 of the 31
 # keys whose latest driver row is round 4 (four rounds of module churn
 # since — the staged r7 _SECOND_WAVE plus q_ts_anomaly_zscore/
-# q_multimodal_frames). The three displaced r4-stale keys — the frozen
-# trivial set-ops q_distinct_dropdup and q_except, plus q_scalar_date
-# (its module sentinel q_scalar_date2 is r7-green) — head _SECOND_WAVE
-# for r9 with the ANN fills; new keys outrank stale re-checks because
-# they have ZERO driver evidence. After this round every other key's
-# latest driver row is round 5 or newer.
+# q_multimodal_frames). The four displaced r4-stale keys — the frozen
+# trivial set-ops q_distinct_dropdup and q_except, plus q_scalar_date /
+# q_scalar_math (their module sentinels q_scalar_date2 / q_scalar_map /
+# q_scalar_arrayops are r7-green) — head _SECOND_WAVE for r9 with the
+# ANN fills; new keys outrank stale re-checks because they have ZERO
+# driver evidence. After this round every other key's latest driver row
+# is round 5 or newer.
 # Keys after position 50 keep local parity (tools/parity.py) as their
 # regression net; tests/test_registry_order.py pins this window.
 HARD_SIGNAL_FIRST_50 = [
     # --- new round-8 operators (zero driver evidence) ---
     "q_graph_pagerank",
     "q_text_bpe_merge_step",
+    "q_text_bm25_search",
     "q_text_repetition",
     "q_agg_market_basket",
     "q_lake_snapshot_diff",
@@ -77,7 +79,7 @@ HARD_SIGNAL_FIRST_50 = [
     "q_cdc_scd2_current",
     "q_text_length_histogram",
     "q_udtf_tokens",
-    # --- 28 of the 31 r4-stale keys (VERDICT r7 #1) ---
+    # --- 27 of the 31 r4-stale keys (VERDICT r7 #1) ---
     "q_join_left_outer",
     "q_join_semi",
     "q_join_anti",
@@ -87,7 +89,6 @@ HARD_SIGNAL_FIRST_50 = [
     "q_join_lateral",
     "q_agg_groupby",
     "q_scalar_string",
-    "q_scalar_math",
     "q_explode_tokens",
     "q_scalar_json",
     "q_scalar_string2",
@@ -108,14 +109,15 @@ HARD_SIGNAL_FIRST_50 = [
     "q_multimodal_frames",
 ]
 
-# Next in line for round 9: first the five keys displaced by the late-r8
-# additions (q_scalar_date, the ANN-rerank fills whose rewrite
-# q_vec_ann_pq's r7 row and local parity already cover, and the frozen
-# trivial set-ops q_distinct_dropdup / q_except), then the remaining
-# r5-green keys (oldest driver evidence after this window lands).
-# r6/r7/r8-green keys fall to the tail automatically.
+# Next in line for round 9: first the six keys displaced by the late-r8
+# additions (q_scalar_date / q_scalar_math, the ANN-rerank fills whose
+# rewrite q_vec_ann_pq's r7 row and local parity already cover, and the
+# frozen trivial set-ops q_distinct_dropdup / q_except), then the
+# remaining r5-green keys (oldest driver evidence after this window
+# lands). r6/r7/r8-green keys fall to the tail automatically.
 _SECOND_WAVE = [
     "q_scalar_date",
+    "q_scalar_math",
     "q_vec_ann_lsh",
     "q_vec_ann_recall",
     "q_distinct_dropdup",

@@ -730,7 +730,91 @@ def q_text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_TERMS = ("spark", "table", "query")
+_BM25_K1_NUM = 22  # k1 = 1.2 -> (k1+1) = 2.2 = 22/10
+# score denominators are multiplied through by 10*T so every intermediate
+# except the final divisions is an exact integer:
+#   tf_part = tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))
+#           = 22*T*tf / (10*T*tf + 3*T + 9*dl*N)      (k1=1.2, b=0.75)
+
+
+def q_text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-ranked search (Robertson & Zaragoza 2009, k1=1.2 b=0.75)
+    for a fixed query over the corpus — the `search` endpoint of a lake
+    API: top-20 docs by score with per-term tfs. The ranking math is
+    exact-integer throughout: the tf saturation term is multiplied
+    through by 10·T so it is a ratio of exact longs, the idf is
+    e6-floored after the one ln() (the libm ulp trap), each term score
+    is e6-floored before the integer sum, and the top-k orders by the
+    INTEGER score with doc_id as total tiebreak.
+
+    Scale notes (100 TB): pure scan shape — per-term tfs are map-side
+    array filters (no explode), the corpus stats are ONE 1-row
+    aggregate broadcast back, and the top-k compiles to
+    TakeOrderedAndProject (per-partition heaps, no global sort). This
+    is the cheapest possible distributed search plan: no inverted
+    index is materialized, which is the right trade until query volume
+    amortizes an index build (then: the posting-list generator of
+    q_dedup_near_pairs is the index builder)."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split("text", " ")
+    )
+    d = d.withColumn("dl", F.size("toks").cast("long"))
+    for i, t in enumerate(_BM25_TERMS):
+        d = d.withColumn(
+            f"tf{i}",
+            F.expr(f"CAST(size(filter(toks, x -> x = '{t}')) AS BIGINT)"),
+        )
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("t_tokens"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    j = d.crossJoin(F.broadcast(stats))
+    terms = []
+    for i in range(len(_BM25_TERMS)):
+        idf_e6 = F.floor(
+            F.log(
+                (2 * F.col("n_docs") + 2)
+                / (2 * F.col(f"df{i}") + F.lit(1.0))
+            )
+            * F.lit(1_000_000)
+            + F.lit(EPS)
+        )
+        tf_part = (
+            F.lit(_BM25_K1_NUM) * F.col("t_tokens") * F.col(f"tf{i}")
+        ) / (
+            F.lit(10) * F.col("t_tokens") * F.col(f"tf{i}")
+            + F.lit(3) * F.col("t_tokens")
+            + F.lit(9) * F.col("dl") * F.col("n_docs")
+        )
+        terms.append(
+            F.floor(
+                (idf_e6 / F.lit(1_000_000.0)) * tf_part * F.lit(1_000_000)
+                + F.lit(EPS)
+            ).cast("long")
+        )
+    score_e6 = terms[0] + terms[1] + terms[2]
+    return (
+        j.select(
+            "doc_id",
+            "dl",
+            F.col("tf0").alias("tf_spark"),
+            F.col("tf1").alias("tf_table"),
+            F.col("tf2").alias("tf_query"),
+            score_e6.alias("score_e6"),
+            (score_e6 / F.lit(1_000_000.0)).alias("score"),
+        )
+        .orderBy(F.col("score_e6").desc(), "doc_id")
+        .limit(20)
+    )
+
+
 QUERIES = {
+    "q_text_bm25_search": q_text_bm25_search,
     "q_text_bpe_merge_step": q_text_bpe_merge_step,
     "q_text_repetition": q_text_repetition,
     "q_text_cooccurrence_pmi": q_text_cooccurrence_pmi,
@@ -749,7 +833,51 @@ QUERIES = {
     "q_text_length_histogram": q_text_length_histogram,
 }
 
+_BM25_TERM_SQL = """
+    FLOOR(
+      (FLOOR(ln((2*n_docs + 2) / (2*df{i} + 1.0)) * 1000000 + 1e-9)
+       / 1000000.0)
+      * ((22 * t_tokens * tf{i})
+         / (10 * t_tokens * tf{i} + 3 * t_tokens + 9 * dl * n_docs))
+      * 1000000 + 1e-9)"""
+
+
 ORACLES = {
+    "q_text_bm25_search": f"""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        d AS (
+          SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+                 CAST(len(list_filter(toks, x -> x = 'spark')) AS BIGINT)
+                   AS tf0,
+                 CAST(len(list_filter(toks, x -> x = 'table')) AS BIGINT)
+                   AS tf1,
+                 CAST(len(list_filter(toks, x -> x = 'query')) AS BIGINT)
+                   AS tf2
+          FROM t),
+        s AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(dl) AS BIGINT) AS t_tokens,
+                 CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS df0,
+                 CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS df1,
+                 CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS df2
+          FROM d),
+        sc AS (
+          SELECT doc_id, dl, tf0, tf1, tf2,
+                 CAST({_BM25_TERM_SQL.format(i=0)}
+                   + {_BM25_TERM_SQL.format(i=1)}
+                   + {_BM25_TERM_SQL.format(i=2)} AS BIGINT) AS score_e6
+          FROM d CROSS JOIN s)
+        SELECT doc_id, dl,
+               tf0 AS tf_spark, tf1 AS tf_table, tf2 AS tf_query,
+               score_e6,
+               score_e6 / 1000000.0 AS score
+        FROM sc
+        ORDER BY score_e6 DESC, doc_id
+        LIMIT 20""",
     "q_text_bpe_merge_step": """
         WITH t AS (
           SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

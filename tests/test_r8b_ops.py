@@ -268,3 +268,48 @@ def test_bpe_merge_argmax_tiebreak_is_lexicographic(spark, tmp_path):
     assert _rows(_Q["q_text_bpe_merge_step"](spark, str(d))) == _pdf_rows(
         _oracle(d, "q_text_bpe_merge_step", ["documents"])
     )
+
+
+# -------------------------------------------------------------- bm25 search
+
+
+def test_bm25_plan_is_scan_shaped_topk(spark):
+    """The search endpoint claims the cheapest distributed plan: top-k
+    compiles to TakeOrderedAndProject (per-partition heaps, never a
+    global sort) and the tf computation never explodes tokens."""
+    df = _Q["q_text_bm25_search"](spark, SF)
+    df.collect()
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in phys
+    assert "Generate explode" not in phys
+
+
+def test_bm25_zero_df_and_saturation_cross_engine(spark, tmp_path):
+    """Crafted corpus: 'spark' never occurs (df=0 exercises the idf
+    guard — ln((2N+2)/1) stays finite), 'table' occurs everywhere
+    (minimal idf), 'query' is rare and repeated (tf saturation). The
+    rare-term doc must outrank the common-term docs."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "query query query table pad",
+                "table pad pad pad pad",
+                "table table pad pad pad",
+                "pad pad pad pad pad",
+            ],
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+            "n_chars": [1] * 4,
+        }
+    )
+    d = tmp_path / "bm25"
+    d.mkdir()
+    pdf.to_parquet(str(d / "documents.parquet"))
+    rows = _Q["q_text_bm25_search"](spark, str(d)).collect()
+    assert rows[0].doc_id == 1 and rows[0].tf_query == 3
+    assert all(r.tf_spark == 0 for r in rows)  # absent term scores 0
+    assert rows[-1].score_e6 == 0  # the pad-only doc matches nothing
+    assert _rows(_Q["q_text_bm25_search"](spark, str(d))) == _pdf_rows(
+        _oracle(d, "q_text_bm25_search", ["documents"])
+    )
