@@ -118,6 +118,31 @@ class LakeAPI:
         """GET /series/chart — LTTB-style representative points."""
         return _timeseries.q_ts_downsample_triangle(self.spark, self.sf_dir)
 
+    # ---- search / corpus endpoints -----------------------------------
+
+    def search(self) -> DataFrame:
+        """GET /search?q=spark+table+query — BM25-ranked top-20 over the
+        document corpus (the declared fixed-query scored operator;
+        a server layer would template the term list into the same
+        scan-shaped plan)."""
+        from gpe import text as _text
+
+        return _text.q_text_bm25_search(self.spark, self.sf_dir)
+
+    def corpus_quality(self) -> DataFrame:
+        """GET /corpus/quality — per-doc repetition profile (the
+        first-pass pretraining filter)."""
+        from gpe import text as _text
+
+        return _text.q_text_repetition(self.spark, self.sf_dir)
+
+    def table_changes(self) -> DataFrame:
+        """GET /datasets/orders/changes — the two-snapshot time-travel
+        diff summary (Delta-CDF/Iceberg-changelog shaped)."""
+        from gpe import cdc as _cdc
+
+        return _cdc.q_lake_snapshot_diff(self.spark, self.sf_dir)
+
     # ---- reporting endpoints -----------------------------------------
 
     def top_orders_page(self, page: int = 0, size: int = 50) -> DataFrame:

@@ -175,3 +175,30 @@ def test_series_rollup_prunes_event_scan(api):
     # the ladder needs ts + value only — user_id/props must be pruned
     assert "ts" in rs and "value" in rs
     assert "props" not in rs and "user_id" not in rs
+
+
+def test_search_endpoint_prunes_and_heaps(api):
+    """GET /search delegates to the BM25 operator: the scan must read
+    only the columns the ranking needs (text + doc_id) and the top-k
+    must compile to TakeOrderedAndProject, not a global sort."""
+    df = api.search()
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    rs = _read_schema(df)
+    assert "text" in rs and "doc_id" in rs
+    assert "lang" not in rs and "source" not in rs
+    assert len(df.limit(25).collect()) == 20
+
+
+def test_corpus_quality_endpoint_prunes_scan(api):
+    df = api.corpus_quality()
+    rs = _read_schema(df)
+    assert "text" in rs and "doc_id" in rs
+    assert "lang" not in rs and "n_chars" not in rs
+
+
+def test_table_changes_endpoint_summarizes(api):
+    rows = api.table_changes().collect()
+    kinds = {r.change_type for r in rows}
+    assert kinds <= {"added", "removed", "changed", "unchanged"}
+    assert "changed" in kinds and "added" in kinds
