@@ -42,6 +42,25 @@ def main() -> None:
     print("== quality scores (worst 5) ==")
     text.q_text_quality(spark, sf_dir).orderBy("quality_score").show(5)
 
+    print("== repetition filter (late r8): most repetitive docs ==")
+    rep = text.q_text_repetition(spark, sf_dir)
+    rep.orderBy(F.desc("dup2_ratio"), "doc_id").show(3)
+    print(f"   {rep.filter('is_repetitive').count()} docs flagged repetitive")
+
+    print("== search the corpus (BM25 top-5, late r8) ==")
+    text.q_text_bm25_search(spark, sf_dir).select(
+        "doc_id", "score", "tf_spark", "tf_table", "tf_query"
+    ).show(5)
+
+    print("== one BPE merge step (tokenizer-training inner loop, late r8) ==")
+    bpe = text.q_text_bpe_merge_step(spark, sf_dir)
+    bpe.groupBy("pair_a", "pair_b", "pair_count").agg(
+        F.sum("n_merges").alias("total_merges")
+    ).show(1)
+
+    print("== PageRank centrality of the near-dup graph (late r8) ==")
+    dedup.q_graph_pagerank(spark, sf_dir).orderBy(F.desc("rank_e12")).show(3)
+
     print("== near-duplicate pairs via MinHash-LSH (exact-verified) ==")
     pairs = dedup.q_dedup_minhash_lsh(spark, sf_dir)
     print(f"   {pairs.count()} pairs with Jaccard > 0.9")
