@@ -213,6 +213,17 @@ def quality_scores_stream(stream: DataFrame) -> DataFrame:
     return stream.select(*quality_exprs())
 
 
+def repetition_stream(stream: DataFrame) -> DataFrame:
+    """Streaming twin of q_text_repetition: the Gopher-style repetition
+    filter is pure scalar array work per doc, so it streams statelessly
+    — crawl shards in, keep/drop decisions out, at ingest rate (the
+    shape a 100 TB continuous-curation pipeline actually wants: filter
+    BEFORE anything stateful touches the doc)."""
+    from gpe.text import repetition_frame
+
+    return repetition_frame(stream)
+
+
 def chunk_stream(stream: DataFrame) -> DataFrame:
     """Streaming twin of q_text_chunk_windows — the chunker is pure
     map-side (sequence + slice per row), so it streams statelessly:

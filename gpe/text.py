@@ -618,7 +618,14 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by parquet scan speed alone. The n-gram arrays are
     per-document (≤ doc length), never corpus-wide.
     """
-    d = load_table(spark, sf_dir, "documents")
+    return repetition_frame(load_table(spark, sf_dir, "documents"))
+
+
+def repetition_frame(d: DataFrame) -> DataFrame:
+    """Shared body of q_text_repetition — map-only, so the SAME
+    expression tree runs unmodified on a document stream
+    (gpe.streaming.repetition_stream); equality asserted in
+    tests/test_streaming_equivalence.py."""
     d = d.withColumn("toks", F.split("text", " "))
     n = F.size("toks")
     # guard n>=2 / n>=3: Spark sequence(0, -1) would DESCEND, not empty

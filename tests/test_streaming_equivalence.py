@@ -407,6 +407,30 @@ def test_streaming_quality_scores_equal_batch(spark):
         q.stop()
 
 
+def test_streaming_repetition_filter_equals_batch(spark):
+    from gpe import text
+
+    doc_stream = streaming.stream_documents(spark, SF)
+    q = streaming.run_to_memory(
+        streaming.repetition_stream(doc_stream), "t_repetition", "append"
+    )
+    try:
+        cols = [
+            "doc_id",
+            "n_tokens",
+            "n_types",
+            "ttr",
+            "dup2_ratio",
+            "dup3_ratio",
+            "is_repetitive",
+        ]
+        got = _rows(spark.table("t_repetition"), cols)
+        want = _rows(text.q_text_repetition(spark, SF), cols)
+        assert got == want
+    finally:
+        q.stop()
+
+
 def test_streaming_chunker_equals_batch(spark):
     from gpe import packing
 

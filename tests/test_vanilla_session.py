@@ -102,6 +102,7 @@ drain(
     "update",
 )
 drain("v_quality", streaming.quality_scores_stream(docs()), "append")
+drain("v_repetition", streaming.repetition_stream(docs()), "append")
 drain("v_chunks", streaming.chunk_stream(docs()), "append")
 drain(
     "v_minhash",
