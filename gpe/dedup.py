@@ -266,6 +266,88 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient over the
+    near-duplicate graph — the cluster-density diagnostic a curation
+    pipeline reads to tell tight duplicate cliques (coefficient ≈ 1,
+    safe to collapse to one representative) from loose chains threaded
+    through hub documents (low coefficient, where transitive-closure
+    dedup over-merges).
+
+    Algorithm: degree-ordered edge orientation (each undirected edge
+    points at its higher-(deg, id) endpoint), wedge join on the low
+    node's out-neighbors, close with one more equi-join. Under a total
+    order every triangle has exactly one "apex" (its minimum node) and
+    one consistent closing edge, so each triangle is produced exactly
+    once — no /3 correction, no double counting (Schank & Wagner '05
+    forward algorithm; the same shape MapReduce triangle counting uses).
+
+    Scale notes (100 TB): orientation bounds each node's out-degree by
+    O(sqrt(m)) on skewed graphs — the wedge join fans out per LOW-degree
+    endpoint, so hub nodes never enumerate their full neighbor square
+    (deg² on the max-degree hub is exactly the skew-killer this avoids).
+    All three plan references of the oriented edge list come off one
+    persisted frame; the joins are plain equi-joins AQE can re-plan.
+    Clustering coefficient is integer fixed-point ((2T·1e6) DIV d(d−1))
+    — hash-stable cross-engine."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = persist_tracked(
+        _exact_jaccard_pairs(d).select("id_a", "id_b")
+    )
+    deg = persist_tracked(
+        pairs.select(F.col("id_a").alias("node"))
+        .unionByName(pairs.select(F.col("id_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # pairs always have id_a < id_b, so the deg-tie case orients a → b
+    a_first = (F.col("da") < F.col("db")) | (F.col("da") == F.col("db"))
+    e = persist_tracked(
+        pairs.join(
+            deg.select(F.col("node").alias("id_a"), F.col("deg").alias("da")),
+            "id_a",
+        )
+        .join(
+            deg.select(F.col("node").alias("id_b"), F.col("deg").alias("db")),
+            "id_b",
+        )
+        .select(
+            F.when(a_first, F.col("id_a")).otherwise(F.col("id_b")).alias("u"),
+            F.when(a_first, F.col("id_b")).otherwise(F.col("id_a")).alias("v"),
+        )
+    )
+    e1 = e.select(F.col("u"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u"), F.col("v").alias("c"))
+    e3 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    tri = (
+        e1.join(e2, "u")
+        .filter(F.col("b") != F.col("c"))
+        .join(e3, ["b", "c"])
+        .select(F.col("u").alias("a"), "b", "c")
+    )
+    per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .withColumn("triangles", F.coalesce("triangles", F.lit(0)))
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("deg").cast("long").alias("deg"),
+            F.col("triangles").cast("long").alias("triangles"),
+            F.when(
+                F.col("deg") >= 2,
+                F.expr("(2 * triangles * 1000000) DIV (deg * (deg - 1))"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("clust_e6"),
+        )
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by normalized content hash; deterministic keeper =
     min doc_id per hash group."""
@@ -1404,6 +1486,7 @@ def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "q_graph_pagerank": q_graph_pagerank,
+    "q_graph_triangles": q_graph_triangles,
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_dup_stats": q_dedup_dup_stats,
     "q_dedup_near_pairs": q_dedup_near_pairs,
@@ -1518,6 +1601,43 @@ ORACLES = {
                CAST(it3.r AS BIGINT) AS rank_e12,
                CAST(it3.r AS DOUBLE) / 1000000000000.0 AS rank
         FROM it3 JOIN deg ON deg.src = it3.node""",
+    # same degree-ordered orientation as the engine (ties orient a → b
+    # because pairs are emitted with id_a < id_b); every count and the
+    # 1e6-scaled coefficient are integers, so the hash matches the Spark
+    # DIV arithmetic exactly.
+    "q_graph_triangles": f"""
+        WITH tr_pairs AS (
+          SELECT id_a, id_b FROM ({_SQL_JACCARD_PAIRS})),
+        deg AS (
+          SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+            SELECT id_a AS node FROM tr_pairs
+            UNION ALL SELECT id_b FROM tr_pairs)
+          GROUP BY 1),
+        e AS (
+          SELECT CASE WHEN da.deg <= db.deg THEN p.id_a ELSE p.id_b END AS u,
+                 CASE WHEN da.deg <= db.deg THEN p.id_b ELSE p.id_a END AS v
+          FROM tr_pairs p
+          JOIN deg da ON da.node = p.id_a
+          JOIN deg db ON db.node = p.id_b),
+        tri AS (
+          SELECT e1.u AS a, e1.v AS b, e2.v AS c
+          FROM e e1
+          JOIN e e2 ON e2.u = e1.u AND e2.v <> e1.v
+          JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+        per_node AS (
+          SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri)
+          GROUP BY 1)
+        SELECT deg.node AS doc_id,
+               deg.deg,
+               COALESCE(per_node.triangles, 0) AS triangles,
+               CAST(CASE WHEN deg.deg >= 2
+                    THEN (2 * COALESCE(per_node.triangles, 0) * 1000000)
+                         // (deg.deg * (deg.deg - 1))
+                    ELSE 0 END AS BIGINT) AS clust_e6
+        FROM deg LEFT JOIN per_node ON per_node.node = deg.node""",
     "q_dedup_containment": _SQL_CONTAINMENT_PAIRS,
     # exact-recall guarantee (prefix filtering), so the open-vocab path
     # shares the exact containment oracle unconditionally — no band-miss

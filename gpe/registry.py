@@ -41,20 +41,27 @@ for _name in (
 # The driver hash-verifies exactly the FIRST 50 keys of queries() each round
 # (verified r1–r7: CORRECTNESS_r0N covers precisely registry indices 0-49),
 # so registry order decides which keys get hard correctness signal.
-# Round-8 window (VERDICT r7 next-round #1): (a) the 23 operators NEW
-# this round (zero driver evidence) at the very front; (b) 27 of the 31
-# keys whose latest driver row is round 4 (four rounds of module churn
-# since — the staged r7 _SECOND_WAVE plus q_ts_anomaly_zscore/
-# q_multimodal_frames). The four displaced r4-stale keys — the frozen
-# trivial set-ops q_distinct_dropdup and q_except, plus q_scalar_date /
-# q_scalar_math (their module sentinels q_scalar_date2 / q_scalar_map /
-# q_scalar_arrayops are r7-green) — head _SECOND_WAVE for r9 with the
-# ANN fills; new keys outrank stale re-checks because they have ZERO
-# driver evidence. After this round every other key's latest driver row
-# is round 5 or newer.
+# Round-8 window (VERDICT r7 next-round #1): (a) the 7 late-r8 +
+# 23 mid-r8 operators NEW this round (zero driver evidence) at the very
+# front; (b) 20 of the 31 keys whose latest driver row is round 4 (four
+# rounds of module churn since — the staged r7 _SECOND_WAVE). The
+# displaced r4-stale keys (q_text_unigram_logprob, q_text_keyphrases,
+# q_pack_sequences, q_text_chunk_windows, q_mix_temperature,
+# q_ts_anomaly_zscore, q_multimodal_frames, plus the r7 leftovers
+# q_scalar_date / q_scalar_math and the frozen trivial set-ops
+# q_distinct_dropdup / q_except) head _SECOND_WAVE for r9; new keys
+# outrank stale re-checks because they have ZERO driver evidence.
 # Keys after position 50 keep local parity (tools/parity.py) as their
 # regression net; tests/test_registry_order.py pins this window.
 HARD_SIGNAL_FIRST_50 = [
+    # --- late-round-8 operators (zero driver evidence, newest first) ---
+    "q_graph_triangles",
+    "q_text_heavy_hitters",
+    "q_ts_survival_km",
+    "q_ml_gram_moments",
+    "q_agg_decile_lift",
+    "q_agg_benford",
+    "q_ts_calendar_profile",
     # --- new round-8 operators (zero driver evidence) ---
     "q_graph_pagerank",
     "q_text_bpe_merge_step",
@@ -100,13 +107,6 @@ HARD_SIGNAL_FIRST_50 = [
     "q_subquery_correlated",
     "q_pivot_status_by_year",
     "q_catalog_schema",
-    "q_text_unigram_logprob",
-    "q_text_keyphrases",
-    "q_pack_sequences",
-    "q_text_chunk_windows",
-    "q_mix_temperature",
-    "q_ts_anomaly_zscore",
-    "q_multimodal_frames",
 ]
 
 # Next in line for round 9: first the six keys displaced by the late-r8
@@ -116,6 +116,15 @@ HARD_SIGNAL_FIRST_50 = [
 # remaining r5-green keys (oldest driver evidence after this window
 # lands). r6/r7/r8-green keys fall to the tail automatically.
 _SECOND_WAVE = [
+    # displaced from the r8 window by the 7 late-r8 keys — still
+    # r4-stale, first in line for r9 (VERDICT r7 #1 remainder)
+    "q_text_unigram_logprob",
+    "q_text_keyphrases",
+    "q_pack_sequences",
+    "q_text_chunk_windows",
+    "q_mix_temperature",
+    "q_ts_anomaly_zscore",
+    "q_multimodal_frames",
     "q_scalar_date",
     "q_scalar_math",
     "q_vec_ann_lsh",

@@ -1947,7 +1947,161 @@ def q_agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BENFORD_E6 = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 58503, 8: 51153, 9: 45757,
+}  # floor(log10(1+1/d) * 1e6), precomputed so neither engine calls libm
+
+
+def q_agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screen over order totals — the classic
+    forensic data-quality check (fabricated or unit-mangled monetary
+    columns drift from the log-uniform first-digit law; Nigrini '96).
+    Output per digit 1-9: row count, observed share (1e6 fixed-point)
+    and the deviation from the Benford expectation.
+
+    Determinism: the digit comes from the STRING head of the integral
+    part (FLOOR then cast — no log10, whose libm rounding differs per
+    platform); shares are integer DIV; the Benford expectations are
+    precomputed integer literals. Every output column is exact.
+
+    Scale notes (100 TB): one projected scan → 9-group partial
+    aggregate; the total is a 1-row broadcast. This is the cheapest
+    possible full-column profile — the shuffle carries 9 rows per
+    map task."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.filter(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    tot = d.agg(F.count(F.lit(1)).alias("n_total"))
+    bf = F.create_map(
+        *[F.lit(x) for kv in _BENFORD_E6.items() for x in kv]
+    )
+    return (
+        d.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_rows",
+            F.expr("(n_rows * 1000000) DIV n_total").alias("share_e6"),
+            bf[F.col("digit")].cast("long").alias("benford_e6"),
+            (
+                F.expr("(n_rows * 1000000) DIV n_total")
+                - bf[F.col("digit")].cast("long")
+            ).alias("dev_e6"),
+        )
+    )
+
+
+def q_agg_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-value decile lift table — the marketing/analytics gains
+    chart: customers ranked by total spend, cut into 10 deciles, each
+    decile's revenue share and lift vs the average customer (decile 1 =
+    top spenders; lift_e6 > 1e6 means the decile outspends the mean).
+
+    Determinism: spend is an exact-decimal cents LONG; the decile comes
+    from the distributed two-pass NTILE with (spend DESC, custkey) as a
+    total order; share/lift/cum_share are integer fixed-point (the lift
+    cross-multiplies cents×counts instead of dividing averages, so no
+    float ever enters).
+
+    Scale notes (100 TB): per-customer aggregate (one map-side-partial
+    shuffle over #customers rows), ONE range shuffle for the global
+    decile (two_pass_ntile — never a single-task global window), then a
+    10-row aggregate; the cumulative share runs on the 10-row frame.
+    The overall totals are a 1-row broadcast."""
+    from gpe.common import two_pass_ntile
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.groupBy("o_custkey").agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+        ).alias("spend_c")
+    )
+    scored = two_pass_ntile(
+        spark, base, 10, [F.desc("spend_c"), F.asc("o_custkey")], "decile"
+    )
+    deciles = scored.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("spend_c").alias("revenue_c"),
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum("spend_c").alias("rev_total_c"),
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        deciles.crossJoin(F.broadcast(tot))
+        .withColumn("cum_rev_c", F.sum("revenue_c").over(w))
+        .select(
+            "decile",
+            "n_customers",
+            (F.col("revenue_c") / 100.0).alias("revenue"),
+            F.expr("(revenue_c * 1000000) DIV rev_total_c").alias(
+                "share_e6"
+            ),
+            F.expr("(cum_rev_c * 1000000) DIV rev_total_c").alias(
+                "cum_share_e6"
+            ),
+            # lift from the floored share (share_e6 ≤ 1e6, × #customers
+            # stays far under int64; the 3-way cross-multiply would
+            # overflow cents×count×1e6 beyond ~sf100)
+            F.expr(
+                "(((revenue_c * 1000000) DIV rev_total_c) * n_total)"
+                " DIV n_customers"
+            ).alias("lift_e6"),
+        )
+    )
+
+
+def q_ml_gram_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normal-equation moment assembly for a distributed linear model —
+    per return flag, every Gram/cross moment needed to fit
+    price ~ quantity + discount by least squares (n, Σx, Σxxᵀ, Σxy).
+    This is the scale-correct half of distributed regression: the O(N)
+    sums reduce in ONE map-side-partial pass; the O(k³) solve of the
+    3×3 system happens wherever the 3-row result lands (driver, or a
+    notebook) — shipping moments, not rows, is how 100 TB fits are done
+    (the classic "statistical queries" / summation-form pattern, e.g.
+    Chu et al. NIPS'06 map-reduce ML).
+
+    Determinism: features are integer fixed-point up front (quantity is
+    integral; discount scaled e2 and price to cents via FLOOR(x·s+0.5)
+    — IEEE multiply+floor is bit-identical cross-engine, unlike
+    CAST-to-int rounding which truncates in Spark but rounds in DuckDB).
+    All nine moments are exact BIGINT sums — hash-stable under any
+    partitioning or summation order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.select(
+        "l_returnflag",
+        F.floor(F.col("l_quantity") + 0.5).cast("long").alias("q"),
+        F.floor(F.col("l_discount") * 100 + 0.5).cast("long").alias("d2"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("long")
+        .alias("pc"),
+    )
+    return f.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("s_q"),
+        F.sum("d2").alias("s_d_e2"),
+        F.sum("pc").alias("s_p_c"),
+        F.sum(F.col("q") * F.col("q")).alias("s_qq"),
+        F.sum(F.col("q") * F.col("d2")).alias("s_qd_e2"),
+        F.sum(F.col("d2") * F.col("d2")).alias("s_dd_e4"),
+        F.sum(F.col("q") * F.col("pc")).alias("s_qp_c"),
+        F.sum(F.col("d2") * F.col("pc")).alias("s_dp_ce2"),
+    )
+
+
 QUERIES = {
+    "q_agg_benford": q_agg_benford,
+    "q_agg_decile_lift": q_agg_decile_lift,
+    "q_ml_gram_moments": q_ml_gram_moments,
     "q_agg_market_basket": q_agg_market_basket,
     "q_agg_groupby": q_agg_groupby,
     "q_agg_weighted_median": q_agg_weighted_median,
@@ -2014,7 +2168,80 @@ QUERIES = {
 
 _REV_DEC = f"{sql_dec('l_extendedprice')} * {sql_dec('1 - l_discount')}"
 
+_SQL_BENFORD_CASE = (
+    "CASE g.digit "
+    + " ".join(f"WHEN {d} THEN {v}" for d, v in _BENFORD_E6.items())
+    + " END"
+)
+
 ORACLES = {
+    # digit from the string head of the FLOORed integral part (no log10 —
+    # libm-free on both engines); shares and deviations all-integer.
+    "q_agg_benford": f"""
+        WITH d AS (
+          SELECT CAST(SUBSTRING(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                                     AS VARCHAR), 1, 1) AS INTEGER) AS digit
+          FROM orders WHERE o_totalprice >= 1),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM d),
+        g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_rows
+              FROM d GROUP BY 1)
+        SELECT g.digit, g.n_rows,
+               (g.n_rows * 1000000) // tot.n_total AS share_e6,
+               CAST({_SQL_BENFORD_CASE} AS BIGINT) AS benford_e6,
+               (g.n_rows * 1000000) // tot.n_total
+                 - CAST({_SQL_BENFORD_CASE} AS BIGINT) AS dev_e6
+        FROM g, tot""",
+    # NTILE over the identical (spend DESC, custkey) total order; all
+    # fixed-point arithmetic mirrors the engine's DIV chain, including
+    # the lift-from-floored-share form (overflow discipline).
+    "q_agg_decile_lift": """
+        WITH base AS (
+          SELECT o_custkey,
+                 CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                               AS BIGINT)) AS BIGINT) AS spend_c
+          FROM orders GROUP BY 1),
+        scored AS (
+          SELECT o_custkey, spend_c,
+                 CAST(NTILE(10) OVER (ORDER BY spend_c DESC, o_custkey)
+                      AS INTEGER) AS decile
+          FROM base),
+        dg AS (
+          SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+                 CAST(SUM(spend_c) AS BIGINT) AS revenue_c
+          FROM scored GROUP BY 1),
+        tot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+                 CAST(SUM(spend_c) AS BIGINT) AS rev_total_c
+          FROM base)
+        SELECT decile, n_customers,
+               CAST(revenue_c AS DOUBLE) / 100.0 AS revenue,
+               (revenue_c * 1000000) // rev_total_c AS share_e6,
+               (CAST(SUM(revenue_c) OVER (ORDER BY decile
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) * 1000000)
+                 // rev_total_c AS cum_share_e6,
+               (((revenue_c * 1000000) // rev_total_c) * n_total)
+                 // n_customers AS lift_e6
+        FROM dg, tot""",
+    # FLOOR(x·s + 0.5) scaling on both sides (CAST-to-int would round in
+    # DuckDB but truncate in Spark); nine exact BIGINT moments.
+    "q_ml_gram_moments": """
+        WITH f AS (
+          SELECT l_returnflag,
+                 CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS q,
+                 CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS d2,
+                 CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS pc
+          FROM lineitem)
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(q) AS BIGINT) AS s_q,
+               CAST(SUM(d2) AS BIGINT) AS s_d_e2,
+               CAST(SUM(pc) AS BIGINT) AS s_p_c,
+               CAST(SUM(q * q) AS BIGINT) AS s_qq,
+               CAST(SUM(q * d2) AS BIGINT) AS s_qd_e2,
+               CAST(SUM(d2 * d2) AS BIGINT) AS s_dd_e4,
+               CAST(SUM(q * pc) AS BIGINT) AS s_qp_c,
+               CAST(SUM(d2 * pc) AS BIGINT) AS s_dp_ce2
+        FROM f GROUP BY 1""",
     "q_agg_market_basket": """
         WITH ob AS (
           SELECT DISTINCT l.l_orderkey, p.p_brand

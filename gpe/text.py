@@ -124,6 +124,78 @@ def q_text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
 
 
+_HH_CAP = 1023  # Misra-Gries capacity ⇒ guaranteed recall for share > 1/1024
+_HH_DEN = 1000  # heavy hitter = strictly more than 1/1000 of all bigrams
+
+
+def _mg_partition(batches):
+    """Per-partition Misra-Gries summary over the bigram stream —
+    bounded at _HH_CAP entries no matter how many distinct bigrams flow
+    through. Batch merge per Agarwal et al., "Mergeable Summaries"
+    (PODS'12): add the batch's counts, then if over capacity subtract
+    the (cap+1)-th largest count from everything and drop non-positives
+    — the total decrement stays ≤ n/(cap+1), so any bigram with global
+    share > 1/(cap+1) survives in at least one partition."""
+    import pandas as pd
+
+    counts: dict = {}
+    for pdf in batches:
+        for g, c in pdf["bigram"].value_counts().items():
+            counts[g] = counts.get(g, 0) + int(c)
+        if len(counts) > _HH_CAP:
+            vals = sorted(counts.values(), reverse=True)
+            m = vals[_HH_CAP]
+            counts = {g: c - m for g, c in counts.items() if c > m}
+    yield pd.DataFrame({"bigram": list(counts.keys())})
+
+
+def q_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy-hitter bigrams (share > 1/1000) found the
+    bounded-memory way: per-partition Misra-Gries sketches (O(cap)
+    state each) generate a candidate set that provably contains every
+    true heavy hitter; one exact recount restricted to the broadcast
+    candidates then filters to the true hitters. The output is EXACT —
+    the sketch only prunes the candidate space — which is why the
+    oracle is the plain quadratic count-filter.
+
+    Scale notes (100 TB): the naive plan (groupBy over ALL bigrams)
+    shuffles one row per distinct n-gram — billions at corpus scale,
+    and the #1 OOM source in frequency mining. Here the shuffle carries
+    only ≤ #partitions × 1024 candidate rows, the candidate set
+    broadcasts, and the recount is a map-side semi join + partial agg.
+    State per task is capped at 1024 entries regardless of data volume
+    (Misra & Gries '82; the same summary SpaceSaving/CMS pipelines
+    ship). Python crossing is one Arrow-batched mapInPandas."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.withColumn("_toks", F.split("text", " ")).filter(
+        F.size("_toks") >= 2
+    )
+    bigrams = persist_tracked(
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(_toks) - 2),"
+                    " i -> concat_ws(' ', _toks[i], _toks[i + 1]))"
+                )
+            ).alias("bigram")
+        )
+    )
+    cand = bigrams.mapInPandas(_mg_partition, "bigram string").distinct()
+    tot = bigrams.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        bigrams.join(F.broadcast(cand), "bigram")
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.lit(_HH_DEN) * F.col("n") > F.col("n_total"))
+        .select(
+            "bigram",
+            "n",
+            F.expr("(n * 1000000) DIV n_total").alias("share_e6"),
+        )
+    )
+
+
 def quality_exprs() -> list:
     """The quality-score expression tree over the documents shape — shared
     verbatim by the batch op and the streaming twin (stateless, so the
@@ -832,6 +904,7 @@ QUERIES = {
     "q_text_stats": q_text_stats,
     "q_text_tfidf_topterms": q_text_tfidf_topterms,
     "q_text_ngrams": q_text_ngrams,
+    "q_text_heavy_hitters": q_text_heavy_hitters,
     "q_text_quality": q_text_quality,
     "q_text_langid": q_text_langid,
     "q_text_tokencount": q_text_tokencount,
@@ -1091,6 +1164,26 @@ ORACLES = {
           FROM scored)
         SELECT lang, term, tf, df, score, rank
         FROM ranked WHERE rank <= 5""",
+    # the engine's Misra-Gries pass only PRUNES candidates (recall is
+    # guaranteed for share > 1/1024 > threshold 1/1000) and the final
+    # counts are exact recounts — so the oracle is the plain
+    # count-and-filter formulation.
+    "q_text_heavy_hitters": """
+        WITH toks AS (
+          SELECT doc_id,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos,
+                 unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+        bg AS (
+          SELECT tok || ' ' || lead(tok) OVER w AS bigram
+          FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+          QUALIFY lead(tok) OVER w IS NOT NULL),
+        c AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+              FROM bg GROUP BY 1),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM c)
+        SELECT bigram, n, (n * 1000000) // tot.n_total AS share_e6
+        FROM c, tot
+        WHERE 1000 * n > tot.n_total""",
     "q_text_ngrams": """
         WITH pos_tok AS (
           SELECT doc_id,

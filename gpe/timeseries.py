@@ -1333,7 +1333,135 @@ def q_ts_daily_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_calendar_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly calendar heatmap — event volume and value by (ISO weekday,
+    hour-of-day), the load-profile rollup every ops/analytics dashboard
+    draws (when does traffic land, which cells carry the value).
+
+    Determinism: Spark's dayofweek() is 1=Sunday while DuckDB's isodow
+    is 1=Monday, so the engine maps (dayofweek+5)%7+1 to ISO; shares are
+    integer fixed-point, value sums exact-decimal.
+
+    Scale notes (100 TB): pure map-side bucket expressions → one partial
+    aggregate to ≤168 cells; the share denominator is a 1-row broadcast.
+    This is the cheapest shape a scan-heavy profile can take."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy(
+        F.expr("(dayofweek(ts) + 5) % 7 + 1").cast("int").alias("isodow"),
+        F.hour("ts").cast("int").alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", "sum_value"),
+    )
+    tot = ev.agg(F.count(F.lit(1)).alias("n_total"))
+    return g.crossJoin(F.broadcast(tot)).select(
+        "isodow",
+        "hour",
+        "n_events",
+        "sum_value",
+        F.expr("(n_events * 1000000) DIV n_total").alias("share_e6"),
+    )
+
+
+def q_ts_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve over customer reorder delay — the
+    censoring-correct answer to "how long until a customer orders
+    again?" (Kaplan & Meier '58). Subjects enter at their FIRST order;
+    the event is the SECOND order (duration = day gap); customers who
+    never reorder are right-censored at the global last order date.
+    Output: one row per event time with the risk-set size, event count,
+    the per-step log factor and the running product (survival).
+
+    Determinism: durations are integer days off a row_number total
+    order (date + orderkey tiebreak); the risk set is a reverse running
+    sum of integer counts; each step's ln((n−d)/n) is e6-floored to a
+    LONG before the cumulative sum (the q_text_unigram_logprob libm
+    idiom), so the curve's fixed-point column hashes identically
+    cross-engine; only the final exp returns to double (ε-rounded).
+
+    Scale notes (100 TB): one partitioned window over orders grouped by
+    customer (single shuffle), a subject-level aggregate, then ALL
+    curve arithmetic runs on the #distinct-durations frame (bounded by
+    the calendar span in days, thousands of rows at any data scale) —
+    the windows there are aggregate-frame windows, never a global sort
+    of subjects. The censoring anchor is a 1-row broadcast."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    r = o.select(
+        "o_custkey", "o_orderdate", F.row_number().over(w).alias("rn")
+    )
+    anchor = o.agg(F.max("o_orderdate").alias("_anchor"))
+    per = (
+        r.groupBy("o_custkey")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("o_orderdate"))).alias(
+                "first_d"
+            ),
+            F.min(F.when(F.col("rn") == 2, F.col("o_orderdate"))).alias(
+                "second_d"
+            ),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            F.when(
+                F.col("second_d").isNotNull(),
+                F.datediff("second_d", "first_d"),
+            )
+            .otherwise(F.datediff("_anchor", "first_d"))
+            .cast("long")
+            .alias("dur_days"),
+            F.col("second_d").isNotNull().cast("int").alias("event"),
+        )
+    )
+    g = per.groupBy("dur_days").agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum("event").cast("long").alias("n_events"),
+    )
+    w_risk = Window.orderBy("dur_days").rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    risk = g.withColumn("n_risk", F.sum("n_all").over(w_risk))
+    ev = risk.filter(F.col("n_events") > 0).withColumn(
+        "factor_e6",
+        F.when(
+            F.col("n_events") < F.col("n_risk"),
+            F.floor(
+                F.log(
+                    (F.col("n_risk") - F.col("n_events"))
+                    / F.col("n_risk")
+                )
+                * F.lit(1_000_000)
+                + F.lit(EPS)
+            ).cast("long"),
+        ),
+    )
+    w_cum = Window.orderBy("dur_days").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return ev.withColumn(
+        "log_surv_e6", F.sum("factor_e6").over(w_cum)
+    ).select(
+        F.col("dur_days").alias("t_days"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        "n_events",
+        "factor_e6",
+        "log_surv_e6",
+        F.when(
+            F.col("factor_e6").isNull(), F.lit(0.0)
+        )
+        .otherwise(
+            F.round(
+                F.exp(F.col("log_surv_e6") / F.lit(1_000_000.0)) + F.lit(EPS),
+                6,
+            )
+        )
+        .alias("surv"),
+    )
+
+
 QUERIES = {
+    "q_ts_calendar_profile": q_ts_calendar_profile,
+    "q_ts_survival_km": q_ts_survival_km,
     "q_ts_active_users": q_ts_active_users,
     "q_ts_daily_percentiles": q_ts_daily_percentiles,
     "q_ts_anomaly_zscore": q_ts_anomaly_zscore,
@@ -1384,6 +1512,69 @@ _ACF_LAG_COLS = ",\n                 ".join(
 )
 
 ORACLES = {
+    # isodow native in DuckDB; the engine maps Spark's 1=Sunday
+    # dayofweek to ISO — fixed-point share, decimal value sum.
+    "q_ts_calendar_profile": f"""
+        WITH g AS (
+          SELECT CAST(EXTRACT(isodow FROM ts) AS INTEGER) AS isodow,
+                 CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour,
+                 CAST(COUNT(*) AS BIGINT) AS n_events,
+                 {sql_dsum("value", "sum_value")}
+          FROM events GROUP BY 1, 2),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM events)
+        SELECT isodow, hour, n_events, sum_value,
+               (n_events * 1000000) // tot.n_total AS share_e6
+        FROM g, tot""",
+    # identical row_number total order, reverse running-sum risk set,
+    # e6-floored ln factors summed as BIGINT; only the final exp is
+    # double (ε-rounded) — mirrors the engine column for column.
+    "q_ts_survival_km": f"""
+        WITH r AS (
+          SELECT o_custkey, o_orderdate,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS rn
+          FROM orders),
+        anchor AS (SELECT MAX(o_orderdate) AS a FROM orders),
+        subj AS (
+          SELECT o_custkey,
+                 MIN(CASE WHEN rn = 1 THEN o_orderdate END) AS first_d,
+                 MIN(CASE WHEN rn = 2 THEN o_orderdate END) AS second_d
+          FROM r GROUP BY 1),
+        per AS (
+          SELECT CAST(CASE WHEN second_d IS NOT NULL
+                      THEN date_diff('day', CAST(first_d AS DATE),
+                                     CAST(second_d AS DATE))
+                      ELSE date_diff('day', CAST(first_d AS DATE),
+                                     CAST(anchor.a AS DATE))
+                      END AS BIGINT) AS dur_days,
+                 CASE WHEN second_d IS NOT NULL THEN 1 ELSE 0 END AS event
+          FROM subj, anchor),
+        g AS (
+          SELECT dur_days, CAST(COUNT(*) AS BIGINT) AS n_all,
+                 CAST(SUM(event) AS BIGINT) AS n_events
+          FROM per GROUP BY 1),
+        risk AS (
+          SELECT dur_days, n_events,
+                 CAST(SUM(n_all) OVER (ORDER BY dur_days
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                      AS BIGINT) AS n_risk
+          FROM g),
+        ev AS (
+          SELECT dur_days, n_risk, n_events,
+                 CASE WHEN n_events < n_risk THEN
+                   CAST(FLOOR(LN(CAST(n_risk - n_events AS DOUBLE) / n_risk)
+                              * 1000000 + {EPS}) AS BIGINT)
+                 END AS factor_e6
+          FROM risk WHERE n_events > 0)
+        SELECT dur_days AS t_days, n_risk, n_events, factor_e6,
+               CAST(SUM(factor_e6) OVER (ORDER BY dur_days
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS log_surv_e6,
+               CASE WHEN factor_e6 IS NULL THEN 0.0
+                    ELSE ROUND(EXP(CAST(SUM(factor_e6) OVER (ORDER BY
+                           dur_days ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                           / 1000000.0) + {EPS}, 6)
+               END AS surv
+        FROM ev""",
     "q_ts_daily_percentiles": f"""
         SELECT event_type,
                CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
