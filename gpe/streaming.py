@@ -224,6 +224,42 @@ def repetition_stream(stream: DataFrame) -> DataFrame:
     return repetition_frame(stream)
 
 
+def bigram_counts_stream(stream: DataFrame) -> DataFrame:
+    """Streaming half of q_text_heavy_hitters: bigram explode (stateless,
+    map-side) into a streaming count — one state-store row per distinct
+    bigram, sharded by the grouping key exactly like the batch shuffle.
+    The heavy-hitter CUT lives in the SINK (it needs the global bigram
+    total, a cross-row ratio — the same sink-side-derivation rule as the
+    active-users twin): read the materialized counts, threshold with the
+    identical integer predicate. The batch operator's Misra-Gries pass
+    is a batch-only candidate pruner; the streaming-native bound on
+    state is the watermark/TTL policy of the state store, so the twin
+    keeps exact counts and stays bit-equal to the batch recount."""
+    from gpe.text import bigram_frame
+
+    return bigram_frame(stream).groupBy("bigram").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def heavy_hitters_from_counts(counts: DataFrame) -> DataFrame:
+    """Sink-side threshold cut over the materialized streaming counts —
+    the same integer predicate and fixed-point share as the batch
+    operator (share > 1/_HH_DEN)."""
+    from gpe.text import _HH_DEN
+
+    tot = counts.agg(F.sum("n").alias("n_total"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .filter(F.lit(_HH_DEN) * F.col("n") > F.col("n_total"))
+        .select(
+            "bigram",
+            "n",
+            F.expr("(n * 1000000) DIV n_total").alias("share_e6"),
+        )
+    )
+
+
 def chunk_stream(stream: DataFrame) -> DataFrame:
     """Streaming twin of q_text_chunk_windows — the chunker is pure
     map-side (sequence + slice per row), so it streams statelessly:

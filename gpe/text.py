@@ -149,6 +149,22 @@ def _mg_partition(batches):
     yield pd.DataFrame({"bigram": list(counts.keys())})
 
 
+def bigram_frame(d: DataFrame) -> DataFrame:
+    """Map-side bigram explode shared by the batch heavy-hitter operator
+    and its streaming twin — one `bigram` column, no shuffle."""
+    toks = d.withColumn("_toks", F.split("text", " ")).filter(
+        F.size("_toks") >= 2
+    )
+    return toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(_toks) - 2),"
+                " i -> concat_ws(' ', _toks[i], _toks[i + 1]))"
+            )
+        ).alias("bigram")
+    )
+
+
 def q_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT heavy-hitter bigrams (share > 1/1000) found the
     bounded-memory way: per-partition Misra-Gries sketches (O(cap)
@@ -167,19 +183,7 @@ def q_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Misra & Gries '82; the same summary SpaceSaving/CMS pipelines
     ship). Python crossing is one Arrow-batched mapInPandas."""
     d = load_table(spark, sf_dir, "documents")
-    toks = d.withColumn("_toks", F.split("text", " ")).filter(
-        F.size("_toks") >= 2
-    )
-    bigrams = persist_tracked(
-        toks.select(
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(_toks) - 2),"
-                    " i -> concat_ws(' ', _toks[i], _toks[i + 1]))"
-                )
-            ).alias("bigram")
-        )
-    )
+    bigrams = persist_tracked(bigram_frame(d))
     cand = bigrams.mapInPandas(_mg_partition, "bigram string").distinct()
     tot = bigrams.agg(F.count(F.lit(1)).alias("n_total"))
     return (

@@ -431,6 +431,32 @@ def test_streaming_repetition_filter_equals_batch(spark):
         q.stop()
 
 
+def test_streaming_heavy_hitters_equals_batch(spark):
+    """Streaming bigram counts (complete mode) + the sink-side threshold
+    cut must reproduce the batch Misra-Gries + exact-recount operator
+    row for row — the sketch is a batch-only pruner, so both paths land
+    on the same exact counts."""
+    from gpe import text
+
+    doc_stream = streaming.stream_documents(spark, SF)
+    q = streaming.run_to_memory(
+        streaming.bigram_counts_stream(doc_stream), "t_bigram_counts",
+        "complete",
+    )
+    try:
+        cols = ["bigram", "n", "share_e6"]
+        got = _rows(
+            streaming.heavy_hitters_from_counts(
+                spark.table("t_bigram_counts")
+            ),
+            cols,
+        )
+        want = _rows(text.q_text_heavy_hitters(spark, SF), cols)
+        assert got == want and len(got) > 0
+    finally:
+        q.stop()
+
+
 def test_streaming_chunker_equals_batch(spark):
     from gpe import packing
 
