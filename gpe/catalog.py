@@ -18,6 +18,7 @@ import os
 from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
 
+from gpe.common import persist_tracked
 from gpe.io import TABLES, load_table, write_partitioned
 
 
@@ -328,15 +329,118 @@ def q_catalog_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# Candidate (child.col → parent.key) pairs the FK-discovery profiler
+# audits — the declared join graph plus one partial link (events.user_id
+# covers only active customers) and one deliberate NEGATIVE control
+# (p_size → n_nationkey: a value-range coincidence, not a key).
+_FK_CANDIDATES = [
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("events", "user_id", "customer", "c_custkey"),
+    ("part", "p_size", "nation", "n_nationkey"),
+]
+
+
+def q_catalog_fk_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key discovery — the catalog profiler that AUDITS the join
+    graph instead of assuming it: for each candidate (child.col →
+    parent.key) pair, the distinct child values, distinct parent keys,
+    how many child values resolve in the parent, and the containment
+    ratio. containment_e6 = 1e6 ⇒ an inclusion dependency holds (a real
+    FK); the events→customer link shows partial containment and the
+    p_size→nationkey negative control shows why value-range overlap
+    alone is not a key (Bauckmann et al.'s SPIDER / Papenbrock's inclusion-
+    dependency mining literature — here as a declarative Spark plan).
+
+    Determinism: all counts are exact BIGINTs over DISTINCT sets;
+    containment is integer DIV — no floats anywhere.
+
+    Scale notes (100 TB): per pair, two distinct-aggregates (map-side
+    partial shuffles over the projected key column only) and ONE
+    equi-join of the two distinct KEY SETS — never the raw tables; AQE
+    broadcasts whichever side is small (nation/region always, customer
+    after distinct usually). The output is #candidates rows. This is the
+    profile-once-then-broadcast shape inclusion-dependency miners use;
+    at lake scale you'd seed candidates from type/name affinity exactly
+    like this fixed list."""
+    parts = []
+    for child, ccol, parent, pcol in _FK_CANDIDATES:
+        cd = (
+            load_table(spark, sf_dir, child)
+            .select(F.col(ccol).cast("long").alias("k"))
+            .filter(F.col("k").isNotNull())
+            .distinct()
+        )
+        pd_ = persist_tracked(
+            load_table(spark, sf_dir, parent)
+            .select(F.col(pcol).cast("long").alias("k"))
+            .distinct()
+        )
+        joined = cd.join(
+            pd_.withColumn("_hit", F.lit(1)), "k", "left"
+        ).agg(
+            F.count(F.lit(1)).alias("n_child_keys"),
+            F.count("_hit").alias("n_matched"),
+        )
+        pn = pd_.agg(F.count(F.lit(1)).alias("n_parent_keys"))
+        parts.append(
+            joined.crossJoin(F.broadcast(pn)).select(
+                F.lit(f"{child}.{ccol}").alias("child_col"),
+                F.lit(f"{parent}.{pcol}").alias("parent_col"),
+                "n_child_keys",
+                "n_parent_keys",
+                "n_matched",
+                F.expr("(n_matched * 1000000) DIV n_child_keys").alias(
+                    "containment_e6"
+                ),
+                (F.col("n_matched") == F.col("n_child_keys")).alias(
+                    "is_contained"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _fk_infer_oracle() -> str:
+    members = []
+    for child, ccol, parent, pcol in _FK_CANDIDATES:
+        members.append(f"""
+        SELECT '{child}.{ccol}' AS child_col,
+               '{parent}.{pcol}' AS parent_col,
+               cd.n AS n_child_keys, pn.n AS n_parent_keys, m.n AS n_matched,
+               (m.n * 1000000) // cd.n AS containment_e6,
+               m.n = cd.n AS is_contained
+        FROM (SELECT CAST(COUNT(DISTINCT {ccol}) AS BIGINT) AS n
+              FROM {child} WHERE {ccol} IS NOT NULL) cd,
+             (SELECT CAST(COUNT(DISTINCT {pcol}) AS BIGINT) AS n
+              FROM {parent}) pn,
+             (SELECT CAST(COUNT(*) AS BIGINT) AS n
+              FROM (SELECT DISTINCT CAST({ccol} AS BIGINT) AS k
+                    FROM {child} WHERE {ccol} IS NOT NULL) dc
+              JOIN (SELECT DISTINCT CAST({pcol} AS BIGINT) AS k
+                    FROM {parent}) dp USING (k)) m""")
+    return " UNION ALL ".join(members)
+
+
 QUERIES = {
     "q_catalog_column_stats": q_catalog_column_stats,
     "q_catalog_schema": q_catalog_schema,
     "q_catalog_partition_profile": q_catalog_partition_profile,
     "q_join_partition_pruned": q_join_partition_pruned,
     "q_catalog_quality_checks": q_catalog_quality_checks,
+    "q_catalog_fk_infer": q_catalog_fk_infer,
 }
 
 ORACLES = {
+    "q_catalog_fk_infer": _fk_infer_oracle(),
     "q_catalog_quality_checks": """
         SELECT 'orders' AS table_name, 'pk_unique_o_orderkey' AS check_name,
                CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -404,6 +404,40 @@ def q_source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink made driver-visible — the last §2.1 interchange
+    format still unit-test-only after JSON (r7) and CSV (r8) graduated:
+    customer is written as ORC and read back with an EXPLICIT schema,
+    then profiled per market segment. The oracle profiles the SOURCE
+    parquet, so a green hash proves the ORC round trip is lossless —
+    including the double column (ORC stores IEEE doubles natively, so
+    unlike CSV/JSON there is no print→parse cycle to survive; a mismatch
+    here would mean type coercion, not formatting).
+
+    WRITE-PATH-BY-DESIGN: plan construction performs the write (the
+    interchange round trip IS the operator under test); the returned
+    plan is the lazy readback profile. Scale notes (100 TB): shuffle-free
+    columnar write; the explicit schema skips footer-driven inference on
+    the read; ORC carries column statistics so the same predicate/
+    projection pushdown as parquet applies to the readback scan."""
+    import os as _os
+
+    from gpe.common import dec, scratch_path
+
+    sfname = _os.path.basename(sf_dir.rstrip("/"))
+    path = scratch_path(f"orc_roundtrip_{sfname}")
+    cust = load_table(spark, sf_dir, "customer")
+    cust.write.mode("overwrite").orc(path)
+    back = spark.read.schema(cust.schema).orc(path)
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.count_distinct("c_nationkey").alias("n_nations"),
+        F.round(F.sum(dec("c_acctbal")), 2).cast("double").alias("total_bal"),
+        F.min("c_custkey").alias("min_custkey"),
+        F.max("c_custkey").alias("max_custkey"),
+    )
+
+
 QUERIES = {
     "q_scan_parquet": q_scan_parquet,
     "q_scan_projected": q_scan_projected,
@@ -412,9 +446,22 @@ QUERIES = {
     "q_source_json_roundtrip": q_source_json_roundtrip,
     "q_source_csv_roundtrip": q_source_csv_roundtrip,
     "q_source_schema_evolution": q_source_schema_evolution,
+    "q_source_orc_roundtrip": q_source_orc_roundtrip,
 }
 
 ORACLES = {
+    # profile of the SOURCE table — hash-equality with the ORC readback
+    # proves the columnar round trip (types, native IEEE doubles) is
+    # lossless
+    "q_source_orc_roundtrip": """
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+               CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2)
+                    AS DOUBLE) AS total_bal,
+               MIN(c_custkey) AS min_custkey,
+               MAX(c_custkey) AS max_custkey
+        FROM customer GROUP BY 1""",
     # profile of the SOURCE table — hash-equality with the CSV readback
     # proves the CSV dialect round trip (quoting, timestamp format,
     # double shortest-repr) is lossless

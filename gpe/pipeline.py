@@ -224,7 +224,74 @@ def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gate_frame(d: DataFrame) -> DataFrame:
+    """Per-document gate decision for q_pipeline_quality_gate — map-side
+    only (split/distinct/filter scalar array exprs), so the SAME tree
+    runs unmodified on a document stream (gpe.streaming.
+    quality_gate_stream). Rules short-circuit IN ORDER (CaseWhen), so
+    drop_reason is the FIRST failing rule — the attribution a filter
+    funnel dashboard needs."""
+    from gpe.text import _STOPWORDS, _floor6
+
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    ttr = _floor6(F.size(F.array_distinct(toks)), n_tokens)
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    stop_ratio = _floor6(
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))),
+        n_tokens,
+    )
+    reason = (
+        F.when(n_tokens < 20, F.lit("too_short"))
+        .when(ttr <= 0.40, F.lit("repetitive"))
+        .when(stop_ratio >= 0.10, F.lit("stopword_heavy"))
+        .otherwise(F.lit("kept"))
+    )
+    return d.select(
+        "doc_id", "source", "n_chars", reason.alias("drop_reason")
+    )
+
+
+def q_pipeline_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pretraining filter funnel — every corpus pipeline's first
+    dashboard: documents flow through ordered gates (too short →
+    repetitive → stopword-heavy → kept) and each doc is attributed to
+    the FIRST rule that drops it (C4/Gopher-style curation, Raffel et
+    al. 2020 §2.2 / Rae et al. 2021 §A1.1). Output per (source,
+    drop_reason): doc count, total chars, and the share of that
+    source's docs — the keep-rate-by-source view that decides which
+    crawl sources are worth their storage.
+
+    Determinism: the gate thresholds compare e6-floored ratios (exact
+    k/1e6 doubles, identical both engines); shares are integer DIV.
+
+    Scale notes (100 TB): the per-doc decision is ENTIRELY map-side
+    scalar array expressions in whole-stage codegen — no explode, no
+    join; the decision frame is persisted once and feeds the two
+    aggregations (cells + per-source totals, both map-side partials to
+    ≤ #sources×4 rows); the totals join broadcasts."""
+    from gpe.common import persist_tracked
+
+    d = load_table(spark, sf_dir, "documents")
+    gate = persist_tracked(gate_frame(d))
+    g = gate.groupBy("source", "drop_reason").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    tot = gate.groupBy("source").agg(
+        F.count(F.lit(1)).alias("src_total")
+    )
+    return g.join(F.broadcast(tot), "source").select(
+        "source",
+        "drop_reason",
+        "n_docs",
+        "total_chars",
+        F.expr("(n_docs * 1000000) DIV src_total").alias("share_e6"),
+    )
+
+
 QUERIES = {
+    "q_pipeline_quality_gate": q_pipeline_quality_gate,
     "q_sample_systematic": q_sample_systematic,
     "q_text_ngram_novelty": q_text_ngram_novelty,
     "q_sample_stratified": q_sample_stratified,
@@ -246,6 +313,39 @@ def _oracles() -> dict[str, str]:
         f"SELECT doc_id, quality_score FROM ({_TXT['q_text_quality']})"
     )
     return {
+        # same ordered CASE gate over the same e6-floored ratios; the
+        # stopword list is inlined from text._STOPWORDS
+        "q_pipeline_quality_gate": """
+            WITH base AS (
+              SELECT doc_id, source, n_chars,
+                     CASE
+                       WHEN len(string_split(text, ' ')) < 20
+                         THEN 'too_short'
+                       WHEN FLOOR(len(list_distinct(string_split(text, ' ')))
+                                  * 1000000.0
+                                  / len(string_split(text, ' ')))
+                            / 1000000.0 <= 0.40
+                         THEN 'repetitive'
+                       WHEN FLOOR(len(list_filter(string_split(text, ' '),
+                                                  x -> x IN ('the', 'a')))
+                                  * 1000000.0
+                                  / len(string_split(text, ' ')))
+                            / 1000000.0 >= 0.10
+                         THEN 'stopword_heavy'
+                       ELSE 'kept'
+                     END AS drop_reason
+              FROM documents),
+            g AS (
+              SELECT source, drop_reason,
+                     CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(n_chars) AS BIGINT) AS total_chars
+              FROM base GROUP BY 1, 2),
+            t AS (
+              SELECT source, CAST(COUNT(*) AS BIGINT) AS src_total
+              FROM base GROUP BY 1)
+            SELECT g.source, drop_reason, n_docs, total_chars,
+                   (n_docs * 1000000) // src_total AS share_e6
+            FROM g JOIN t ON g.source = t.source""",
         "q_text_ngram_novelty": """
             WITH pos_tok AS (
               SELECT doc_id,

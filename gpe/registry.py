@@ -54,6 +54,15 @@ for _name in (
 # Keys after position 50 keep local parity (tools/parity.py) as their
 # regression net; tests/test_registry_order.py pins this window.
 HARD_SIGNAL_FIRST_50 = [
+    # --- final-round-8 operators (zero driver evidence, newest first) ---
+    "q_pipeline_quality_gate",
+    "q_text_readability",
+    "q_ts_changepoint",
+    "q_ts_theilsen",
+    "q_catalog_fk_infer",
+    "q_agg_log_histogram",
+    "q_agg_chi2",
+    "q_source_orc_roundtrip",
     # --- late-round-8 operators (zero driver evidence, newest first) ---
     "q_graph_triangles",
     "q_text_heavy_hitters",
@@ -99,6 +108,19 @@ HARD_SIGNAL_FIRST_50 = [
     "q_explode_tokens",
     "q_scalar_json",
     "q_scalar_string2",
+]
+
+# Next in line for round 9: first the r4-stale keys displaced by the
+# mid/late/final-r8 additions (VERDICT r7 #1 remainder — new keys outrank
+# stale re-checks because they have ZERO driver evidence), then
+# q_scalar_date / q_scalar_math, the ANN-rerank fills whose rewrite
+# q_vec_ann_pq's r7 row and local parity already cover, the frozen
+# trivial set-ops q_distinct_dropdup / q_except, and the remaining
+# r5-green keys (oldest driver evidence after this window lands).
+# r6/r7/r8-green keys fall to the tail automatically.
+_SECOND_WAVE = [
+    # displaced from the r8 window by the 8 final-r8 keys — still
+    # r4-stale, first in line for r9
     "q_agg_listagg",
     "q_agg_percentiles",
     "q_agg_histogram",
@@ -107,17 +129,8 @@ HARD_SIGNAL_FIRST_50 = [
     "q_subquery_correlated",
     "q_pivot_status_by_year",
     "q_catalog_schema",
-]
-
-# Next in line for round 9: first the six keys displaced by the late-r8
-# additions (q_scalar_date / q_scalar_math, the ANN-rerank fills whose
-# rewrite q_vec_ann_pq's r7 row and local parity already cover, and the
-# frozen trivial set-ops q_distinct_dropdup / q_except), then the
-# remaining r5-green keys (oldest driver evidence after this window
-# lands). r6/r7/r8-green keys fall to the tail automatically.
-_SECOND_WAVE = [
     # displaced from the r8 window by the 7 late-r8 keys — still
-    # r4-stale, first in line for r9 (VERDICT r7 #1 remainder)
+    # r4-stale, next in line for r9
     "q_text_unigram_logprob",
     "q_text_keyphrases",
     "q_pack_sequences",

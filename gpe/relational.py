@@ -2098,7 +2098,107 @@ def q_ml_gram_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared independence screen between order status and order
+    priority — the contingency-table test every analytics layer ships
+    (is the fulfilment mix independent of priority?). Output per cell:
+    observed count, expected count under independence, and the cell's
+    χ² contribution; the caller sums the terms and compares against the
+    χ² critical value for (r−1)(c−1) degrees of freedom.
+
+    Determinism: marginals and the grand total are exact BIGINT counts;
+    expected = row_tot·col_tot/n_total is one double division of exact
+    integers (row_tot·col_tot stays inside int64 far past sf100 and
+    inside the 2^53 double-exact range through sf100) — bit-identical
+    IEEE in both engines; contributions are epsilon-nudged e6 rounds.
+
+    Scale notes (100 TB): ONE map-side-partial aggregate to the
+    #statuses × #priorities cell grid (≤ 15 rows); marginals are
+    aggregates OF the cell grid (no second scan); the joins broadcast
+    the tiny marginal tables. The scan is projected to two columns."""
+    from gpe.common import persist_tracked
+
+    o = load_table(spark, sf_dir, "orders")
+    cells = persist_tracked(
+        o.groupBy("o_orderstatus", "o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_obs")
+        )
+    )
+    row_m = cells.groupBy("o_orderstatus").agg(
+        F.sum("n_obs").alias("row_tot")
+    )
+    col_m = cells.groupBy("o_orderpriority").agg(
+        F.sum("n_obs").alias("col_tot")
+    )
+    tot = cells.agg(F.sum("n_obs").alias("n_total"))
+    expected = (
+        F.col("row_tot") * F.col("col_tot")
+    ).cast("double") / F.col("n_total")
+    return (
+        cells.join(F.broadcast(row_m), "o_orderstatus")
+        .join(F.broadcast(col_m), "o_orderpriority")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "o_orderstatus",
+            "o_orderpriority",
+            "n_obs",
+            fround(expected, "expected"),
+            # explicit multiply, not pow(x,2): pow is a libm call whose
+            # last-ulp rounding may differ per engine; x*x is a single
+            # IEEE multiply, identical everywhere
+            fround(
+                (F.col("n_obs") - expected)
+                * (F.col("n_obs") - expected)
+                / expected,
+                "chi2_term",
+            ),
+        )
+    )
+
+
+def q_agg_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two (log-spaced) histogram of order totals — the data-
+    profiling shape for heavy-tailed columns where q_agg_histogram's
+    fixed-width buckets put 99% of rows in one bin. Bucket k holds
+    values with k binary digits of cents, i.e. cents ∈ [2^(k−1), 2^k).
+
+    Determinism: the bucket is the STRING LENGTH of the binary
+    representation of exact cents (both engines' ``bin`` agree; no
+    log2/libm call anywhere); shares are integer DIV; bounds are exact
+    cents back in dollars.
+
+    Scale notes (100 TB): one projected scan → map-side partial
+    aggregate to ≤ 64 buckets (int64 width bounds the output rows
+    regardless of data size); the total is a 1-row broadcast."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.select(
+        F.length(
+            F.expr("bin(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))")
+        ).alias("bucket"),
+        (dec("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    tot = d.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        d.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("cents").alias("min_c"),
+            F.max("cents").alias("max_c"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_orders",
+            F.expr("(n_orders * 1000000) DIV n_total").alias("share_e6"),
+            (F.col("min_c") / 100.0).alias("min_price"),
+            (F.col("max_c") / 100.0).alias("max_price"),
+        )
+    )
+
+
 QUERIES = {
+    "q_agg_chi2": q_agg_chi2,
+    "q_agg_log_histogram": q_agg_log_histogram,
     "q_agg_benford": q_agg_benford,
     "q_agg_decile_lift": q_agg_decile_lift,
     "q_ml_gram_moments": q_ml_gram_moments,
@@ -2177,6 +2277,46 @@ _SQL_BENFORD_CASE = (
 ORACLES = {
     # digit from the string head of the FLOORed integral part (no log10 —
     # libm-free on both engines); shares and deviations all-integer.
+    # same exact-integer marginals; expected/χ² terms are the identical
+    # IEEE double division + epsilon-nudged rounds
+    "q_agg_chi2": f"""
+        WITH cells AS (
+          SELECT o_orderstatus, o_orderpriority,
+                 CAST(COUNT(*) AS BIGINT) AS n_obs
+          FROM orders GROUP BY 1, 2),
+        rm AS (SELECT o_orderstatus, CAST(SUM(n_obs) AS BIGINT) AS row_tot
+               FROM cells GROUP BY 1),
+        cm AS (SELECT o_orderpriority, CAST(SUM(n_obs) AS BIGINT) AS col_tot
+               FROM cells GROUP BY 1),
+        tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM cells)
+        SELECT cells.o_orderstatus, cells.o_orderpriority, n_obs,
+               ROUND(CAST(row_tot * col_tot AS DOUBLE) / n_total + {EPS}, 6)
+                 AS expected,
+               ROUND((n_obs - CAST(row_tot * col_tot AS DOUBLE) / n_total)
+                       * (n_obs - CAST(row_tot * col_tot AS DOUBLE) / n_total)
+                       / (CAST(row_tot * col_tot AS DOUBLE) / n_total)
+                     + {EPS}, 6) AS chi2_term
+        FROM cells
+        JOIN rm USING (o_orderstatus)
+        JOIN cm USING (o_orderpriority)
+        CROSS JOIN tot""",
+    # bucket = length of the binary repr of exact cents in BOTH engines
+    # (bin() agrees; no libm log2 anywhere)
+    "q_agg_log_histogram": """
+        WITH d AS (
+          SELECT length(bin(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                               AS BIGINT))) AS bucket,
+                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS cents
+          FROM orders),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM d)
+        SELECT CAST(bucket AS INTEGER) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               (CAST(COUNT(*) AS BIGINT) * 1000000) // n_total AS share_e6,
+               CAST(MIN(cents) AS DOUBLE) / 100.0 AS min_price,
+               CAST(MAX(cents) AS DOUBLE) / 100.0 AS max_price
+        FROM d CROSS JOIN tot
+        GROUP BY 1, n_total""",
     "q_agg_benford": f"""
         WITH d AS (
           SELECT CAST(SUBSTRING(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)

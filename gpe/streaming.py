@@ -224,6 +224,43 @@ def repetition_stream(stream: DataFrame) -> DataFrame:
     return repetition_frame(stream)
 
 
+def quality_gate_stream(stream: DataFrame) -> DataFrame:
+    """Streaming half of q_pipeline_quality_gate: the gate decision is
+    pure map-side (gpe.pipeline.gate_frame), so docs are attributed to
+    their drop reason at ingest rate; the running (source, reason)
+    cells are a streaming count keyed exactly like the batch shuffle.
+    The per-source SHARE lives in the SINK (it needs the cross-reason
+    source total — the sink-side-derivation rule of the active-users
+    twin)."""
+    from gpe.pipeline import gate_frame
+
+    return gate_frame(stream).groupBy("source", "drop_reason").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+def quality_gate_shares(cells: DataFrame) -> DataFrame:
+    """Sink-side share derivation over the materialized streaming cells —
+    the same integer DIV as the batch operator."""
+    # rename the grouping key: joining an aggregate OF cells back onto
+    # cells hits Spark's conflicting-attribute check on memory tables
+    tot = (
+        cells.groupBy("source")
+        .agg(F.sum("n_docs").alias("src_total"))
+        .withColumnRenamed("source", "_src")
+    )
+    return cells.join(
+        F.broadcast(tot), F.col("source") == F.col("_src")
+    ).select(
+        "source",
+        "drop_reason",
+        "n_docs",
+        "total_chars",
+        F.expr("(n_docs * 1000000) DIV src_total").alias("share_e6"),
+    )
+
+
 def bigram_counts_stream(stream: DataFrame) -> DataFrame:
     """Streaming half of q_text_heavy_hitters: bigram explode (stateless,
     map-side) into a streaming count — one state-store row per distinct

@@ -896,7 +896,72 @@ def q_text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document readability profile — sentence count, syllable proxy
+    (vowel groups, the standard dictionary-free approximation), complex-
+    word count (≥3 vowel groups), and the Flesch reading-ease score in
+    e3 fixed point (Flesch '48: 206.835 − 1.015·words/sentence −
+    84.6·syllables/word). The grade-level feature a curation pipeline
+    feeds its quality classifier alongside q_text_quality/
+    q_text_repetition.
+
+    Determinism: sentence segments come from the same regex split +
+    trim + non-empty filter in both engines (verified: Java regex and
+    RE2 agree on the `[.!?]+` class); all ratios are integer DIV in e3
+    fixed point — no float ever enters. The fixture corpus has no
+    sentence punctuation (FIXTURES.md), so n_sentences degenerates to 1
+    there — the punctuated path is pinned by the crafted-data pytest.
+
+    Scale notes (100 TB): ENTIRELY map-side scalar expressions in
+    whole-stage codegen (split/filter/transform/regexp_extract_all) —
+    no explode, no shuffle, no state; throughput is bounded by the
+    parquet scan alone, the same plan shape as q_text_repetition."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_words = F.size(toks)
+    n_sent = F.greatest(
+        F.size(
+            F.filter(
+                # explicit 1-arg lambda: passing F.trim bare would bind
+                # transform's (element, index) pair to trim(str, trimStr)
+                F.transform(F.split("text", r"[.!?]+"), lambda s: F.trim(s)),
+                lambda s: s != "",
+            )
+        ),
+        F.lit(1),
+    )
+    n_syll = F.size(F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+    n_complex = F.expr(
+        "size(filter(split(text, ' '),"
+        " w -> size(regexp_extract_all(lower(w), '[aeiouy]+', 0)) >= 3))"
+    )
+    base = d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        n_sent.cast("long").alias("n_sentences"),
+        n_syll.cast("long").alias("n_syllables"),
+        n_complex.cast("long").alias("n_complex"),
+    )
+    wps = F.expr("(n_words * 1000) DIV n_sentences")
+    spw = F.expr("(n_syllables * 1000) DIV n_words")
+    return base.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        "n_complex",
+        wps.alias("words_per_sent_e3"),
+        spw.alias("syll_per_word_e3"),
+        (
+            F.lit(206835)
+            - F.expr("(1015 * n_words) DIV n_sentences")
+            - F.expr("(84600 * n_syllables) DIV n_words")
+        ).alias("flesch_e3"),
+    )
+
+
 QUERIES = {
+    "q_text_readability": q_text_readability,
     "q_text_bm25_search": q_text_bm25_search,
     "q_text_bpe_merge_step": q_text_bpe_merge_step,
     "q_text_repetition": q_text_repetition,
@@ -927,6 +992,28 @@ _BM25_TERM_SQL = """
 
 
 ORACLES = {
+    # identical regex splits (verified cross-engine on '[.!?]+' and
+    # '[aeiouy]+'), identical trim + non-empty filter, integer DIV e3
+    "q_text_readability": """
+        WITH base AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                 CAST(GREATEST(len(list_filter(
+                        list_transform(regexp_split_to_array(text, '[.!?]+'),
+                                       x -> trim(x)),
+                        x -> x != '')), 1) AS BIGINT) AS n_sentences,
+                 CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                      AS BIGINT) AS n_syllables,
+                 CAST(len(list_filter(string_split(text, ' '),
+                        w -> len(regexp_extract_all(lower(w), '[aeiouy]+'))
+                             >= 3)) AS BIGINT) AS n_complex
+          FROM documents)
+        SELECT doc_id, n_words, n_sentences, n_syllables, n_complex,
+               (n_words * 1000) // n_sentences AS words_per_sent_e3,
+               (n_syllables * 1000) // n_words AS syll_per_word_e3,
+               206835 - (1015 * n_words) // n_sentences
+                      - (84600 * n_syllables) // n_words AS flesch_e3
+        FROM base""",
     "q_text_bm25_search": f"""
         WITH t AS (
           SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -1459,7 +1459,139 @@ def q_ts_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per order priority — the median of all
+    pairwise slopes of the monthly revenue series (Theil '50, Sen '68):
+    up to ~29% outlier months cannot move it, unlike the OLS slope
+    q_agg_corr_regr fits. The classic robust-regression primitive for
+    noisy operational series.
+
+    Determinism: monthly revenue is exact cents; each pair's slope is
+    ONE IEEE division of exact integers (identical in both engines);
+    the median is picked by ROW_NUMBER over the total order (slope,
+    rise, run) at rank (n+1) DIV 2 — the lower median, no float
+    averaging of two middle elements; the reported slope re-divides the
+    chosen pair's exact integers (ε-rounded).
+
+    Scale notes (100 TB): the pair join runs on the POST-AGGREGATE
+    monthly frame — C(#months, 2) pairs per group is calendar-bounded
+    (~3.5k for 7 years) regardless of row scale, so the quadratic step
+    never touches raw data; the monthly frame is persisted once and
+    self-joined co-partitioned on the group key; the median window is
+    partitioned per group over the bounded pair set."""
+    from gpe.common import persist_tracked
+
+    o = load_table(spark, sf_dir, "orders")
+    m = persist_tracked(
+        o.groupBy(
+            "o_orderpriority",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+            .cast("long")
+            .alias("midx"),
+        ).agg(F.sum((dec("o_totalprice") * 100).cast("long")).alias("y_c"))
+    )
+    nm = m.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_months")
+    )
+    a, b = m.alias("a"), m.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.o_orderpriority") == F.col("b.o_orderpriority"))
+        & (F.col("b.midx") > F.col("a.midx")),
+    ).select(
+        F.col("a.o_orderpriority").alias("o_orderpriority"),
+        (F.col("b.y_c") - F.col("a.y_c")).alias("rise_c"),
+        (F.col("b.midx") - F.col("a.midx")).alias("run_m"),
+    )
+    slope = F.col("rise_c").cast("double") / F.col("run_m")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        slope, "rise_c", "run_m"
+    )
+    wc = Window.partitionBy("o_orderpriority")
+    med = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_pairs", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == F.expr("(n_pairs + 1) DIV 2"))
+    )
+    return med.join(F.broadcast(nm), "o_orderpriority").select(
+        "o_orderpriority",
+        "n_months",
+        "n_pairs",
+        F.col("rise_c").alias("med_rise_c"),
+        F.col("run_m").alias("med_run_m"),
+        fround(slope, "slope_c_per_month"),
+    )
+
+
+def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-changepoint detection per event type — the first step of
+    binary segmentation (Scott & Knott '74 / the CUSUM-adjacent family):
+    over the daily value series, find the split that maximizes the
+    explained sum of squares S₁²/k + S₂²/(n−k) (equivalently, minimizes
+    within-segment SSE for a piecewise-constant mean). Output per type:
+    the split day, segment sizes, and the exact-integer segment means.
+
+    Determinism: daily sums are exact cents; every candidate's score is
+    the same chain of IEEE ops on exact integers in both engines, used
+    ONLY for ordering (the score itself is never emitted — its 1e14
+    magnitude is exactly where cross-engine double rounding gets
+    treacherous); the argmax tiebreaks on the earlier day; reported
+    means are integer DIV cents.
+
+    Scale notes (100 TB): the candidate scan runs entirely on the
+    POST-AGGREGATE daily frame (calendar-bounded rows per type at any
+    data scale); prefix sums and the argmax are windows partitioned by
+    event type over that bounded frame — the raw-event shuffle is the
+    single daily groupBy."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum((dec("value") * 100).cast("long")).alias("v_c"))
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("event_type")
+    g = (
+        daily.withColumn("cum_c", F.sum("v_c").over(wp))
+        .withColumn("k", F.count(F.lit(1)).over(wp))
+        .withColumn("tot_c", F.sum("v_c").over(wt))
+        .withColumn("n_days", F.count(F.lit(1)).over(wt))
+        .filter(F.col("k") < F.col("n_days"))
+    )
+    left = F.col("cum_c").cast("double")
+    right = (F.col("tot_c") - F.col("cum_c")).cast("double")
+    score = left * left / F.col("k") + right * right / (
+        F.col("n_days") - F.col("k")
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.desc(score), F.asc("day")
+    )
+    return (
+        g.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            # DATE → NTZ TIMESTAMP: pandas promotes DuckDB DATEs to
+            # datetimes, so both engines emit the timestamp form
+            ntz(F.col("day").cast("timestamp")).alias("split_day"),
+            "n_days",
+            F.col("k").alias("n_left"),
+            (F.col("n_days") - F.col("k")).alias("n_right"),
+            F.expr("cum_c DIV k").alias("mean_left_c"),
+            F.expr("(tot_c - cum_c) DIV (n_days - k)").alias("mean_right_c"),
+            (
+                F.expr("(tot_c - cum_c) DIV (n_days - k)")
+                - F.expr("cum_c DIV k")
+            ).alias("shift_c"),
+        )
+    )
+
+
 QUERIES = {
+    "q_ts_theilsen": q_ts_theilsen,
+    "q_ts_changepoint": q_ts_changepoint,
     "q_ts_calendar_profile": q_ts_calendar_profile,
     "q_ts_survival_km": q_ts_survival_km,
     "q_ts_active_users": q_ts_active_users,
@@ -1512,6 +1644,78 @@ _ACF_LAG_COLS = ",\n                 ".join(
 )
 
 ORACLES = {
+    # identical pair set, identical (slope, rise, run) total order,
+    # lower-median rank pick; the one float op per pair is the same
+    # exact-int IEEE division in both engines
+    "q_ts_theilsen": f"""
+        WITH m AS (
+          SELECT o_orderpriority,
+                 CAST(EXTRACT(year FROM o_orderdate) * 12
+                      + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT)
+                   AS midx,
+                 CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                               AS BIGINT)) AS BIGINT) AS y_c
+          FROM orders GROUP BY 1, 2),
+        nm AS (SELECT o_orderpriority,
+                      CAST(COUNT(*) AS BIGINT) AS n_months
+               FROM m GROUP BY 1),
+        pairs AS (
+          SELECT a.o_orderpriority,
+                 b.y_c - a.y_c AS rise_c,
+                 b.midx - a.midx AS run_m
+          FROM m a JOIN m b
+            ON a.o_orderpriority = b.o_orderpriority AND b.midx > a.midx),
+        ranked AS (
+          SELECT *,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY CAST(rise_c AS DOUBLE) / run_m, rise_c, run_m)
+                   AS rn,
+                 CAST(COUNT(*) OVER (PARTITION BY o_orderpriority)
+                      AS BIGINT) AS n_pairs
+          FROM pairs)
+        SELECT ranked.o_orderpriority, n_months, n_pairs,
+               rise_c AS med_rise_c, run_m AS med_run_m,
+               ROUND(CAST(rise_c AS DOUBLE) / run_m + {EPS}, 6)
+                 AS slope_c_per_month
+        FROM ranked JOIN nm USING (o_orderpriority)
+        WHERE rn = (n_pairs + 1) // 2""",
+    # same prefix-sum frame and the same IEEE score chain used ONLY in
+    # the ORDER BY; emitted columns are exact integers
+    "q_ts_changepoint": """
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day,
+                 CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100
+                               AS BIGINT)) AS BIGINT) AS v_c
+          FROM events GROUP BY 1, 2),
+        g AS (
+          SELECT *,
+                 CAST(SUM(v_c) OVER (PARTITION BY event_type ORDER BY day
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_c,
+                 CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS k,
+                 CAST(SUM(v_c) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS tot_c,
+                 CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS n_days
+          FROM daily),
+        cand AS (SELECT * FROM g WHERE k < n_days),
+        ranked AS (
+          SELECT *,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY event_type
+                   ORDER BY CAST(cum_c AS DOUBLE) * CAST(cum_c AS DOUBLE) / k
+                            + CAST(tot_c - cum_c AS DOUBLE)
+                              * CAST(tot_c - cum_c AS DOUBLE) / (n_days - k)
+                            DESC,
+                            day ASC) AS rn
+          FROM cand)
+        SELECT event_type, CAST(day AS TIMESTAMP) AS split_day, n_days,
+               k AS n_left, n_days - k AS n_right,
+               cum_c // k AS mean_left_c,
+               (tot_c - cum_c) // (n_days - k) AS mean_right_c,
+               (tot_c - cum_c) // (n_days - k) - cum_c // k AS shift_c
+        FROM ranked WHERE rn = 1""",
     # isodow native in DuckDB; the engine maps Spark's 1=Sunday
     # dayofweek to ISO — fixed-point share, decimal value sum.
     "q_ts_calendar_profile": f"""

@@ -27,6 +27,7 @@ ITERATIVE_BY_DESIGN = {
     "q_source_json_roundtrip",
     "q_source_csv_roundtrip",
     "q_source_schema_evolution",
+    "q_source_orc_roundtrip",
     "q_join_partition_pruned",
     "q_lake_snapshot_diff",  # writes the two snapshot eras under diff
 }

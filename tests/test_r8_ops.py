@@ -368,3 +368,104 @@ def test_resize_pool_matches_python_recompute(spark):
         )
         checked += 1
     assert checked > 0
+
+
+def test_readability_punctuated_cross_engine(spark, tmp_path):
+    """The fixture corpus has zero sentence punctuation, so readability's
+    sentence split degenerates to 1 there — pin the REAL multi-sentence
+    path (trailing/repeated punctuation, empty segments, complex words)
+    against the real oracle on crafted docs."""
+    texts = [
+        "the cat sat. the dog ran! did it run? yes.",   # 4 sentences
+        "one sentence only",                             # no punctuation
+        "evaluation automobile university... extraordinary!",  # complex
+        "a! b! c! d!",                                   # trailing empties
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    d = tmp_path / "read"
+    d.mkdir()
+    pdf.to_parquet(str(d / "documents.parquet"))
+    rows = {r.doc_id: r for r in _Q["q_text_readability"](spark, str(d)).collect()}
+    assert rows[0].n_sentences == 4
+    assert rows[1].n_sentences == 1  # greatest(0-punct split, 1)
+    assert rows[2].n_sentences == 2  # '...' collapses to ONE boundary
+    assert rows[3].n_sentences == 4  # trailing '!' yields no empty 5th
+    # complex words: >= 3 vowel groups
+    assert rows[2].n_complex >= 3 and rows[0].n_complex == 0
+    assert _rows(_Q["q_text_readability"](spark, str(d))) == _pdf_rows(
+        _oracle(d, "q_text_readability", table="documents")
+    )
+
+
+def test_quality_gate_first_rule_attribution(spark, tmp_path):
+    """A doc failing several gates must be attributed to the FIRST rule
+    (too_short beats repetitive beats stopword_heavy) — the CaseWhen
+    short-circuit the funnel's drop accounting depends on."""
+    texts = [
+        "a a a a a",  # short AND repetitive AND stopword-heavy
+        " ".join(["x x"] * 20),  # 40 tokens, ttr=1/40 -> repetitive
+        ("the a " * 10 + "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 "
+         "v1 v2 v3 v4 v5 v6 v7 v8 v9 v10").strip(),  # stopword-heavy
+        " ".join(f"u{i}" for i in range(30)),  # kept
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    d = tmp_path / "gate"
+    d.mkdir()
+    pdf.to_parquet(str(d / "documents.parquet"))
+    from gpe.pipeline import gate_frame
+    from gpe.io import load_table
+
+    got = {
+        r.doc_id: r.drop_reason
+        for r in gate_frame(load_table(spark, str(d), "documents")).collect()
+    }
+    assert got == {
+        0: "too_short",
+        1: "repetitive",
+        2: "stopword_heavy",
+        3: "kept",
+    }
+    assert _rows(_Q["q_pipeline_quality_gate"](spark, str(d))) == _pdf_rows(
+        _oracle(d, "q_pipeline_quality_gate", table="documents")
+    )
+
+
+def test_changepoint_finds_crafted_step(spark, tmp_path):
+    """A clean level shift must be split exactly at the step, with exact
+    integer segment means — pinned against the real oracle."""
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    eid = 0
+    for day in range(10):
+        # mean 10.00 for days 0-4, mean 50.00 for days 5-9
+        v = 10.0 if day < 5 else 50.0
+        rows.append((eid, base + pd.Timedelta(days=day), 1, "step", v))
+        eid += 1
+    d = tmp_path / "cpt"
+    d.mkdir()
+    _events_frame(rows).to_parquet(str(d / "events.parquet"))
+    r = _Q["q_ts_changepoint"](spark, str(d)).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert (row.n_left, row.n_right) == (5, 5)
+    assert row.split_day == (base + pd.Timedelta(days=4)).to_pydatetime()
+    assert (row.mean_left_c, row.mean_right_c, row.shift_c) == (1000, 5000, 4000)
+    assert _rows(_Q["q_ts_changepoint"](spark, str(d))) == _pdf_rows(
+        _oracle(d, "q_ts_changepoint")
+    )

@@ -457,6 +457,30 @@ def test_streaming_heavy_hitters_equals_batch(spark):
         q.stop()
 
 
+def test_streaming_quality_gate_equals_batch(spark):
+    """Streaming gate cells (complete mode) + the sink-side share
+    derivation must reproduce the batch filter funnel row for row —
+    the gate decision is stateless, so both paths land on the same
+    (source, reason) cells."""
+    from gpe import pipeline
+
+    doc_stream = streaming.stream_documents(spark, SF)
+    q = streaming.run_to_memory(
+        streaming.quality_gate_stream(doc_stream), "t_gate_cells",
+        "complete",
+    )
+    try:
+        cols = ["source", "drop_reason", "n_docs", "total_chars", "share_e6"]
+        got = _rows(
+            streaming.quality_gate_shares(spark.table("t_gate_cells")),
+            cols,
+        )
+        want = _rows(pipeline.q_pipeline_quality_gate(spark, SF), cols)
+        assert got == want and len(got) > 0
+    finally:
+        q.stop()
+
+
 def test_streaming_chunker_equals_batch(spark):
     from gpe import packing
 
