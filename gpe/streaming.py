@@ -224,6 +224,47 @@ def repetition_stream(stream: DataFrame) -> DataFrame:
     return repetition_frame(stream)
 
 
+def readability_stream(stream: DataFrame) -> DataFrame:
+    """Streaming twin of q_text_readability: the profile is pure scalar
+    array work per doc (gpe.text.readability_frame), so it streams
+    statelessly — readability features at ingest rate, upstream of any
+    stateful curation step."""
+    from gpe.text import readability_frame
+
+    return readability_frame(stream)
+
+
+def calendar_cells_stream(stream: DataFrame) -> DataFrame:
+    """Streaming half of q_ts_calendar_profile: the (ISO weekday, hour)
+    bucket is map-side, the cell counts/value sums are a streaming
+    aggregate with ≤168 state rows — the bounded-state dashboard shape.
+    The SHARE lives in the SINK (cross-cell total — the usual sink-side
+    derivation rule)."""
+    from gpe.common import dsum
+
+    return stream.groupBy(
+        F.expr("(dayofweek(ts) + 5) % 7 + 1").cast("int").alias("isodow"),
+        F.hour("ts").cast("int").alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", "sum_value"),
+    )
+
+
+def calendar_profile_shares(cells: DataFrame) -> DataFrame:
+    """Sink-side share derivation over the materialized calendar cells —
+    the same integer DIV as the batch operator (the total is the exact
+    sum of the cell counts)."""
+    tot = cells.agg(F.sum("n_events").alias("n_total"))
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "isodow",
+        "hour",
+        "n_events",
+        "sum_value",
+        F.expr("(n_events * 1000000) DIV n_total").alias("share_e6"),
+    )
+
+
 def quality_gate_stream(stream: DataFrame) -> DataFrame:
     """Streaming half of q_pipeline_quality_gate: the gate decision is
     pure map-side (gpe.pipeline.gate_frame), so docs are attributed to

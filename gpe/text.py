@@ -916,7 +916,14 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-stage codegen (split/filter/transform/regexp_extract_all) —
     no explode, no shuffle, no state; throughput is bounded by the
     parquet scan alone, the same plan shape as q_text_repetition."""
-    d = load_table(spark, sf_dir, "documents")
+    return readability_frame(load_table(spark, sf_dir, "documents"))
+
+
+def readability_frame(d: DataFrame) -> DataFrame:
+    """Shared body of q_text_readability — map-only, so the SAME
+    expression tree runs unmodified on a document stream
+    (gpe.streaming.readability_stream); equality asserted in
+    tests/test_streaming_equivalence.py."""
     toks = F.split("text", " ")
     n_words = F.size(toks)
     n_sent = F.greatest(

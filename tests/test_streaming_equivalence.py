@@ -457,6 +457,54 @@ def test_streaming_heavy_hitters_equals_batch(spark):
         q.stop()
 
 
+def test_streaming_readability_equals_batch(spark):
+    from gpe import text
+
+    doc_stream = streaming.stream_documents(spark, SF)
+    q = streaming.run_to_memory(
+        streaming.readability_stream(doc_stream), "t_readability", "append"
+    )
+    try:
+        cols = [
+            "doc_id",
+            "n_words",
+            "n_sentences",
+            "n_syllables",
+            "n_complex",
+            "words_per_sent_e3",
+            "syll_per_word_e3",
+            "flesch_e3",
+        ]
+        got = _rows(spark.table("t_readability"), cols)
+        want = _rows(text.q_text_readability(spark, SF), cols)
+        assert got == want and len(got) > 0
+    finally:
+        q.stop()
+
+
+def test_streaming_calendar_profile_equals_batch(spark):
+    """Streaming calendar cells (complete mode, ≤168 state rows) + the
+    sink-side share derivation must reproduce the batch heatmap row for
+    row — cell sums are exact decimal/integer, so no bit lottery."""
+    from gpe import timeseries
+
+    ev_stream = streaming.stream_events(spark, SF)
+    q = streaming.run_to_memory(
+        streaming.calendar_cells_stream(ev_stream), "t_calendar_cells",
+        "complete",
+    )
+    try:
+        cols = ["isodow", "hour", "n_events", "sum_value", "share_e6"]
+        got = _rows(
+            streaming.calendar_profile_shares(spark.table("t_calendar_cells")),
+            cols,
+        )
+        want = _rows(timeseries.q_ts_calendar_profile(spark, SF), cols)
+        assert got == want and len(got) > 0
+    finally:
+        q.stop()
+
+
 def test_streaming_quality_gate_equals_batch(spark):
     """Streaming gate cells (complete mode) + the sink-side share
     derivation must reproduce the batch filter funnel row for row —

@@ -105,6 +105,8 @@ drain("v_quality", streaming.quality_scores_stream(docs()), "append")
 drain("v_repetition", streaming.repetition_stream(docs()), "append")
 drain("v_bigrams", streaming.bigram_counts_stream(docs()), "complete")
 drain("v_gate", streaming.quality_gate_stream(docs()), "complete")
+drain("v_readability", streaming.readability_stream(docs()), "append")
+drain("v_calendar", streaming.calendar_cells_stream(ev()), "complete")
 drain("v_chunks", streaming.chunk_stream(docs()), "append")
 drain(
     "v_minhash",
