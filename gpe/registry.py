@@ -55,6 +55,8 @@ for _name in (
 # regression net; tests/test_registry_order.py pins this window.
 HARD_SIGNAL_FIRST_50 = [
     # --- final-round-8 operators (zero driver evidence, newest first) ---
+    "q_ml_class_metrics",
+    "q_ts_mann_kendall",
     "q_pipeline_quality_gate",
     "q_text_readability",
     "q_ts_changepoint",
@@ -106,8 +108,6 @@ HARD_SIGNAL_FIRST_50 = [
     "q_agg_groupby",
     "q_scalar_string",
     "q_explode_tokens",
-    "q_scalar_json",
-    "q_scalar_string2",
 ]
 
 # Next in line for round 9: first the r4-stale keys displaced by the
@@ -119,8 +119,10 @@ HARD_SIGNAL_FIRST_50 = [
 # r5-green keys (oldest driver evidence after this window lands).
 # r6/r7/r8-green keys fall to the tail automatically.
 _SECOND_WAVE = [
-    # displaced from the r8 window by the 8 final-r8 keys — still
+    # displaced from the r8 window by the 10 final-r8 keys — still
     # r4-stale, first in line for r9
+    "q_scalar_json",
+    "q_scalar_string2",
     "q_agg_listagg",
     "q_agg_percentiles",
     "q_agg_histogram",

@@ -967,7 +967,72 @@ def readability_frame(d: DataFrame) -> DataFrame:
     )
 
 
+def q_ml_class_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation in the lake — per-language precision,
+    recall, and F1 of the q_text_langid naive-Bayes predictions against
+    the labeled `lang` column: the model-QA rollup every in-lake
+    classifier (language ID, quality gates, topic tags) needs before
+    its output is trusted for curation decisions.
+
+    Determinism: all marginals are exact BIGINTs over the composed
+    prediction frame; precision/recall/F1 are integer e6 fixed point
+    (F1 harmonic-means the FLOORED e6 values — documented, so both
+    engines agree bit-for-bit); a class never predicted emits NULL
+    precision/F1 on both sides.
+
+    Scale notes (100 TB): the prediction frame (one shuffle inside
+    q_text_langid) is persisted once and feeds three #langs-row partial
+    aggregates; the stitching joins broadcast. Output = #classes rows."""
+    from gpe.common import persist_tracked
+
+    preds = persist_tracked(
+        q_text_langid(spark, sf_dir).select("actual_lang", "predicted_lang")
+    )
+    a = preds.groupBy(F.col("actual_lang").alias("lang")).agg(
+        F.count(F.lit(1)).alias("n_actual")
+    )
+    p = preds.groupBy(F.col("predicted_lang").alias("lang")).agg(
+        F.count(F.lit(1)).alias("n_predicted")
+    )
+    c = (
+        preds.filter(F.col("actual_lang") == F.col("predicted_lang"))
+        .groupBy(F.col("actual_lang").alias("lang"))
+        .agg(F.count(F.lit(1)).alias("n_correct"))
+    )
+    g = (
+        a.join(F.broadcast(p), "lang", "left")
+        .join(F.broadcast(c), "lang", "left")
+        .select(
+            "lang",
+            "n_actual",
+            F.coalesce("n_predicted", F.lit(0)).alias("n_predicted"),
+            F.coalesce("n_correct", F.lit(0)).alias("n_correct"),
+        )
+    )
+    prec = F.when(
+        F.col("n_predicted") > 0,
+        F.expr("(n_correct * 1000000) DIV n_predicted"),
+    )
+    rec = F.expr("(n_correct * 1000000) DIV n_actual")
+    g = g.withColumn("precision_e6", prec).withColumn("recall_e6", rec)
+    f1 = F.when(
+        F.col("precision_e6") + F.col("recall_e6") > 0,
+        F.expr("(2 * precision_e6 * recall_e6)"
+               " DIV (precision_e6 + recall_e6)"),
+    )
+    return g.select(
+        "lang",
+        "n_actual",
+        "n_predicted",
+        "n_correct",
+        "precision_e6",
+        "recall_e6",
+        f1.alias("f1_e6"),
+    )
+
+
 QUERIES = {
+    "q_ml_class_metrics": q_ml_class_metrics,
     "q_text_readability": q_text_readability,
     "q_text_bm25_search": q_text_bm25_search,
     "q_text_bpe_merge_step": q_text_bpe_merge_step,
@@ -1416,3 +1481,34 @@ ORACLES = {
                  AS density
         FROM f GROUP BY doc_id""",
 }
+
+# Composed AFTER the dict: the class-metrics oracle embeds the langid
+# oracle verbatim, so a tuned model can never silently diverge between
+# the prediction key and its evaluation key (the pipeline-module idiom).
+ORACLES["q_ml_class_metrics"] = f"""
+    WITH preds AS ({ORACLES['q_text_langid']}),
+    a AS (SELECT actual_lang AS lang, CAST(COUNT(*) AS BIGINT) AS n_actual
+          FROM preds GROUP BY 1),
+    p AS (SELECT predicted_lang AS lang,
+                 CAST(COUNT(*) AS BIGINT) AS n_predicted
+          FROM preds GROUP BY 1),
+    c AS (SELECT actual_lang AS lang, CAST(COUNT(*) AS BIGINT) AS n_correct
+          FROM preds WHERE actual_lang = predicted_lang GROUP BY 1),
+    g AS (
+      SELECT a.lang, n_actual,
+             COALESCE(n_predicted, 0) AS n_predicted,
+             COALESCE(n_correct, 0) AS n_correct
+      FROM a LEFT JOIN p ON a.lang = p.lang
+             LEFT JOIN c ON a.lang = c.lang),
+    m AS (
+      SELECT *,
+             CASE WHEN n_predicted > 0
+                  THEN (n_correct * 1000000) // n_predicted END
+               AS precision_e6,
+             (n_correct * 1000000) // n_actual AS recall_e6
+      FROM g)
+    SELECT lang, n_actual, n_predicted, n_correct, precision_e6, recall_e6,
+           CASE WHEN precision_e6 + recall_e6 > 0
+                THEN (2 * precision_e6 * recall_e6)
+                     // (precision_e6 + recall_e6) END AS f1_e6
+    FROM m"""

@@ -1523,6 +1523,109 @@ def q_ts_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test per order priority — the nonparametric
+    significance companion to q_ts_theilsen's slope (Mann '45, Kendall
+    '75, with the tie correction): S = Σ_{i<j} sign(y_j − y_i) over the
+    monthly revenue series, Var(S) = [n(n−1)(2n+5) − Σ t(t−1)(2t+5)]/18,
+    and the continuity-corrected z statistic. |z| > 1.96 ⇒ monotone
+    trend at 95%.
+
+    Determinism: S and both variance polynomials are exact BIGINTs;
+    the only float ops are one division by 18.0, one sqrt (IEEE
+    correctly-rounded in BOTH engines — unlike ln/exp, sqrt carries no
+    libm variance), and one division — identical chains, ε-rounded.
+    Zero-variance groups (all-tied series) emit NULL z on both sides.
+
+    Scale notes (100 TB): the sign-pair join runs on the POST-AGGREGATE
+    monthly frame (calendar-bounded C(n,2) per group — never raw rows);
+    the tie histogram is an aggregate OF that frame; one broadcast
+    join stitches the ≤ #groups rows together."""
+    from gpe.common import persist_tracked
+
+    o = load_table(spark, sf_dir, "orders")
+    m = persist_tracked(
+        o.groupBy(
+            "o_orderpriority",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+            .cast("long")
+            .alias("midx"),
+        ).agg(F.sum((dec("o_totalprice") * 100).cast("long")).alias("y_c"))
+    )
+    a, b = m.alias("a"), m.alias("b")
+    s = (
+        a.join(
+            b,
+            (F.col("a.o_orderpriority") == F.col("b.o_orderpriority"))
+            & (F.col("b.midx") > F.col("a.midx")),
+        )
+        .select(
+            F.col("a.o_orderpriority").alias("o_orderpriority"),
+            F.when(F.col("b.y_c") > F.col("a.y_c"), 1)
+            .when(F.col("b.y_c") < F.col("a.y_c"), -1)
+            .otherwise(0)
+            .cast("long")
+            .alias("sgn"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.sum("sgn").alias("s_stat"))
+    )
+    nm = m.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_months")
+    )
+    ties = (
+        m.groupBy("o_orderpriority", "y_c")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(F.col("t") > 1)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_tied_groups"),
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie_term"),
+        )
+    )
+    g = (
+        s.join(F.broadcast(nm), "o_orderpriority")
+        .join(F.broadcast(ties), "o_orderpriority", "left")
+        .select(
+            "o_orderpriority",
+            "n_months",
+            "s_stat",
+            F.coalesce("n_tied_groups", F.lit(0)).alias("n_tied_groups"),
+            (
+                (
+                    F.col("n_months")
+                    * (F.col("n_months") - 1)
+                    * (2 * F.col("n_months") + 5)
+                    - F.coalesce("tie_term", F.lit(0))
+                ).cast("double")
+                / 18.0
+            ).alias("_var"),
+        )
+    )
+    z = F.when(
+        F.col("_var") > 0,
+        F.when(
+            F.col("s_stat") > 0,
+            (F.col("s_stat") - 1) / F.sqrt("_var"),
+        )
+        .when(
+            F.col("s_stat") < 0,
+            (F.col("s_stat") + 1) / F.sqrt("_var"),
+        )
+        .otherwise(F.lit(0.0)),
+    )
+    return g.select(
+        "o_orderpriority",
+        "n_months",
+        "s_stat",
+        "n_tied_groups",
+        fround(F.col("_var"), "var_s"),
+        fround(z, "z_stat"),
+    )
+
+
 def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-changepoint detection per event type — the first step of
     binary segmentation (Scott & Knott '74 / the CUSUM-adjacent family):
@@ -1591,6 +1694,7 @@ def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "q_ts_theilsen": q_ts_theilsen,
+    "q_ts_mann_kendall": q_ts_mann_kendall,
     "q_ts_changepoint": q_ts_changepoint,
     "q_ts_calendar_profile": q_ts_calendar_profile,
     "q_ts_survival_km": q_ts_survival_km,
@@ -1680,6 +1784,51 @@ ORACLES = {
                  AS slope_c_per_month
         FROM ranked JOIN nm USING (o_orderpriority)
         WHERE rn = (n_pairs + 1) // 2""",
+    # same exact-integer S and variance polynomials; the float tail is
+    # /18.0 → sqrt (IEEE correctly-rounded both engines) → one division
+    "q_ts_mann_kendall": f"""
+        WITH m AS (
+          SELECT o_orderpriority,
+                 CAST(EXTRACT(year FROM o_orderdate) * 12
+                      + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT)
+                   AS midx,
+                 CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                               AS BIGINT)) AS BIGINT) AS y_c
+          FROM orders GROUP BY 1, 2),
+        s AS (
+          SELECT a.o_orderpriority,
+                 CAST(SUM(CASE WHEN b.y_c > a.y_c THEN 1
+                               WHEN b.y_c < a.y_c THEN -1
+                               ELSE 0 END) AS BIGINT) AS s_stat
+          FROM m a JOIN m b
+            ON a.o_orderpriority = b.o_orderpriority AND b.midx > a.midx
+          GROUP BY 1),
+        nm AS (SELECT o_orderpriority,
+                      CAST(COUNT(*) AS BIGINT) AS n_months
+               FROM m GROUP BY 1),
+        ties AS (
+          SELECT o_orderpriority,
+                 CAST(COUNT(*) AS BIGINT) AS n_tied_groups,
+                 CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+          FROM (SELECT o_orderpriority, y_c,
+                       CAST(COUNT(*) AS BIGINT) AS t
+                FROM m GROUP BY 1, 2) tg
+          WHERE t > 1 GROUP BY 1),
+        g AS (
+          SELECT s.o_orderpriority, n_months, s_stat,
+                 COALESCE(n_tied_groups, 0) AS n_tied_groups,
+                 CAST(n_months * (n_months - 1) * (2 * n_months + 5)
+                      - COALESCE(tie_term, 0) AS DOUBLE) / 18.0 AS var_d
+          FROM s JOIN nm USING (o_orderpriority)
+          LEFT JOIN ties USING (o_orderpriority))
+        SELECT o_orderpriority, n_months, s_stat, n_tied_groups,
+               ROUND(var_d + {EPS}, 6) AS var_s,
+               ROUND(CASE WHEN var_d > 0 THEN
+                       CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_d)
+                            WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_d)
+                            ELSE 0.0 END
+                     END + {EPS}, 6) AS z_stat
+        FROM g""",
     # same prefix-sum frame and the same IEEE score chain used ONLY in
     # the ORDER BY; emitted columns are exact integers
     "q_ts_changepoint": """
