@@ -469,3 +469,73 @@ def test_changepoint_finds_crafted_step(spark, tmp_path):
     assert _rows(_Q["q_ts_changepoint"](spark, str(d))) == _pdf_rows(
         _oracle(d, "q_ts_changepoint")
     )
+
+
+def _orders_frame(rows):
+    """rows = [(orderkey, custkey, status, totalprice, orderdate,
+    priority)] → full-schema orders DataFrame (µs timestamps)."""
+    pdf = pd.DataFrame(
+        rows,
+        columns=[
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority",
+        ],
+    )
+    pdf["o_orderdate"] = pd.to_datetime(pdf["o_orderdate"]).astype(
+        "datetime64[us]"
+    )
+    return pdf
+
+
+def test_mann_kendall_constant_series_null_z(spark, tmp_path):
+    """An all-tied series has Var(S) = 0 after the tie correction — the
+    z statistic must be NULL on BOTH engines (the divide-by-zero guard
+    ADVICE r7 demands of every variance denominator), and a clean
+    monotone series must hit the no-tie fast path exactly."""
+    base = pd.Timestamp("2024-01-15")
+    rows = []
+    for k in range(6):
+        d = base + pd.DateOffset(months=k)
+        # 'FLAT': one order per month, constant 10.00 -> all tied
+        rows.append((2 * k, 1, "F", 10.0, d, "FLAT"))
+        # 'UP': strictly increasing -> S = C(6,2) = 15, no ties
+        rows.append((2 * k + 1, 1, "F", 10.0 + k, d, "UP"))
+    d = tmp_path / "mk"
+    d.mkdir()
+    _orders_frame(rows).to_parquet(str(d / "orders.parquet"))
+    got = {r.o_orderpriority: r
+           for r in _Q["q_ts_mann_kendall"](spark, str(d)).collect()}
+    assert got["FLAT"].z_stat is None
+    assert (got["FLAT"].n_tied_groups, got["FLAT"].s_stat) == (1, 0)
+    assert got["UP"].s_stat == 15 and got["UP"].n_tied_groups == 0
+    assert got["UP"].z_stat is not None and got["UP"].z_stat > 1.96
+    assert _rows(_Q["q_ts_mann_kendall"](spark, str(d))) == _pdf_rows(
+        _oracle(d, "q_ts_mann_kendall", table="orders")
+    )
+
+
+def test_theilsen_singleton_group_dropped_both_sides(spark, tmp_path):
+    """A priority with ONE month has zero pairs — no median exists, so
+    the group is absent from the output on BOTH engines (consistent
+    drop, not a crash), while an outlier month cannot move the median
+    slope of a clean linear series."""
+    base = pd.Timestamp("2024-01-15")
+    rows = [(0, 1, "F", 42.0, base, "LONE")]
+    for k in range(9):
+        d = base + pd.DateOffset(months=k)
+        # slope exactly +200 cents/month, with one wild outlier month
+        v = 10.0 + 2.0 * k if k != 4 else 999.0
+        rows.append((1 + k, 1, "F", v, d, "LIN"))
+    d = tmp_path / "ts"
+    d.mkdir()
+    _orders_frame(rows).to_parquet(str(d / "orders.parquet"))
+    out = {r.o_orderpriority: r
+           for r in _Q["q_ts_theilsen"](spark, str(d)).collect()}
+    assert "LONE" not in out
+    r = out["LIN"]
+    assert (r.n_months, r.n_pairs) == (9, 36)
+    # the outlier perturbs 8 of 36 pairwise slopes; the median holds 200
+    assert r.med_rise_c / r.med_run_m == 200
+    assert _rows(_Q["q_ts_theilsen"](spark, str(d))) == _pdf_rows(
+        _oracle(d, "q_ts_theilsen", table="orders")
+    )
