@@ -59,16 +59,16 @@ def main(argv: list[str]) -> None:
             else ""
         ),
         "",
-        "Late-r8 addendum: this regeneration covers the full 203-key "
-        "registry (the mid-round trio recorded 228.9 s over 192 keys "
-        "on a quieter rig; the 11 late keys add ~20 s of genuine work "
-        "— q_graph_pagerank ~6-9 s is the only non-trivial one, "
-        "carrying the near-pair generation plus three chained "
-        "integer-PageRank rounds — and the remaining delta vs the "
-        "mid-round trio is the documented uniform rig inflation: "
-        "trivial scan keys moved ~1.25x in the same runs). "
+        "End-of-r8 addendum: this regeneration covers the full 220-key "
+        "registry — the 17 keys added after the 203-key regeneration "
+        "(triangles, heavy hitters, Kaplan-Meier, Gram moments, decile "
+        "lift, Benford, calendar profile, ORC roundtrip, chi-squared, "
+        "log histogram, FK inference, Theil-Sen, Mann-Kendall, "
+        "changepoint, readability, quality gate, class metrics) are "
+        "all either map-side profiles or calendar-bounded pair joins "
+        "on post-aggregate frames; none is iterative. "
         "q_agg_market_basket's (order, brand) frame is persisted as of "
-        "this session — unpersisted it re-scanned lineitem 8x for its "
+        "mid-r8 — unpersisted it re-scanned lineitem 8x for its "
         "five plan references.",
         "",
         "## BENCH_r07 spike-key reconciliation (VERDICT r7 #2)",
