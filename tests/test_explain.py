@@ -593,3 +593,37 @@ def test_active_users_has_no_self_join_rescan(spark):
     phys = _executed_plan(spark, "q_ts_active_users")
     assert "CartesianProduct" not in phys
     assert "Generate explode" in phys or "Expand" in phys or "explode" in phys
+
+
+def test_readability_is_shuffle_free(spark):
+    """q_text_readability claims a pure map-side plan (the same shape as
+    the chunker/repetition filter) — no Exchange may appear."""
+    phys = _executed_plan(spark, "q_text_readability")
+    assert "Exchange" not in phys
+
+
+def test_pairwise_trend_keys_join_on_the_group_key(spark):
+    """The Theil-Sen / Mann-Kendall pair generators are self-joins of the
+    monthly frame with an EQUALITY on the group key (the range residual
+    rides inside the join) — a CartesianProduct would mean the equi key
+    fell out of the join condition and the pair step went corpus-
+    quadratic across groups."""
+    for key in ("q_ts_theilsen", "q_ts_mann_kendall"):
+        plan = _optimized_plan(spark, key)
+        assert "CartesianProduct" not in plan, key
+
+
+def test_fk_infer_joins_distinct_key_sets_only(spark):
+    """Every fk-infer join must be an equi-join of the two DISTINCT key
+    sets (aggregates on both sides) — no cartesian anywhere, and every
+    child scan projected to its key column (plus the 1-row count
+    broadcasts)."""
+    plan = _optimized_plan(spark, "q_catalog_fk_infer")
+    assert "CartesianProduct" not in plan
+    # the child side scans must be single-column (key-only) reads
+    phys = _executed_plan(spark, "q_catalog_fk_infer")
+    import re
+
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", phys)
+    assert schemas, "expected parquet scans in the fk-infer plan"
+    assert all(s.count(",") == 0 for s in schemas), schemas
