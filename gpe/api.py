@@ -136,6 +136,52 @@ class LakeAPI:
 
         return _text.q_text_repetition(self.spark, self.sf_dir)
 
+    def corpus_gate(self) -> DataFrame:
+        """GET /corpus/gate — the filter-funnel dashboard: per (source,
+        drop_reason) counts and per-source keep shares."""
+        from gpe import pipeline as _pipeline
+
+        return _pipeline.q_pipeline_quality_gate(self.spark, self.sf_dir)
+
+    def corpus_readability(self) -> DataFrame:
+        """GET /corpus/readability — per-doc Flesch/grade-level
+        features."""
+        from gpe import text as _text
+
+        return _text.q_text_readability(self.spark, self.sf_dir)
+
+    def model_metrics(self) -> DataFrame:
+        """GET /models/langid/metrics — per-class precision/recall/F1 of
+        the in-lake language-ID classifier."""
+        from gpe import text as _text
+
+        return _text.q_ml_class_metrics(self.spark, self.sf_dir)
+
+    def join_graph(self) -> DataFrame:
+        """GET /catalog/join-graph — audited FK/inclusion-dependency
+        candidates with containment ratios."""
+        return _catalog.q_catalog_fk_infer(self.spark, self.sf_dir)
+
+    def data_quality(self) -> DataFrame:
+        """GET /catalog/quality — the per-ingest validation suite (PK
+        uniqueness, referential integrity, range checks)."""
+        return _catalog.q_catalog_quality_checks(self.spark, self.sf_dir)
+
+    def series_trend(self) -> DataFrame:
+        """GET /series/trend — Theil-Sen robust slope + Mann-Kendall
+        significance per priority, stitched on the group key (the
+        robust-trend panel an ops dashboard draws)."""
+        slope = _timeseries.q_ts_theilsen(self.spark, self.sf_dir)
+        sig = _timeseries.q_ts_mann_kendall(self.spark, self.sf_dir).select(
+            "o_orderpriority", "s_stat", "var_s", "z_stat"
+        )
+        return slope.join(F.broadcast(sig), "o_orderpriority")
+
+    def series_changepoints(self) -> DataFrame:
+        """GET /series/changepoints — the per-type single-changepoint
+        report (split day, segment means, shift)."""
+        return _timeseries.q_ts_changepoint(self.spark, self.sf_dir)
+
     def table_changes(self) -> DataFrame:
         """GET /datasets/orders/changes — the two-snapshot time-travel
         diff summary (Delta-CDF/Iceberg-changelog shaped)."""

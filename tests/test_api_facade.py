@@ -202,3 +202,33 @@ def test_table_changes_endpoint_summarizes(api):
     kinds = {r.change_type for r in rows}
     assert kinds <= {"added", "removed", "changed", "unchanged"}
     assert "changed" in kinds and "added" in kinds
+
+
+def test_r8_endpoints_delegate_to_declared_operators(api, spark):
+    """Every late-r8 endpoint must be a pure delegation — row-for-row
+    equal to its declared operator (the façade adds no logic)."""
+    import __spark_entry__ as spec
+
+    qs = spec.queries()
+    pairs = [
+        (api.corpus_gate(), "q_pipeline_quality_gate"),
+        (api.corpus_readability(), "q_text_readability"),
+        (api.model_metrics(), "q_ml_class_metrics"),
+        (api.join_graph(), "q_catalog_fk_infer"),
+        (api.data_quality(), "q_catalog_quality_checks"),
+        (api.series_changepoints(), "q_ts_changepoint"),
+    ]
+    for got_df, key in pairs:
+        got = sorted(map(tuple, got_df.collect()))
+        want = sorted(map(tuple, qs[key](spark, api.sf_dir).collect()))
+        assert got == want and len(got) > 0, key
+
+
+def test_series_trend_stitches_slope_and_significance(api, spark):
+    """The trend panel joins Theil-Sen and Mann-Kendall on the group key
+    — one row per priority carrying both the slope and its z."""
+    rows = api.series_trend().collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.n_pairs > 0 and r.var_s > 0
+        assert r.slope_c_per_month is not None and r.z_stat is not None
