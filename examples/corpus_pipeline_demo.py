@@ -47,6 +47,17 @@ def main() -> None:
     rep.orderBy(F.desc("dup2_ratio"), "doc_id").show(3)
     print(f"   {rep.filter('is_repetitive').count()} docs flagged repetitive")
 
+    print("== the filter funnel (final r8): keep rate per source ==")
+    pipeline.q_pipeline_quality_gate(spark, sf_dir).orderBy(
+        "source", "drop_reason"
+    ).show(8)
+
+    print("== readability features (final r8): hardest 3 docs ==")
+    text.q_text_readability(spark, sf_dir).orderBy("flesch_e3").show(3)
+
+    print("== langid model QA (final r8): per-class P/R/F1 ==")
+    text.q_ml_class_metrics(spark, sf_dir).orderBy("lang").show()
+
     print("== search the corpus (BM25 top-5, late r8) ==")
     text.q_text_bm25_search(spark, sf_dir).select(
         "doc_id", "score", "tf_spark", "tf_table", "tf_query"
