@@ -67,6 +67,21 @@ def main() -> None:
     print("== incremental materialized-view refresh (IVM), 5 rows ==")
     cdc.q_mv_incremental(spark, sf_dir).orderBy("o_custkey").show(5)
 
+    print("== robust trend panel (final r8): Theil-Sen slope + Mann-Kendall z ==")
+    from gpe.api import LakeAPI
+
+    LakeAPI(spark, sf_dir).series_trend().orderBy("o_orderpriority").show()
+
+    print("== changepoint report per event type (final r8) ==")
+    timeseries.q_ts_changepoint(spark, sf_dir).orderBy("event_type").show()
+
+    print("== status x priority independence screen (final r8, chi-squared) ==")
+    chi = relational.q_agg_chi2(spark, sf_dir)
+    chi.agg(
+        F.round(F.sum("chi2_term"), 3).alias("chi2_statistic"),
+        F.count(F.lit(1)).alias("n_cells"),
+    ).show()
+
     print("== SQL surface over registered views ==")
     register_views(spark, sf_dir)
     spark.sql(
