@@ -265,6 +265,67 @@ def calendar_profile_shares(cells: DataFrame) -> DataFrame:
     )
 
 
+def daily_cells_stream(stream: DataFrame) -> DataFrame:
+    """Streaming half of q_ts_changepoint: the per-(type, day) cent sums
+    are a streaming aggregate whose state is calendar-bounded (one row
+    per open day per type — a watermark evicts closed days in
+    production). The changepoint SCAN is sink-side by necessity: the
+    argmax needs every day's prefix sum, a cross-row computation over
+    the full (bounded) daily frame."""
+    from gpe.common import dec
+
+    return stream.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum((dec("value") * 100).cast("long")).alias("v_c"))
+
+
+def changepoint_from_cells(cells: DataFrame) -> DataFrame:
+    """Sink-side changepoint scan over the materialized daily cells —
+    the IDENTICAL prefix-sum + score-ordered argmax as the batch
+    operator (the score is ordering-only there too), on the same
+    calendar-bounded frame."""
+    from pyspark.sql import Window
+
+    from gpe.common import ntz
+
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("event_type")
+    g = (
+        cells.withColumn("cum_c", F.sum("v_c").over(wp))
+        .withColumn("k", F.count(F.lit(1)).over(wp))
+        .withColumn("tot_c", F.sum("v_c").over(wt))
+        .withColumn("n_days", F.count(F.lit(1)).over(wt))
+        .filter(F.col("k") < F.col("n_days"))
+    )
+    left = F.col("cum_c").cast("double")
+    right = (F.col("tot_c") - F.col("cum_c")).cast("double")
+    score = left * left / F.col("k") + right * right / (
+        F.col("n_days") - F.col("k")
+    )
+    wr = Window.partitionBy("event_type").orderBy(F.desc(score), F.asc("day"))
+    return (
+        g.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            ntz(F.col("day").cast("timestamp")).alias("split_day"),
+            "n_days",
+            F.col("k").alias("n_left"),
+            (F.col("n_days") - F.col("k")).alias("n_right"),
+            F.expr("cum_c DIV k").alias("mean_left_c"),
+            F.expr("(tot_c - cum_c) DIV (n_days - k)").alias("mean_right_c"),
+            (
+                F.expr("(tot_c - cum_c) DIV (n_days - k)")
+                - F.expr("cum_c DIV k")
+            ).alias("shift_c"),
+        )
+    )
+
+
 def quality_gate_stream(stream: DataFrame) -> DataFrame:
     """Streaming half of q_pipeline_quality_gate: the gate decision is
     pure map-side (gpe.pipeline.gate_frame), so docs are attributed to

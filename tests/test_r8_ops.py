@@ -539,3 +539,22 @@ def test_theilsen_singleton_group_dropped_both_sides(spark, tmp_path):
     assert _rows(_Q["q_ts_theilsen"](spark, str(d))) == _pdf_rows(
         _oracle(d, "q_ts_theilsen", table="orders")
     )
+
+
+def test_fk_infer_semantics_on_fixture(spark):
+    """The declared join graph must show full containment; the partial
+    link and the negative control must NOT."""
+    rows = {r.child_col: r for r in _Q["q_catalog_fk_infer"](spark, SF).collect()}
+    for fk in (
+        "orders.o_custkey", "lineitem.l_partkey", "lineitem.l_suppkey",
+        "lineitem.l_orderkey", "customer.c_nationkey",
+        "supplier.s_nationkey", "nation.n_regionkey",
+    ):
+        assert rows[fk].is_contained and rows[fk].containment_e6 == 1000000, fk
+    # events.user_id covers only a subset of customers -> contained,
+    # but the reverse coverage is partial (n_matched < n_parent_keys)
+    ev = rows["events.user_id"]
+    assert ev.n_matched <= ev.n_child_keys
+    # negative control: p_size overlaps nationkey's RANGE but not its SET
+    neg = rows["part.p_size"]
+    assert not neg.is_contained

@@ -505,6 +505,32 @@ def test_streaming_calendar_profile_equals_batch(spark):
         q.stop()
 
 
+def test_streaming_changepoint_equals_batch(spark):
+    """Streaming daily cells (complete mode, calendar-bounded state) +
+    the sink-side prefix-sum/argmax scan must reproduce the batch
+    changepoint row for row — cents are exact integers and the ordering
+    score chain is identical, so no bit lottery."""
+    from gpe import timeseries
+
+    ev_stream = streaming.stream_events(spark, SF)
+    q = streaming.run_to_memory(
+        streaming.daily_cells_stream(ev_stream), "t_daily_cells", "complete"
+    )
+    try:
+        cols = [
+            "event_type", "split_day", "n_days", "n_left", "n_right",
+            "mean_left_c", "mean_right_c", "shift_c",
+        ]
+        got = _rows(
+            streaming.changepoint_from_cells(spark.table("t_daily_cells")),
+            cols,
+        )
+        want = _rows(timeseries.q_ts_changepoint(spark, SF), cols)
+        assert got == want and len(got) > 0
+    finally:
+        q.stop()
+
+
 def test_streaming_quality_gate_equals_batch(spark):
     """Streaming gate cells (complete mode) + the sink-side share
     derivation must reproduce the batch filter funnel row for row —

@@ -107,6 +107,7 @@ drain("v_bigrams", streaming.bigram_counts_stream(docs()), "complete")
 drain("v_gate", streaming.quality_gate_stream(docs()), "complete")
 drain("v_readability", streaming.readability_stream(docs()), "append")
 drain("v_calendar", streaming.calendar_cells_stream(ev()), "complete")
+drain("v_daily", streaming.daily_cells_stream(ev()), "complete")
 drain("v_chunks", streaming.chunk_stream(docs()), "append")
 drain(
     "v_minhash",
