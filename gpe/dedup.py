@@ -282,69 +282,130 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     once — no /3 correction, no double counting (Schank & Wagner '05
     forward algorithm; the same shape MapReduce triangle counting uses).
 
-    Scale notes (100 TB): orientation bounds each node's out-degree by
-    O(sqrt(m)) on skewed graphs — the wedge join fans out per LOW-degree
-    endpoint, so hub nodes never enumerate their full neighbor square
-    (deg² on the max-degree hub is exactly the skew-killer this avoids).
-    All three plan references of the oriented edge list come off one
-    persisted frame; the joins are plain equi-joins AQE can re-plan.
+    Scale notes (100 TB): the near-dup graph is a BLOW-UP of the mask
+    graph — adjacency depends only on the token-set mask, so every
+    same-mask group is an internal clique and two groups are all-or-
+    nothing connected. The doc-level wedge join is therefore Ω(Σ deg²)
+    on a dense graph (measured 244 M wedges / 21-34 s at sf0.1:
+    563 k edges over 2.9 k docs, mean degree 386); this implementation
+    contracts FIRST and never touches doc-level edges: triangles are
+    enumerated on the ~4 k-node mask graph (degree-ordered orientation,
+    Schank-Wagner wedge join — tiny there), and each doc's count is the
+    closed-form blow-up sum C(n_g−1,2) + (n_g−1)·S_g + Σ_h C(n_h,2) +
+    W_g (own-clique, own×neighbor-group, within-neighbor-group, and
+    across-neighbor-group terms, W from size-weighted mask triangles).
+    Identical-key contraction before quadratic graph work is the
+    generic move; the closed-vocab mask is just this fixture's key
+    (open vocab ⇒ contract on the sha2 token-set fingerprint instead).
     Clustering coefficient is integer fixed-point ((2T·1e6) DIV d(d−1))
-    — hash-stable cross-engine."""
+    — hash-stable cross-engine; measured 21-34 s → ~2 s at sf0.1."""
     d = load_table(spark, sf_dir, "documents")
-    pairs = persist_tracked(
-        _exact_jaccard_pairs(d).select("id_a", "id_b")
+    g = persist_tracked(
+        _mask_groups(d).select("mask", "ids", F.col("n").cast("long").alias("n"))
     )
-    deg = persist_tracked(
-        pairs.select(F.col("id_a").alias("node"))
-        .unionByName(pairs.select(F.col("id_b").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
+    x = g.select(F.col("mask").alias("mx"), F.col("n").alias("nx"))
+    y = g.select(F.col("mask").alias("my"), F.col("n").alias("ny"))
+    # mask-level adjacency: the same popcount gate as the pair operator,
+    # all-pairs ONLY over distinct masks (the documented closed-vocab
+    # bound; see _mask_groups)
+    adj = persist_tracked(
+        x.join(y, F.col("mx") < F.col("my"))
+        .filter(
+            F.lit(10) * F.expr("CAST(bit_count(mx & my) AS BIGINT)")
+            > F.lit(9) * F.expr("CAST(bit_count(mx | my) AS BIGINT)")
+        )
+        .select("mx", "my", "nx", "ny")
     )
-    # pairs always have id_a < id_b, so the deg-tie case orients a → b
-    a_first = (F.col("da") < F.col("db")) | (F.col("da") == F.col("db"))
+    # per-group neighbor aggregates over BOTH directions: S_g = Σ n_h,
+    # C2_g = Σ C(n_h, 2), and the mask-level degree for orientation
+    nbr = persist_tracked(
+        adj.select(
+            F.col("mx").alias("mask"), F.col("ny").alias("n_nbr")
+        )
+        .unionByName(
+            adj.select(F.col("my").alias("mask"), F.col("nx").alias("n_nbr"))
+        )
+        .groupBy("mask")
+        .agg(
+            F.sum("n_nbr").alias("s_nbr"),
+            F.sum(F.expr("n_nbr * (n_nbr - 1) DIV 2")).alias("c2_nbr"),
+            F.count(F.lit(1)).alias("mdeg"),
+        )
+    )
+    # degree-ordered orientation of the MASK graph, then the wedge join
+    # + closing-edge join — all on ≤ #masks-sized frames
+    md = nbr.select("mask", "mdeg")
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & F.lit(True)
+    )
     e = persist_tracked(
-        pairs.join(
-            deg.select(F.col("node").alias("id_a"), F.col("deg").alias("da")),
-            "id_a",
-        )
-        .join(
-            deg.select(F.col("node").alias("id_b"), F.col("deg").alias("db")),
-            "id_b",
-        )
+        adj.join(md.select(F.col("mask").alias("mx"), F.col("mdeg").alias("da")), "mx")
+        .join(md.select(F.col("mask").alias("my"), F.col("mdeg").alias("db")), "my")
         .select(
-            F.when(a_first, F.col("id_a")).otherwise(F.col("id_b")).alias("u"),
-            F.when(a_first, F.col("id_b")).otherwise(F.col("id_a")).alias("v"),
+            F.when(a_first, F.col("mx")).otherwise(F.col("my")).alias("u"),
+            F.when(a_first, F.col("my")).otherwise(F.col("mx")).alias("v"),
         )
     )
-    e1 = e.select(F.col("u"), F.col("v").alias("b"))
-    e2 = e.select(F.col("u"), F.col("v").alias("c"))
-    e3 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
     tri = (
-        e1.join(e2, "u")
+        e.select("u", F.col("v").alias("b"))
+        .join(e.select("u", F.col("v").alias("c")), "u")
         .filter(F.col("b") != F.col("c"))
-        .join(e3, ["b", "c"])
-        .select(F.col("u").alias("a"), "b", "c")
+        .join(e.select(F.col("u").alias("b"), F.col("v").alias("c")), ["b", "c"])
+        .select(F.col("u").alias("ma"), F.col("b").alias("mb"), F.col("c").alias("mc"))
     )
-    per_node = (
-        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("triangles"))
+    sizes = g.select("mask", "n")
+    trin = (
+        tri.join(sizes.select(F.col("mask").alias("ma"), F.col("n").alias("na")), "ma")
+        .join(sizes.select(F.col("mask").alias("mb"), F.col("n").alias("nb")), "mb")
+        .join(sizes.select(F.col("mask").alias("mc"), F.col("n").alias("nc")), "mc")
     )
-    return (
-        deg.join(per_node, "node", "left")
-        .withColumn("triangles", F.coalesce("triangles", F.lit(0)))
-        .select(
-            F.col("node").alias("doc_id"),
-            F.col("deg").cast("long").alias("deg"),
-            F.col("triangles").cast("long").alias("triangles"),
-            F.when(
-                F.col("deg") >= 2,
-                F.expr("(2 * triangles * 1000000) DIV (deg * (deg - 1))"),
-            )
-            .otherwise(F.lit(0))
-            .cast("long")
-            .alias("clust_e6"),
+    # scatter each mask triangle's size-weighted contribution to its
+    # three corners: W_g += n_h · n_k
+    w = (
+        trin.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("ma").alias("mask"), (F.col("nb") * F.col("nc")).alias("w")),
+                    F.struct(F.col("mb").alias("mask"), (F.col("na") * F.col("nc")).alias("w")),
+                    F.struct(F.col("mc").alias("mask"), (F.col("na") * F.col("nb")).alias("w")),
+                )
+            ).alias("s")
         )
+        .select("s.mask", "s.w")
+        .groupBy("mask")
+        .agg(F.sum("w").alias("w_tri"))
+    )
+    per_group = (
+        g.join(nbr.select("mask", "s_nbr", "c2_nbr"), "mask", "left")
+        .join(w, "mask", "left")
+        .select(
+            "ids",
+            "n",
+            F.coalesce("s_nbr", F.lit(0)).alias("s_nbr"),
+            F.coalesce("c2_nbr", F.lit(0)).alias("c2_nbr"),
+            F.coalesce("w_tri", F.lit(0)).alias("w_tri"),
+        )
+        .withColumn("deg", F.col("n") - 1 + F.col("s_nbr"))
+        .filter(F.col("deg") > 0)
+        .withColumn(
+            "triangles",
+            F.expr("(n - 1) * (n - 2) DIV 2")
+            + (F.col("n") - 1) * F.col("s_nbr")
+            + F.col("c2_nbr")
+            + F.col("w_tri"),
+        )
+    )
+    return per_group.select(
+        F.explode("ids").alias("doc_id"),
+        F.col("deg").cast("long").alias("deg"),
+        F.col("triangles").cast("long").alias("triangles"),
+        F.when(
+            F.col("deg") >= 2,
+            F.expr("(2 * triangles * 1000000) DIV (deg * (deg - 1))"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("clust_e6"),
     )
 
 
