@@ -1,0 +1,401 @@
+"""Model-evaluation / drift metrics over the lake — the scoring queries an
+ML platform runs where the data already lives (no sklearn round-trip):
+one-vs-rest AUC, calibration (reliability) deciles, population-stability
+drift, and the two-sample Kolmogorov–Smirnov statistic.
+
+Reference note: /root/reference is an EMPTY checkout (SURVEY §0); these
+operators extend SURVEY §2's contract under the BASELINE.json:6 mandate
+(training-data pipeline analytics as first-class operators). Algorithms
+are public-literature standards: rank-form AUC (Hanley & McNeil 1982 /
+Mann-Whitney U), PSI (the standard credit-scoring drift measure, e.g.
+Karakoulas 2004), two-sample KS via cumulative-count crossings.
+
+Cross-engine determinism (the repo-wide fixed-point discipline,
+SURVEY §5.3): scores are exact DECIMAL dot products (the gpe/vectors.py
+recipe — float32 widened to double, cast DECIMAL(12,10), order-free
+decimal sums); counts and rank statistics are exact integers; ln() terms
+are e6-floored with the EPS nudge before any aggregation; only final
+display ratios return to double via ROUND(x + EPS, 6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gpe.common import EPS
+from gpe.io import load_table
+
+# Exploded embeddings + per-class component SUM table (NOT the mean:
+# AUC/calibration rank by the score, and ranking is invariant under the
+# positive per-class scale 1/n — skipping the division keeps every score
+# an exact decimal with no rounding step at all).
+_SQL_EXPLODED = """
+  SELECT vec_id, label,
+         generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+"""
+
+# DuckDB widens FLOAT→DECIMAL in float32 precision; the explicit DOUBLE
+# cast first makes both engines round the identical 64-bit value
+# (measured in gpe/vectors.py — same twin comment there).
+_SQL_CLASS_SCORES = f"""
+    ex AS ({_SQL_EXPLODED}),
+    cd AS (
+      SELECT label AS cls, pos,
+             CAST(SUM(CAST(x AS DECIMAL(12,10))) AS DECIMAL(18,10)) AS sdim
+      FROM ex GROUP BY 1, 2),
+    sc AS (
+      SELECT e.vec_id, e.label, c.cls,
+             SUM(CAST(e.x AS DECIMAL(12,10)) * c.sdim) AS score
+      FROM ex e JOIN cd c ON e.pos = c.pos
+      GROUP BY 1, 2, 3)
+"""
+
+
+def _class_scores(emb: DataFrame) -> DataFrame:
+    """(vec_id, label, cls, score): every vector scored against every
+    class prototype, score = <embedding, Σ members of cls> as an exact
+    DECIMAL (order-free; ties compare exactly, so downstream ranks are
+    engine-identical by construction).
+
+    Scale notes (100 TB): the prototype table is (k·dim) rows — built by
+    one (label, pos) shuffle with map-side partial sums, then BROADCAST;
+    scoring is a map-side explode-join-reaggregate keyed by vec_id, so
+    the corpus side streams through one shuffle regardless of k."""
+    ex = emb.select("vec_id", "label", F.posexplode("embedding").alias("pos", "x"))
+    cd = (
+        ex.groupBy(F.col("label").alias("cls"), "pos")
+        .agg(
+            F.sum(F.col("x").cast("decimal(12,10)"))
+            .cast("decimal(18,10)")
+            .alias("sdim")
+        )
+    )
+    return (
+        ex.join(F.broadcast(cd), "pos")
+        .groupBy("vec_id", "label", "cls")
+        .agg(
+            F.sum(F.col("x").cast("decimal(12,10)") * F.col("sdim")).alias(
+                "score"
+            )
+        )
+    )
+
+
+def q_ml_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-vs-rest ROC AUC per class over the embeddings table, scored by
+    the nearest-class-prototype dot product — the rank-form (Mann-Whitney
+    U) AUC: U = Σ_pos rank − n⁺(n⁺+1)/2, AUC = U/(n⁺·n⁻), computed here
+    in the tie-aware cumulative form 2U = Σ_s pos_s·(2·cumneg_below + neg_s)
+    over DISTINCT score groups (Hanley & McNeil 1982).
+
+    Determinism: scores are exact decimals (see _class_scores), the group
+    cumsum is exact integers, and 2U is an exact LONG — only the final
+    AUC ratio is a double, rounded with the EPS nudge.
+
+    Scale notes (100 TB): one groupBy (cls, score) with map-side partial
+    counts collapses the corpus to distinct-score rows; the rank window
+    partitions by cls (k-way parallel) over that aggregate output — never
+    a raw-table global sort. At 10⁹ vectors the distinct-score frame is
+    the only window input, and the final answer is k rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sc = _class_scores(emb)
+    ps = sc.groupBy("cls", "score").agg(
+        F.sum(F.when(F.col("label") == F.col("cls"), 1).otherwise(0)).alias(
+            "pos_s"
+        ),
+        F.sum(F.when(F.col("label") != F.col("cls"), 1).otherwise(0)).alias(
+            "neg_s"
+        ),
+    )
+    w = (
+        Window.partitionBy("cls")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = ps.withColumn(
+        "cumneg", F.coalesce(F.sum("neg_s").over(w), F.lit(0))
+    )
+    return (
+        cum.groupBy(F.col("cls").alias("label"))
+        .agg(
+            F.sum("pos_s").cast("long").alias("n_pos"),
+            F.sum("neg_s").cast("long").alias("n_neg"),
+            F.sum(
+                F.col("pos_s") * (F.lit(2) * F.col("cumneg") + F.col("neg_s"))
+            )
+            .cast("long")
+            .alias("u2x"),
+        )
+        .select(
+            "label",
+            "n_pos",
+            "n_neg",
+            "u2x",
+            F.round(
+                F.col("u2x")
+                / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg"))
+                + F.lit(EPS),
+                6,
+            ).alias("auc"),
+        )
+    )
+
+
+_SQL_ML_AUC = f"""
+    WITH {_SQL_CLASS_SCORES},
+    ps AS (
+      SELECT cls, score,
+             SUM(CASE WHEN label = cls THEN 1 ELSE 0 END) AS pos_s,
+             SUM(CASE WHEN label <> cls THEN 1 ELSE 0 END) AS neg_s
+      FROM sc GROUP BY 1, 2),
+    cum AS (
+      SELECT cls, pos_s, neg_s,
+             COALESCE(SUM(neg_s) OVER (PARTITION BY cls ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cumneg
+      FROM ps)
+    SELECT cls AS label,
+           CAST(SUM(pos_s) AS BIGINT) AS n_pos,
+           CAST(SUM(neg_s) AS BIGINT) AS n_neg,
+           CAST(SUM(pos_s * (2 * cumneg + neg_s)) AS BIGINT) AS u2x,
+           ROUND(SUM(pos_s * (2 * cumneg + neg_s))
+                 / (2.0 * SUM(pos_s) * SUM(neg_s)) + 1e-9, 6) AS auc
+    FROM cum GROUP BY 1
+"""
+
+
+def q_ml_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability (calibration) deciles for the class-0 prototype score:
+    rank all vectors by score, cut into 10 equal-rank bins (NTILE), and
+    report per-bin size, exact mean score, and positive rate — the table
+    behind every calibration curve / ECE computation.
+
+    Rank bins instead of value bins on purpose: NTILE over (score, vec_id)
+    is a pure integer rank computation over exact-decimal scores — no
+    min-max normalization (whose decimal division would round) and no
+    empty bins. Determinism: the (score, vec_id) order is total, so bin
+    membership is engine-identical.
+
+    Scale notes (100 TB): the NTILE window is unpartitioned but runs over
+    the AGGREGATE output of _class_scores (one row per vector scored
+    against one class — bounded by construction per the window-audit
+    rule); for 10⁹+ vectors the two-pass range-partition NTILE of
+    gpe/common.py (q_customer_rfm's recipe) swaps in unchanged."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sc = _class_scores(emb).filter(F.col("cls") == 0)
+    w = Window.orderBy("score", "vec_id")
+    b = sc.withColumn("bin", F.ntile(10).over(w))
+    return (
+        b.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("label") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_pos"),
+            F.sum("score").alias("s_sum"),
+        )
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            F.round(
+                F.col("s_sum").cast("double") / F.col("n") + F.lit(EPS), 6
+            ).alias("mean_score"),
+            F.round(F.col("n_pos") / F.col("n") + F.lit(EPS), 6).alias(
+                "pos_rate"
+            ),
+        )
+    )
+
+
+_SQL_ML_CALIBRATION = f"""
+    WITH {_SQL_CLASS_SCORES},
+    b AS (
+      SELECT vec_id, label, score,
+             NTILE(10) OVER (ORDER BY score, vec_id) AS bin
+      FROM sc WHERE cls = 0)
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pos,
+           ROUND(CAST(SUM(score) AS DOUBLE) / COUNT(*) + 1e-9, 6)
+             AS mean_score,
+           ROUND(SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE) + 1e-9, 6) AS pos_rate
+    FROM b GROUP BY 1
+"""
+
+
+def q_ml_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the order-value distribution between
+    the 1995–97 and 1998–2001 eras — the standard score/feature drift
+    monitor (PSI = Σ (pᵢ−qᵢ)·ln(pᵢ/qᵢ); <0.1 stable, >0.25 shifted).
+    Fixed 50k-wide value bins, Laplace-smoothed ((n+1)/(N+B)) so empty
+    bins stay finite — per-bin rows so the monitor can show WHICH value
+    band drifted, not just the total.
+
+    Determinism: bin counts are exact integers; p, q are correctly-rounded
+    doubles of integer ratios; each (p−q)·ln(p/q) term (≥ 0 by sign
+    agreement) is e6-floored with the EPS nudge into a LONG before any
+    reader sums them — the q_text_unigram_logprob libm discipline.
+
+    Scale notes (100 TB): one groupBy (bin, era) with map-side partials
+    collapses the fact table to ≤ 2·B rows; era totals ride the same
+    aggregate through a broadcast — a single fact-scan pass."""
+    o = load_table(spark, sf_dir, "orders")
+    binned = o.select(
+        F.least(F.floor(F.col("o_totalprice") / 50000), F.lit(9))
+        .cast("long")
+        .alias("bin"),
+        F.when(
+            F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"), 1
+        )
+        .otherwise(0)
+        .alias("is_a"),
+    )
+    cnt = binned.groupBy("bin").agg(
+        F.sum("is_a").cast("long").alias("n_a"),
+        F.sum(F.lit(1) - F.col("is_a")).cast("long").alias("n_b"),
+    )
+    tot = cnt.agg(
+        F.sum("n_a").alias("t_a"), F.sum("n_b").alias("t_b")
+    )
+    p = (F.col("n_a") + 1) / (F.col("t_a") + 10)
+    q = (F.col("n_b") + 1) / (F.col("t_b") + 10)
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_a",
+            "n_b",
+            F.floor((p - q) * F.log(p / q) * F.lit(1_000_000) + F.lit(EPS))
+            .cast("long")
+            .alias("psi_term_e6"),
+        )
+    )
+
+
+_SQL_ML_PSI = """
+    WITH binned AS (
+      SELECT CAST(LEAST(FLOOR(o_totalprice / 50000), 9) AS BIGINT) AS bin,
+             CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 1 ELSE 0
+               END AS is_a
+      FROM orders),
+    cnt AS (
+      SELECT bin, CAST(SUM(is_a) AS BIGINT) AS n_a,
+             CAST(SUM(1 - is_a) AS BIGINT) AS n_b
+      FROM binned GROUP BY 1),
+    tot AS (SELECT SUM(n_a) AS t_a, SUM(n_b) AS t_b FROM cnt)
+    SELECT bin, n_a, n_b,
+           CAST(FLOOR(((n_a + 1) / (t_a + 10.0) - (n_b + 1) / (t_b + 10.0))
+                 * ln(((n_a + 1) / (t_a + 10.0))
+                      / ((n_b + 1) / (t_b + 10.0)))
+                 * 1000000 + 1e-9) AS BIGINT) AS psi_term_e6
+    FROM cnt CROSS JOIN tot
+"""
+
+
+def q_ml_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the `value`
+    distributions of click and purchase events — the distribution-shift
+    test an experimentation/drift platform runs pairwise. D = max_v
+    |F₁(v) − F₂(v)|, computed over the merged distinct-value support in
+    the cross-multiplied integer form |cum₁·N₂ − cum₂·N₁| so the max and
+    its argmax (earliest value on ties) are exact-integer decisions.
+
+    Scale notes (100 TB): groupBy(value) with map-side partials collapses
+    the events scan to distinct-value rows; both cumulative windows run
+    over that aggregate output (window-audit-bounded). The result is one
+    row."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            F.col("value").cast("decimal(12,2)").alias("v"),
+            (F.col("event_type") == "click").cast("int").alias("is_a"),
+        )
+    )
+    per_v = e.groupBy("v").agg(
+        F.sum("is_a").cast("long").alias("a"),
+        F.sum(F.lit(1) - F.col("is_a")).cast("long").alias("b"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_v.select(
+        "v",
+        F.sum("a").over(w).alias("ca"),
+        F.sum("b").over(w).alias("cb"),
+    )
+    tot = per_v.agg(
+        F.sum("a").cast("long").alias("na"), F.sum("b").cast("long").alias("nb")
+    )
+    d = cum.crossJoin(F.broadcast(tot)).select(
+        "v",
+        "na",
+        "nb",
+        F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na")).alias(
+            "d_num"
+        ),
+    )
+    w_top = Window.orderBy(F.desc("d_num"), F.asc("v"))
+    return (
+        d.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") == 1)
+        .select(
+            "na",
+            "nb",
+            F.col("v").cast("double").alias("at_value"),
+            "d_num",
+            F.round(
+                F.col("d_num") / (F.col("na") * F.col("nb")) + F.lit(EPS), 6
+            ).alias("ks_stat"),
+        )
+    )
+
+
+_SQL_ML_KS = """
+    WITH e AS (
+      SELECT CAST(value AS DECIMAL(12,2)) AS v,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    per_v AS (
+      SELECT v, CAST(SUM(is_a) AS BIGINT) AS a,
+             CAST(SUM(1 - is_a) AS BIGINT) AS b
+      FROM e GROUP BY 1),
+    cum AS (
+      SELECT v,
+             SUM(a) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS ca,
+             SUM(b) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS cb
+      FROM per_v),
+    tot AS (
+      SELECT CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b) AS BIGINT) AS nb
+      FROM per_v),
+    d AS (
+      SELECT v, na, nb, ABS(ca * nb - cb * na) AS d_num
+      FROM cum CROSS JOIN tot)
+    SELECT na, nb, CAST(v AS DOUBLE) AS at_value,
+           CAST(d_num AS BIGINT) AS d_num,
+           ROUND(d_num / CAST(na * nb AS DOUBLE) + 1e-9, 6) AS ks_stat
+    FROM d
+    ORDER BY d_num DESC, v ASC
+    LIMIT 1
+"""
+
+
+QUERIES = {
+    "q_ml_auc": q_ml_auc,
+    "q_ml_calibration": q_ml_calibration,
+    "q_ml_psi": q_ml_psi,
+    "q_ml_ks": q_ml_ks,
+}
+
+ORACLES = {
+    "q_ml_auc": _SQL_ML_AUC,
+    "q_ml_calibration": _SQL_ML_CALIBRATION,
+    "q_ml_psi": _SQL_ML_PSI,
+    "q_ml_ks": _SQL_ML_KS,
+}

@@ -34,6 +34,7 @@ for _name in (
     "catalog",
     "udf",
     "cdc",
+    "ml",
 ):
     _MODULES.append(__import__(f"gpe.{_name}", fromlist=[_name]))
 
@@ -54,6 +55,11 @@ for _name in (
 # Keys after position 50 keep local parity (tools/parity.py) as their
 # regression net; tests/test_registry_order.py pins this window.
 HARD_SIGNAL_FIRST_50 = [
+    # --- round-9 operators (zero driver evidence, newest first) ---
+    "q_ml_auc",
+    "q_ml_calibration",
+    "q_ml_psi",
+    "q_ml_ks",
     # --- final-round-8 operators (zero driver evidence, newest first) ---
     "q_ml_class_metrics",
     "q_ts_mann_kendall",
@@ -104,10 +110,6 @@ HARD_SIGNAL_FIRST_50 = [
     "q_join_theta_range",
     "q_join_fuzzy_name",
     "q_join_skew_salted",
-    "q_join_lateral",
-    "q_agg_groupby",
-    "q_scalar_string",
-    "q_explode_tokens",
 ]
 
 # Next in line for round 9: first the r4-stale keys displaced by the
@@ -119,6 +121,12 @@ HARD_SIGNAL_FIRST_50 = [
 # r5-green keys (oldest driver evidence after this window lands).
 # r6/r7/r8-green keys fall to the tail automatically.
 _SECOND_WAVE = [
+    # displaced from the r9 window by the 4 new ml keys — r4-stale,
+    # first in line for r10
+    "q_join_lateral",
+    "q_agg_groupby",
+    "q_scalar_string",
+    "q_explode_tokens",
     # displaced from the r8 window by the 10 final-r8 keys — still
     # r4-stale, first in line for r9
     "q_scalar_json",

@@ -1,0 +1,258 @@
+"""Round-9 operator tests: semantic invariants on the fixture plus
+crafted-data cases the fixture cannot produce (perfectly-separable
+classes, identical distributions, disjoint supports) — each degenerate
+case asserted against the REAL DuckDB oracle on crafted parquet, the
+same pattern as tests/test_r8_ops.py."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+import __spark_entry__ as spec
+
+from tests.conftest import SF_SMOKE
+
+_Q = spec.queries()
+_O = spec.oracle_sql()
+
+
+def _oracle(d, key, table):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW {table} AS SELECT * FROM "
+        f"read_parquet('{d}/{table}.parquet')"
+    )
+    out = con.execute(_O[key]).fetch_df()
+    con.close()
+    return out
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _pdf_rows(pdf):
+    return sorted(
+        tuple(None if pd.isna(v) else v for v in t)
+        for t in pdf.itertuples(index=False, name=None)
+    )
+
+
+def _emb_frame(rows):
+    """rows = [(vec_id, [floats], label)] → embeddings-schema frame."""
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    pdf["vec_id"] = pdf["vec_id"].astype("int64")
+    pdf["embedding"] = pdf["embedding"].apply(
+        lambda v: np.asarray(v, dtype="float32")
+    )
+    pdf["label"] = pdf["label"].astype("int32")
+    return pdf
+
+
+def _events_frame(rows):
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+    pdf["props"] = '{"k": 1}'
+    return pdf[["event_id", "ts", "user_id", "event_type", "value", "props"]]
+
+
+# ---------------------------------------------------------------- q_ml_auc
+
+
+def test_auc_fixture_invariants(spark):
+    got = _Q["q_ml_auc"](spark, SF_SMOKE).collect()
+    n = sum(r.n_pos for r in got) // len(got) + sum(r.n_neg for r in got) // len(
+        got
+    )
+    for r in got:
+        assert 0.0 <= r.auc <= 1.0
+        assert r.n_pos + r.n_neg == n  # every class ranks ALL vectors
+        # u2x is the tie-aware 2U: bounded by 2·n_pos·n_neg
+        assert 0 <= r.u2x <= 2 * r.n_pos * r.n_neg
+
+
+def test_auc_perfectly_separable_class_cross_engine(spark, tmp_path):
+    """Class 1 sits on an axis orthogonal to class 0 → the class-1
+    prototype score ranks every class-1 vector above every class-0
+    vector → AUC exactly 1.0 (and 2U = 2·n_pos·n_neg)."""
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.9, 0.0], 0),
+        (2, [0.8, 0.1], 0),
+        (3, [0.0, 1.0], 1),
+        (4, [0.0, 0.9], 1),
+        (5, [0.1, 0.8], 1),
+    ]
+    d = tmp_path / "auc_sep"
+    d.mkdir()
+    _emb_frame(rows).to_parquet(str(d / "embeddings.parquet"))
+    got = {r.label: r for r in _Q["q_ml_auc"](spark, str(d)).collect()}
+    assert got[1].auc == 1.0
+    assert got[1].u2x == 2 * got[1].n_pos * got[1].n_neg
+    assert got[0].auc == 1.0  # symmetric construction
+    assert _rows(_Q["q_ml_auc"](spark, str(d))) == _pdf_rows(
+        _oracle(d, "q_ml_auc", "embeddings")
+    )
+
+
+def test_auc_all_tied_scores_is_half(spark, tmp_path):
+    """Every vector identical → one distinct score per class → the
+    tie-aware form must land exactly on AUC 0.5 (2U = n_pos·n_neg),
+    where a naive strict-rank AUC would emit 0."""
+    rows = [(i, [0.5, 0.5], i % 2) for i in range(8)]
+    d = tmp_path / "auc_ties"
+    d.mkdir()
+    _emb_frame(rows).to_parquet(str(d / "embeddings.parquet"))
+    got = _Q["q_ml_auc"](spark, str(d)).collect()
+    for r in got:
+        assert r.u2x == r.n_pos * r.n_neg
+        assert r.auc == 0.5
+    assert _rows(_Q["q_ml_auc"](spark, str(d))) == _pdf_rows(
+        _oracle(d, "q_ml_auc", "embeddings")
+    )
+
+
+# ------------------------------------------------------- q_ml_calibration
+
+
+def test_calibration_fixture_invariants(spark):
+    got = _Q["q_ml_calibration"](spark, SF_SMOKE).collect()
+    assert sorted(r.bin for r in got) == list(range(1, 11))
+    total = sum(r.n for r in got)
+    assert max(r.n for r in got) - min(r.n for r in got) <= 1  # NTILE
+    assert sum(r.n_pos for r in got) <= total
+    for r in got:
+        assert 0.0 <= r.pos_rate <= 1.0
+
+
+def test_calibration_monotone_on_separable_data(spark, tmp_path):
+    """Class-0 mass on dim 0: the class-0 score orders class-0 vectors
+    last → the top NTILE bins hold all the positives."""
+    rows = [(i, [0.0, 1.0 - i * 0.01], 1) for i in range(10)] + [
+        (10 + i, [1.0 - i * 0.01, 0.0], 0) for i in range(10)
+    ]
+    d = tmp_path / "calib_sep"
+    d.mkdir()
+    _emb_frame(rows).to_parquet(str(d / "embeddings.parquet"))
+    got = sorted(
+        _Q["q_ml_calibration"](spark, str(d)).collect(), key=lambda r: r.bin
+    )
+    # 20 vectors → 10 bins of 2; positives (label 0) all in the top 5 bins
+    assert [r.n_pos for r in got] == [0] * 5 + [2] * 5
+    assert _rows(_Q["q_ml_calibration"](spark, str(d))) == _pdf_rows(
+        _oracle(d, "q_ml_calibration", "embeddings")
+    )
+
+
+# --------------------------------------------------------------- q_ml_psi
+
+
+def test_psi_fixture_invariants(spark):
+    got = _Q["q_ml_psi"](spark, SF_SMOKE).collect()
+    assert sorted(r.bin for r in got) == list(range(10))
+    # every PSI term is ≥ 0 up to the e6 floor (sign-agreeing product)
+    assert all(r.psi_term_e6 >= -1 for r in got)
+
+
+def test_psi_identical_eras_is_zero(spark, tmp_path):
+    """The same value multiset in both eras → p = q in every bin → every
+    term floors to exactly 0 (the e6 floor of a true 0 with +EPS)."""
+    prices = [1000.0, 60000.0, 120000.0, 480000.0] * 5
+    rows = []
+    for i, p in enumerate(prices):
+        rows.append((i, 1, "O", p, pd.Timestamp("1996-06-01"), "1-URGENT"))
+    for i, p in enumerate(prices):
+        rows.append(
+            (100 + i, 1, "O", p, pd.Timestamp("1999-06-01"), "1-URGENT")
+        )
+    pdf = pd.DataFrame(
+        rows,
+        columns=[
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        ],
+    )
+    pdf["o_orderdate"] = pdf["o_orderdate"].astype("datetime64[us]")
+    d = tmp_path / "psi_same"
+    d.mkdir()
+    pdf.to_parquet(str(d / "orders.parquet"))
+    got = _Q["q_ml_psi"](spark, str(d)).collect()
+    assert all(r.psi_term_e6 == 0 for r in got)
+    assert {r.bin for r in got} == {0, 1, 2, 9}
+    assert _rows(_Q["q_ml_psi"](spark, str(d))) == _pdf_rows(
+        _oracle(d, "q_ml_psi", "orders")
+    )
+
+
+# ---------------------------------------------------------------- q_ml_ks
+
+
+def test_ks_fixture_single_row(spark):
+    got = _Q["q_ml_ks"](spark, SF_SMOKE).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert 0.0 <= r.ks_stat <= 1.0
+    assert r.d_num <= r.na * r.nb
+
+
+def test_ks_identical_and_disjoint_distributions(spark, tmp_path):
+    """Identical samples → D = 0 exactly; disjoint supports → D = 1."""
+    base = pd.Timestamp("2024-01-01")
+
+    def mk(rows, name):
+        d = tmp_path / name
+        d.mkdir()
+        _events_frame(rows).to_parquet(str(d / "events.parquet"))
+        return str(d)
+
+    same = mk(
+        [
+            (i, base + pd.Timedelta(minutes=i), 1, t, v)
+            for i, (t, v) in enumerate(
+                [(t, v) for v in (1.0, 2.0, 3.0) for t in ("click", "purchase")]
+            )
+        ],
+        "ks_same",
+    )
+    got = _Q["q_ml_ks"](spark, same).collect()[0]
+    assert got.d_num == 0 and got.ks_stat == 0.0
+    # argmax tiebreak: earliest value in the merged support
+    assert got.at_value == 1.0
+    assert _rows(_Q["q_ml_ks"](spark, same)) == _pdf_rows(
+        _oracle(same, "q_ml_ks", "events")
+    )
+
+    disj = mk(
+        [
+            (0, base, 1, "click", 1.0),
+            (1, base, 1, "click", 2.0),
+            (2, base, 1, "purchase", 10.0),
+            (3, base, 1, "purchase", 11.0),
+        ],
+        "ks_disj",
+    )
+    got = _Q["q_ml_ks"](spark, disj).collect()[0]
+    assert got.ks_stat == 1.0 and got.at_value == 2.0
+    assert _rows(_Q["q_ml_ks"](spark, disj)) == _pdf_rows(
+        _oracle(disj, "q_ml_ks", "events")
+    )
+
+
+# ------------------------------------------------------------- plan shape
+
+
+def test_ml_prototype_join_is_broadcast(spark):
+    """The class-prototype table must reach the scoring join as a
+    broadcast — a shuffled (pos) join would reshuffle the exploded corpus
+    by dimension index."""
+    plan = _Q["q_ml_auc"](spark, SF_SMOKE)._jdf.queryExecution().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
