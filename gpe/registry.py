@@ -56,6 +56,9 @@ for _name in (
 # regression net; tests/test_registry_order.py pins this window.
 HARD_SIGNAL_FIRST_50 = [
     # --- round-9 operators (zero driver evidence, newest first) ---
+    "q_ts_interarrival",
+    "q_ts_peaks",
+    "q_ts_mix_entropy",
     "q_ml_auc",
     "q_ml_calibration",
     "q_ml_psi",
@@ -107,9 +110,6 @@ HARD_SIGNAL_FIRST_50 = [
     "q_join_left_outer",
     "q_join_semi",
     "q_join_anti",
-    "q_join_theta_range",
-    "q_join_fuzzy_name",
-    "q_join_skew_salted",
 ]
 
 # Next in line for round 9: first the r4-stale keys displaced by the
@@ -121,8 +121,11 @@ HARD_SIGNAL_FIRST_50 = [
 # r5-green keys (oldest driver evidence after this window lands).
 # r6/r7/r8-green keys fall to the tail automatically.
 _SECOND_WAVE = [
-    # displaced from the r9 window by the 4 new ml keys — r4-stale,
+    # displaced from the r9 window by the 7 new r9 keys — r4-stale,
     # first in line for r10
+    "q_join_theta_range",
+    "q_join_fuzzy_name",
+    "q_join_skew_salted",
     "q_join_lateral",
     "q_agg_groupby",
     "q_scalar_string",

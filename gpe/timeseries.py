@@ -1692,7 +1692,186 @@ def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival statistics: mean gap, coefficient of
+    variation, and Goh–Barabási burstiness B = (σ−μ)/(σ+μ) (Goh &
+    Barabási 2008, EPL 81) — the activity-regularity profile behind bot
+    detection (B → −1 metronomic), engagement scoring, and arrival-model
+    fitting (B ≈ 0 Poisson, B → 1 bursty).
+
+    Determinism: gaps are exact integer epoch-µs; Σg and Σg² are exact
+    decimal integers (g² via DECIMAL(19,0)² → DECIMAL(38,0) — a BIGINT
+    square overflows past ~50-minute gaps); n·Σg² − (Σg)² is the exact
+    population-variance numerator, and the only float tail is
+    sqrt(numerator) (correctly-rounded IEEE in both engines, the
+    q_ts_mann_kendall argument) followed by the same ± / ÷ chain:
+    cv = √num/Σg, B = (√num − Σg)/(√num + Σg) — n cancels in both, so
+    the doubles are identical cross-engine before the EPS-nudged round.
+
+    Scale notes (100 TB): one shuffle on user_id feeds the lag window and
+    the aggregation; output is one row per user with ≥ 2 gaps. A constant
+    stream (σ = 0) is well-defined (cv 0, B −1); an all-zero-gap user
+    (Σg = 0) emits NULL cv/burstiness on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = (
+        ev.select(
+            "user_id", (umicros("ts") - F.lag(umicros("ts")).over(w)).alias("g")
+        )
+        .filter(F.col("g").isNotNull())
+    )
+    agg = g.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("g").cast("decimal(16,0)").alias("s"),
+        F.sum(
+            F.col("g").cast("decimal(19,0)") * F.col("g").cast("decimal(19,0)")
+        )
+        .cast("decimal(32,0)")
+        .alias("ssq"),
+    )
+    num = (
+        F.col("n_gaps").cast("decimal(6,0)") * F.col("ssq")
+        - F.col("s").cast("decimal(19,0)") * F.col("s").cast("decimal(19,0)")
+    ).cast("double")
+    s_dbl = F.col("s").cast("double")
+    return (
+        agg.filter(F.col("n_gaps") >= 2)
+        .select(
+            "user_id",
+            "n_gaps",
+            fround(s_dbl / F.col("n_gaps") / F.lit(1e6), "mean_gap_s"),
+            F.when(
+                F.col("s") > 0,
+                F.round(F.sqrt(num) / s_dbl + F.lit(EPS), 6),
+            ).alias("cv_gap"),
+            F.when(
+                F.col("s") > 0,
+                F.round(
+                    (F.sqrt(num) - s_dbl) / (F.sqrt(num) + s_dbl) + F.lit(EPS),
+                    6,
+                ),
+            ).alias("burstiness"),
+        )
+    )
+
+
+def q_ts_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-maximum detection on the daily revenue series per event type:
+    a day is a peak when its revenue STRICTLY exceeds both calendar
+    neighbors' (series edges excluded — no one-sided peaks). Reports per
+    type: days observed, peak count, and the top peak (value + day,
+    earliest day on value ties) — the spike-inventory feed of an
+    anomaly-triage dashboard.
+
+    Determinism: daily revenues are exact decimal sums; peak flags and
+    the (rev DESC, day ASC) argmax are exact comparisons — no floats
+    anywhere until the final display cast.
+
+    Scale notes (100 TB): the raw scan collapses to (type, day) rows via
+    one map-side-partial aggregate; the lag/lead window and the argmax
+    run per type over that calendar-bounded frame. The flagged frame is
+    persisted once — it feeds both the per-type rollup and the top-peak
+    pick."""
+    from gpe.common import persist_tracked
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("dt")
+    ).agg(F.sum(dec("value")).alias("rev"))
+    w = Window.partitionBy("event_type").orderBy("dt")
+    flagged = persist_tracked(
+        daily.select(
+            "event_type",
+            "dt",
+            "rev",
+            (
+                F.lag("rev").over(w).isNotNull()
+                & F.lead("rev").over(w).isNotNull()
+                & (F.col("rev") > F.lag("rev").over(w))
+                & (F.col("rev") > F.lead("rev").over(w))
+            ).alias("is_peak"),
+        )
+    )
+    agg = flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.col("is_peak").cast("int")).cast("long").alias("n_peaks"),
+    )
+    w_top = Window.partitionBy("event_type").orderBy(F.desc("rev"), F.asc("dt"))
+    top = (
+        flagged.filter(F.col("is_peak"))
+        .withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("rev").cast("double").alias("top_peak_rev"),
+            ntz(F.col("dt")).alias("top_peak_day"),
+        )
+    )
+    return agg.join(top, "event_type", "left")
+
+
+def q_ts_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day Shannon entropy (nats) of the event-type mix, plus the
+    ln(k)-normalized evenness — the traffic-composition drift monitor (a
+    day whose mix collapses onto one event type signals an outage or a
+    bot flood even when total volume looks normal).
+
+    Determinism: each (c/n)·ln(n/c) term is e6-floored with the EPS nudge
+    into a LONG before summation (the q_text_token_entropy libm
+    discipline); evenness divides the exact integer sum by ln(k) and
+    EPS-rounds. Single-type days emit evenness 0 (not 0/0) on both
+    engines.
+
+    Scale notes (100 TB): one (day, type) groupBy with map-side partials
+    collapses the scan to calendar × |types| rows; the per-day total is a
+    window over that aggregate output."""
+    ev = load_table(spark, sf_dir, "events")
+    cnt = ev.groupBy(F.to_date("ts").alias("dt"), "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    n = F.sum("c").over(Window.partitionBy("dt"))
+    term = cnt.select(
+        "dt",
+        F.col("c"),
+        n.alias("n"),
+        F.floor(
+            (F.col("c") / n) * F.log(n / F.col("c")) * F.lit(1_000_000)
+            + F.lit(EPS)
+        )
+        .cast("long")
+        .alias("h_e6"),
+    )
+    return (
+        term.groupBy("dt")
+        .agg(
+            F.max("n").cast("long").alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum("h_e6").alias("sum_e6"),
+        )
+        .select(
+            ntz(F.col("dt")).alias("day"),
+            "n_events",
+            "n_types",
+            (F.col("sum_e6") / F.lit(1_000_000.0)).alias("entropy_nats"),
+            F.when(F.col("n_types") > 1,
+                F.round(
+                    F.col("sum_e6")
+                    / F.lit(1_000_000.0)
+                    / F.log(F.col("n_types").cast("double"))
+                    + F.lit(EPS),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("evenness"),
+        )
+    )
+
+
 QUERIES = {
+    "q_ts_interarrival": q_ts_interarrival,
+    "q_ts_peaks": q_ts_peaks,
+    "q_ts_mix_entropy": q_ts_mix_entropy,
     "q_ts_theilsen": q_ts_theilsen,
     "q_ts_mann_kendall": q_ts_mann_kendall,
     "q_ts_changepoint": q_ts_changepoint,
@@ -1748,6 +1927,91 @@ _ACF_LAG_COLS = ",\n                 ".join(
 )
 
 ORACLES = {
+    # exact integer-µs gaps; Σg² via DECIMAL(19,0)² (BIGINT squares
+    # overflow); √num is correctly-rounded IEEE in both engines and n
+    # cancels in cv/B, so the float chains are identical
+    "q_ts_interarrival": f"""
+        WITH g AS (
+          SELECT user_id,
+                 epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS g
+          FROM events),
+        agg AS (
+          SELECT user_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_gaps,
+                 CAST(SUM(g) AS DECIMAL(16,0)) AS s,
+                 CAST(SUM(CAST(g AS DECIMAL(19,0)) * CAST(g AS DECIMAL(19,0)))
+                      AS DECIMAL(32,0)) AS ssq
+          FROM g WHERE g IS NOT NULL GROUP BY 1),
+        v AS (
+          SELECT user_id, n_gaps, s,
+                 CAST(CAST(n_gaps AS DECIMAL(6,0)) * ssq
+                      - CAST(s AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0))
+                      AS DOUBLE) AS num,
+                 CAST(s AS DOUBLE) AS s_dbl
+          FROM agg WHERE n_gaps >= 2)
+        SELECT user_id, n_gaps,
+               ROUND(s_dbl / n_gaps / 1e6 + {EPS}, 6) AS mean_gap_s,
+               CASE WHEN s > 0
+                 THEN ROUND(sqrt(num) / s_dbl + {EPS}, 6) END AS cv_gap,
+               CASE WHEN s > 0
+                 THEN ROUND((sqrt(num) - s_dbl) / (sqrt(num) + s_dbl)
+                            + {EPS}, 6) END AS burstiness
+        FROM v""",
+    # identical daily decimal sums, strict-neighbor peak flag, and
+    # (rev DESC, day ASC) argmax — all exact comparisons
+    "q_ts_peaks": """
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS dt,
+                 SUM(CAST(value AS DECIMAL(12,2))) AS rev
+          FROM events GROUP BY 1, 2),
+        flagged AS (
+          SELECT event_type, dt, rev,
+                 (LAG(rev) OVER w IS NOT NULL
+                  AND LEAD(rev) OVER w IS NOT NULL
+                  AND rev > LAG(rev) OVER w
+                  AND rev > LEAD(rev) OVER w) AS is_peak
+          FROM daily
+          WINDOW w AS (PARTITION BY event_type ORDER BY dt)),
+        agg AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+                 CAST(SUM(CASE WHEN is_peak THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_peaks
+          FROM flagged GROUP BY 1),
+        top AS (
+          SELECT event_type, CAST(rev AS DOUBLE) AS top_peak_rev,
+                 CAST(dt AS TIMESTAMP) AS top_peak_day,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY rev DESC, dt ASC) AS rn
+          FROM flagged WHERE is_peak)
+        SELECT a.event_type, a.n_days, a.n_peaks,
+               t.top_peak_rev, t.top_peak_day
+        FROM agg a LEFT JOIN top t
+          ON a.event_type = t.event_type AND t.rn = 1""",
+    # e6-floored (c/n)·ln(n/c) terms (libm discipline); evenness guards
+    # the single-type day with CASE, not 0/0
+    "q_ts_mix_entropy": f"""
+        WITH cnt AS (
+          SELECT CAST(ts AS DATE) AS dt, event_type, COUNT(*) AS c
+          FROM events GROUP BY 1, 2),
+        term AS (
+          SELECT dt, c, SUM(c) OVER (PARTITION BY dt) AS n
+          FROM cnt),
+        t2 AS (
+          SELECT dt, n,
+                 CAST(FLOOR((c / CAST(n AS DOUBLE))
+                       * ln(CAST(n AS DOUBLE) / c) * 1000000 + {EPS})
+                      AS BIGINT) AS h_e6
+          FROM term)
+        SELECT CAST(dt AS TIMESTAMP) AS day,
+               CAST(MAX(n) AS BIGINT) AS n_events,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               SUM(h_e6) / 1000000.0 AS entropy_nats,
+               CASE WHEN COUNT(*) > 1
+                 THEN ROUND(SUM(h_e6) / 1000000.0
+                            / ln(CAST(COUNT(*) AS DOUBLE)) + {EPS}, 6)
+                 ELSE 0.0 END AS evenness
+        FROM t2 GROUP BY 1""",
     # identical pair set, identical (slope, rise, run) total order,
     # lower-median rank pick; the one float op per pair is the same
     # exact-int IEEE division in both engines

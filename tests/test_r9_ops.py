@@ -256,3 +256,120 @@ def test_ml_prototype_join_is_broadcast(spark):
     plan = _Q["q_ml_auc"](spark, SF_SMOKE)._jdf.queryExecution().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
     assert "CartesianProduct" not in plan
+
+
+# -------------------------------------------------------- q_ts_interarrival
+
+
+def test_interarrival_metronomic_and_degenerate_users(spark, tmp_path):
+    """Constant gaps → cv exactly 0 and burstiness exactly −1; a
+    single-event user has no gap (dropped by n ≥ 2); an all-zero-gap
+    user (duplicate timestamps) emits NULL cv/burstiness, not ÷0."""
+    base = pd.Timestamp("2024-01-01")
+    rows = (
+        # user 1: metronomic, 4 events at exact 10-minute gaps
+        [(i, base + pd.Timedelta(minutes=10 * i), 1, "click", 1.0) for i in range(4)]
+        # user 2: two events → ONE gap → n_gaps=1 → filtered
+        + [(10, base, 2, "click", 1.0), (11, base + pd.Timedelta(hours=1), 2, "click", 1.0)]
+        # user 3: three identical timestamps → gaps all 0 → Σg = 0
+        + [(20 + i, base, 3, "view", 1.0) for i in range(3)]
+        # user 4: bursty (two tight, one huge gap)
+        + [(30, base, 4, "click", 1.0), (31, base + pd.Timedelta(seconds=1), 4, "click", 1.0),
+           (32, base + pd.Timedelta(seconds=2), 4, "click", 1.0), (33, base + pd.Timedelta(days=1), 4, "click", 1.0)]
+    )
+    d = tmp_path / "inter"
+    d.mkdir()
+    _events_frame(rows).to_parquet(str(d / "events.parquet"))
+    got = {r.user_id: r for r in _Q["q_ts_interarrival"](spark, str(d)).collect()}
+    assert set(got) == {1, 3, 4}  # user 2 filtered (1 gap)
+    assert got[1].cv_gap == 0.0 and got[1].burstiness == -1.0
+    assert got[1].mean_gap_s == 600.0
+    assert got[3].cv_gap is None and got[3].burstiness is None
+    # bursty user: with n gaps the CV is bounded by √(n−1), so 3 gaps cap
+    # B at (√2−1)/(√2+1) ≈ 0.1716 — this user sits AT the cap
+    assert got[4].burstiness == 0.171556
+    assert _rows(_Q["q_ts_interarrival"](spark, str(d))) == _pdf_rows(
+        _oracle(d, "q_ts_interarrival", "events")
+    )
+
+
+# --------------------------------------------------------------- q_ts_peaks
+
+
+def test_peaks_strict_neighbors_and_edges(spark, tmp_path):
+    """Plateaus are NOT peaks (strict >), series edges are NOT peaks,
+    and the argmax tiebreak picks the earliest day."""
+    base = pd.Timestamp("2024-01-01")
+    # click daily: 9(edge) 5 7(peak) 4 7 7(plateau-not-peak) 3 8(peak) 2(edge)
+    revs = [9.0, 5.0, 7.0, 4.0, 7.0, 7.0, 3.0, 8.0, 2.0]
+    rows = [
+        (i, base + pd.Timedelta(days=i, hours=1), 1, "click", v)
+        for i, v in enumerate(revs)
+    ]
+    # view: strictly increasing → zero peaks → NULL top columns
+    rows += [
+        (100 + i, base + pd.Timedelta(days=i, hours=2), 2, "view", float(i + 1))
+        for i in range(4)
+    ]
+    d = tmp_path / "peaks"
+    d.mkdir()
+    _events_frame(rows).to_parquet(str(d / "events.parquet"))
+    got = {r.event_type: r for r in _Q["q_ts_peaks"](spark, str(d)).collect()}
+    assert got["click"].n_peaks == 2
+    assert got["click"].top_peak_rev == 8.0
+    assert got["click"].top_peak_day == pd.Timestamp(base + pd.Timedelta(days=7))
+    assert got["view"].n_peaks == 0 and got["view"].top_peak_rev is None
+    assert _rows(_Q["q_ts_peaks"](spark, str(d))) == _pdf_rows(
+        _oracle(d, "q_ts_peaks", "events")
+    )
+
+
+def test_peaks_value_tie_breaks_earliest(spark, tmp_path):
+    base = pd.Timestamp("2024-01-01")
+    revs = [1.0, 5.0, 2.0, 5.0, 1.0]  # two peaks of equal height
+    rows = [
+        (i, base + pd.Timedelta(days=i), 1, "click", v)
+        for i, v in enumerate(revs)
+    ]
+    d = tmp_path / "peaks_tie"
+    d.mkdir()
+    _events_frame(rows).to_parquet(str(d / "events.parquet"))
+    got = _Q["q_ts_peaks"](spark, str(d)).collect()[0]
+    assert got.n_peaks == 2
+    assert got.top_peak_day == pd.Timestamp(base + pd.Timedelta(days=1))
+    assert _rows(_Q["q_ts_peaks"](spark, str(d))) == _pdf_rows(
+        _oracle(d, "q_ts_peaks", "events")
+    )
+
+
+# --------------------------------------------------------- q_ts_mix_entropy
+
+
+def test_mix_entropy_degenerate_and_uniform_days(spark, tmp_path):
+    """Single-type day → entropy 0 AND evenness 0 (the 0/ln(1) guard);
+    uniform 2-type day → entropy = ln 2 (e6-floored), evenness = 1."""
+    d0 = pd.Timestamp("2024-01-01 06:00")
+    d1 = pd.Timestamp("2024-01-02 06:00")
+    rows = [(i, d0 + pd.Timedelta(minutes=i), 1, "click", 1.0) for i in range(4)]
+    rows += [
+        (10, d1, 1, "click", 1.0),
+        (11, d1 + pd.Timedelta(minutes=1), 1, "view", 1.0),
+        (12, d1 + pd.Timedelta(minutes=2), 1, "click", 1.0),
+        (13, d1 + pd.Timedelta(minutes=3), 1, "view", 1.0),
+    ]
+    d = tmp_path / "mixent"
+    d.mkdir()
+    _events_frame(rows).to_parquet(str(d / "events.parquet"))
+    got = {r.day: r for r in _Q["q_ts_mix_entropy"](spark, str(d)).collect()}
+    day0 = got[pd.Timestamp("2024-01-01")]
+    assert day0.n_types == 1 and day0.entropy_nats == 0.0 and day0.evenness == 0.0
+    day1 = got[pd.Timestamp("2024-01-02")]
+    import math
+
+    assert abs(day1.entropy_nats - math.log(2)) < 2e-6
+    # evenness lands just UNDER 1: each (1/2)·ln 2 term is e6-FLOORED
+    # before the ÷ln 2, so the uniform day reads 0.999998, never > 1
+    assert 0.999996 <= day1.evenness <= 1.0
+    assert _rows(_Q["q_ts_mix_entropy"](spark, str(d))) == _pdf_rows(
+        _oracle(d, "q_ts_mix_entropy", "events")
+    )
