@@ -290,7 +290,64 @@ def q_pipeline_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-proportional-to-size (PPS) Bernoulli sample of orders:
+    each order self-selects with probability min(1, k·w/W) where w is its
+    exact cent value, W the corpus total, k = 500 the expected sample
+    size — the value-weighted audit sample (big orders almost surely in,
+    the long tail represented in proportion) of survey-sampling practice
+    (Hansen–Hurwitz estimation; certainty items are the standard PPS
+    caveat and are simply always kept here).
+
+    Determinism: the uniform draw is the first 8 md5 hex chars of the
+    salted key ('ws:' || o_orderkey) as a 32-bit integer — the repo's
+    cross-engine hash recipe (q_sample_stratified) — and the inclusion
+    test h·W < k·w·2³² is EXACT integer arithmetic (DECIMAL(19,0)
+    products on the Spark side, HUGEINT on the oracle side; a BIGINT
+    product overflows at h·W ≈ 10²¹). No float appears anywhere.
+
+    Scale notes (100 TB): zero-coordination map-side filter — the only
+    shared state is the one-row total W, broadcast from a single
+    partial-agg pass (or a catalog statistic); sample size concentrates
+    tightly around k regardless of input scale, so the output is always
+    driver-safe."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = (
+        F.col("o_totalprice").cast("decimal(12,2)") * 100
+    ).cast("long")
+    h32 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("ws:"), F.col("o_orderkey").cast("string")
+                ).cast("binary")
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    tot = o.agg(
+        F.sum((F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long"))
+        .cast("long")
+        .alias("w_tot")
+    )
+    d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    return (
+        o.crossJoin(F.broadcast(tot))
+        .withColumn("w_cents", cents)
+        .withColumn("h32", h32)
+        .filter(
+            d19(F.col("h32")) * d19(F.col("w_tot"))
+            < d19(F.lit(500) * F.col("w_cents")) * d19(F.lit(4294967296))
+        )
+        .select("o_orderkey", "o_custkey", "o_totalprice", "w_cents", "h32")
+    )
+
+
 QUERIES = {
+    "q_sample_weighted": q_sample_weighted,
     "q_pipeline_quality_gate": q_pipeline_quality_gate,
     "q_sample_systematic": q_sample_systematic,
     "q_text_ngram_novelty": q_text_ngram_novelty,
@@ -313,6 +370,25 @@ def _oracles() -> dict[str, str]:
         f"SELECT doc_id, quality_score FROM ({_TXT['q_text_quality']})"
     )
     return {
+        # same salted md5 32-bit draw; the inclusion test is exact int128
+        # (HUGEINT) — the BIGINT product h·W would overflow at ~10²¹
+        "q_sample_weighted": """
+            WITH t AS (
+              SELECT CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                                   AS BIGINT)) AS BIGINT) AS w_tot
+              FROM orders),
+            h AS (
+              SELECT o_orderkey, o_custkey, o_totalprice,
+                     CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                          AS BIGINT) AS w_cents,
+                     CAST(CONCAT('0x', substr(
+                            md5('ws:' || CAST(o_orderkey AS VARCHAR)), 1, 8))
+                          AS BIGINT) AS h32
+              FROM orders)
+            SELECT o_orderkey, o_custkey, o_totalprice, w_cents, h32
+            FROM h CROSS JOIN t
+            WHERE CAST(h32 AS HUGEINT) * CAST(w_tot AS HUGEINT)
+                  < 500 * CAST(w_cents AS HUGEINT) * 4294967296""",
         # same ordered CASE gate over the same e6-floored ratios; the
         # stopword list is inlined from text._STOPWORDS
         "q_pipeline_quality_gate": """

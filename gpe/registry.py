@@ -56,6 +56,8 @@ for _name in (
 # regression net; tests/test_registry_order.py pins this window.
 HARD_SIGNAL_FIRST_50 = [
     # --- round-9 operators (zero driver evidence, newest first) ---
+    "q_sample_weighted",
+    "q_text_hapax",
     "q_ts_interarrival",
     "q_ts_peaks",
     "q_ts_mix_entropy",
@@ -108,8 +110,6 @@ HARD_SIGNAL_FIRST_50 = [
     "q_udtf_tokens",
     # --- 27 of the 31 r4-stale keys (VERDICT r7 #1) ---
     "q_join_left_outer",
-    "q_join_semi",
-    "q_join_anti",
 ]
 
 # Next in line for round 9: first the r4-stale keys displaced by the
@@ -121,8 +121,10 @@ HARD_SIGNAL_FIRST_50 = [
 # r5-green keys (oldest driver evidence after this window lands).
 # r6/r7/r8-green keys fall to the tail automatically.
 _SECOND_WAVE = [
-    # displaced from the r9 window by the 7 new r9 keys — r4-stale,
+    # displaced from the r9 window by the 9 new r9 keys — r4-stale,
     # first in line for r10
+    "q_join_semi",
+    "q_join_anti",
     "q_join_theta_range",
     "q_join_fuzzy_name",
     "q_join_skew_salted",

@@ -1031,7 +1031,48 @@ def q_ml_class_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-richness profile per source: token volume, vocabulary
+    size, hapax legomena (once-only tokens), hapax share of the
+    vocabulary, and type-token ratio — the lexical-diversity screen a
+    corpus curator reads next to q_text_vocab_coverage's Zipf profile
+    (template/boilerplate sources show collapsed TTR and near-zero hapax
+    share; OCR-noise sources show hapax shares approaching 1).
+
+    Determinism: counts are exact integers; both ratios use the _floor6
+    fixed-point idiom (FLOOR(n·10⁶/d)/10⁶ — exact-int double division,
+    engine-identical).
+
+    Scale notes (100 TB): one (source, token) shuffle with map-side
+    partial counts — the same collapsed frame every frequency operator
+    here rides — then a #sources-row rollup. No window, no join."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(F.split("text", " ")).alias("token")
+    )
+    cnt = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        cnt.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("vocab"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("hapax"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "vocab",
+            "hapax",
+            _floor6(F.col("hapax"), F.col("vocab")).alias("hapax_share"),
+            _floor6(F.col("vocab"), F.col("n_tokens")).alias("ttr"),
+        )
+    )
+
+
 QUERIES = {
+    "q_text_hapax": q_text_hapax,
     "q_ml_class_metrics": q_ml_class_metrics,
     "q_text_readability": q_text_readability,
     "q_text_bm25_search": q_text_bm25_search,
@@ -1064,6 +1105,22 @@ _BM25_TERM_SQL = """
 
 
 ORACLES = {
+    # identical (source, token) counts; _floor6 fixed-point ratios
+    "q_text_hapax": """
+        WITH tok AS (
+          SELECT source, unnest(string_split(text, ' ')) AS token
+          FROM documents),
+        cnt AS (
+          SELECT source, token, COUNT(*) AS c FROM tok GROUP BY 1, 2)
+        SELECT source,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS vocab,
+               CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS hapax,
+               FLOOR(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000
+                     / COUNT(*)) / 1000000.0 AS hapax_share,
+               FLOOR(COUNT(*) * 1000000 / SUM(c)) / 1000000.0 AS ttr
+        FROM cnt GROUP BY 1""",
     # identical regex splits (verified cross-engine on '[.!?]+' and
     # '[aeiouy]+'), identical trim + non-empty filter, integer DIV e3
     "q_text_readability": """

@@ -373,3 +373,87 @@ def test_mix_entropy_degenerate_and_uniform_days(spark, tmp_path):
     assert _rows(_Q["q_ts_mix_entropy"](spark, str(d))) == _pdf_rows(
         _oracle(d, "q_ts_mix_entropy", "events")
     )
+
+
+# ----------------------------------------------------- q_sample_weighted
+
+
+def test_sample_weighted_expected_size_and_bias(spark):
+    """Expected size k=500 on the ~1.5k-order smoke fixture means most
+    weight-heavy orders are certainty items; the inclusion rate must rise
+    with order value (the PPS property) and the sample must be a subset."""
+    from gpe.io import load_table
+
+    got = _Q["q_sample_weighted"](spark, SF_SMOKE)
+    rows = got.collect()
+    o = load_table(spark, SF_SMOKE, "orders")
+    n_orders = o.count()
+    keys = {r.o_orderkey for r in rows}
+    assert len(keys) == len(rows)  # sampling without duplication
+    assert 0 < len(rows) < n_orders
+    # PPS property: the mean sampled weight exceeds the population mean
+    import pyspark.sql.functions as F
+
+    pop_mean = o.agg(F.avg("o_totalprice")).collect()[0][0]
+    samp_mean = sum(r.o_totalprice for r in rows) / len(rows)
+    assert samp_mean > pop_mean
+
+
+def test_sample_weighted_certainty_item(spark, tmp_path):
+    """An order holding >1/k of the total weight has inclusion
+    probability 1 — it MUST be in the sample regardless of its hash."""
+    prices = [10.0] * 50 + [100000.0]  # the big order is ~99.5% of W
+    rows = [
+        (i, 1, "O", p, pd.Timestamp("1996-06-01"), "1-URGENT")
+        for i, p in enumerate(prices)
+    ]
+    pdf = pd.DataFrame(
+        rows,
+        columns=[
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        ],
+    )
+    pdf["o_orderdate"] = pdf["o_orderdate"].astype("datetime64[us]")
+    d = tmp_path / "pps"
+    d.mkdir()
+    pdf.to_parquet(str(d / "orders.parquet"))
+    got = _Q["q_sample_weighted"](spark, str(d)).collect()
+    assert 50 in {r.o_orderkey for r in got}  # the certainty item
+    assert _rows(_Q["q_sample_weighted"](spark, str(d))) == _pdf_rows(
+        _oracle(d, "q_sample_weighted", "orders")
+    )
+
+
+# --------------------------------------------------------- q_text_hapax
+
+
+def test_hapax_crafted_extremes(spark, tmp_path):
+    """A boilerplate source (one token repeated) → vocab 1, hapax 0,
+    TTR → 0; an all-unique source → hapax = vocab = n_tokens, TTR 1."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": ["spam spam spam spam", "alpha beta gamma delta"],
+            "lang": ["en", "en"],
+            "source": ["boiler", "unique"],
+            "n_chars": [19, 22],
+        }
+    )
+    d = tmp_path / "hapax"
+    d.mkdir()
+    pdf.to_parquet(str(d / "documents.parquet"))
+    got = {r.source: r for r in _Q["q_text_hapax"](spark, str(d)).collect()}
+    b = got["boiler"]
+    assert (b.vocab, b.hapax, b.hapax_share) == (1, 0, 0.0)
+    assert b.ttr == 0.25
+    u = got["unique"]
+    assert u.hapax == u.vocab == u.n_tokens == 4
+    assert u.hapax_share == 1.0 and u.ttr == 1.0
+    assert _rows(_Q["q_text_hapax"](spark, str(d))) == _pdf_rows(
+        _oracle(d, "q_text_hapax", "documents")
+    )
