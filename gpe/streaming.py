@@ -641,6 +641,150 @@ def max_gap_stream(stream: DataFrame) -> DataFrame:
     )
 
 
+def interarrival_stream(stream: DataFrame) -> DataFrame:
+    """Streaming twin of gpe.timeseries.q_ts_interarrival: per-user gap
+    statistics (mean, CV, burstiness) maintained continuously. O(1) state
+    per user: last µs timestamp, gap count, Σg (long), and Σg² — the
+    square sum exceeds int64 past ~50-minute gaps, so it rides the state
+    row as a STRING of the exact Python integer (arbitrary precision;
+    the state store neither sums nor compares it). The float tail
+    replays the batch operator's exact expression chain — float(int) is
+    the same correctly-rounded conversion as Spark's DECIMAL→DOUBLE cast,
+    math.sqrt the same correctly-rounded IEEE sqrt — so emitted rows are
+    BIT-identical to the batch answer at every prefix. Same in-order
+    ingest assumption as the other stateful twins."""
+    import math
+
+    import pandas as pd
+
+    from decimal import Decimal, ROUND_HALF_UP
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from gpe.common import EPS
+
+    out_schema = (
+        "user_id long, n_gaps long, mean_gap_s double, cv_gap double,"
+        " burstiness double"
+    )
+    state_schema = "lts long, n long, s long, ssq string"
+
+    def _rd6(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    def fn(key, pdf_iter, state: GroupState):
+        lts, n, s, ssq_str = (
+            state.get if state.exists else (None, 0, 0, "0")
+        )
+        ssq = int(ssq_str)
+        parts = [p for p in pdf_iter if len(p)]
+        if not parts:
+            return
+        pdf = pd.concat(parts).sort_values(["ts", "event_id"])
+        ts_us = pdf["ts"].values.astype("datetime64[us]").astype("int64")
+        for t in ts_us.tolist():
+            if lts is not None:
+                g = t - lts
+                n += 1
+                s += g
+                ssq += g * g
+            lts = t
+        state.update((lts, n, s, str(ssq)))
+        if n < 2:  # the batch operator's n_gaps ≥ 2 gate
+            return
+        num = float(n * ssq - s * s)
+        s_dbl = float(s)
+        mean = _rd6(s_dbl / n / 1e6 + EPS)
+        cv = _rd6(math.sqrt(num) / s_dbl + EPS) if s > 0 else None
+        burst = (
+            _rd6(
+                (math.sqrt(num) - s_dbl) / (math.sqrt(num) + s_dbl) + EPS
+            )
+            if s > 0
+            else None
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_gaps": [n],
+                "mean_gap_s": [mean],
+                "cv_gap": [cv],
+                "burstiness": [burst],
+            }
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def mix_entropy_cells_stream(stream: DataFrame) -> DataFrame:
+    """Streaming half of the q_ts_mix_entropy twin: the (day, event_type)
+    count cells maintained as a streaming aggregation (one state row per
+    calendar cell — bounded by days × |types|, the same frame the batch
+    operator's first groupBy produces). Entropy needs every cell of a day
+    at once, so the cross-cell reduction runs SINK-SIDE via
+    mix_entropy_from_cells — the same split as the quality-gate and
+    changepoint twins (per-key state in the stream, cross-key math on
+    the compact sink table)."""
+    return stream.groupBy(
+        F.to_date("ts").alias("dt"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("c"))
+
+
+def mix_entropy_from_cells(cells: DataFrame) -> DataFrame:
+    """Sink-side reduction: per-day entropy/evenness from the streamed
+    (dt, event_type, c) cells — the IDENTICAL e6-floor expression chain
+    as gpe.timeseries.q_ts_mix_entropy, so the result is bit-equal to
+    running the batch operator over the same events."""
+    from pyspark.sql import Window
+
+    from gpe.common import EPS, ntz
+
+    n = F.sum("c").over(Window.partitionBy("dt"))
+    term = cells.select(
+        "dt",
+        F.col("c"),
+        n.alias("n"),
+        F.floor(
+            (F.col("c") / n) * F.log(n / F.col("c")) * F.lit(1_000_000)
+            + F.lit(EPS)
+        )
+        .cast("long")
+        .alias("h_e6"),
+    )
+    return (
+        term.groupBy("dt")
+        .agg(
+            F.max("n").cast("long").alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum("h_e6").alias("sum_e6"),
+        )
+        .select(
+            ntz(F.col("dt")).alias("day"),
+            "n_events",
+            "n_types",
+            (F.col("sum_e6") / F.lit(1_000_000.0)).alias("entropy_nats"),
+            F.when(
+                F.col("n_types") > 1,
+                F.round(
+                    F.col("sum_e6")
+                    / F.lit(1_000_000.0)
+                    / F.log(F.col("n_types").cast("double"))
+                    + F.lit(EPS),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("evenness"),
+        )
+    )
+
+
 def attribution_stream(stream: DataFrame) -> DataFrame:
     """Streaming twin of gpe.timeseries.q_ts_attribution: last-touch
     attribution maintained continuously — per-user state is ONLY the

@@ -724,3 +724,57 @@ def test_streaming_active_users_equals_batch(spark, stream):
         assert dau_days == {r.day for r in batch}
     finally:
         q.stop()
+
+
+def test_streaming_interarrival_equals_batch(spark, stream):
+    """interarrival_stream's final per-user emission must equal
+    q_ts_interarrival BIT-for-bit: integer state (Σg² as an exact string
+    int), and the float tail replays the batch expression chain
+    (float(int) ≡ DECIMAL→DOUBLE, math.sqrt ≡ IEEE sqrt). n_gaps grows
+    monotonically, so it selects the final row per user."""
+    q = streaming.run_to_memory(
+        streaming.interarrival_stream(stream), "t_inter", "update"
+    )
+    try:
+        final = {}
+        for r in spark.table("t_inter").collect():
+            k = r["user_id"]
+            cur = (r["n_gaps"], r["mean_gap_s"], r["cv_gap"], r["burstiness"])
+            if k not in final or cur[0] > final[k][0]:
+                final[k] = cur
+        got = sorted((k,) + v for k, v in final.items())
+        want = sorted(
+            (
+                r["user_id"],
+                r["n_gaps"],
+                r["mean_gap_s"],
+                r["cv_gap"],
+                r["burstiness"],
+            )
+            for r in timeseries.q_ts_interarrival(spark, SF).collect()
+        )
+        assert got == want
+    finally:
+        q.stop()
+
+
+def test_streaming_mix_entropy_equals_batch(spark, stream):
+    """The streamed (day, type) cells + the sink-side entropy reduction
+    must reproduce q_ts_mix_entropy bit-for-bit (identical e6-floor
+    chain over identical cell counts)."""
+    q = streaming.run_to_memory(
+        streaming.mix_entropy_cells_stream(stream), "t_mixcells", "complete"
+    )
+    try:
+        cells = spark.table("t_mixcells")
+        got = _rows(
+            streaming.mix_entropy_from_cells(cells),
+            ["day", "n_events", "n_types", "entropy_nats", "evenness"],
+        )
+        want = _rows(
+            timeseries.q_ts_mix_entropy(spark, SF),
+            ["day", "n_events", "n_types", "entropy_nats", "evenness"],
+        )
+        assert got == want
+    finally:
+        q.stop()
