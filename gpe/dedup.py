@@ -409,6 +409,120 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the near-duplicate graph: min hop distance
+    from the seed set (doc_id % 50 == 0 — e.g. "known-contaminated" or
+    "hand-audited" documents), capped at 3 hops, reported as per-layer
+    document counts (layer −1 = unreached) — the blast-radius query a
+    contamination triage runs ("how much of the corpus sits within k
+    duplicate-hops of a flagged doc?").
+
+    Algorithm: BFS on the CONTRACTED mask graph (the q_graph_triangles
+    move). Every same-mask group is an internal clique and two groups are
+    all-or-nothing adjacent, so doc-level distance collapses to a
+    group-level one: dist(seed doc) = 0; for a non-seed doc in group g,
+    dist = max(1, md(g)) where md is the mask-graph distance from the
+    seed-containing groups (md = 0 means a seed sits in g itself — one
+    clique hop away; each mask hop is exactly one doc hop); unreached →
+    −1. Three min-relaxation rounds over the mask adjacency (frames of
+    #masks rows) replace a doc-level frontier expansion over Σ deg edges.
+    BFS here is LINEAR in edges like pagerank, but the relaxed frame is
+    REBUILT per round (union + min-agg), so contraction pays: the
+    iterated object shrinks by the blow-up factor at zero extra stages.
+
+    Determinism: all-integer distances, exact min-relaxation.
+
+    Scale notes (100 TB): the all-pairs mask adjacency is the documented
+    closed-vocab bound (SCALE.md — open vocab contracts on the token-set
+    fingerprint and takes the banded candidate seam); each relaxation is
+    one equi-join + min-aggregate co-partitioned on the supernode key;
+    the doc blow-up is one terminal explode + a ≤5-row rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    g = persist_tracked(
+        _mask_groups(d).select("mask", "ids", F.col("n").cast("long").alias("n"))
+    )
+    docs = g.select("mask", F.explode("ids").alias("doc_id"))
+    seedcnt = docs.groupBy("mask").agg(
+        F.sum((F.col("doc_id") % 50 == 0).cast("int")).alias("seed_cnt")
+    )
+    x = g.select(F.col("mask").alias("mx"))
+    y = g.select(F.col("mask").alias("my"))
+    adj = persist_tracked(
+        x.join(y, F.col("mx") < F.col("my")).filter(
+            F.lit(10) * F.expr("CAST(bit_count(mx & my) AS BIGINT)")
+            > F.lit(9) * F.expr("CAST(bit_count(mx | my) AS BIGINT)")
+        )
+    )
+    und = adj.select(
+        F.col("mx").alias("a"), F.col("my").alias("b")
+    ).unionByName(adj.select(F.col("my").alias("a"), F.col("mx").alias("b")))
+    dist = (
+        seedcnt.filter(F.col("seed_cnt") >= 1)
+        .select("mask", F.lit(0).alias("d"))
+    )
+    for _ in range(3):
+        cand = und.join(
+            dist.select(F.col("mask").alias("a"), F.col("d")), "a"
+        ).select(F.col("b").alias("mask"), (F.col("d") + 1).alias("d"))
+        dist = (
+            dist.unionByName(cand).groupBy("mask").agg(F.min("d").alias("d"))
+        )
+    layer = (
+        docs.join(dist, "mask", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 50 == 0, F.lit(0))
+            .when(
+                F.col("d").isNotNull(), F.greatest(F.lit(1), F.col("d"))
+            )
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("layer"),
+        )
+    )
+    return layer.groupBy("layer").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+
+
+# Same J > 0.9 gate as the engine's near-dup graph; the recursive CTE
+# uses UNION (per-level dedup against all prior rows), so the working
+# set per level is ≤ incident-edge-sized, never walk-counted
+_SQL_BFS_LAYERS = """
+    WITH RECURSIVE toks AS (
+      SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text, ' ')))
+               AS token
+      FROM documents),
+    sizes AS (
+      SELECT doc_id, COUNT(*) AS set_size FROM toks GROUP BY doc_id),
+    prs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             sa.set_size AS sz_a, sb.set_size AS sz_b,
+             COUNT(*) AS inter
+      FROM toks a
+      JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+      JOIN sizes sa ON sa.doc_id = a.doc_id
+      JOIN sizes sb ON sb.doc_id = b.doc_id
+      GROUP BY 1, 2, 3, 4
+      HAVING 10 * COUNT(*) > 9 * (sa.set_size + sb.set_size - COUNT(*))),
+    edges AS (
+      SELECT id_a AS s, id_b AS t FROM prs
+      UNION ALL
+      SELECT id_b AS s, id_a AS t FROM prs),
+    bfs AS (
+      SELECT doc_id, 0 AS d FROM documents WHERE doc_id % 50 = 0
+      UNION
+      SELECT e.t AS doc_id, b.d + 1 AS d
+      FROM bfs b JOIN edges e ON e.s = b.doc_id
+      WHERE b.d < 3),
+    md AS (SELECT doc_id, MIN(d) AS d FROM bfs GROUP BY 1)
+    SELECT CAST(COALESCE(m.d, -1) AS BIGINT) AS layer,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents doc LEFT JOIN md m ON doc.doc_id = m.doc_id
+    GROUP BY 1
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by normalized content hash; deterministic keeper =
     min doc_id per hash group."""
@@ -1548,6 +1662,7 @@ def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_graph_pagerank": q_graph_pagerank,
     "q_graph_triangles": q_graph_triangles,
+    "q_graph_bfs_layers": q_graph_bfs_layers,
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_dup_stats": q_dedup_dup_stats,
     "q_dedup_near_pairs": q_dedup_near_pairs,
@@ -1666,6 +1781,7 @@ ORACLES = {
     # because pairs are emitted with id_a < id_b); every count and the
     # 1e6-scaled coefficient are integers, so the hash matches the Spark
     # DIV arithmetic exactly.
+    "q_graph_bfs_layers": _SQL_BFS_LAYERS,
     "q_graph_triangles": f"""
         WITH tr_pairs AS (
           SELECT id_a, id_b FROM ({_SQL_JACCARD_PAIRS})),

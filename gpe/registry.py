@@ -56,6 +56,7 @@ for _name in (
 # regression net; tests/test_registry_order.py pins this window.
 HARD_SIGNAL_FIRST_50 = [
     # --- round-9 operators (zero driver evidence, newest first) ---
+    "q_graph_bfs_layers",
     "q_sample_weighted",
     "q_text_hapax",
     "q_ts_interarrival",
@@ -108,8 +109,6 @@ HARD_SIGNAL_FIRST_50 = [
     "q_cdc_scd2_current",
     "q_text_length_histogram",
     "q_udtf_tokens",
-    # --- 27 of the 31 r4-stale keys (VERDICT r7 #1) ---
-    "q_join_left_outer",
 ]
 
 # Next in line for round 9: first the r4-stale keys displaced by the
@@ -121,8 +120,9 @@ HARD_SIGNAL_FIRST_50 = [
 # r5-green keys (oldest driver evidence after this window lands).
 # r6/r7/r8-green keys fall to the tail automatically.
 _SECOND_WAVE = [
-    # displaced from the r9 window by the 9 new r9 keys — r4-stale,
+    # displaced from the r9 window by the 10 new r9 keys — r4-stale,
     # first in line for r10
+    "q_join_left_outer",
     "q_join_semi",
     "q_join_anti",
     "q_join_theta_range",

@@ -457,3 +457,45 @@ def test_hapax_crafted_extremes(spark, tmp_path):
     assert _rows(_Q["q_text_hapax"](spark, str(d))) == _pdf_rows(
         _oracle(d, "q_text_hapax", "documents")
     )
+
+
+# ----------------------------------------------------- q_graph_bfs_layers
+
+
+def test_bfs_layers_partition_and_semantics(spark, tmp_path):
+    """Crafted graph: two identical docs (A=seed's clique), one chained
+    neighbor, one far island. Layers must be: seed 0, its clique-mate 1,
+    unreached island −1; counts partition the corpus."""
+    # doc 0 (seed) and doc 1 share a token set (clique); doc 2 overlaps
+    # doc 1 at J>0.9 only if near-identical sets — build via mask math:
+    # tokens are from the corpus vocab ('key agg row ...'); doc 2 shares
+    # 10 of 11 tokens with docs 0/1 (J = 10/11 ≈ 0.909 > 0.9);
+    # doc 3 is disjoint.
+    t = "key agg row scan slow fast table value part hash"
+    docs = [
+        (0, t + " merge", "en", "s0"),          # seed (id % 50 == 0)
+        (1, t + " merge", "en", "s0"),          # same set → layer 1
+        (2, t + " batch merge", "en", "s0"),    # J = 11/12 < wait
+        (3, "alpha beta gamma", "en", "s1"),    # island → -1
+    ]
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf["text"].str.len()
+    d = tmp_path / "bfs"
+    d.mkdir()
+    pdf.to_parquet(str(d / "documents.parquet"))
+    got = {r.layer: r.n_docs for r in _Q["q_graph_bfs_layers"](spark, str(d)).collect()}
+    assert got[0] == 1           # the seed
+    assert got[1] == 2           # clique-mate AND the J=11/12 neighbor
+    assert got[-1] == 1          # the island
+    assert sum(got.values()) == 4
+    assert _rows(_Q["q_graph_bfs_layers"](spark, str(d))) == _pdf_rows(
+        _oracle(d, "q_graph_bfs_layers", "documents")
+    )
+
+
+def test_bfs_layers_fixture_partitions_corpus(spark):
+    got = _Q["q_graph_bfs_layers"](spark, SF_SMOKE).collect()
+    layers = {r.layer for r in got}
+    assert layers <= {-1, 0, 1, 2, 3}
+    assert sum(r.n_docs for r in got) == 500  # every doc in exactly one layer
+    assert dict((r.layer, r.n_docs) for r in got)[0] == 10  # the seeds
