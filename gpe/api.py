@@ -189,6 +189,58 @@ class LakeAPI:
 
         return _cdc.q_lake_snapshot_diff(self.spark, self.sf_dir)
 
+    def model_eval(self) -> DataFrame:
+        """GET /models/embeddings/eval — per-class one-vs-rest AUC of the
+        prototype scorer over the embeddings table."""
+        from gpe import ml as _ml
+
+        return _ml.q_ml_auc(self.spark, self.sf_dir)
+
+    def model_calibration(self) -> DataFrame:
+        """GET /models/embeddings/calibration — reliability deciles
+        (bin size, mean score, positive rate)."""
+        from gpe import ml as _ml
+
+        return _ml.q_ml_calibration(self.spark, self.sf_dir)
+
+    def drift_report(self) -> DataFrame:
+        """GET /drift — PSI per value band between the two order eras,
+        with the two-sample KS row appended as band −1 (one endpoint =
+        the full drift panel a monitoring page renders)."""
+        from gpe import ml as _ml
+
+        psi = _ml.q_ml_psi(self.spark, self.sf_dir)
+        ks = _ml.q_ml_ks(self.spark, self.sf_dir).select(
+            F.lit(-1).cast("long").alias("bin"),
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_b"),
+            (F.col("ks_stat") * 1_000_000).cast("long").alias("psi_term_e6"),
+        )
+        return psi.unionByName(ks)
+
+    def audit_sample(self) -> DataFrame:
+        """GET /datasets/orders/sample?weighted=true — the value-weighted
+        (PPS) audit sample."""
+        from gpe import pipeline as _pipeline
+
+        return _pipeline.q_sample_weighted(self.spark, self.sf_dir)
+
+    def contamination_radius(self) -> DataFrame:
+        """GET /corpus/contamination-radius — per-layer counts of docs
+        within k duplicate-hops of the flagged seed set."""
+        from gpe import dedup as _dedup
+
+        return _dedup.q_graph_bfs_layers(self.spark, self.sf_dir)
+
+    def activity_profile(self) -> DataFrame:
+        """GET /users/activity-profile — per-user inter-arrival mean/CV/
+        burstiness (the bot-detection feed)."""
+        return _timeseries.q_ts_interarrival(self.spark, self.sf_dir)
+
+    def traffic_mix(self) -> DataFrame:
+        """GET /series/mix — per-day event-type entropy/evenness."""
+        return _timeseries.q_ts_mix_entropy(self.spark, self.sf_dir)
+
     # ---- reporting endpoints -----------------------------------------
 
     def top_orders_page(self, page: int = 0, size: int = 50) -> DataFrame:

@@ -232,3 +232,32 @@ def test_series_trend_stitches_slope_and_significance(api, spark):
     for r in rows:
         assert r.n_pairs > 0 and r.var_s > 0
         assert r.slope_c_per_month is not None and r.z_stat is not None
+
+
+def test_r9_endpoints_delegate_to_declared_operators(api, spark):
+    """Every r9 endpoint must be pure delegation — row-for-row equal to
+    its declared operator (the façade adds no logic)."""
+    import __spark_entry__ as spec
+
+    qs = spec.queries()
+    pairs = [
+        (api.model_eval(), "q_ml_auc"),
+        (api.model_calibration(), "q_ml_calibration"),
+        (api.audit_sample(), "q_sample_weighted"),
+        (api.contamination_radius(), "q_graph_bfs_layers"),
+        (api.activity_profile(), "q_ts_interarrival"),
+        (api.traffic_mix(), "q_ts_mix_entropy"),
+    ]
+    for got_df, key in pairs:
+        got = sorted(map(tuple, got_df.collect()))
+        want = sorted(map(tuple, qs[key](spark, api.sf_dir).collect()))
+        assert got == want and len(got) > 0, key
+
+
+def test_drift_report_appends_ks_row(api):
+    """The drift panel is the 10 PSI bands plus the KS summary as band
+    −1 — one frame, uniform schema."""
+    rows = sorted(api.drift_report().collect(), key=lambda r: r.bin)
+    assert [r.bin for r in rows] == [-1] + list(range(10))
+    ks = rows[0]
+    assert 0 <= ks.psi_term_e6 <= 1_000_000  # KS stat in e6 fixed point
