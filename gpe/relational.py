@@ -2156,6 +2156,79 @@ def q_agg_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size for the status × priority association —
+    the 1-row summary a dashboard shows next to q_agg_chi2's per-cell
+    contributions (V = √(χ²/(n·(min(r,c)−1))) ∈ [0,1]; χ² alone grows
+    with n, V does not — Cramér 1946).
+
+    Determinism: identical cell/marginal integers as q_agg_chi2; each
+    cell's χ² term is e6-FLOORED (EPS-nudged) into a LONG before
+    summation (summing the display-rounded doubles would be order-
+    dependent in the last ulp), so the χ² total is an exact integer;
+    the √ tail is the one correctly-rounded IEEE sqrt.
+
+    Scale notes (100 TB): same single-scan cell-grid shape as q_agg_chi2
+    (≤15 cell rows; marginals are aggregates OF the grid); the summary
+    is a 1-row reduce."""
+    from gpe.common import persist_tracked
+
+    o = load_table(spark, sf_dir, "orders")
+    cells = persist_tracked(
+        o.groupBy("o_orderstatus", "o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_obs")
+        )
+    )
+    row_m = cells.groupBy("o_orderstatus").agg(F.sum("n_obs").alias("row_tot"))
+    col_m = cells.groupBy("o_orderpriority").agg(
+        F.sum("n_obs").alias("col_tot")
+    )
+    tot = cells.agg(
+        F.sum("n_obs").alias("n_total"),
+        F.count_distinct("o_orderstatus").alias("r"),
+        F.count_distinct("o_orderpriority").alias("c"),
+    )
+    expected = (
+        F.col("row_tot") * F.col("col_tot")
+    ).cast("double") / F.col("n_total")
+    term_e6 = F.floor(
+        (F.col("n_obs") - expected)
+        * (F.col("n_obs") - expected)
+        / expected
+        * F.lit(1_000_000)
+        + F.lit(EPS)
+    ).cast("long")
+    # FULL r×c grid (marginal cross join), not just observed cells:
+    # a zero cell still contributes exp = rt·ct/n to χ² — dropping the
+    # zeros understates χ² exactly when the association is strongest
+    # (q_agg_chi2 reports observed cells by design; the SUMMARY must not)
+    grid = row_m.crossJoin(col_m)
+    return (
+        grid.join(cells, ["o_orderstatus", "o_orderpriority"], "left")
+        .withColumn("n_obs", F.coalesce(F.col("n_obs"), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("n_total", "r", "c")
+        .agg(F.sum(term_e6).alias("chi2_e6"))
+        .select(
+            F.col("n_total").cast("long").alias("n_total"),
+            ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("dof"),
+            (F.col("chi2_e6") / F.lit(1_000_000.0)).alias("chi2"),
+            F.round(
+                F.sqrt(
+                    F.col("chi2_e6")
+                    / F.lit(1_000_000.0)
+                    / (
+                        F.col("n_total")
+                        * (F.least("r", "c") - 1)
+                    )
+                )
+                + F.lit(EPS),
+                6,
+            ).alias("cramers_v"),
+        )
+    )
+
+
 def q_agg_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Power-of-two (log-spaced) histogram of order totals — the data-
     profiling shape for heavy-tailed columns where q_agg_histogram's
@@ -2198,6 +2271,7 @@ def q_agg_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "q_agg_chi2": q_agg_chi2,
+    "q_agg_cramers_v": q_agg_cramers_v,
     "q_agg_log_histogram": q_agg_log_histogram,
     "q_agg_benford": q_agg_benford,
     "q_agg_decile_lift": q_agg_decile_lift,
@@ -2279,6 +2353,45 @@ ORACLES = {
     # libm-free on both engines); shares and deviations all-integer.
     # same exact-integer marginals; expected/χ² terms are the identical
     # IEEE double division + epsilon-nudged rounds
+    # identical cells/marginals as chi2; e6-floored terms → exact-int
+    # χ² sum; one IEEE sqrt tail
+    "q_agg_cramers_v": """
+        WITH cells AS (
+          SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_obs
+          FROM orders GROUP BY 1, 2),
+        rm AS (SELECT o_orderstatus, SUM(n_obs) AS row_tot
+               FROM cells GROUP BY 1),
+        cm AS (SELECT o_orderpriority, SUM(n_obs) AS col_tot
+               FROM cells GROUP BY 1),
+        tot AS (SELECT SUM(n_obs) AS n_total,
+                       COUNT(DISTINCT o_orderstatus) AS r,
+                       COUNT(DISTINCT o_orderpriority) AS c
+                FROM cells),
+        grid AS (
+          SELECT rm.o_orderstatus, cm.o_orderpriority,
+                 rm.row_tot, cm.col_tot,
+                 COALESCE(ce.n_obs, 0) AS n_obs
+          FROM rm CROSS JOIN cm
+          LEFT JOIN cells ce
+            ON ce.o_orderstatus = rm.o_orderstatus
+           AND ce.o_orderpriority = cm.o_orderpriority),
+        terms AS (
+          SELECT t.n_total, t.r, t.c,
+                 CAST(FLOOR((g.n_obs - (g.row_tot * g.col_tot)
+                               / CAST(t.n_total AS DOUBLE))
+                     * (g.n_obs - (g.row_tot * g.col_tot)
+                               / CAST(t.n_total AS DOUBLE))
+                     / ((g.row_tot * g.col_tot)
+                               / CAST(t.n_total AS DOUBLE))
+                     * 1000000 + 1e-9) AS BIGINT) AS term_e6
+          FROM grid g CROSS JOIN tot t)
+        SELECT CAST(n_total AS BIGINT) AS n_total,
+               CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+               SUM(term_e6) / 1000000.0 AS chi2,
+               ROUND(sqrt(SUM(term_e6) / 1000000.0
+                          / (n_total * (LEAST(r, c) - 1))) + 1e-9, 6)
+                 AS cramers_v
+        FROM terms GROUP BY n_total, r, c""",
     "q_agg_chi2": f"""
         WITH cells AS (
           SELECT o_orderstatus, o_orderpriority,

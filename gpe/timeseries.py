@@ -1868,7 +1868,88 @@ def q_ts_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition (STL-lite, Cleveland et al. 1990
+    shape with fixed linear passes): per event type, daily revenue is
+    split into a centered 7-day moving-average TREND, a day-of-week
+    SEASONAL index (mean of the detrended values per weekday), and a
+    RESIDUAL — reported per (type, weekday) as the seasonal index and
+    the mean absolute residual, the table a capacity planner reads to
+    separate "weekends are slow" from "something broke".
+
+    Determinism: the whole pipeline runs in "7·cents" integer units —
+    det = 7·c − Σ₇c is exact (no mean division), the per-weekday index
+    FLOOR(Σdet/n) floors an exact-int IEEE division (exact quotients
+    stay exact, so both engines floor identically — and floor, unlike
+    integer DIV, agrees cross-engine on NEGATIVES: Spark DIV truncates
+    toward zero, DuckDB // floors), and the display values divide by
+    the constant 700 only at the end.
+
+    Scale notes (100 TB): one map-side-partial daily rollup; the ±3-day
+    window and both aggregations run over the calendar-bounded
+    (#types × #days) frame. Edge days (incomplete 7-day windows) are
+    excluded by the window COUNT guard, as in classical decomposition."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        (F.sum(dec("value")) * 100).cast("long").alias("c")
+    )
+    w7 = (
+        Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    )
+    det = (
+        daily.select(
+            "event_type",
+            "day",
+            "c",
+            F.sum("c").over(w7).alias("sum7"),
+            F.count(F.lit(1)).over(w7).alias("cnt7"),
+        )
+        .filter(F.col("cnt7") == 7)
+        .select(
+            "event_type",
+            (F.dayofweek("day") - 1).cast("long").alias("dow"),
+            (F.lit(7) * F.col("c") - F.col("sum7")).alias("det7"),
+        )
+    )
+    seas = det.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_weeks"),
+        F.sum("det7").alias("s_num"),
+    )
+    seas7 = F.floor(F.col("s_num") / F.col("n_weeks")).cast("long")
+    resid = (
+        det.join(
+            seas.select(
+                "event_type", "dow", seas7.alias("seas7")
+            ),
+            ["event_type", "dow"],
+        )
+        .select(
+            "event_type",
+            "dow",
+            F.abs(F.col("det7") - F.col("seas7")).alias("ar7"),
+        )
+        .groupBy("event_type", "dow")
+        .agg(F.sum("ar7").alias("ar_num"), F.count(F.lit(1)).alias("n2"))
+    )
+    return (
+        seas.join(resid, ["event_type", "dow"])
+        .select(
+            "event_type",
+            "dow",
+            "n_weeks",
+            (seas7 / F.lit(700.0)).alias("seasonal_value"),
+            (
+                F.floor(F.col("ar_num") / F.col("n2")).cast("long")
+                / F.lit(700.0)
+            ).alias("mean_abs_resid"),
+        )
+    )
+
+
 QUERIES = {
+    "q_ts_decompose": q_ts_decompose,
     "q_ts_interarrival": q_ts_interarrival,
     "q_ts_peaks": q_ts_peaks,
     "q_ts_mix_entropy": q_ts_mix_entropy,
@@ -1927,6 +2008,44 @@ _ACF_LAG_COLS = ",\n                 ".join(
 )
 
 ORACLES = {
+    # identical 7·cents integer units; FLOOR of exact-int division (not
+    # integer DIV — they disagree on negatives); Spark dayofweek−1 ==
+    # DuckDB dayofweek (both Sunday-based, off by one)
+    "q_ts_decompose": """
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day,
+                 CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT)
+                   AS c
+          FROM events GROUP BY 1, 2),
+        det AS (
+          SELECT event_type,
+                 CAST(dayofweek(day) AS BIGINT) AS dow,
+                 7 * c - SUM(c) OVER w AS det7,
+                 COUNT(*) OVER w AS cnt7
+          FROM daily
+          WINDOW w AS (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        d2 AS (SELECT event_type, dow, det7 FROM det WHERE cnt7 = 7),
+        seas AS (
+          SELECT event_type, dow,
+                 CAST(COUNT(*) AS BIGINT) AS n_weeks,
+                 SUM(det7) AS s_num,
+                 CAST(FLOOR(SUM(det7) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)
+                   AS seas7
+          FROM d2 GROUP BY 1, 2),
+        resid AS (
+          SELECT d.event_type, d.dow,
+                 SUM(ABS(d.det7 - s.seas7)) AS ar_num,
+                 COUNT(*) AS n2
+          FROM d2 d JOIN seas s
+            ON d.event_type = s.event_type AND d.dow = s.dow
+          GROUP BY 1, 2)
+        SELECT s.event_type, s.dow, s.n_weeks,
+               s.seas7 / 700.0 AS seasonal_value,
+               CAST(FLOOR(r.ar_num / CAST(r.n2 AS DOUBLE)) AS BIGINT)
+                 / 700.0 AS mean_abs_resid
+        FROM seas s JOIN resid r
+          ON s.event_type = r.event_type AND s.dow = r.dow""",
     # exact integer-µs gaps; Σg² via DECIMAL(19,0)² (BIGINT squares
     # overflow); √num is correctly-rounded IEEE in both engines and n
     # cancels in cv/B, so the float chains are identical

@@ -499,3 +499,104 @@ def test_bfs_layers_fixture_partitions_corpus(spark):
     assert layers <= {-1, 0, 1, 2, 3}
     assert sum(r.n_docs for r in got) == 500  # every doc in exactly one layer
     assert dict((r.layer, r.n_docs) for r in got)[0] == 10  # the seeds
+
+
+# -------------------------------------------------------- q_ts_decompose
+
+
+def test_decompose_constant_series_has_zero_seasonal(spark, tmp_path):
+    """A constant daily series: every detrended value is exactly 0 →
+    seasonal index 0 and residual 0 for every weekday; edge days (±3)
+    are excluded by the full-window guard."""
+    base = pd.Timestamp("2024-01-01 12:00")  # Monday
+    rows = [
+        (i, base + pd.Timedelta(days=i), 1, "click", 10.0) for i in range(21)
+    ]
+    d = tmp_path / "decomp_const"
+    d.mkdir()
+    _events_frame(rows).to_parquet(str(d / "events.parquet"))
+    got = _Q["q_ts_decompose"](spark, str(d)).collect()
+    assert len(got) == 7  # every weekday present (15 interior days)
+    for r in got:
+        assert r.seasonal_value == 0.0 and r.mean_abs_resid == 0.0
+    # 15 interior days over 7 weekdays: 2 or 3 observations each
+    assert sorted(r.n_weeks for r in got) == [2, 2, 2, 2, 2, 2, 3]
+    assert _rows(_Q["q_ts_decompose"](spark, str(d))) == _pdf_rows(
+        _oracle(d, "q_ts_decompose", "events")
+    )
+
+
+def test_decompose_pure_weekly_pattern_recovered(spark, tmp_path):
+    """value = 10 + 7·(dow == Monday): the centered 7-day MA absorbs the
+    weekly bump into a constant trend, so the Monday seasonal index must
+    be exactly 6 (= 7·(1 − 1/7)) and other days −1, residuals 0."""
+    base = pd.Timestamp("2024-01-01 12:00")  # Monday
+    rows = [
+        (
+            i,
+            base + pd.Timedelta(days=i),
+            1,
+            "click",
+            17.0 if (base + pd.Timedelta(days=i)).dayofweek == 0 else 10.0,
+        )
+        for i in range(28)
+    ]
+    d = tmp_path / "decomp_weekly"
+    d.mkdir()
+    _events_frame(rows).to_parquet(str(d / "events.parquet"))
+    got = {r.dow: r for r in _Q["q_ts_decompose"](spark, str(d)).collect()}
+    assert got[1].seasonal_value == 6.0  # Monday (Sunday-based dow 1)
+    for dow, r in got.items():
+        if dow != 1:
+            assert r.seasonal_value == -1.0
+        assert r.mean_abs_resid == 0.0
+    assert _rows(_Q["q_ts_decompose"](spark, str(d))) == _pdf_rows(
+        _oracle(d, "q_ts_decompose", "events")
+    )
+
+
+# ------------------------------------------------------- q_agg_cramers_v
+
+
+def test_cramers_v_fixture_bounds_and_consistency(spark):
+    got = _Q["q_agg_cramers_v"](spark, SF_SMOKE).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert 0.0 <= r.cramers_v <= 1.0
+    assert r.dof >= 1 and r.chi2 >= 0.0
+    # chi2 total must equal the sum of q_agg_chi2's per-cell terms
+    # up to the e6 floor vs display-round difference (≤1e-6 per cell)
+    cells = _Q["q_agg_chi2"](spark, SF_SMOKE).collect()
+    assert abs(r.chi2 - sum(c.chi2_term for c in cells)) < 1e-4
+
+
+def test_cramers_v_perfect_association(spark, tmp_path):
+    """status determines priority exactly → V = 1.0 (2×2, every row on
+    the diagonal)."""
+    rows = [
+        (i, 1, "O", 100.0, pd.Timestamp("1996-06-01"), "1-URGENT")
+        for i in range(10)
+    ] + [
+        (100 + i, 1, "F", 100.0, pd.Timestamp("1996-06-01"), "5-LOW")
+        for i in range(10)
+    ]
+    pdf = pd.DataFrame(
+        rows,
+        columns=[
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        ],
+    )
+    pdf["o_orderdate"] = pdf["o_orderdate"].astype("datetime64[us]")
+    d = tmp_path / "cramers_perfect"
+    d.mkdir()
+    pdf.to_parquet(str(d / "orders.parquet"))
+    got = _Q["q_agg_cramers_v"](spark, str(d)).collect()[0]
+    assert got.cramers_v == 1.0 and got.dof == 1
+    assert _rows(_Q["q_agg_cramers_v"](spark, str(d))) == _pdf_rows(
+        _oracle(d, "q_agg_cramers_v", "orders")
+    )
