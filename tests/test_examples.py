@@ -45,3 +45,9 @@ def test_lakehouse_demo_runs():
     stdout = _run("lakehouse_demo.py")
     assert "partitioned write" in stdout
     assert "lakehouse demo complete" in stdout
+
+
+def test_model_qa_demo_runs():
+    stdout = _run("model_qa_demo.py")
+    assert "one-vs-rest AUC" in stdout
+    assert "model QA demo complete" in stdout
