@@ -386,7 +386,124 @@ _SQL_ML_KS = """
 """
 
 
+def q_ml_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the nearest-prototype classifier (predict the
+    class whose prototype dot is highest): per (true label, predicted)
+    cell count and the row-normalized share — the error-structure view
+    that tells WHICH classes the embedding space confuses, next to
+    q_ml_auc's threshold-free ranking quality.
+
+    Determinism: the argmax is a row_number over exact-decimal scores
+    with (score DESC, cls ASC) — a total order, so ties break
+    identically cross-engine; shares are _floor-style e6 ratios of exact
+    counts.
+
+    Scale notes (100 TB): the argmax window partitions by vec_id over
+    the k-scored aggregate frame (maximal parallelism, k rows per
+    partition group); the matrix is a ≤k² rollup with the row marginal
+    as a window over it."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sc = _class_scores(emb)
+    w = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("cls"))
+    pred = (
+        sc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", F.col("cls").alias("pred"))
+    )
+    cm = pred.groupBy("label", "pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w_row = Window.partitionBy("label")
+    return cm.select(
+        "label",
+        "pred",
+        "n",
+        (
+            F.floor(F.col("n") * F.lit(1_000_000) / F.sum("n").over(w_row))
+            / F.lit(1_000_000.0)
+        ).alias("row_share"),
+    )
+
+
+_SQL_ML_CONFUSION = f"""
+    WITH {_SQL_CLASS_SCORES},
+    pred AS (
+      SELECT vec_id, label, cls AS pred,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY score DESC, cls ASC) AS rn
+      FROM sc),
+    cm AS (
+      SELECT label, pred, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pred WHERE rn = 1 GROUP BY 1, 2)
+    SELECT label, pred, n,
+           FLOOR(n * 1000000 / SUM(n) OVER (PARTITION BY label))
+             / 1000000.0 AS row_share
+    FROM cm
+"""
+
+
+def q_ml_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class separation margins of the prototype scorer: for each
+    vector, margin = (own-class score) − (best other-class score) — the
+    geometric audit behind the confusion matrix (positive margin ⇔
+    nearest-prototype-correct; the mean/min margins say HOW safely).
+
+    Determinism: margins are differences of exact decimals; the
+    per-class mean returns to double only at the display round; the min
+    is an exact decimal comparison cast at the end.
+
+    Scale notes (100 TB): one vec_id-partial aggregate over the scored
+    frame (own via a conditional max, best-other likewise — single
+    pass, no self-join), then a k-row rollup."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sc = _class_scores(emb)
+    per_vec = sc.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("cls") == F.col("label"), F.col("score"))).alias(
+            "own"
+        ),
+        F.max(F.when(F.col("cls") != F.col("label"), F.col("score"))).alias(
+            "other"
+        ),
+    )
+    m = per_vec.select(
+        "label", (F.col("own") - F.col("other")).alias("margin")
+    )
+    return m.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("margin") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_separated"),
+        F.round(
+            F.sum("margin").cast("double") / F.count(F.lit(1)) + F.lit(EPS),
+            6,
+        ).alias("mean_margin"),
+        F.round(F.min("margin").cast("double") + F.lit(EPS), 6).alias(
+            "min_margin"
+        ),
+    )
+
+
+_SQL_ML_MARGIN = f"""
+    WITH {_SQL_CLASS_SCORES},
+    per_vec AS (
+      SELECT vec_id, label,
+             MAX(CASE WHEN cls = label THEN score END) AS own,
+             MAX(CASE WHEN cls <> label THEN score END) AS other
+      FROM sc GROUP BY 1, 2)
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN own - other > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_separated,
+           ROUND(CAST(SUM(own - other) AS DOUBLE) / COUNT(*) + 1e-9, 6)
+             AS mean_margin,
+           ROUND(CAST(MIN(own - other) AS DOUBLE) + 1e-9, 6) AS min_margin
+    FROM per_vec GROUP BY 1
+"""
+
+
 QUERIES = {
+    "q_ml_confusion": q_ml_confusion,
+    "q_ml_margin": q_ml_margin,
     "q_ml_auc": q_ml_auc,
     "q_ml_calibration": q_ml_calibration,
     "q_ml_psi": q_ml_psi,
@@ -394,6 +511,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_ml_confusion": _SQL_ML_CONFUSION,
+    "q_ml_margin": _SQL_ML_MARGIN,
     "q_ml_auc": _SQL_ML_AUC,
     "q_ml_calibration": _SQL_ML_CALIBRATION,
     "q_ml_psi": _SQL_ML_PSI,

@@ -56,6 +56,8 @@ for _name in (
 # regression net; tests/test_registry_order.py pins this window.
 HARD_SIGNAL_FIRST_50 = [
     # --- round-9 operators (zero driver evidence, newest first) ---
+    "q_ml_confusion",
+    "q_ml_margin",
     "q_ts_decompose",
     "q_agg_cramers_v",
     "q_graph_bfs_layers",
@@ -107,8 +109,6 @@ HARD_SIGNAL_FIRST_50 = [
     "q_multimodal_resize",
     "q_join_partition_pruned",
     "q_agg_topn_share",
-    "q_catalog_quality_checks",
-    "q_cdc_scd2_current",
 ]
 
 # Next in line for round 9: first the r4-stale keys displaced by the
@@ -121,10 +121,13 @@ HARD_SIGNAL_FIRST_50 = [
 # r6/r7/r8-green keys fall to the tail automatically.
 _SECOND_WAVE = [
     # displaced from the r9 window by the 12 new r9 keys — first in
-    # line for r10 (q_udtf_tokens / q_text_length_histogram were r8-new
-    # with zero driver evidence; the rest are r4-stale)
+    # line for r10 (q_udtf_tokens / q_text_length_histogram /
+    # q_cdc_scd2_current / q_catalog_quality_checks were r8-new with
+    # zero driver evidence; the rest are r4-stale)
     "q_udtf_tokens",
     "q_text_length_histogram",
+    "q_cdc_scd2_current",
+    "q_catalog_quality_checks",
     "q_join_left_outer",
     "q_join_semi",
     "q_join_anti",

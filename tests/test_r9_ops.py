@@ -600,3 +600,50 @@ def test_cramers_v_perfect_association(spark, tmp_path):
     assert _rows(_Q["q_agg_cramers_v"](spark, str(d))) == _pdf_rows(
         _oracle(d, "q_agg_cramers_v", "orders")
     )
+
+
+# ------------------------------------------- q_ml_confusion / q_ml_margin
+
+
+def test_confusion_and_margin_consistency(spark):
+    """Diagonal confusion mass == n_separated per class (argmax-correct ⇔
+    positive margin, ties impossible on this fixture), and row shares
+    sum to ~1 per label."""
+    cm = _Q["q_ml_confusion"](spark, SF_SMOKE).collect()
+    mg = {r.label: r for r in _Q["q_ml_margin"](spark, SF_SMOKE).collect()}
+    diag = {r.label: r.n for r in cm if r.label == r.pred}
+    for lbl, m in mg.items():
+        assert diag.get(lbl, 0) == m.n_separated
+        assert m.min_margin <= m.mean_margin
+    from collections import defaultdict
+
+    shares = defaultdict(float)
+    totals = defaultdict(int)
+    for r in cm:
+        shares[r.label] += r.row_share
+        totals[r.label] += r.n
+    for lbl in shares:
+        assert 0.99 <= shares[lbl] <= 1.0  # e6 floors sum just under 1
+    assert sum(totals.values()) == sum(m.n for m in mg.values())
+
+
+def test_confusion_separable_data_is_diagonal(spark, tmp_path):
+    """Orthogonal class clusters → every vector predicted correctly:
+    the confusion matrix is exactly diagonal and every margin positive."""
+    rows = [(i, [1.0 - i * 0.01, 0.0], 0) for i in range(5)] + [
+        (10 + i, [0.0, 1.0 - i * 0.01], 1) for i in range(5)
+    ]
+    d = tmp_path / "conf_sep"
+    d.mkdir()
+    _emb_frame(rows).to_parquet(str(d / "embeddings.parquet"))
+    cm = _Q["q_ml_confusion"](spark, str(d)).collect()
+    assert all(r.label == r.pred for r in cm)
+    assert all(r.row_share == 1.0 for r in cm)
+    mg = _Q["q_ml_margin"](spark, str(d)).collect()
+    assert all(m.n_separated == m.n and m.min_margin > 0 for m in mg)
+    assert _rows(_Q["q_ml_confusion"](spark, str(d))) == _pdf_rows(
+        _oracle(d, "q_ml_confusion", "embeddings")
+    )
+    assert _rows(_Q["q_ml_margin"](spark, str(d))) == _pdf_rows(
+        _oracle(d, "q_ml_margin", "embeddings")
+    )
