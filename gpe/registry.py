@@ -56,6 +56,7 @@ for _name in (
 # regression net; tests/test_registry_order.py pins this window.
 HARD_SIGNAL_FIRST_50 = [
     # --- round-9 operators (zero driver evidence, newest first) ---
+    "q_text_bigram_lm",
     "q_ml_confusion",
     "q_ml_margin",
     "q_ts_decompose",
@@ -108,7 +109,6 @@ HARD_SIGNAL_FIRST_50 = [
     "q_ts_daily_percentiles",
     "q_multimodal_resize",
     "q_join_partition_pruned",
-    "q_agg_topn_share",
 ]
 
 # Next in line for round 9: first the r4-stale keys displaced by the
@@ -126,6 +126,7 @@ _SECOND_WAVE = [
     # zero driver evidence; the rest are r4-stale)
     "q_udtf_tokens",
     "q_text_length_histogram",
+    "q_agg_topn_share",
     "q_cdc_scd2_current",
     "q_catalog_quality_checks",
     "q_join_left_outer",

@@ -1071,7 +1071,90 @@ def q_text_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc bigram language-model score: train an add-1-smoothed
+    bigram LM on the corpus (p(w₂|w₁) = (c₁₂+1)/(c₁+V)) and score every
+    document's mean bigram log-probability + perplexity — the
+    context-sensitive upgrade of q_text_unigram_logprob (word-salad docs
+    whose unigrams look fine score low here), the classic LM-based
+    quality filter (e.g. CCNet, Wenzek et al. 2020 — theirs is a 5-gram
+    Kneser-Ney; add-1 bigram keeps the oracle exact).
+
+    Determinism: per-bigram log terms are e6-floored LONGs before
+    summation (libm discipline); the perplexity exp() runs on the same
+    double in both engines and the EPS-nudged 6dp round absorbs the
+    ≤1-ulp libm drift (the repo-wide ln/exp argument).
+
+    Scale notes (100 TB): bigrams form MAP-SIDE from the materialized
+    token array (the SCALE.md free-variable rule: `toks` is a column,
+    so the indexed transform references it without re-evaluating the
+    split); the model table is (vocab²)-bounded and BROADCAST; scoring
+    is one explode-join-reaggregate keyed by doc_id. Docs with <2
+    tokens have no bigrams and are excluded (n_bigrams ≥ 1)."""
+    d = load_table(spark, sf_dir, "documents")
+    toked = d.select("doc_id", F.split("text", " ").alias("toks"))
+    big = toked.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 2),"
+                " i -> struct(toks[i] AS w1, toks[i + 1] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uni = toked.select(F.explode("toks").alias("w"))
+    c1 = uni.groupBy(F.col("w").alias("w1")).agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    v = uni.agg(F.count_distinct("w").alias("v"))
+    model = (
+        c12.join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "w1",
+            "w2",
+            F.floor(
+                F.log(
+                    (F.col("c12") + 1)
+                    / (F.col("c1") + F.col("v")).cast("double")
+                )
+                * F.lit(1_000_000)
+                + F.lit(EPS)
+            )
+            .cast("long")
+            .alias("logp_e6"),
+        )
+    )
+    return (
+        big.join(F.broadcast(model), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("logp_e6").alias("sum_e6"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(
+                F.col("sum_e6") / F.lit(1_000_000.0) / F.col("n_bigrams")
+                + F.lit(EPS),
+                6,
+            ).alias("mean_logp"),
+            F.round(
+                F.exp(
+                    -(F.col("sum_e6") / F.lit(1_000_000.0))
+                    / F.col("n_bigrams")
+                )
+                + F.lit(EPS),
+                6,
+            ).alias("perplexity"),
+        )
+    )
+
+
 QUERIES = {
+    "q_text_bigram_lm": q_text_bigram_lm,
     "q_text_hapax": q_text_hapax,
     "q_ml_class_metrics": q_ml_class_metrics,
     "q_text_readability": q_text_readability,
@@ -1105,6 +1188,35 @@ _BM25_TERM_SQL = """
 
 
 ORACLES = {
+    # identical bigram multiset (positional self-join ≡ the indexed
+    # transform), e6-floored log terms, EPS-rounded exp tail
+    "q_text_bigram_lm": """
+        WITH tok AS (
+          SELECT doc_id,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos,
+                 unnest(string_split(text, ' ')) AS w
+          FROM documents),
+        big AS (
+          SELECT a.doc_id, a.w AS w1, b.w AS w2
+          FROM tok a JOIN tok b
+            ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+        c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY 1, 2),
+        c1 AS (SELECT w AS w1, COUNT(*) AS c1 FROM tok GROUP BY 1),
+        v AS (SELECT COUNT(DISTINCT w) AS v FROM tok),
+        model AS (
+          SELECT c12.w1, c12.w2,
+                 CAST(FLOOR(ln((c12.c12 + 1)
+                              / CAST(c1.c1 + v.v AS DOUBLE))
+                       * 1000000 + 1e-9) AS BIGINT) AS logp_e6
+          FROM c12 JOIN c1 ON c12.w1 = c1.w1 CROSS JOIN v)
+        SELECT b.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               ROUND(SUM(m.logp_e6) / 1000000.0 / COUNT(*) + 1e-9, 6)
+                 AS mean_logp,
+               ROUND(exp(-(SUM(m.logp_e6) / 1000000.0) / COUNT(*))
+                     + 1e-9, 6) AS perplexity
+        FROM big b JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
+        GROUP BY 1""",
     # identical (source, token) counts; _floor6 fixed-point ratios
     "q_text_hapax": """
         WITH tok AS (

@@ -647,3 +647,36 @@ def test_confusion_separable_data_is_diagonal(spark, tmp_path):
     assert _rows(_Q["q_ml_margin"](spark, str(d))) == _pdf_rows(
         _oracle(d, "q_ml_margin", "embeddings")
     )
+
+
+# -------------------------------------------------------- q_text_bigram_lm
+
+
+def test_bigram_lm_repetition_scores_high(spark, tmp_path):
+    """A doc that repeats one bigram gets near-max probability (low
+    perplexity); a doc of all-unique transitions scores lower. A 1-token
+    doc has no bigrams and must be absent."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "a b a b a b a b a b",      # one dominant transition
+                "c d e f g h i j k l",      # all transitions unique
+                "solo",                     # no bigram → excluded
+            ],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+        }
+    )
+    pdf["n_chars"] = pdf["text"].str.len()
+    d = tmp_path / "biglm"
+    d.mkdir()
+    pdf.to_parquet(str(d / "documents.parquet"))
+    got = {r.doc_id: r for r in _Q["q_text_bigram_lm"](spark, str(d)).collect()}
+    assert set(got) == {0, 1}
+    assert got[0].mean_logp > got[1].mean_logp
+    assert got[0].perplexity < got[1].perplexity
+    assert got[0].n_bigrams == 9 and got[1].n_bigrams == 9
+    assert _rows(_Q["q_text_bigram_lm"](spark, str(d))) == _pdf_rows(
+        _oracle(d, "q_text_bigram_lm", "documents")
+    )
