@@ -1093,7 +1093,11 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens have no bigrams and are excluded (n_bigrams ≥ 1)."""
     d = load_table(spark, sf_dir, "documents")
     toked = d.select("doc_id", F.split("text", " ").alias("toks"))
-    big = toked.select(
+    # size guard BEFORE the indexed transform: sequence(0, size-2) on a
+    # 1-token doc is sequence(0, -1), which Spark generates DESCENDING
+    # ([0, -1]) — toks[i+1] then faults. (Unigram counts still use the
+    # unfiltered frame: c1/V are corpus statistics.)
+    big = toked.filter(F.size("toks") >= 2).select(
         "doc_id",
         F.explode(
             F.expr(
