@@ -47,7 +47,7 @@ def main(argv: list[str]) -> None:
     lines = [
         f"# BENCH — per-query wall-clock at sf{sf} (local[32], noop sink)",
         "",
-        f"Round-8, {date.today().isoformat()}: **{total:.3f} s total "
+        f"Round-9, {date.today().isoformat()}: **{total:.3f} s total "
         f"over {len(keys)} keys**, 0 errors — per-query MEDIAN of "
         f"{len(runs)} runs (sum of medians); every run is a full fresh-"
         f"session pass."
@@ -59,17 +59,19 @@ def main(argv: list[str]) -> None:
             else ""
         ),
         "",
-        "End-of-r8 addendum: this regeneration covers the full 220-key "
-        "registry — the 17 keys added after the 203-key regeneration "
-        "(triangles, heavy hitters, Kaplan-Meier, Gram moments, decile "
-        "lift, Benford, calendar profile, ORC roundtrip, chi-squared, "
-        "log histogram, FK inference, Theil-Sen, Mann-Kendall, "
-        "changepoint, readability, quality gate, class metrics) are "
-        "all either map-side profiles or calendar-bounded pair joins "
-        "on post-aggregate frames; none is iterative. "
-        "q_agg_market_basket's (order, brand) frame is persisted as of "
-        "mid-r8 — unpersisted it re-scanned lineitem 8x for its "
-        "five plan references.",
+        "Round-9 addendum: this regeneration covers the 235-key "
+        "registry — the 15 r9 keys (ml eval family, interarrival/peaks/"
+        "mix-entropy/decompose, weighted sampling, hapax, bigram LM, "
+        "BFS layers, Cramér's V) cost ~20.7 s of the cold pass combined; "
+        "none is iterative (the BFS relaxation is 3 bounded rounds over "
+        "mask-sized frames). RIG NOTE for cross-round comparison: this "
+        "recording ran ~14% hotter than the r8 final quiet-rig trio — "
+        "per-key median ratio vs BENCH_COLD_r08 is 1.14 with p10 0.95 / "
+        "p90 1.34 (uniform inflation, the documented shared-rig "
+        "signature), so the 265 s total over 235 keys is like-for-like "
+        "~232 s against r8's 208 s over 220. The only >2× per-key moves "
+        "are the two known Arrow-worker-variance keys "
+        "(q_udaf_applyinpandas, q_multimodal_audio_windows).",
         "",
         "## BENCH_r07 spike-key reconciliation (VERDICT r7 #2)",
         "",
