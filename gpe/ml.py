@@ -187,7 +187,9 @@ def q_ml_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     sc = _class_scores(emb).filter(F.col("cls") == 0)
     w = Window.orderBy("score", "vec_id")
-    b = sc.withColumn("bin", F.ntile(10).over(w))
+    # cast: Spark ntile is INT, DuckDB NTILE is BIGINT — the driver's
+    # schema gate compares dtypes (tests/test_io_sources.py dtype parity)
+    b = sc.withColumn("bin", F.ntile(10).over(w).cast("long"))
     return (
         b.groupBy("bin")
         .agg(
