@@ -503,7 +503,126 @@ _SQL_ML_MARGIN = f"""
 """
 
 
+_KNN_EVAL_QUERIES = 100  # eval set: vec_id < 100 (the sampled-audit shape)
+_KNN_K = 5
+
+
+def q_ml_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classifier evaluation (k = 5, cosine-by-dot): for each of the
+    first 100 vectors, take the 5 nearest corpus neighbors (self
+    excluded), majority-vote their labels (ties → smallest label), and
+    report per-true-label accuracy — the label-consistency audit
+    (Fix & Hodges 1951 k-NN) that complements q_ml_confusion's
+    prototype view: prototypes test global separation, k-NN tests LOCAL
+    neighborhood purity.
+
+    Determinism: dots are exact decimals; the top-5 cut is a (dot DESC,
+    neighbor_id ASC) total order; votes are integer counts with a
+    (count DESC, label ASC) argmax — every decision exact.
+
+    Scale notes (100 TB): the eval set is BROADCAST against one corpus
+    scan (the q_vec_* sampled-audit shape — evaluating every vector is
+    the all-pairs job q_vec_pairs_threshold's cogrouped BLAS grid
+    exists for); the vote runs on the (queries × k)-row frame."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select("vec_id", "label", F.posexplode("embedding").alias("pos", "x"))
+    qx = (
+        ex.filter(F.col("vec_id") < _KNN_EVAL_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("true_label"),
+            "pos",
+            F.col("x").alias("qx"),
+        )
+    )
+    dots = (
+        F.broadcast(qx)
+        .join(ex, "pos")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", "true_label", F.col("vec_id").alias("nid"),
+                 F.col("label").alias("nlabel"))
+        .agg(
+            F.sum(
+                F.col("qx").cast("decimal(12,10)")
+                * F.col("x").cast("decimal(12,10)")
+            ).alias("dot")
+        )
+    )
+    w_top = Window.partitionBy("query_id").orderBy(
+        F.desc("dot"), F.asc("nid")
+    )
+    top = dots.withColumn("rk", F.row_number().over(w_top)).filter(
+        F.col("rk") <= _KNN_K
+    )
+    votes = top.groupBy("query_id", "true_label", "nlabel").agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    w_vote = Window.partitionBy("query_id").orderBy(
+        F.desc("v"), F.asc("nlabel")
+    )
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w_vote))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "true_label", F.col("nlabel").alias("pred"))
+    )
+    return (
+        pred.groupBy(F.col("true_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            F.sum(
+                F.when(F.col("pred") == F.col("true_label"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .select(
+            "label",
+            "n_queries",
+            "n_correct",
+            F.round(
+                F.col("n_correct") / F.col("n_queries") + F.lit(EPS), 6
+            ).alias("accuracy"),
+        )
+    )
+
+
+_SQL_ML_KNN_EVAL = f"""
+    WITH ex AS ({_SQL_EXPLODED}),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS nid,
+             SUM(CAST(q.x AS DECIMAL(12,10)) * CAST(c.x AS DECIMAL(12,10)))
+               AS dot
+      FROM ex q JOIN ex c ON q.pos = c.pos AND q.vec_id <> c.vec_id
+      WHERE q.vec_id < {_KNN_EVAL_QUERIES}
+      GROUP BY 1, 2),
+    top AS (
+      SELECT d.query_id, lq.label AS true_label, ln.label AS nlabel,
+             ROW_NUMBER() OVER (PARTITION BY d.query_id
+                                ORDER BY d.dot DESC, d.nid ASC) AS rk
+      FROM dots d
+      JOIN lab lq ON lq.vec_id = d.query_id
+      JOIN lab ln ON ln.vec_id = d.nid),
+    votes AS (
+      SELECT query_id, true_label, nlabel, COUNT(*) AS v
+      FROM top WHERE rk <= {_KNN_K} GROUP BY 1, 2, 3),
+    pred AS (
+      SELECT query_id, true_label, nlabel AS pred,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY v DESC, nlabel ASC) AS rn
+      FROM votes)
+    SELECT true_label AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN pred = true_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           ROUND(SUM(CASE WHEN pred = true_label THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE) + 1e-9, 6) AS accuracy
+    FROM pred WHERE rn = 1 GROUP BY 1
+"""
+
+
 QUERIES = {
+    "q_ml_knn_eval": q_ml_knn_eval,
     "q_ml_confusion": q_ml_confusion,
     "q_ml_margin": q_ml_margin,
     "q_ml_auc": q_ml_auc,
@@ -513,6 +632,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_ml_knn_eval": _SQL_ML_KNN_EVAL,
     "q_ml_confusion": _SQL_ML_CONFUSION,
     "q_ml_margin": _SQL_ML_MARGIN,
     "q_ml_auc": _SQL_ML_AUC,

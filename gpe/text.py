@@ -1157,7 +1157,58 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DUP_PARA_MIN_TOKENS = 8  # ignore tail stubs — 1-token chunks dup trivially
+
+
+def q_text_dup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-paragraph detection: hash every sliding
+    token chunk (the q_text_chunk_windows chunker, shared verbatim) and
+    report chunk groups appearing in ≥2 DISTINCT documents — the
+    sub-document dedup pass that catches boilerplate (headers, license
+    blocks, navigation) which document-level dedup can't see because the
+    surrounding text differs (the standard pretraining-corpus
+    paragraph/line-dedup stage, e.g. Penedo et al. 2023 RefinedWeb).
+
+    Determinism: sha2-256 hex of the exact chunk text; counts and the
+    keeper (min doc, then min chunk_idx in that doc) are exact-integer
+    argmins.
+
+    Scale notes (100 TB): the chunker is pure map-side; one shuffle on
+    chunk_hash with map-side partial aggregation (the dedup-exact shape
+    at chunk granularity); output is only the duplicated groups."""
+    from gpe.packing import chunked
+
+    d = load_table(spark, sf_dir, "documents")
+    ch = chunked(d).filter(F.col("n_tokens") >= _DUP_PARA_MIN_TOKENS)
+    h = F.sha2(F.col("chunk_text").cast("binary"), 256)
+    return (
+        ch.select(
+            h.alias("chunk_hash"),
+            "doc_id",
+            "chunk_idx",
+            "n_tokens",
+        )
+        .groupBy("chunk_hash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+            F.min("n_tokens").cast("long").alias("n_tokens"),
+            F.min(F.struct("doc_id", "chunk_idx")).alias("_k"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select(
+            "chunk_hash",
+            "n_docs",
+            "n_occurrences",
+            "n_tokens",
+            F.col("_k.doc_id").alias("first_doc_id"),
+            F.col("_k.chunk_idx").alias("first_chunk_idx"),
+        )
+    )
+
+
 QUERIES = {
+    "q_text_dup_paragraphs": q_text_dup_paragraphs,
     "q_text_bigram_lm": q_text_bigram_lm,
     "q_text_hapax": q_text_hapax,
     "q_ml_class_metrics": q_ml_class_metrics,
@@ -1191,7 +1242,44 @@ _BM25_TERM_SQL = """
       * 1000000 + 1e-9)"""
 
 
+def _sql_dup_paragraphs() -> str:
+    # the chunk CTE is DERIVED from packing's constants so the chunker
+    # and this detector can never silently diverge (the pipeline-module
+    # oracle-composition pattern)
+    from gpe.packing import _CHUNK_S, _CHUNK_W
+
+    return f"""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        s AS (
+          SELECT doc_id, toks,
+                 unnest(generate_series(1, greatest(len(toks), 1),
+                                        {_CHUNK_S})) AS start
+          FROM t),
+        ch AS (
+          SELECT doc_id,
+                 CAST((start - 1) // {_CHUNK_S} AS BIGINT) AS chunk_idx,
+                 sha256(array_to_string(
+                   toks[start:start + {_CHUNK_W} - 1], ' ')) AS chunk_hash,
+                 CAST(len(toks[start:start + {_CHUNK_W} - 1]) AS BIGINT)
+                   AS n_tokens
+          FROM s)
+        SELECT chunk_hash,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               CAST(MIN(n_tokens) AS BIGINT) AS n_tokens,
+               MIN(doc_id) AS first_doc_id,
+               CAST(struct_extract(
+                 MIN({{'doc_id': doc_id, 'chunk_idx': chunk_idx}}),
+                 'chunk_idx') AS BIGINT) AS first_chunk_idx
+        FROM ch WHERE n_tokens >= {_DUP_PARA_MIN_TOKENS}
+        GROUP BY chunk_hash
+        HAVING COUNT(DISTINCT doc_id) >= 2"""
+
+
 ORACLES = {
+    # chunk CTE derived from packing's constants; sha256 hex both sides
+    "q_text_dup_paragraphs": _sql_dup_paragraphs(),
     # identical bigram multiset (positional self-join ≡ the indexed
     # transform), e6-floored log terms, EPS-rounded exp tail
     "q_text_bigram_lm": """

@@ -680,3 +680,68 @@ def test_bigram_lm_repetition_scores_high(spark, tmp_path):
     assert _rows(_Q["q_text_bigram_lm"](spark, str(d))) == _pdf_rows(
         _oracle(d, "q_text_bigram_lm", "documents")
     )
+
+
+# ------------------------------------------------------- q_ml_knn_eval
+
+
+def test_knn_eval_fixture_invariants(spark):
+    got = _Q["q_ml_knn_eval"](spark, SF_SMOKE).collect()
+    assert sum(r.n_queries for r in got) == 100  # every eval vec predicted
+    for r in got:
+        assert 0 <= r.n_correct <= r.n_queries
+        assert 0.0 <= r.accuracy <= 1.0
+
+
+def test_knn_eval_separable_clusters_are_perfect(spark, tmp_path):
+    """Two tight orthogonal clusters: every eval vector's 5 neighbors are
+    its own cluster → accuracy exactly 1.0 for both labels."""
+    rows = [(i, [1.0 - i * 0.001, 0.0], 0) for i in range(8)] + [
+        (8 + i, [0.0, 1.0 - i * 0.001], 1) for i in range(8)
+    ]
+    d = tmp_path / "knn_sep"
+    d.mkdir()
+    _emb_frame(rows).to_parquet(str(d / "embeddings.parquet"))
+    got = _Q["q_ml_knn_eval"](spark, str(d)).collect()
+    assert {r.label for r in got} == {0, 1}
+    assert all(r.accuracy == 1.0 for r in got)
+    assert _rows(_Q["q_ml_knn_eval"](spark, str(d))) == _pdf_rows(
+        _oracle(d, "q_ml_knn_eval", "embeddings")
+    )
+
+
+# ------------------------------------------------ q_text_dup_paragraphs
+
+
+def test_dup_paragraphs_cross_doc_only(spark, tmp_path):
+    """A chunk repeated WITHIN one doc does not qualify (n_docs ≥ 2);
+    the same paragraph across two docs does, with the exact keeper."""
+    para = " ".join(f"w{i}" for i in range(32))  # one full window
+    other = " ".join(f"x{i}" for i in range(32))
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            # doc 0: para at chunk 0 (and again at token 32 → chunk 2)
+            "text": [para + " " + para, other + " " + para, other],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+        }
+    )
+    pdf["n_chars"] = pdf["text"].str.len()
+    d = tmp_path / "duppara"
+    d.mkdir()
+    pdf.to_parquet(str(d / "documents.parquet"))
+    got = _Q["q_text_dup_paragraphs"](spark, str(d)).collect()
+    # Three cross-doc groups: 'para' (docs 0+1), 'other' (docs 1+2), and
+    # the 16-token w-tail stub the stride-16 chunker emits in docs 0+1.
+    # Within-doc repeats alone don't qualify (doc 0 holds para twice but
+    # counts once toward n_docs).
+    assert len(got) == 3
+    para_g = next(r for r in got if r.n_occurrences >= 3)
+    assert para_g.n_docs == 2 and para_g.first_doc_id == 0
+    assert para_g.first_chunk_idx == 0 and para_g.n_tokens == 32
+    other_g = next(r for r in got if r.first_doc_id == 1)
+    assert other_g.n_docs == 2 and other_g.n_tokens == 32
+    assert _rows(_Q["q_text_dup_paragraphs"](spark, str(d))) == _pdf_rows(
+        _oracle(d, "q_text_dup_paragraphs", "documents")
+    )
