@@ -269,7 +269,59 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DEDUP_BLOCK = 256  # fixed-size dedup block (bytes)
+
+
+def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query: BLOCK-level storage dedup over the opaque BINARY
+    payloads — split every payload into fixed 256-byte blocks, sha2-256
+    each block, and report blocks stored ≥2 times with the bytes a
+    dedup-aware store reclaims ((copies−1)·blocksize) — the
+    content-addressed-storage model (Venti, ZFS dedup; production
+    systems swap fixed blocks for content-defined Rabin chunking with
+    the identical plan shape). Catches shared headers/prefixes across
+    media that whole-file hashing misses, and needs no codec — unlike
+    the decode legs there is NO stub anywhere in this path.
+
+    Scale notes: block explode is map-side over the payload scan → one
+    shuffle on the block hash with map-side partials (q_dedup_exact's
+    shape at block granularity); only duplicated blocks reach the
+    output."""
+    d = load_table(spark, sf_dir, "documents")
+    m = attach_payload(d)
+    blocks = m.select(
+        "media_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, CAST((meta.n_bytes - 1) DIV "
+                f"{_DEDUP_BLOCK} AS INT)), "
+                f"i -> substring(payload, i * {_DEDUP_BLOCK} + 1, "
+                f"{_DEDUP_BLOCK}))"
+            )
+        ).alias("block"),
+    )
+    return (
+        blocks.select(
+            F.sha2(F.col("block"), 256).alias("block_hash"),
+            "media_id",
+            F.octet_length("block").cast("long").alias("n_bytes"),
+        )
+        .groupBy("block_hash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.count_distinct("media_id").cast("long").alias("n_media"),
+            F.min("media_id").cast("long").alias("keeper_media_id"),
+            F.min("n_bytes").cast("long").alias("bytes_each"),
+            (F.sum("n_bytes") - F.min("n_bytes"))
+            .cast("long")
+            .alias("bytes_reclaimable"),
+        )
+        .filter(F.col("n_copies") >= 2)
+    )
+
+
 QUERIES = {
+    "q_multimodal_dedup": q_multimodal_dedup,
     "q_multimodal_features": q_multimodal_features,
     "q_multimodal_frames": q_multimodal_frames,
     "q_multimodal_audio_windows": q_multimodal_audio_windows,
@@ -277,6 +329,33 @@ QUERIES = {
 }
 
 ORACLES = {
+    # same 256-byte blocks over the same bytes (payload IS the text
+    # bytes; ASCII corpus: substr-by-char == substr-by-byte), same
+    # sha2-256 hex, exact integer group stats
+    "q_multimodal_dedup": f"""
+        WITH m AS (
+          SELECT doc_id AS media_id, text,
+                 CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+          FROM documents),
+        b AS (
+          SELECT media_id,
+                 sha256(substr(text, i * {_DEDUP_BLOCK} + 1,
+                               {_DEDUP_BLOCK})) AS block_hash,
+                 CAST(octet_length(encode(substr(text,
+                   i * {_DEDUP_BLOCK} + 1, {_DEDUP_BLOCK}))) AS BIGINT)
+                   AS bn
+          FROM m, unnest(generate_series(0,
+                 CAST((n_bytes - 1) // {_DEDUP_BLOCK} AS INTEGER)))
+               AS t(i))
+        SELECT block_hash,
+               CAST(COUNT(*) AS BIGINT) AS n_copies,
+               CAST(COUNT(DISTINCT media_id) AS BIGINT) AS n_media,
+               CAST(MIN(media_id) AS BIGINT) AS keeper_media_id,
+               CAST(MIN(bn) AS BIGINT) AS bytes_each,
+               CAST(SUM(bn) - MIN(bn) AS BIGINT) AS bytes_reclaimable
+        FROM b
+        GROUP BY block_hash
+        HAVING COUNT(*) >= 2""",
     # integer pair-pooling recomputed with substring + ord arithmetic
     # (ASCII corpus: byte == codepoint); // is DuckDB integer division,
     # matching the builder's Python floor division on non-negative bytes

@@ -745,3 +745,41 @@ def test_dup_paragraphs_cross_doc_only(spark, tmp_path):
     assert _rows(_Q["q_text_dup_paragraphs"](spark, str(d))) == _pdf_rows(
         _oracle(d, "q_text_dup_paragraphs", "documents")
     )
+
+
+# ----------------------------------------------------- q_multimodal_dedup
+
+
+def test_multimodal_dedup_block_semantics(spark, tmp_path):
+    """Two media sharing a 256-byte prefix block dedup at block level
+    even though their full payloads differ; a unique payload contributes
+    nothing. Reclaimable = (copies−1)·blocksize."""
+    prefix = "a" * 256
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [prefix + "tail-one", prefix + "tail-two", "b" * 300],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+        }
+    )
+    pdf["n_chars"] = pdf["text"].str.len()
+    d = tmp_path / "blockdedup"
+    d.mkdir()
+    pdf.to_parquet(str(d / "documents.parquet"))
+    got = _Q["q_multimodal_dedup"](spark, str(d)).collect()
+    assert len(got) == 1  # only the shared prefix block
+    g = got[0]
+    assert (g.n_copies, g.n_media, g.keeper_media_id) == (2, 2, 0)
+    assert g.bytes_each == 256 and g.bytes_reclaimable == 256
+    assert _rows(_Q["q_multimodal_dedup"](spark, str(d))) == _pdf_rows(
+        _oracle(d, "q_multimodal_dedup", "documents")
+    )
+
+
+def test_multimodal_dedup_fixture_nonempty(spark):
+    got = _Q["q_multimodal_dedup"](spark, SF_SMOKE).collect()
+    assert len(got) > 0  # the fixture's shared 256-byte prefixes
+    for r in got:
+        assert r.n_copies >= 2
+        assert r.bytes_reclaimable == (r.n_copies - 1) * r.bytes_each
