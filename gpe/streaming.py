@@ -408,6 +408,45 @@ def chunk_stream(stream: DataFrame) -> DataFrame:
     return chunked(stream)
 
 
+def chunk_hash_counts_stream(stream: DataFrame) -> DataFrame:
+    """Streaming half of q_text_dup_paragraphs: the stateless map-side
+    chunker (shared verbatim) feeds a sha2-keyed streaming aggregate —
+    one state-store row per distinct chunk hash carrying the exact
+    (count, distinct-doc proxy, argmin keeper) triple. The ≥2-docs CUT is
+    sink-side (the same sink-side-derivation rule as the heavy-hitter
+    twin). n_media uses approx-free exact counting via the min/max doc
+    trick: a chunk seen in ≥2 DISTINCT docs iff min(doc) < max(doc) —
+    O(1) state where count_distinct would need a per-key doc set."""
+    from gpe.packing import chunked
+
+    from gpe.text import _DUP_PARA_MIN_TOKENS
+
+    ch = chunked(stream).filter(F.col("n_tokens") >= _DUP_PARA_MIN_TOKENS)
+    return ch.groupBy(
+        F.sha2(F.col("chunk_text").cast("binary"), 256).alias("chunk_hash")
+    ).agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+        F.min("n_tokens").alias("n_tokens"),
+        F.min(F.struct("doc_id", "chunk_idx")).alias("_k"),
+    )
+
+
+def dup_paragraphs_from_counts(counts: DataFrame) -> DataFrame:
+    """Sink-side cut: cross-doc duplicate groups from the streamed chunk
+    counts — row-equal to q_text_dup_paragraphs except n_docs, which the
+    O(1)-state twin lower-bounds by the min<max distinct test (exact for
+    the ≥2 predicate; the batch op reports the exact distinct count)."""
+    return counts.filter(F.col("min_doc") < F.col("max_doc")).select(
+        "chunk_hash",
+        F.col("n_occurrences").cast("long").alias("n_occurrences"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("_k.doc_id").alias("first_doc_id"),
+        F.col("_k.chunk_idx").alias("first_chunk_idx"),
+    )
+
+
 def _doc_band_frame(df: DataFrame) -> DataFrame:
     """(doc_id, toks [sorted distinct], sz, band_key × 16) for any
     documents-shaped frame — STATELESS row-local MinHash banding. The

@@ -778,3 +778,31 @@ def test_streaming_mix_entropy_equals_batch(spark, stream):
         assert got == want
     finally:
         q.stop()
+
+
+def test_streaming_dup_paragraphs_equals_batch(spark):
+    """The streamed chunk-hash counts + sink-side ≥2-docs cut must match
+    q_text_dup_paragraphs on every shared column (the twin drops the
+    exact n_docs count — its O(1) state proves only the ≥2 predicate via
+    min(doc) < max(doc))."""
+    from gpe import text
+
+    doc_stream = streaming.stream_documents(spark, SF)
+    q = streaming.run_to_memory(
+        streaming.chunk_hash_counts_stream(doc_stream), "t_dupchunks",
+        "complete",
+    )
+    try:
+        got = _rows(
+            streaming.dup_paragraphs_from_counts(spark.table("t_dupchunks")),
+            ["chunk_hash", "n_occurrences", "n_tokens", "first_doc_id",
+             "first_chunk_idx"],
+        )
+        want = _rows(
+            text.q_text_dup_paragraphs(spark, SF),
+            ["chunk_hash", "n_occurrences", "n_tokens", "first_doc_id",
+             "first_chunk_idx"],
+        )
+        assert got == want and len(got) > 0
+    finally:
+        q.stop()
