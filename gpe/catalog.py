@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import DataFrame, Row, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gpe.common import persist_tracked
@@ -430,7 +430,109 @@ def _fk_infer_oracle() -> str:
     return " UNION ALL ".join(members)
 
 
+# (table, column) pairs profiled by q_catalog_column_entropy — the
+# categorical columns a query planner wants selectivity priors for
+_ENTROPY_COLS = [
+    ("orders", "o_orderstatus"),
+    ("orders", "o_orderpriority"),
+    ("lineitem", "l_returnflag"),
+    ("lineitem", "l_linestatus"),
+    ("events", "event_type"),
+    ("documents", "lang"),
+    ("documents", "source"),
+]
+
+
+def q_catalog_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical-column information profile: per (table, column) the
+    cardinality, Shannon entropy (nats), and the top value's share — the
+    selectivity/skew prior a catalog serves to the optimizer and to
+    monitoring (entropy collapse on a column = upstream enum drift;
+    top_share ≈ 1 = a de-facto constant column wasting its encoding).
+
+    Determinism: value counts are exact; entropy terms are e6-floored
+    LONGs (libm discipline); top_share is the _floor6 ratio with the
+    (count DESC, value ASC) tie-broken argmax.
+
+    Scale notes (100 TB): per column one single-column projected scan →
+    map-side partial count to the value histogram (bounded by the
+    column's cardinality), then O(cardinality) math; the 7 profiles
+    union to a 7-row frame."""
+    from gpe.common import EPS
+
+    outs = []
+    for tbl, col in _ENTROPY_COLS:
+        t = load_table(spark, sf_dir, tbl)
+        cnt = t.groupBy(F.col(col).cast("string").alias("v")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        n = F.sum("c").over(Window.partitionBy())
+        term = cnt.select(
+            "v",
+            "c",
+            n.alias("n"),
+            F.floor(
+                (F.col("c") / n) * F.log(n / F.col("c")) * F.lit(1_000_000)
+                + F.lit(EPS)
+            )
+            .cast("long")
+            .alias("h_e6"),
+        )
+        w_top = Window.orderBy(F.desc("c"), F.asc("v"))
+        top = term.withColumn("rn", F.row_number().over(w_top))
+        outs.append(
+            top.groupBy()
+            .agg(
+                F.max(F.lit(tbl)).alias("table_name"),
+                F.max(F.lit(col)).alias("column_name"),
+                F.count(F.lit(1)).cast("long").alias("n_distinct"),
+                F.max("n").cast("long").alias("n_rows"),
+                (F.sum("h_e6") / F.lit(1_000_000.0)).alias("entropy_nats"),
+                F.max(F.when(F.col("rn") == 1, F.col("v"))).alias(
+                    "top_value"
+                ),
+                (
+                    F.floor(
+                        F.max(F.when(F.col("rn") == 1, F.col("c")))
+                        * F.lit(1_000_000)
+                        / F.max("n")
+                    )
+                    / F.lit(1_000_000.0)
+                ).alias("top_share"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def _sql_column_entropy() -> str:
+    parts = []
+    for tbl, col in _ENTROPY_COLS:
+        parts.append(f"""
+        SELECT '{tbl}' AS table_name, '{col}' AS column_name,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(MAX(n) AS BIGINT) AS n_rows,
+               SUM(h_e6) / 1000000.0 AS entropy_nats,
+               MAX(CASE WHEN rn = 1 THEN v END) AS top_value,
+               FLOOR(MAX(CASE WHEN rn = 1 THEN c END) * 1000000
+                     / MAX(n)) / 1000000.0 AS top_share
+        FROM (
+          SELECT v, c, n,
+                 CAST(FLOOR((c / CAST(n AS DOUBLE))
+                       * ln(CAST(n AS DOUBLE) / c) * 1000000 + 1e-9)
+                      AS BIGINT) AS h_e6,
+                 ROW_NUMBER() OVER (ORDER BY c DESC, v ASC) AS rn
+          FROM (
+            SELECT CAST({col} AS VARCHAR) AS v, COUNT(*) AS c,
+                   SUM(COUNT(*)) OVER () AS n
+            FROM {tbl} GROUP BY 1))""")
+    return " UNION ALL ".join(parts)
+
+
 QUERIES = {
+    "q_catalog_column_entropy": q_catalog_column_entropy,
     "q_catalog_column_stats": q_catalog_column_stats,
     "q_catalog_schema": q_catalog_schema,
     "q_catalog_partition_profile": q_catalog_partition_profile,
@@ -440,6 +542,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    # same per-column value histograms, e6-floored entropy terms,
+    # (count DESC, value ASC) argmax
+    "q_catalog_column_entropy": _sql_column_entropy(),
     "q_catalog_fk_infer": _fk_infer_oracle(),
     "q_catalog_quality_checks": """
         SELECT 'orders' AS table_name, 'pk_unique_o_orderkey' AS check_name,

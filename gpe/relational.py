@@ -2156,6 +2156,52 @@ def q_agg_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment-lag distribution: join lineitem to orders (the
+    canonical fact-fact FK join) and profile ship_date − order_date in
+    whole days per order priority — line count, exact mean lag
+    (floor-e3), and the p50/p90 lag percentiles every operations
+    dashboard tracks against SLA.
+
+    Determinism: lags are exact integer days (date_diff of date-truncated
+    timestamps); the mean is an e3-floored exact-int ratio; percentiles
+    interpolate over the integer lattice with the same IEEE expression in
+    both engines (the q_agg_percentiles recipe).
+
+    Scale notes (100 TB): one sort-merge join co-partitioned on the FK
+    (AQE free to split skew), then a #priorities-row aggregate with
+    map-side partials; both scans project only the key + date columns
+    (ReadSchema-pruned)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.to_date("l_shipdate").alias("ship")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.to_date("o_orderdate").alias("odate")
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority", F.datediff("ship", "odate").alias("lag_days")
+    )
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum("lag_days").alias("_s"),
+            F.percentile("lag_days", F.lit(0.5)).alias("p50_lag"),
+            F.percentile("lag_days", F.lit(0.9)).alias("p90_lag"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_lines",
+            (
+                F.floor(F.col("_s") * F.lit(1000) / F.col("n_lines"))
+                / F.lit(1000.0)
+            ).alias("mean_lag_days"),
+            "p50_lag",
+            "p90_lag",
+        )
+    )
+
+
 def q_agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cramér's V effect size for the status × priority association —
     the 1-row summary a dashboard shows next to q_agg_chi2's per-cell
@@ -2272,6 +2318,7 @@ def q_agg_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_agg_chi2": q_agg_chi2,
     "q_agg_cramers_v": q_agg_cramers_v,
+    "q_join_ship_lag": q_join_ship_lag,
     "q_agg_log_histogram": q_agg_log_histogram,
     "q_agg_benford": q_agg_benford,
     "q_agg_decile_lift": q_agg_decile_lift,
@@ -2353,6 +2400,21 @@ ORACLES = {
     # libm-free on both engines); shares and deviations all-integer.
     # same exact-integer marginals; expected/χ² terms are the identical
     # IEEE double division + epsilon-nudged rounds
+    # same integer day lags, e3-floored mean, identical quantile_cont
+    # interpolation over the int lattice
+    "q_join_ship_lag": """
+        WITH j AS (
+          SELECT o.o_orderpriority,
+                 date_diff('day', CAST(o.o_orderdate AS DATE),
+                           CAST(l.l_shipdate AS DATE)) AS lag_days
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               FLOOR(SUM(lag_days) * 1000 / COUNT(*)) / 1000.0
+                 AS mean_lag_days,
+               quantile_cont(lag_days, 0.5) AS p50_lag,
+               quantile_cont(lag_days, 0.9) AS p90_lag
+        FROM j GROUP BY 1""",
     # identical cells/marginals as chi2; e6-floored terms → exact-int
     # χ² sum; one IEEE sqrt tail
     "q_agg_cramers_v": """

@@ -783,3 +783,32 @@ def test_multimodal_dedup_fixture_nonempty(spark):
     for r in got:
         assert r.n_copies >= 2
         assert r.bytes_reclaimable == (r.n_copies - 1) * r.bytes_each
+
+
+# ------------------------------------------------------ q_join_ship_lag
+
+
+def test_ship_lag_fixture_invariants(spark):
+    got = _Q["q_join_ship_lag"](spark, SF_SMOKE).collect()
+    assert len(got) == 5  # one row per priority
+    for r in got:
+        assert r.p50_lag <= r.p90_lag
+        assert r.n_lines > 0 and r.mean_lag_days >= 0
+
+
+# --------------------------------------------- q_catalog_column_entropy
+
+
+def test_column_entropy_profiles_every_declared_column(spark):
+    got = {(r.table_name, r.column_name): r
+           for r in _Q["q_catalog_column_entropy"](spark, SF_SMOKE).collect()}
+    from gpe.catalog import _ENTROPY_COLS
+
+    assert set(got) == set(_ENTROPY_COLS)
+    for r in got.values():
+        assert r.n_distinct >= 1 and 0.0 < r.top_share <= 1.0
+        assert r.entropy_nats >= 0.0
+        # entropy ≤ ln(cardinality) (uniform upper bound; e6 floor slack)
+        import math
+
+        assert r.entropy_nats <= math.log(max(r.n_distinct, 2)) + 1e-5
