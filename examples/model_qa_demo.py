@@ -60,6 +60,21 @@ def main() -> None:
     print("== contamination blast radius (dup-hops from flagged docs) ==")
     dedup.q_graph_bfs_layers(spark, sf_dir).orderBy("layer").show()
 
+    print("== k-NN neighborhood purity per label ==")
+    ml.q_ml_knn_eval(spark, sf_dir).orderBy("label").show()
+
+    print("== cross-document boilerplate paragraphs (top 5 by copies) ==")
+    from gpe import multimodal, text
+
+    text.q_text_dup_paragraphs(spark, sf_dir).orderBy(
+        F.desc("n_occurrences")
+    ).show(5, truncate=16)
+
+    print("== block-level storage dedup (reclaimable bytes) ==")
+    multimodal.q_multimodal_dedup(spark, sf_dir).orderBy(
+        F.desc("bytes_reclaimable")
+    ).show(5, truncate=16)
+
     print("== value-weighted audit sample (top 5 by value) ==")
     pipeline.q_sample_weighted(spark, sf_dir).orderBy(
         F.desc("o_totalprice")

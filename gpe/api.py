@@ -241,6 +241,36 @@ class LakeAPI:
         """GET /series/mix — per-day event-type entropy/evenness."""
         return _timeseries.q_ts_mix_entropy(self.spark, self.sf_dir)
 
+    def model_knn_eval(self) -> DataFrame:
+        """GET /models/embeddings/knn-eval — per-label k-NN (k=5)
+        neighborhood-purity accuracy."""
+        from gpe import ml as _ml
+
+        return _ml.q_ml_knn_eval(self.spark, self.sf_dir)
+
+    def boilerplate_paragraphs(self) -> DataFrame:
+        """GET /corpus/boilerplate — cross-document duplicated-paragraph
+        groups (sub-document dedup)."""
+        from gpe import text as _text
+
+        return _text.q_text_dup_paragraphs(self.spark, self.sf_dir)
+
+    def storage_dedup_report(self) -> DataFrame:
+        """GET /media/dedup — block-level duplicate payload blocks and
+        reclaimable bytes."""
+        from gpe import multimodal as _multimodal
+
+        return _multimodal.q_multimodal_dedup(self.spark, self.sf_dir)
+
+    def fulfillment_lag(self) -> DataFrame:
+        """GET /reports/fulfillment-lag — per-priority ship-lag stats."""
+        return _relational.q_join_ship_lag(self.spark, self.sf_dir)
+
+    def column_entropy(self) -> DataFrame:
+        """GET /catalog/column-entropy — categorical selectivity/skew
+        priors per declared column."""
+        return _catalog.q_catalog_column_entropy(self.spark, self.sf_dir)
+
     # ---- reporting endpoints -----------------------------------------
 
     def top_orders_page(self, page: int = 0, size: int = 50) -> DataFrame:

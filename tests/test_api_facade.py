@@ -261,3 +261,20 @@ def test_drift_report_appends_ks_row(api):
     assert [r.bin for r in rows] == [-1] + list(range(10))
     ks = rows[0]
     assert 0 <= ks.psi_term_e6 <= 1_000_000  # KS stat in e6 fixed point
+
+
+def test_late_r9_endpoints_delegate_to_declared_operators(api, spark):
+    import __spark_entry__ as spec
+
+    qs = spec.queries()
+    pairs = [
+        (api.model_knn_eval(), "q_ml_knn_eval"),
+        (api.boilerplate_paragraphs(), "q_text_dup_paragraphs"),
+        (api.storage_dedup_report(), "q_multimodal_dedup"),
+        (api.fulfillment_lag(), "q_join_ship_lag"),
+        (api.column_entropy(), "q_catalog_column_entropy"),
+    ]
+    for got_df, key in pairs:
+        got = sorted(map(tuple, got_df.collect()))
+        want = sorted(map(tuple, qs[key](spark, api.sf_dir).collect()))
+        assert got == want and len(got) > 0, key
