@@ -812,3 +812,52 @@ def test_column_entropy_profiles_every_declared_column(spark):
         import math
 
         assert r.entropy_nats <= math.log(max(r.n_distinct, 2)) + 1e-5
+
+
+# ---------------------------------------- PPS predicate cross-validation
+
+
+def test_sample_weighted_matches_python_reimplementation(spark, tmp_path):
+    """Third-implementation check: recompute the PPS inclusion predicate
+    in pure Python (hashlib md5 + int arithmetic) and require EXACT
+    membership agreement with the Spark operator — pins the md5 recipe,
+    the hex slice, and the int128 comparison across three independent
+    implementations (Spark/DuckDB parity covers the other two)."""
+    import hashlib
+
+    prices = [10.0, 999.99, 250000.0, 1013.7, 499978.59, 42.42] * 20
+    rows = [
+        (i, 1, "O", p, pd.Timestamp("1997-01-01"), "1-URGENT")
+        for i, p in enumerate(prices)
+    ]
+    pdf = pd.DataFrame(
+        rows,
+        columns=[
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        ],
+    )
+    pdf["o_orderdate"] = pdf["o_orderdate"].astype("datetime64[us]")
+    d = tmp_path / "pps_xcheck"
+    d.mkdir()
+    pdf.to_parquet(str(d / "orders.parquet"))
+
+    from decimal import Decimal
+
+    cents = {
+        i: int(Decimal(repr(p)).quantize(Decimal("0.01")) * 100)
+        for i, p in enumerate(prices)
+    }
+    w_tot = sum(cents.values())
+    expect = set()
+    for i, w in cents.items():
+        h = int(hashlib.md5(f"ws:{i}".encode()).hexdigest()[:8], 16)
+        if h * w_tot < 500 * w * 4294967296:
+            expect.add(i)
+
+    got = {r.o_orderkey for r in _Q["q_sample_weighted"](spark, str(d)).collect()}
+    assert got == expect and len(expect) > 0
