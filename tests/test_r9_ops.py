@@ -861,3 +861,35 @@ def test_sample_weighted_matches_python_reimplementation(spark, tmp_path):
 
     got = {r.o_orderkey for r in _Q["q_sample_weighted"](spark, str(d)).collect()}
     assert got == expect and len(expect) > 0
+
+
+def test_auc_matches_numpy_reimplementation(spark, tmp_path):
+    """Third-implementation check for the rank-form AUC: numpy
+    tie-aware AUC (mean over pos of [#neg below + ½·#neg tied]) on
+    random float32 embeddings must match the operator's `auc` to the
+    display round exactly."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    n, dim = 60, 4
+    embs = rng.randn(n, dim).astype("float32")
+    labels = rng.randint(0, 3, n)
+    rows = [(i, embs[i].tolist(), int(labels[i])) for i in range(n)]
+    d = tmp_path / "auc_np"
+    d.mkdir()
+    _emb_frame(rows).to_parquet(str(d / "embeddings.parquet"))
+
+    got = {r.label: r.auc for r in _Q["q_ml_auc"](spark, str(d)).collect()}
+
+    # numpy reference: score = <emb, Σ members of cls> in float64 —
+    # ranks agree with the exact-decimal scores because the decimal cast
+    # only rounds the inputs at 1e-10 and the random scores are far
+    # apart relative to that
+    for cls in sorted(set(labels.tolist())):
+        proto = embs[labels == cls].astype("float64").sum(axis=0)
+        scores = embs.astype("float64") @ proto
+        pos = scores[labels == cls]
+        neg = scores[labels != cls]
+        u = sum((neg < p).sum() + 0.5 * (neg == p).sum() for p in pos)
+        auc = u / (len(pos) * len(neg))
+        assert abs(got[cls] - auc) < 2e-6, cls
