@@ -56,6 +56,8 @@ for _name in (
 # regression net; tests/test_registry_order.py pins this window.
 HARD_SIGNAL_FIRST_50 = [
     # --- round-9 operators (zero driver evidence, newest first) ---
+    "q_ts_anomaly_seasonal",
+    "q_agg_skyline",
     "q_catalog_column_entropy",
     "q_join_ship_lag",
     "q_multimodal_dedup",
@@ -107,8 +109,6 @@ HARD_SIGNAL_FIRST_50 = [
     "q_join_theta_bucketed",
     "q_join_bloom_prefilter",
     "q_ts_active_users",
-    "q_dedup_dup_stats",
-    "q_text_winnowing",
 ]
 
 # Next in line for round 9: first the r4-stale keys displaced by the
@@ -120,9 +120,11 @@ HARD_SIGNAL_FIRST_50 = [
 # r5-green keys (oldest driver evidence after this window lands).
 # r6/r7/r8-green keys fall to the tail automatically.
 _SECOND_WAVE = [
-    # displaced from the r9 window by the 20 new r9 keys — first in
+    # displaced from the r9 window by the 22 new r9 keys — first in
     # line for r10 (the q_* names through q_catalog_quality_checks were
     # r8-new with zero driver evidence; the rest are r4-stale)
+    "q_dedup_dup_stats",
+    "q_text_winnowing",
     "q_pack_bin_stats",
     "q_vec_dim_stats",
     "q_ts_daily_percentiles",

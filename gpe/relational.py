@@ -2202,6 +2202,70 @@ def q_join_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto front, Börzsönyi et al. ICDE'01) of the
+    supplier scorecard: suppliers not DOMINATED on (revenue ↑, mean ship
+    lag ↓) — no other supplier is at least as good on both axes and
+    strictly better on one. The vendor-selection shortlist a procurement
+    dashboard draws as "the efficient frontier".
+
+    Algorithm: the classic sorted sweep — order by (revenue DESC, lag
+    ASC, key ASC) and keep a row iff its lag beats the strict running
+    minimum over all prior rows (every prior row has ≥ revenue, so a
+    prior lag ≤ ours dominates; exact duplicate points report once,
+    smallest key — the standard skyline-with-distinct convention).
+
+    Determinism: revenue is an exact e4 decimal sum (2-dec price × 2-dec
+    (1−disc)); lag is the e3-floored exact-int mean; the sweep compares
+    LONGs under a total order — every decision exact.
+
+    Scale notes (100 TB): one FK sort-merge join + one supplier-keyed
+    partial agg collapse the fact table to #suppliers rows; the sweep
+    window is unpartitioned but runs over that aggregate output (the
+    window-audit bound). For skylines over raw-row inputs the
+    partition-local-skyline → merge pattern replaces it; dimension
+    tables make the aggregate form the real-world shape."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        (dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"))).alias(
+            "rev"
+        ),
+        F.to_date("l_shipdate").alias("ship"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("odate")
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_suppkey", "rev", F.datediff("ship", "odate").alias("lag_days")
+    )
+    agg = j.groupBy("l_suppkey").agg(
+        (F.sum("rev") * 10000).cast("long").alias("rev_e4"),
+        F.floor(
+            F.sum("lag_days") * F.lit(1000) / F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("lag_e3"),
+    )
+    w_prev = Window.orderBy(
+        F.desc("rev_e4"), F.asc("lag_e3"), F.asc("l_suppkey")
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    sky = agg.withColumn("cummin_prev", F.min("lag_e3").over(w_prev)).filter(
+        F.col("cummin_prev").isNull()
+        | (F.col("lag_e3") < F.col("cummin_prev"))
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sky.join(F.broadcast(sup), sky.l_suppkey == sup.s_suppkey)
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            "s_name",
+            (F.col("rev_e4") / F.lit(10000.0)).alias("revenue"),
+            (F.col("lag_e3") / F.lit(1000.0)).alias("mean_lag_days"),
+        )
+    )
+
+
 def q_agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cramér's V effect size for the status × priority association —
     the 1-row summary a dashboard shows next to q_agg_chi2's per-cell
@@ -2319,6 +2383,7 @@ QUERIES = {
     "q_agg_chi2": q_agg_chi2,
     "q_agg_cramers_v": q_agg_cramers_v,
     "q_join_ship_lag": q_join_ship_lag,
+    "q_agg_skyline": q_agg_skyline,
     "q_agg_log_histogram": q_agg_log_histogram,
     "q_agg_benford": q_agg_benford,
     "q_agg_decile_lift": q_agg_decile_lift,
@@ -2400,6 +2465,32 @@ ORACLES = {
     # libm-free on both engines); shares and deviations all-integer.
     # same exact-integer marginals; expected/χ² terms are the identical
     # IEEE double division + epsilon-nudged rounds
+    # same exact e4 revenue / e3 lag integers, same strict-cummin sweep
+    "q_agg_skyline": """
+        WITH j AS (
+          SELECT l.l_suppkey,
+                 CAST(l.l_extendedprice AS DECIMAL(12,2))
+                   * CAST(1 - l.l_discount AS DECIMAL(12,2)) AS rev,
+                 date_diff('day', CAST(o.o_orderdate AS DATE),
+                           CAST(l.l_shipdate AS DATE)) AS lag_days
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        agg AS (
+          SELECT l_suppkey,
+                 CAST(SUM(rev) * 10000 AS BIGINT) AS rev_e4,
+                 CAST(FLOOR(SUM(lag_days) * 1000 / CAST(COUNT(*) AS DOUBLE))
+                      AS BIGINT) AS lag_e3
+          FROM j GROUP BY 1),
+        sweep AS (
+          SELECT *,
+                 MIN(lag_e3) OVER (ORDER BY rev_e4 DESC, lag_e3 ASC,
+                   l_suppkey ASC ROWS BETWEEN UNBOUNDED PRECEDING AND
+                   1 PRECEDING) AS cummin_prev
+          FROM agg)
+        SELECT s.s_suppkey AS suppkey, s.s_name,
+               sw.rev_e4 / 10000.0 AS revenue,
+               sw.lag_e3 / 1000.0 AS mean_lag_days
+        FROM sweep sw JOIN supplier s ON sw.l_suppkey = s.s_suppkey
+        WHERE sw.cummin_prev IS NULL OR sw.lag_e3 < sw.cummin_prev""",
     # same integer day lags, e3-floored mean, identical quantile_cont
     # interpolation over the int lattice
     "q_join_ship_lag": """

@@ -1868,6 +1868,39 @@ def q_ts_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _daily_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, day, dow, det7): the detrended daily series in exact
+    7·cents integer units — det = 7c − Σ₇c over the centered full 7-day
+    window (edge days excluded). Shared by q_ts_decompose and
+    q_ts_anomaly_seasonal so the two can never diverge on the trend
+    pass."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        (F.sum(dec("value")) * 100).cast("long").alias("c")
+    )
+    w7 = (
+        Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    )
+    return (
+        daily.select(
+            "event_type",
+            "day",
+            "c",
+            F.sum("c").over(w7).alias("sum7"),
+            F.count(F.lit(1)).over(w7).alias("cnt7"),
+        )
+        .filter(F.col("cnt7") == 7)
+        .select(
+            "event_type",
+            "day",
+            (F.dayofweek("day") - 1).cast("long").alias("dow"),
+            (F.lit(7) * F.col("c") - F.col("sum7")).alias("det7"),
+        )
+    )
+
+
 def q_ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Additive seasonal decomposition (STL-lite, Cleveland et al. 1990
     shape with fixed linear passes): per event type, daily revenue is
@@ -1889,30 +1922,7 @@ def q_ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     window and both aggregations run over the calendar-bounded
     (#types × #days) frame. Edge days (incomplete 7-day windows) are
     excluded by the window COUNT guard, as in classical decomposition."""
-    ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type", F.to_date("ts").alias("day")
-    ).agg(
-        (F.sum(dec("value")) * 100).cast("long").alias("c")
-    )
-    w7 = (
-        Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
-    )
-    det = (
-        daily.select(
-            "event_type",
-            "day",
-            "c",
-            F.sum("c").over(w7).alias("sum7"),
-            F.count(F.lit(1)).over(w7).alias("cnt7"),
-        )
-        .filter(F.col("cnt7") == 7)
-        .select(
-            "event_type",
-            (F.dayofweek("day") - 1).cast("long").alias("dow"),
-            (F.lit(7) * F.col("c") - F.col("sum7")).alias("det7"),
-        )
-    )
+    det = _daily_det(spark, sf_dir).drop("day")
     seas = det.groupBy("event_type", "dow").agg(
         F.count(F.lit(1)).cast("long").alias("n_weeks"),
         F.sum("det7").alias("s_num"),
@@ -1948,7 +1958,72 @@ def q_ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly days: flag days whose RESIDUAL (after
+    removing the q_ts_decompose trend and weekday seasonal) exceeds 1.5×
+    the weekday's mean absolute residual — the alert that stays quiet on
+    "weekends are always slow" and fires only on genuinely off-pattern
+    days, upgrading q_ts_anomaly_zscore's raw-series z-score.
+
+    Determinism: the flag is the EXACT INTEGER comparison
+    2·|det − seas|·n > 3·Σ|resid| (both sides in 7·cents·n units — no
+    division anywhere in the decision; the multiplier is deliberately
+    modest because with w weeks per weekday the ratio is bounded by w,
+    so a z-style 3-4× gate is unreachable on short series); a constant
+    series (Σ|resid| = 0)
+    degenerates to "any nonzero residual fires", the right limit.
+    Severity returns to double only for display.
+
+    Scale notes (100 TB): shares _daily_det's calendar-bounded frame;
+    two #types×7-row aggregates broadcast back onto it; output is only
+    the flagged days."""
+    from gpe.common import persist_tracked
+
+    det = persist_tracked(_daily_det(spark, sf_dir))
+    seas = det.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("det7").alias("s_num"),
+    )
+    seas7 = F.floor(F.col("s_num") / F.col("n")).cast("long").alias("seas7")
+    sj = seas.select("event_type", "dow", seas7)
+    resid = det.join(F.broadcast(sj), ["event_type", "dow"]).select(
+        "event_type",
+        "day",
+        "dow",
+        (F.col("det7") - F.col("seas7")).alias("r7"),
+    )
+    stats = resid.groupBy("event_type", "dow").agg(
+        F.sum(F.abs(F.col("r7"))).alias("ar_num"),
+        F.count(F.lit(1)).alias("n2"),
+    )
+    return (
+        resid.join(F.broadcast(stats), ["event_type", "dow"])
+        .filter(
+            F.lit(2) * F.abs(F.col("r7")) * F.col("n2")
+            > F.lit(3) * F.col("ar_num")
+        )
+        .select(
+            "event_type",
+            ntz(F.col("day")).alias("day"),
+            "dow",
+            (F.col("r7") / F.lit(700.0)).alias("resid_value"),
+            F.when(
+                F.col("ar_num") > 0,
+                F.round(
+                    F.lit(2.0)
+                    * F.abs(F.col("r7"))
+                    * F.col("n2")
+                    / (F.lit(3.0) * F.col("ar_num"))
+                    + F.lit(EPS),
+                    6,
+                ),
+            ).alias("severity"),
+        )
+    )
+
+
 QUERIES = {
+    "q_ts_anomaly_seasonal": q_ts_anomaly_seasonal,
     "q_ts_decompose": q_ts_decompose,
     "q_ts_interarrival": q_ts_interarrival,
     "q_ts_peaks": q_ts_peaks,
@@ -2008,6 +2083,44 @@ _ACF_LAG_COLS = ",\n                 ".join(
 )
 
 ORACLES = {
+    # same det CTE as decompose; the flag is the exact integer compare
+    # 2·|det−seas|·n > 3·Σ|resid| — no division in the decision
+    "q_ts_anomaly_seasonal": """
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day,
+                 CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT)
+                   AS c
+          FROM events GROUP BY 1, 2),
+        det AS (
+          SELECT event_type, day,
+                 CAST(dayofweek(day) AS BIGINT) AS dow,
+                 7 * c - SUM(c) OVER w AS det7,
+                 COUNT(*) OVER w AS cnt7
+          FROM daily
+          WINDOW w AS (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        d2 AS (SELECT event_type, day, dow, det7 FROM det WHERE cnt7 = 7),
+        seas AS (
+          SELECT event_type, dow,
+                 CAST(FLOOR(SUM(det7) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)
+                   AS seas7
+          FROM d2 GROUP BY 1, 2),
+        resid AS (
+          SELECT d.event_type, d.day, d.dow, d.det7 - s.seas7 AS r7
+          FROM d2 d JOIN seas s
+            ON d.event_type = s.event_type AND d.dow = s.dow),
+        stats AS (
+          SELECT event_type, dow, SUM(ABS(r7)) AS ar_num,
+                 COUNT(*) AS n2
+          FROM resid GROUP BY 1, 2)
+        SELECT r.event_type, CAST(r.day AS TIMESTAMP) AS day, r.dow,
+               r.r7 / 700.0 AS resid_value,
+               CASE WHEN st.ar_num > 0
+                 THEN ROUND(2.0 * ABS(r.r7) * st.n2 / (3.0 * st.ar_num)
+                            + 1e-9, 6) END AS severity
+        FROM resid r JOIN stats st
+          ON r.event_type = st.event_type AND r.dow = st.dow
+        WHERE 2 * ABS(r.r7) * st.n2 > 3 * st.ar_num""",
     # identical 7·cents integer units; FLOOR of exact-int division (not
     # integer DIV — they disagree on negatives); Spark dayofweek−1 ==
     # DuckDB dayofweek (both Sunday-based, off by one)

