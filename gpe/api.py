@@ -271,6 +271,16 @@ class LakeAPI:
         priors per declared column."""
         return _catalog.q_catalog_column_entropy(self.spark, self.sf_dir)
 
+    def series_anomalies(self) -> DataFrame:
+        """GET /series/anomalies — seasonality-aware anomaly days
+        (residual beyond 1.5× the weekday's mean absolute residual)."""
+        return _timeseries.q_ts_anomaly_seasonal(self.spark, self.sf_dir)
+
+    def supplier_frontier(self) -> DataFrame:
+        """GET /reports/supplier-frontier — the (revenue ↑, ship lag ↓)
+        Pareto shortlist."""
+        return _relational.q_agg_skyline(self.spark, self.sf_dir)
+
     # ---- reporting endpoints -----------------------------------------
 
     def top_orders_page(self, page: int = 0, size: int = 50) -> DataFrame:

@@ -268,6 +268,8 @@ def test_late_r9_endpoints_delegate_to_declared_operators(api, spark):
 
     qs = spec.queries()
     pairs = [
+        (api.series_anomalies(), "q_ts_anomaly_seasonal"),
+        (api.supplier_frontier(), "q_agg_skyline"),
         (api.model_knn_eval(), "q_ml_knn_eval"),
         (api.boilerplate_paragraphs(), "q_text_dup_paragraphs"),
         (api.storage_dedup_report(), "q_multimodal_dedup"),
