@@ -59,12 +59,12 @@ def main(argv: list[str]) -> None:
             else ""
         ),
         "",
-        "Round-9 addendum: this regeneration covers the final 240-key "
-        "registry — the 20 r9 keys (ml eval family incl. confusion/"
-        "margins/knn-eval, interarrival/peaks/mix-entropy/decompose, "
-        "weighted sampling, hapax, bigram LM, paragraph + block dedup, "
-        "BFS layers, ship lag, column entropy, Cramér's V) cost ~27 s "
-        "of the cold pass combined; "
+        "Round-9 addendum: this regeneration covers the final 242-key "
+        "registry — the 22 r9 keys (ml eval family incl. confusion/"
+        "margins/knn-eval, interarrival/peaks/mix-entropy/decompose/"
+        "seasonal-anomaly, weighted sampling, hapax, bigram LM, "
+        "paragraph + block dedup, BFS layers, ship lag, column entropy, "
+        "skyline, Cramér's V) cost ~30 s of the cold pass combined; "
         "none is iterative (the BFS relaxation is 3 bounded rounds over "
         "mask-sized frames). RIG NOTE for cross-round comparison: the "
         "shared rig ran progressively hotter through the r9 recording "
@@ -72,7 +72,8 @@ def main(argv: list[str]) -> None:
         "median ratio of 1.14 vs the r8 quiet-rig recording (uniform "
         "inflation, p10 0.95 / p90 1.34, the documented shared-rig "
         "signature; no structural regressions), and the end-of-day "
-        "240-key quartet ran hotter still (287/364/331/338 s totals; "
+        "242-key quartets ran hotter still (287-364 s totals; the final "
+        "recording is 304/355/315/316 s with the 304 s cold pass); "
         "per-key median evening/mid-day ratio 1.08). Like-for-like "
         "against r8's 208 s over the common 220 keys, the mid-day "
         "equivalent is ~232 s. The cold column (the driver-graded "
