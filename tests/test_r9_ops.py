@@ -956,3 +956,33 @@ def test_skyline_dominance_invariant(spark):
     lags = [p[1] for p in srt]
     assert lags == sorted(lags, reverse=True)
     assert len(set(lags)) == len(lags)
+
+
+def test_ks_matches_numpy_reimplementation(spark, tmp_path):
+    """Third-implementation check for the two-sample KS: numpy empirical
+    CDF max-gap on random 2-decimal data must match ks_stat to the
+    display round."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    base = pd.Timestamp("2024-01-01")
+    a = np.round(rng.exponential(50, 120), 2)
+    b = np.round(rng.exponential(70, 90), 2)
+    rows = [
+        (i, base + pd.Timedelta(seconds=i), 1, "click", float(v))
+        for i, v in enumerate(a)
+    ] + [
+        (1000 + i, base + pd.Timedelta(seconds=1000 + i), 2, "purchase", float(v))
+        for i, v in enumerate(b)
+    ]
+    d = tmp_path / "ks_np"
+    d.mkdir()
+    _events_frame(rows).to_parquet(str(d / "events.parquet"))
+    got = _Q["q_ml_ks"](spark, str(d)).collect()[0]
+
+    support = np.unique(np.concatenate([a, b]))
+    fa = np.searchsorted(np.sort(a), support, side="right") / len(a)
+    fb = np.searchsorted(np.sort(b), support, side="right") / len(b)
+    d_ref = np.abs(fa - fb).max()
+    assert abs(got.ks_stat - d_ref) < 2e-6
+    assert got.na == 120 and got.nb == 90
