@@ -408,6 +408,87 @@ def chunk_stream(stream: DataFrame) -> DataFrame:
     return chunked(stream)
 
 
+def anomaly_seasonal_from_cells(cells: DataFrame) -> DataFrame:
+    """Sink-side twin of q_ts_anomaly_seasonal over the SAME streamed
+    (type, day) cent cells as the changepoint twin (daily_cells_stream):
+    rebuilds the 7·cents detrended series, the weekday seasonal index,
+    and the exact integer anomaly decision 2·|det−seas|·n > 3·Σ|resid| —
+    cross-row over the calendar-bounded frame, hence sink-side, like
+    every scan in this family."""
+    from pyspark.sql import Window
+
+    from gpe.common import EPS, ntz
+
+    w7 = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    det = (
+        cells.select(
+            "event_type",
+            "day",
+            F.col("v_c").alias("c"),
+            F.sum("v_c").over(w7).alias("sum7"),
+            F.count(F.lit(1)).over(w7).alias("cnt7"),
+        )
+        .filter(F.col("cnt7") == 7)
+        .select(
+            "event_type",
+            "day",
+            (F.dayofweek("day") - 1).cast("long").alias("dow"),
+            (F.lit(7) * F.col("c") - F.col("sum7")).alias("det7"),
+        )
+    )
+    # rename the grouping keys inside the aggregates before self-joining:
+    # an aggregate-of-self join on a memory-sink table trips Spark's
+    # conflicting-attribute INTERNAL_ERROR (the SCALE.md memory-table
+    # lesson)
+    seas = det.groupBy(
+        F.col("event_type").alias("et"), F.col("dow").alias("dw")
+    ).agg(
+        F.floor(F.sum("det7") / F.count(F.lit(1))).cast("long").alias("seas7")
+    )
+    resid = det.join(
+        F.broadcast(seas),
+        (det.event_type == seas.et) & (det.dow == seas.dw),
+    ).select(
+        "event_type",
+        "day",
+        "dow",
+        (F.col("det7") - F.col("seas7")).alias("r7"),
+    )
+    stats = resid.groupBy(
+        F.col("event_type").alias("et2"), F.col("dow").alias("dw2")
+    ).agg(
+        F.sum(F.abs(F.col("r7"))).alias("ar_num"),
+        F.count(F.lit(1)).alias("n2"),
+    )
+    return (
+        resid.join(
+            F.broadcast(stats),
+            (resid.event_type == stats.et2) & (resid.dow == stats.dw2),
+        )
+        .filter(
+            F.lit(2) * F.abs(F.col("r7")) * F.col("n2")
+            > F.lit(3) * F.col("ar_num")
+        )
+        .select(
+            "event_type",
+            ntz(F.col("day")).alias("day"),
+            "dow",
+            (F.col("r7") / F.lit(700.0)).alias("resid_value"),
+            F.when(
+                F.col("ar_num") > 0,
+                F.round(
+                    F.lit(2.0)
+                    * F.abs(F.col("r7"))
+                    * F.col("n2")
+                    / (F.lit(3.0) * F.col("ar_num"))
+                    + F.lit(EPS),
+                    6,
+                ),
+            ).alias("severity"),
+        )
+    )
+
+
 def chunk_hash_counts_stream(stream: DataFrame) -> DataFrame:
     """Streaming half of q_text_dup_paragraphs: the stateless map-side
     chunker (shared verbatim) feeds a sha2-keyed streaming aggregate —

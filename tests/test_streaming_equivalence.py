@@ -806,3 +806,22 @@ def test_streaming_dup_paragraphs_equals_batch(spark):
         assert got == want and len(got) > 0
     finally:
         q.stop()
+
+
+def test_streaming_anomaly_seasonal_equals_batch(spark, stream):
+    """Streamed daily cells (shared with the changepoint twin) + the
+    sink-side decompose/anomaly chain must reproduce
+    q_ts_anomaly_seasonal bit-for-bit."""
+    q = streaming.run_to_memory(
+        streaming.daily_cells_stream(stream), "t_anomcells", "complete"
+    )
+    try:
+        cols = ["event_type", "day", "dow", "resid_value", "severity"]
+        got = _rows(
+            streaming.anomaly_seasonal_from_cells(spark.table("t_anomcells")),
+            cols,
+        )
+        want = _rows(timeseries.q_ts_anomaly_seasonal(spark, SF), cols)
+        assert got == want
+    finally:
+        q.stop()
