@@ -986,3 +986,63 @@ def test_ks_matches_numpy_reimplementation(spark, tmp_path):
     d_ref = np.abs(fa - fb).max()
     assert abs(got.ks_stat - d_ref) < 2e-6
     assert got.na == 120 and got.nb == 90
+
+
+def test_ship_lag_crafted_exact_percentiles(spark, tmp_path):
+    """Known lags → exact mean and interpolated percentiles, asserted
+    against the DuckDB oracle (both tables crafted)."""
+    od = pd.Timestamp("1996-01-01")
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": [1, 2],
+            "o_custkey": [1, 1],
+            "o_orderstatus": ["O", "O"],
+            "o_totalprice": [100.0, 200.0],
+            "o_orderdate": [od, od],
+            "o_orderpriority": ["1-URGENT", "2-HIGH"],
+        }
+    )
+    orders["o_orderdate"] = orders["o_orderdate"].astype("datetime64[us]")
+    # order 1: lags 1,2,3,10 days; order 2: lag 7
+    li = pd.DataFrame(
+        {
+            "l_orderkey": [1, 1, 1, 1, 2],
+            "l_partkey": [1] * 5,
+            "l_suppkey": [1] * 5,
+            "l_linenumber": [1, 2, 3, 4, 1],
+            "l_quantity": [1.0] * 5,
+            "l_extendedprice": [10.0] * 5,
+            "l_discount": [0.0] * 5,
+            "l_tax": [0.0] * 5,
+            "l_returnflag": ["N"] * 5,
+            "l_linestatus": ["O"] * 5,
+            "l_shipdate": [
+                od + pd.Timedelta(days=k) for k in (1, 2, 3, 10, 7)
+            ],
+        }
+    )
+    li["l_shipdate"] = li["l_shipdate"].astype("datetime64[us]")
+    d = tmp_path / "shiplag"
+    d.mkdir()
+    orders.to_parquet(str(d / "orders.parquet"))
+    li.to_parquet(str(d / "lineitem.parquet"))
+    got = {r.o_orderpriority: r for r in _Q["q_join_ship_lag"](spark, str(d)).collect()}
+    u = got["1-URGENT"]
+    assert u.n_lines == 4 and u.mean_lag_days == 4.0
+    assert u.p50_lag == 2.5  # interpolated between 2 and 3
+    # 3 + 0.7·(10−3): the interpolation's IEEE double (7.900000000000001)
+    # — asserted bit-exactly, the oracle computes the identical value
+    assert u.p90_lag == 7.900000000000001
+    h = got["2-HIGH"]
+    assert (h.n_lines, h.mean_lag_days, h.p50_lag, h.p90_lag) == (1, 7.0, 7.0, 7.0)
+
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+    want = _pdf_rows(con.execute(_O["q_join_ship_lag"]).fetch_df())
+    con.close()
+    assert _rows(_Q["q_join_ship_lag"](spark, str(d))) == want
