@@ -516,36 +516,77 @@ def q_ml_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     prototype view: prototypes test global separation, k-NN tests LOCAL
     neighborhood purity.
 
-    Determinism: dots are exact decimals; the top-5 cut is a (dot DESC,
+    Determinism: dots are exact decimals (`_dot_dec`'s order-free
+    DECIMAL(12,10)-component fold — the same value the oracle's
+    positional-join SUM computes); the top-5 cut is a (dot DESC,
     neighbor_id ASC) total order; votes are integer counts with a
     (count DESC, label ASC) argmax — every decision exact.
 
-    Scale notes (100 TB): the eval set is BROADCAST against one corpus
-    scan (the q_vec_* sampled-audit shape — evaluating every vector is
-    the all-pairs job q_vec_pairs_threshold's cogrouped BLAS grid
-    exists for); the vote runs on the (queries × k)-row frame."""
+    Scale notes (100 TB): the eval set is BROADCAST as whole ARRAYS
+    against one corpus scan and the dot is a map-side array fold —
+    NO explode, NO shuffle of embedding payloads (the q_vec_knn_brute
+    shape, gpe/vectors.py). The r9 version posexploded both sides and
+    joined on `pos` alone — a queries×corpus×dim intermediate funneled
+    through a 4-key groupBy (~12.8 M rows at sf0.1, ~1.3 B at 100× —
+    the repo's own documented fold-before-explode anti-pattern, VERDICT
+    r9 #1); this rewrite removes that shuffle entirely. The hot scan
+    runs the ~5×-cheaper IEEE double fold; the top-k cut keeps every
+    candidate within a 1e-6 margin of the k-th double score (double
+    fold error over 64 unit-bounded components is ~1e-13, so the
+    margin set is a guaranteed superset of the exact top-k), and only
+    that (queries × ~k)-row shortlist pays the exact-decimal re-rank —
+    the q_vec_range_search prefilter discipline applied to a RANK cut.
+    Evaluating EVERY vector is the all-pairs job
+    q_vec_pairs_threshold's cogrouped BLAS grid exists for."""
+    from gpe.vectors import _dot_dbl, _dot_dec
+
     emb = load_table(spark, sf_dir, "embeddings")
-    ex = emb.select("vec_id", "label", F.posexplode("embedding").alias("pos", "x"))
-    qx = (
-        ex.filter(F.col("vec_id") < _KNN_EVAL_QUERIES)
+    q = emb.filter(F.col("vec_id") < _KNN_EVAL_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("nid"),
+        F.col("label").alias("nlabel"),
+        "embedding",
+    )
+    scores = (
+        F.broadcast(q.select("query_id", "q_emb"))
+        .join(c.select("nid", "embedding"), F.col("query_id") != F.col("nid"))
         .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("label").alias("true_label"),
-            "pos",
-            F.col("x").alias("qx"),
+            "query_id",
+            "nid",
+            _dot_dbl("q_emb", "embedding").alias("dbl"),
         )
     )
+    w_dbl = Window.partitionBy("query_id").orderBy(F.desc("dbl"), F.asc("nid"))
+    w_q = Window.partitionBy("query_id")
+    shortlist = (
+        scores.withColumn("rk_dbl", F.row_number().over(w_dbl))
+        .withColumn(
+            "kth_dbl",
+            F.max(F.when(F.col("rk_dbl") == _KNN_K, F.col("dbl"))).over(w_q),
+        )
+        .filter(
+            (F.col("rk_dbl") <= _KNN_K)
+            | (F.col("dbl") >= F.col("kth_dbl") - F.lit(1e-6))
+        )
+        .select("query_id", "nid")
+    )
+    # exact-decimal re-rank on the tiny shortlist: re-join the arrays
+    # (shortlist broadcast against one more corpus scan; the query side
+    # is already driver-sized) so embedding payloads never shuffle.
     dots = (
-        F.broadcast(qx)
-        .join(ex, "pos")
-        .filter(F.col("query_id") != F.col("vec_id"))
-        .groupBy("query_id", "true_label", F.col("vec_id").alias("nid"),
-                 F.col("label").alias("nlabel"))
-        .agg(
-            F.sum(
-                F.col("qx").cast("decimal(12,10)")
-                * F.col("x").cast("decimal(12,10)")
-            ).alias("dot")
+        F.broadcast(shortlist)
+        .join(c, "nid")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "true_label",
+            "nid",
+            "nlabel",
+            _dot_dec("q_emb", "embedding").alias("dot"),
         )
     )
     w_top = Window.partitionBy("query_id").orderBy(
