@@ -210,11 +210,19 @@ class LakeAPI:
         from gpe import ml as _ml
 
         psi = _ml.q_ml_psi(self.spark, self.sf_dir)
+        # e6 fixed point from the EXACT integers in the KS row (ADVICE r9:
+        # `ks_stat * 1e6` truncated a 6-dp-rounded double one unit low —
+        # e.g. 0.084 -> 83999.999... -> 83999). Decimal DIV is an exact
+        # integral floor quotient; decimal(38,0) keeps 1e10×1e10-sample
+        # products representable.
         ks = _ml.q_ml_ks(self.spark, self.sf_dir).select(
             F.lit(-1).cast("long").alias("bin"),
             F.col("na").alias("n_a"),
             F.col("nb").alias("n_b"),
-            (F.col("ks_stat") * 1_000_000).cast("long").alias("psi_term_e6"),
+            F.expr(
+                "(CAST(d_num AS DECIMAL(38,0)) * 1000000) DIV "
+                "(CAST(na AS DECIMAL(19,0)) * CAST(nb AS DECIMAL(19,0)))"
+            ).cast("long").alias("psi_term_e6"),
         )
         return psi.unionByName(ks)
 

@@ -288,7 +288,12 @@ def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape at block granularity); only duplicated blocks reach the
     output."""
     d = load_table(spark, sf_dir, "documents")
-    m = attach_payload(d)
+    # empty-payload guard (ADVICE r9): Spark's `(n_bytes - 1) DIV 256`
+    # truncates toward zero so a 0-byte payload would yield sequence(0,0)
+    # and emit one spurious empty block, while DuckDB's `//` floors to -1
+    # and emits none — filter n_bytes >= 1 on BOTH sides so zero bytes
+    # deterministically means zero blocks in both engines.
+    m = attach_payload(d).filter(F.col("meta.n_bytes") >= 1)
     blocks = m.select(
         "media_id",
         F.explode(
@@ -336,7 +341,8 @@ ORACLES = {
         WITH m AS (
           SELECT doc_id AS media_id, text,
                  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-          FROM documents),
+          FROM documents
+          WHERE octet_length(encode(text)) >= 1),
         b AS (
           SELECT media_id,
                  sha256(substr(text, i * {_DEDUP_BLOCK} + 1,

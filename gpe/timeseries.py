@@ -1722,16 +1722,20 @@ def q_ts_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = g.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_gaps"),
-        F.sum("g").cast("decimal(16,0)").alias("s"),
+        # ADVICE r9 widening: decimal(6,0)/(16,0) overflowed to NULL at
+        # >=1M gaps / ~3M summed years — decimal(19,0)/(38,0) carries any
+        # BIGINT-countable user; the n·Σg² product stays exact in Spark's
+        # 38-digit cap (values < 1e38) and the oracle runs it in HUGEINT.
+        F.sum("g").cast("decimal(19,0)").alias("s"),
         F.sum(
             F.col("g").cast("decimal(19,0)") * F.col("g").cast("decimal(19,0)")
         )
-        .cast("decimal(32,0)")
+        .cast("decimal(38,0)")
         .alias("ssq"),
     )
     num = (
-        F.col("n_gaps").cast("decimal(6,0)") * F.col("ssq")
-        - F.col("s").cast("decimal(19,0)") * F.col("s").cast("decimal(19,0)")
+        F.col("n_gaps").cast("decimal(19,0)") * F.col("ssq")
+        - F.col("s") * F.col("s")
     ).cast("double")
     s_dbl = F.col("s").cast("double")
     return (
@@ -2171,14 +2175,13 @@ ORACLES = {
         agg AS (
           SELECT user_id,
                  CAST(COUNT(*) AS BIGINT) AS n_gaps,
-                 CAST(SUM(g) AS DECIMAL(16,0)) AS s,
-                 CAST(SUM(CAST(g AS DECIMAL(19,0)) * CAST(g AS DECIMAL(19,0)))
-                      AS DECIMAL(32,0)) AS ssq
+                 CAST(SUM(g) AS DECIMAL(19,0)) AS s,
+                 SUM(CAST(g AS HUGEINT) * CAST(g AS HUGEINT)) AS ssq
           FROM g WHERE g IS NOT NULL GROUP BY 1),
         v AS (
           SELECT user_id, n_gaps, s,
-                 CAST(CAST(n_gaps AS DECIMAL(6,0)) * ssq
-                      - CAST(s AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0))
+                 CAST(CAST(n_gaps AS HUGEINT) * CAST(ssq AS HUGEINT)
+                      - CAST(s AS HUGEINT) * CAST(s AS HUGEINT)
                       AS DOUBLE) AS num,
                  CAST(s AS DOUBLE) AS s_dbl
           FROM agg WHERE n_gaps >= 2)

@@ -261,6 +261,14 @@ def test_drift_report_appends_ks_row(api):
     assert [r.bin for r in rows] == [-1] + list(range(10))
     ks = rows[0]
     assert 0 <= ks.psi_term_e6 <= 1_000_000  # KS stat in e6 fixed point
+    # exact e6 fixed point (ADVICE r9): must equal the integer floor
+    # quotient of the KS row's exact integers, not a truncated double
+    from gpe import ml as _ml
+
+    ks_row = _ml.q_ml_ks(api.spark, api.sf_dir).collect()[0]
+    assert ks.psi_term_e6 == (ks_row.d_num * 1_000_000) // (
+        ks_row.na * ks_row.nb
+    )
 
 
 def test_late_r9_endpoints_delegate_to_declared_operators(api, spark):
