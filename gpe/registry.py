@@ -40,89 +40,24 @@ for _name in (
 
 
 # The driver hash-verifies exactly the FIRST 50 keys of queries() each round
-# (verified r1–r7: CORRECTNESS_r0N covers precisely registry indices 0-49),
+# (verified r1–r9: CORRECTNESS_r0N covers precisely registry indices 0-49),
 # so registry order decides which keys get hard correctness signal.
-# Round-8 window (VERDICT r7 next-round #1): (a) the 7 late-r8 +
-# 23 mid-r8 operators NEW this round (zero driver evidence) at the very
-# front; (b) 20 of the 31 keys whose latest driver row is round 4 (four
-# rounds of module churn since — the staged r7 _SECOND_WAVE). The
-# displaced r4-stale keys (q_text_unigram_logprob, q_text_keyphrases,
-# q_pack_sequences, q_text_chunk_windows, q_mix_temperature,
-# q_ts_anomaly_zscore, q_multimodal_frames, plus the r7 leftovers
-# q_scalar_date / q_scalar_math and the frozen trivial set-ops
-# q_distinct_dropdup / q_except) head _SECOND_WAVE for r9; new keys
-# outrank stale re-checks because they have ZERO driver evidence.
+# Round-10 window (VERDICT r9 next-round #2 — zero the evidence debt):
+# (a) the 3 operators NEW this round (zero driver evidence, newest
+# first); (b) the 12 keys the driver has NEVER checked (r8 additions —
+# the r8 driver artifacts never landed; all parity-green under HEAD);
+# (c) all 31 keys whose latest driver evidence is round 4 (five rounds
+# of module churn since); (d) the 4 oldest r5-green keys. After this
+# window lands, every key's latest driver evidence is r5+ and nothing
+# is driver-unseen. The r9-green keys fall to the tail automatically.
 # Keys after position 50 keep local parity (tools/parity.py) as their
 # regression net; tests/test_registry_order.py pins this window.
 HARD_SIGNAL_FIRST_50 = [
-    # --- round-9 operators (zero driver evidence, newest first) ---
-    "q_ts_anomaly_seasonal",
-    "q_agg_skyline",
-    "q_catalog_column_entropy",
-    "q_join_ship_lag",
-    "q_multimodal_dedup",
-    "q_ml_knn_eval",
-    "q_text_dup_paragraphs",
-    "q_text_bigram_lm",
-    "q_ml_confusion",
-    "q_ml_margin",
-    "q_ts_decompose",
-    "q_agg_cramers_v",
-    "q_graph_bfs_layers",
-    "q_sample_weighted",
-    "q_text_hapax",
-    "q_ts_interarrival",
-    "q_ts_peaks",
-    "q_ts_mix_entropy",
-    "q_ml_auc",
-    "q_ml_calibration",
-    "q_ml_psi",
-    "q_ml_ks",
-    # --- final-round-8 operators (zero driver evidence, newest first) ---
-    "q_ml_class_metrics",
-    "q_ts_mann_kendall",
-    "q_pipeline_quality_gate",
-    "q_text_readability",
-    "q_ts_changepoint",
-    "q_ts_theilsen",
-    "q_catalog_fk_infer",
-    "q_agg_log_histogram",
-    "q_agg_chi2",
-    "q_source_orc_roundtrip",
-    # --- late-round-8 operators (zero driver evidence, newest first) ---
-    "q_graph_triangles",
-    "q_text_heavy_hitters",
-    "q_ts_survival_km",
-    "q_ml_gram_moments",
-    "q_agg_decile_lift",
-    "q_agg_benford",
-    "q_ts_calendar_profile",
-    # --- new round-8 operators (zero driver evidence) ---
-    "q_graph_pagerank",
-    "q_text_bpe_merge_step",
-    "q_text_bm25_search",
-    "q_text_repetition",
-    "q_agg_market_basket",
-    "q_lake_snapshot_diff",
-    "q_source_csv_roundtrip",
-    "q_source_schema_evolution",
-    "q_join_theta_bucketed",
-    "q_join_bloom_prefilter",
-    "q_ts_active_users",
-]
-
-# Next in line for round 9: first the r4-stale keys displaced by the
-# mid/late/final-r8 additions (VERDICT r7 #1 remainder — new keys outrank
-# stale re-checks because they have ZERO driver evidence), then
-# q_scalar_date / q_scalar_math, the ANN-rerank fills whose rewrite
-# q_vec_ann_pq's r7 row and local parity already cover, the frozen
-# trivial set-ops q_distinct_dropdup / q_except, and the remaining
-# r5-green keys (oldest driver evidence after this window lands).
-# r6/r7/r8-green keys fall to the tail automatically.
-_SECOND_WAVE = [
-    # displaced from the r9 window by the 22 new r9 keys — first in
-    # line for r10 (the q_* names through q_catalog_quality_checks were
-    # r8-new with zero driver evidence; the rest are r4-stale)
+    # --- round-10 operators (zero driver evidence, newest first) ---
+    "q_text_bpe_encode",
+    "q_text_pii_screen",
+    "q_sample_cluster_balanced",
+    # --- never driver-checked (r8 additions; r8 artifacts never landed) ---
     "q_dedup_dup_stats",
     "q_text_winnowing",
     "q_pack_bin_stats",
@@ -135,6 +70,7 @@ _SECOND_WAVE = [
     "q_agg_topn_share",
     "q_cdc_scd2_current",
     "q_catalog_quality_checks",
+    # --- r4-stale (latest driver evidence round 4) ---
     "q_join_left_outer",
     "q_join_semi",
     "q_join_anti",
@@ -145,8 +81,6 @@ _SECOND_WAVE = [
     "q_agg_groupby",
     "q_scalar_string",
     "q_explode_tokens",
-    # displaced from the r8 window by the 10 final-r8 keys — still
-    # r4-stale, first in line for r9
     "q_scalar_json",
     "q_scalar_string2",
     "q_agg_listagg",
@@ -157,8 +91,6 @@ _SECOND_WAVE = [
     "q_subquery_correlated",
     "q_pivot_status_by_year",
     "q_catalog_schema",
-    # displaced from the r8 window by the 7 late-r8 keys — still
-    # r4-stale, next in line for r9
     "q_text_unigram_logprob",
     "q_text_keyphrases",
     "q_pack_sequences",
@@ -168,12 +100,19 @@ _SECOND_WAVE = [
     "q_multimodal_frames",
     "q_scalar_date",
     "q_scalar_math",
-    "q_vec_ann_lsh",
-    "q_vec_ann_recall",
     "q_distinct_dropdup",
     "q_except",
+    # --- oldest r5-green re-checks ---
+    "q_vec_ann_lsh",
+    "q_vec_ann_recall",
     "q_vec_ann_ivf",
     "q_vec_knn_brute",
+]
+
+# Next in line for round 11: the remaining r5-green keys (oldest driver
+# evidence once the r10 window lands). r6+-green keys fall to the tail
+# automatically.
+_SECOND_WAVE = [
     "q_dedup_embed_cosine",
     "q_vec_pairs_threshold",
     "q_vec_centroids",

@@ -813,6 +813,207 @@ def q_text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_CAND = 64  # ranked pair candidates considered for the merge table
+_BPE_TABLE = 20  # merge rules kept (the fixed table the encoder applies)
+
+
+def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY at scale (VERDICT r9 #4): derive a fixed merge
+    TABLE data-side — the top adjacent-pair candidates (count DESC, then
+    lexicographic) thinned to a TOKEN-DISJOINT rule set — broadcast it,
+    and encode every document in ONE left-to-right greedy fold, emitting
+    per-doc token counts and the compression ratio vs whitespace
+    tokenization. q_text_bpe_merge_step is the TRAIN inner loop; this is
+    the ENCODE pass a pipeline runs over the whole corpus once the
+    table is frozen.
+
+    Disjointness is the distribution trick: a candidate is kept only if
+    it shares NO token with any higher-ranked candidate (an order-free
+    rule — membership depends only on the immutable candidate ranking,
+    not on which earlier candidates were kept), so no two kept rules can
+    ever compete for a token and applying the table rule-by-rule equals
+    ONE single-pass fold — merge application order drops out entirely,
+    which is exactly what a distributed encoder needs. Overlaps of a
+    rule with ITSELF remain only for a==b rules inside equal-token runs,
+    where the greedy fold takes floor(run_len/2) merges; the oracle
+    reproduces that via the merge-step gaps-and-islands identity
+    ((matches+1) DIV 2 per island — a≠b islands are always length 1
+    because two adjacent matches would force a==b).
+
+    Determinism: the candidate ranking is a total order; table
+    membership and the fold are exact; ratios are e6-floored.
+
+    Scale notes (100 TB): pair counting is one partial-agg shuffle
+    (pair cardinality ≤ |vocab|²); ranking + conflict thinning run on
+    the aggregate's output (candidate table ≤ 64 rows — the
+    window-audit-bounded frame); the table broadcasts as ONE map row
+    and the encode is per-row scalar array work inside codegen — NO
+    shuffle touches the documents scan. A longer table (32k merges)
+    broadcasts the same way; the fold cost is linear in doc length."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split("text", " ")
+    )
+    prs = d.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) >= 2 THEN"
+                " transform(sequence(0, size(toks)-2),"
+                "   i -> struct(toks[i] AS a, toks[i+1] AS b))"
+                " ELSE CAST(array() AS array<struct<a:string,b:string>>)"
+                " END"
+            )
+        ).alias("p")
+    )
+    cnt = prs.groupBy(
+        F.col("p.a").alias("a"), F.col("p.b").alias("b")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w_rk = Window.orderBy(F.desc("c"), "a", "b")
+    cand = cnt.withColumn("rk", F.row_number().over(w_rk)).filter(
+        F.col("rk") <= _BPE_CAND
+    )
+    ctok = cand.select(
+        "rk", F.explode(F.array("a", "b")).alias("tok")
+    ).distinct()
+    conflicted = (
+        ctok.alias("x")
+        .join(
+            ctok.alias("y"),
+            (F.col("x.tok") == F.col("y.tok"))
+            & (F.col("y.rk") < F.col("x.rk")),
+            "left_semi",
+        )
+        .select("rk")
+        .distinct()
+    )
+    keep = cand.join(conflicted, "rk", "left_anti")
+    w_sel = Window.orderBy("rk")
+    table = keep.withColumn("sel", F.row_number().over(w_sel)).filter(
+        F.col("sel") <= _BPE_TABLE
+    )
+    mtab = table.agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    F.concat_ws(" ", "a", "b").alias("k"),
+                    F.lit(1).alias("v"),
+                )
+            )
+        ).alias("mtab"),
+        F.count(F.lit(1)).cast("long").alias("n_merge_rules"),
+    )
+    enc = d.crossJoin(F.broadcast(mtab)).withColumn(
+        "encoded",
+        # same fold as the merge step, keyed by map lookup: a merged
+        # symbol carries '_' and the corpus vocabulary does not, so a
+        # fresh merge can never chain into another rule
+        F.expr(
+            "aggregate(toks, CAST(array() AS array<string>),"
+            " (acc, t) -> CASE WHEN size(acc) > 0"
+            "   AND mtab[concat(element_at(acc, -1), ' ', t)] IS NOT NULL"
+            " THEN concat(slice(acc, 1, size(acc)-1),"
+            "             array(concat(element_at(acc, -1), '_', t)))"
+            " ELSE concat(acc, array(t)) END)"
+        ),
+    )
+    return enc.select(
+        "doc_id",
+        "n_merge_rules",
+        F.size("toks").cast("long").alias("n_tokens_ws"),
+        F.size("encoded").cast("long").alias("n_tokens_bpe"),
+        (F.size("toks") - F.size("encoded")).cast("long").alias("n_merges"),
+        _floor6(F.size("encoded"), F.size("toks")).alias("compression"),
+    )
+
+
+# PII-shaped pattern classes (all RE2 ∩ java.util.regex compatible — no
+# backreferences, no lookaround, \d is [0-9] in both): entity handles
+# (Name#digits), long digit runs (account/ID shaped), and money-shaped
+# decimals. Counts are per CLASS on the RAW text (a handle's digit run
+# also counts as an id hit — documented, since each class answers its own
+# audit question); redaction applies handle → id → money so the handle
+# replacement consumes its digits first.
+_PII_HANDLE = r"[A-Za-z]+#\d+"
+_PII_ID = r"\d{6,}"
+_PII_MONEY = r"\d+\.\d\d"
+
+
+def q_text_pii_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level PII/identifier screen (VERDICT r9 #5): the TEXT-side
+    regex audit a training pipeline runs before release — q_pii_mask
+    pseudonymizes STRUCTURED columns; this screens free text assembled
+    from mixed-provenance sources (raw documents, record dumps, event
+    payloads — the union shape real corpora have) and reports, per
+    source: rows screened, rows flagged, hits per pattern class, and a
+    deterministic redacted sample (the lowest-keyed flagged row with
+    every match replaced by its class tag).
+
+    Determinism: hit counts are exact integers; the sample is the
+    struct-MIN over (rec_id, redacted) on flagged rows — rec_id is
+    unique per source, so the pick is total; clean sources emit NULL.
+
+    Scale notes (100 TB): ENTIRELY map-side regex inside codegen over
+    each source scan (the q_text_repetition plan class) — the union is
+    three independent scans, the only shuffle is the 3-key partial-agg
+    rollup, and the redacted text never moves except as the one
+    min-struct per partition. Adding a source = one more unionByName
+    leg; adding a pattern class = one more codegen column."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.lit("documents").alias("source"),
+        F.col("doc_id").alias("rec_id"),
+        F.col("text").alias("txt"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("source"),
+        F.col("c_custkey").alias("rec_id"),
+        F.concat_ws(
+            " ",
+            "c_name",
+            "c_mktsegment",
+            F.col("c_acctbal").cast("decimal(12,2)").cast("string"),
+        ).alias("txt"),
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        F.lit("events").alias("source"),
+        F.col("event_id").alias("rec_id"),
+        F.col("props").alias("txt"),
+    )
+    u = docs.unionByName(cust).unionByName(ev)
+
+    def hits(p: str):
+        return F.size(F.regexp_extract_all("txt", F.lit(p), F.lit(0)))
+
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("txt", _PII_HANDLE, "<HANDLE>"),
+            _PII_ID,
+            "<ID>",
+        ),
+        _PII_MONEY,
+        "<NUM>",
+    )
+    scanned = u.select(
+        "source",
+        "rec_id",
+        hits(_PII_HANDLE).alias("h_handle"),
+        hits(_PII_ID).alias("h_id"),
+        hits(_PII_MONEY).alias("h_money"),
+        red.alias("red"),
+    ).withColumn(
+        "flagged",
+        (F.col("h_handle") + F.col("h_id") + F.col("h_money")) > 0,
+    )
+    return scanned.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("flagged").cast("int")).cast("long").alias("n_flagged"),
+        F.sum("h_handle").cast("long").alias("hits_handle"),
+        F.sum("h_id").cast("long").alias("hits_id"),
+        F.sum("h_money").cast("long").alias("hits_money"),
+        F.min(F.when(F.col("flagged"), F.struct("rec_id", "red")))
+        .getField("red")
+        .alias("sample_redacted"),
+    )
+
+
 _BM25_TERMS = ("spark", "table", "query")
 _BM25_K1_NUM = 22  # k1 = 1.2 -> (k1+1) = 2.2 = 22/10
 # score denominators are multiplied through by 10*T so every intermediate
@@ -1215,6 +1416,8 @@ QUERIES = {
     "q_text_readability": q_text_readability,
     "q_text_bm25_search": q_text_bm25_search,
     "q_text_bpe_merge_step": q_text_bpe_merge_step,
+    "q_text_bpe_encode": q_text_bpe_encode,
+    "q_text_pii_screen": q_text_pii_screen,
     "q_text_repetition": q_text_repetition,
     "q_text_cooccurrence_pmi": q_text_cooccurrence_pmi,
     "q_text_vocab_coverage": q_text_vocab_coverage,
@@ -1382,6 +1585,98 @@ ORACLES = {
         FROM sc
         ORDER BY score_e6 DESC, doc_id
         LIMIT 20""",
+    # identical union legs, per-class RE2∩Java regex counts on raw text,
+    # chained g-flag redaction, and the struct-MIN flagged sample
+    "q_text_pii_screen": f"""
+        WITH u AS (
+          SELECT 'documents' AS source, doc_id AS rec_id, text AS txt
+          FROM documents
+          UNION ALL
+          SELECT 'customer', c_custkey,
+                 c_name || ' ' || c_mktsegment || ' ' ||
+                 CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR)
+          FROM customer
+          UNION ALL
+          SELECT 'events', event_id, props FROM events),
+        s AS (
+          SELECT source, rec_id,
+                 len(regexp_extract_all(txt, '{_PII_HANDLE}', 0))
+                   AS h_handle,
+                 len(regexp_extract_all(txt, '{_PII_ID}', 0)) AS h_id,
+                 len(regexp_extract_all(txt, '{_PII_MONEY}', 0))
+                   AS h_money,
+                 regexp_replace(regexp_replace(regexp_replace(txt,
+                   '{_PII_HANDLE}', '<HANDLE>', 'g'),
+                   '{_PII_ID}', '<ID>', 'g'),
+                   '{_PII_MONEY}', '<NUM>', 'g') AS red
+          FROM u),
+        f AS (SELECT *, (h_handle + h_id + h_money) > 0 AS flagged
+              FROM s)
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_flagged,
+               CAST(SUM(h_handle) AS BIGINT) AS hits_handle,
+               CAST(SUM(h_id) AS BIGINT) AS hits_id,
+               CAST(SUM(h_money) AS BIGINT) AS hits_money,
+               struct_extract(
+                 MIN({{'rec_id': rec_id, 'red': red}}) FILTER (flagged),
+                 'red') AS sample_redacted
+        FROM f GROUP BY 1""",
+    # same candidate ranking, order-free token-disjoint thinning, and
+    # per-(doc, rule) gaps-and-islands merge counting as the builder's
+    # greedy fold ((matches+1) // 2 per island; a<>b islands are always
+    # singletons, so only a==b runs use the formula nontrivially)
+    "q_text_bpe_encode": f"""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        p0 AS (
+          SELECT doc_id, generate_subscripts(toks, 1) AS pos,
+                 unnest(toks) AS tok
+          FROM t),
+        prs AS (
+          SELECT a.doc_id, a.pos, a.tok AS pa, b.tok AS pb
+          FROM p0 a JOIN p0 b
+            ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+        cnt AS (SELECT pa, pb, COUNT(*) AS c FROM prs GROUP BY 1, 2),
+        cand AS (
+          SELECT pa, pb,
+                 ROW_NUMBER() OVER (ORDER BY c DESC, pa, pb) AS rk
+          FROM cnt QUALIFY rk <= {_BPE_CAND}),
+        ctok AS (
+          SELECT DISTINCT rk, unnest([pa, pb]) AS tok FROM cand),
+        conf AS (
+          SELECT DISTINCT x.rk FROM ctok x
+          JOIN ctok y ON x.tok = y.tok AND y.rk < x.rk),
+        keep AS (
+          SELECT pa, pb, ROW_NUMBER() OVER (ORDER BY rk) AS sel
+          FROM cand WHERE rk NOT IN (SELECT rk FROM conf)
+          QUALIFY sel <= {_BPE_TABLE}),
+        nrules AS (SELECT COUNT(*) AS n_merge_rules FROM keep),
+        matches AS (
+          SELECT p.doc_id, p.pa, p.pb, p.pos
+          FROM prs p JOIN keep k ON p.pa = k.pa AND p.pb = k.pb),
+        runs AS (
+          SELECT doc_id, pa, pb, pos,
+                 pos - ROW_NUMBER() OVER (PARTITION BY doc_id, pa, pb
+                                          ORDER BY pos) AS grp
+          FROM matches),
+        runcnt AS (
+          SELECT doc_id, pa, pb, grp, COUNT(*) AS rl
+          FROM runs GROUP BY 1, 2, 3, 4),
+        merges AS (
+          SELECT doc_id, SUM((rl + 1) // 2) AS n_merges
+          FROM runcnt GROUP BY 1)
+        SELECT t.doc_id,
+               CAST(nrules.n_merge_rules AS BIGINT) AS n_merge_rules,
+               CAST(len(t.toks) AS BIGINT) AS n_tokens_ws,
+               CAST(len(t.toks) - COALESCE(m.n_merges, 0) AS BIGINT)
+                 AS n_tokens_bpe,
+               CAST(COALESCE(m.n_merges, 0) AS BIGINT) AS n_merges,
+               FLOOR((len(t.toks) - COALESCE(m.n_merges, 0)) * 1000000.0
+                     / len(t.toks)) / 1000000.0 AS compression
+        FROM t CROSS JOIN nrules
+        LEFT JOIN merges m ON m.doc_id = t.doc_id""",
     "q_text_bpe_merge_step": """
         WITH t AS (
           SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -967,6 +967,19 @@ def q_vec_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterations = re-running with the emitted assignment as the label
     column (driver loop, one job per step, like star_components)."""
     emb = load_table(spark, sf_dir, "embeddings")
+    a = _kmeans_assignments(emb)
+    return a.groupBy(
+        F.col("label").alias("old_label"),
+        F.col("cluster").alias("new_label"),
+    ).agg(F.count(F.lit(1)).alias("n_vecs"))
+
+
+def _kmeans_assignments(emb: DataFrame) -> DataFrame:
+    """One Lloyd assignment pass → (vec_id, label, cluster): the exact
+    argmax-margin nearest-centroid assignment q_vec_kmeans_step reports
+    on, factored out so q_sample_cluster_balanced composes the SAME
+    subtree (the shared-subtree discipline of _centroid_dims,
+    VERDICT r6 #4). See q_vec_kmeans_step for the exactness argument."""
     cdims = _centroid_dims(emb).select(
         F.col("label").alias("clabel"),
         "pos",
@@ -996,7 +1009,7 @@ def q_vec_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = emb.crossJoin(F.broadcast(cent)).withColumn(
         "margin", dot + dot - F.col("c2").cast("decimal(38,18)")
     )
-    best = (
+    return (
         scored.groupBy("vec_id", "label")
         .agg(
             F.max(
@@ -1007,11 +1020,76 @@ def q_vec_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("b")
         )
-        .select("vec_id", "label", F.col("b.clabel").alias("new_label"))
+        .select("vec_id", "label", F.col("b.clabel").alias("cluster"))
     )
-    return best.groupBy(
-        F.col("label").alias("old_label"), "new_label"
-    ).agg(F.count(F.lit(1)).alias("n_vecs"))
+
+
+_CB_QUOTA = 40  # vectors kept per cluster
+_CB_SALT = 16  # pre-stage salt buckets (bounds the final per-cluster rank)
+
+
+def q_sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cluster-balanced sampling (VERDICT r9 #6): assign every
+    vector to its nearest centroid (the exact q_vec_kmeans_step
+    assignment, shared subtree) and keep a fixed quota of 40 per cluster
+    by deterministic-hash rank — the semantic-diversity sampler a
+    training pipeline runs after dedup, so rare clusters are represented
+    equally instead of proportionally (cluster-balanced corpus mixing).
+
+    Determinism: the draw key is the q_sample_weighted md5-prefix
+    recipe salted 'cb:' — a fixed uniform 32-bit integer per vec_id —
+    with vec_id as the total-order tiebreak; the assignment itself is
+    the exact-decimal argmax. Every selection decision is exact.
+
+    Scale notes (100 TB): assignment is the broadcast-codebook map-side
+    fold (no positional explode through a shuffle); the quota cut is
+    TWO-STAGE top-k — stage 1 ranks within (cluster, vec_id mod 16)
+    salt buckets (parallelism k×16, each bucket's top-40 is a superset
+    contributor), stage 2 re-ranks the ≤ 16·40-row-per-cluster
+    survivors — so no single task ever sees a whole cluster, the same
+    shape as the knn-eval shortlist. Output is quota-bounded (k × 40
+    rows) regardless of input scale, hence always driver-safe."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = _kmeans_assignments(emb)
+    h32 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("cb:"), F.col("vec_id").cast("string")
+                ).cast("binary")
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    from pyspark.sql import Window
+
+    scored = a.withColumn("h32", h32)
+    w1 = Window.partitionBy(
+        "cluster", F.pmod(F.col("vec_id"), F.lit(_CB_SALT))
+    ).orderBy("h32", "vec_id")
+    pre = (
+        scored.withColumn("rk1", F.row_number().over(w1))
+        .filter(F.col("rk1") <= _CB_QUOTA)
+        .drop("rk1")
+    )
+    w2 = Window.partitionBy("cluster").orderBy("h32", "vec_id")
+    sampled = pre.withColumn("draw_rank", F.row_number().over(w2)).filter(
+        F.col("draw_rank") <= _CB_QUOTA
+    )
+    sizes = a.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_n")
+    )
+    return sampled.join(F.broadcast(sizes), "cluster").select(
+        F.col("cluster").cast("int").alias("cluster"),
+        F.col("draw_rank").cast("long").alias("draw_rank"),
+        "vec_id",
+        "label",
+        "cluster_n",
+        "h32",
+    )
 
 
 def q_vec_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1150,6 +1228,7 @@ QUERIES = {
     "q_vec_quantize_int8": q_vec_quantize_int8,
     "q_vec_pca_power": q_vec_pca_power,
     "q_vec_kmeans_step": q_vec_kmeans_step,
+    "q_sample_cluster_balanced": q_sample_cluster_balanced,
     "q_vec_outliers": q_vec_outliers,
     "q_vec_range_search": q_vec_range_search,
     "q_vec_pairs_threshold": q_vec_pairs_threshold,
@@ -1160,6 +1239,36 @@ QUERIES = {
     "q_vec_ann_recall": q_vec_ann_recall,
     "q_multimodal_join": q_multimodal_join,
 }
+
+# the exact Lloyd-assignment CTE chain (mirrors _kmeans_assignments),
+# shared by the q_vec_kmeans_step and q_sample_cluster_balanced oracles
+# so the two can never silently diverge (the pipeline-module
+# oracle-composition pattern)
+_SQL_KMEANS_BEST = f"""ex AS ({_SQL_EXPLODED}),
+        sums AS (
+          SELECT label, pos, SUM(CAST(x AS DECIMAL(12,10))) AS s,
+                 COUNT(*) AS n
+          FROM ex GROUP BY 1, 2),
+        cd AS (
+          SELECT label AS clabel, pos,
+                 CAST(FLOOR(CAST(s AS DOUBLE) * 100000000 / n)
+                      / 100000000.0 AS DECIMAL(9,8)) AS cdim
+          FROM sums),
+        cn AS (SELECT clabel, SUM(cdim * cdim) AS c2 FROM cd GROUP BY 1),
+        dots AS (
+          SELECT e.vec_id, e.label, c.clabel,
+                 SUM(CAST(e.x AS DECIMAL(12,10)) * c.cdim) AS dot
+          FROM ex e JOIN cd c ON e.pos = c.pos
+          GROUP BY 1, 2, 3),
+        sc AS (
+          SELECT d.vec_id, d.label, d.clabel,
+                 2 * d.dot - CAST(cn.c2 AS DECIMAL(30,18)) AS margin
+          FROM dots d JOIN cn ON d.clabel = cn.clabel),
+        best AS (
+          SELECT vec_id, label, clabel,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY margin DESC, clabel ASC) AS rn
+          FROM sc)"""
 
 ORACLES = {
     "q_vec_dim_stats": f"""
@@ -1217,34 +1326,36 @@ ORACLES = {
                ROUND(t.mean / 1000000.0 + {EPS}, 8) AS mean_d2
         FROM thr t LEFT JOIN flagged f ON t.label = f.label""",
     "q_vec_kmeans_step": f"""
-        WITH ex AS ({_SQL_EXPLODED}),
-        sums AS (
-          SELECT label, pos, SUM(CAST(x AS DECIMAL(12,10))) AS s,
-                 COUNT(*) AS n
-          FROM ex GROUP BY 1, 2),
-        cd AS (
-          SELECT label AS clabel, pos,
-                 CAST(FLOOR(CAST(s AS DOUBLE) * 100000000 / n)
-                      / 100000000.0 AS DECIMAL(9,8)) AS cdim
-          FROM sums),
-        cn AS (SELECT clabel, SUM(cdim * cdim) AS c2 FROM cd GROUP BY 1),
-        dots AS (
-          SELECT e.vec_id, e.label, c.clabel,
-                 SUM(CAST(e.x AS DECIMAL(12,10)) * c.cdim) AS dot
-          FROM ex e JOIN cd c ON e.pos = c.pos
-          GROUP BY 1, 2, 3),
-        sc AS (
-          SELECT d.vec_id, d.label, d.clabel,
-                 2 * d.dot - CAST(cn.c2 AS DECIMAL(30,18)) AS margin
-          FROM dots d JOIN cn ON d.clabel = cn.clabel),
-        best AS (
-          SELECT vec_id, label, clabel,
-                 ROW_NUMBER() OVER (PARTITION BY vec_id
-                                    ORDER BY margin DESC, clabel ASC) AS rn
-          FROM sc)
+        WITH {_SQL_KMEANS_BEST}
         SELECT label AS old_label, clabel AS new_label,
                CAST(COUNT(*) AS BIGINT) AS n_vecs
         FROM best WHERE rn = 1 GROUP BY 1, 2""",
+    # same assignment CTE chain (shared _SQL_KMEANS_BEST), the
+    # q_sample_weighted md5-prefix draw key salted 'cb:', and one
+    # per-cluster rank — the builder's two-stage cut selects the
+    # identical set (each bucket's top-40 is a superset contributor)
+    "q_sample_cluster_balanced": f"""
+        WITH {_SQL_KMEANS_BEST},
+        asg AS (
+          SELECT vec_id, label, clabel AS cluster FROM best WHERE rn = 1),
+        h AS (
+          SELECT vec_id, label, cluster,
+                 CAST(CONCAT('0x', substr(
+                        md5('cb:' || CAST(vec_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) AS h32
+          FROM asg),
+        r AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster
+                                       ORDER BY h32, vec_id) AS draw_rank
+          FROM h),
+        sz AS (
+          SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cluster_n
+          FROM asg GROUP BY 1)
+        SELECT CAST(r.cluster AS INTEGER) AS cluster,
+               CAST(r.draw_rank AS BIGINT) AS draw_rank,
+               r.vec_id, r.label, sz.cluster_n, r.h32
+        FROM r JOIN sz ON r.cluster = sz.cluster
+        WHERE r.draw_rank <= {_CB_QUOTA}""",
     "q_vec_pca_power": f"""
         WITH ex AS ({_SQL_EXPLODED}),
         proj AS (

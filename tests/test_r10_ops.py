@@ -1,0 +1,238 @@
+"""Round-10 operator tests: semantic invariants the oracle-parity hash
+cannot articulate — BPE-table disjointness and count conservation, the
+PII screen's per-source flag structure and redaction grammar, and a
+direct single-window recompute of the cluster-balanced sampler's
+two-stage quota cut."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+import __spark_entry__ as spec
+
+from tests.conftest import SF_SMOKE
+
+_Q = spec.queries()
+
+
+# ---------------------------------------------------------------- BPE encode
+
+
+def test_bpe_encode_counts_conserve_and_table_is_bounded(spark):
+    rows = _Q["q_text_bpe_encode"](spark, SF_SMOKE).collect()
+    assert len(rows) == 500  # one row per document, clean docs included
+    n_rules = {r.n_merge_rules for r in rows}
+    assert len(n_rules) == 1  # corpus-level table: same for every doc
+    assert 1 <= n_rules.pop() <= 20
+    for r in rows:
+        assert r.n_tokens_bpe + r.n_merges == r.n_tokens_ws
+        assert 0 <= r.n_merges < r.n_tokens_ws
+        assert 0.0 < r.compression <= 1.0
+    # the table bites: a corpus of repeated word soup must merge somewhere
+    assert sum(r.n_merges for r in rows) > 0
+
+
+def test_bpe_encode_table_is_token_disjoint(spark):
+    """Recompute the kept merge table the way the builder does and assert
+    the property the whole design rests on: no token appears in two
+    rules (which is what makes application order-free)."""
+    from gpe.io import load_table
+    from gpe.text import _BPE_CAND, _BPE_TABLE
+
+    d = load_table(spark, SF_SMOKE, "documents").withColumn(
+        "toks", F.split("text", " ")
+    )
+    prs = d.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks)-2),"
+                " i -> struct(toks[i] AS a, toks[i+1] AS b))"
+            )
+        ).alias("p")
+    )
+    cnt = (
+        prs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    cand = sorted(cnt, key=lambda r: (-r.c, r.a, r.b))[:_BPE_CAND]
+    seen_tokens: set[str] = set()
+    kept = []
+    for r in cand:
+        # builder rule: conflict vs ALL higher-ranked CANDIDATES
+        if {r.a, r.b} & seen_tokens:
+            seen_tokens |= {r.a, r.b}
+            continue
+        kept.append((r.a, r.b))
+        seen_tokens |= {r.a, r.b}
+        if len(kept) == _BPE_TABLE:
+            break
+    # a == b within one rule is the only allowed repeat
+    flat = [t for a, b in kept for t in ({a} if a == b else {a, b})]
+    assert len(flat) == len(set(flat))
+    # and the declared rule count matches the builder's output
+    got = _Q["q_text_bpe_encode"](spark, SF_SMOKE).limit(1).collect()[0]
+    assert got.n_merge_rules == len(kept)
+
+
+def test_bpe_encode_fold_matches_python_reference(spark):
+    """Greedy L2R fold on a handful of real docs, re-run in plain Python
+    against the same merge table — the fold semantics pinned outside
+    both engines."""
+    from gpe.io import load_table
+
+    out = {
+        r.doc_id: r
+        for r in _Q["q_text_bpe_encode"](spark, SF_SMOKE)
+        .filter(F.col("doc_id") < 25)
+        .collect()
+    }
+    # rebuild the table from the builder's own n_merge_rules path: apply
+    # the encoder to one doc and invert is circular, so instead derive
+    # the table exactly as the previous test does
+    docs = (
+        load_table(spark, SF_SMOKE, "documents")
+        .filter(F.col("doc_id") < 25)
+        .select("doc_id", "text")
+        .collect()
+    )
+    from gpe.text import _BPE_CAND, _BPE_TABLE
+
+    d = load_table(spark, SF_SMOKE, "documents").withColumn(
+        "toks", F.split("text", " ")
+    )
+    prs = d.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks)-2),"
+                " i -> struct(toks[i] AS a, toks[i+1] AS b))"
+            )
+        ).alias("p")
+    )
+    cnt = (
+        prs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    cand = sorted(cnt, key=lambda r: (-r.c, r.a, r.b))[:_BPE_CAND]
+    seen: set[str] = set()
+    table: set[tuple[str, str]] = set()
+    for r in cand:
+        if not ({r.a, r.b} & seen) and len(table) < _BPE_TABLE:
+            table.add((r.a, r.b))
+        seen |= {r.a, r.b}
+    for doc in docs:
+        toks = doc.text.split(" ")
+        acc: list[str] = []
+        for t in toks:
+            if acc and (acc[-1], t) in table:
+                acc[-1] = acc[-1] + "_" + t
+            else:
+                acc.append(t)
+        r = out[doc.doc_id]
+        assert r.n_tokens_ws == len(toks)
+        assert r.n_tokens_bpe == len(acc), doc.doc_id
+        assert r.n_merges == len(toks) - len(acc)
+
+
+# ---------------------------------------------------------------- PII screen
+
+
+def test_pii_screen_per_source_structure(spark):
+    rows = {r.source: r for r in _Q["q_text_pii_screen"](spark, SF_SMOKE).collect()}
+    assert set(rows) == {"documents", "customer", "events"}
+    # documents are digit-free word soup; events props are {"k": 0..99}
+    # (too short for any class) — both sources must come back clean
+    for clean in ("documents", "events"):
+        r = rows[clean]
+        assert r.n_flagged == 0
+        assert r.hits_handle == r.hits_id == r.hits_money == 0
+        assert r.sample_redacted is None
+    # every customer row carries a Customer#<9 digits> handle (which is
+    # also a long-id hit) and a 2-decimal balance
+    c = rows["customer"]
+    assert c.n_flagged == c.n_rows > 0
+    assert c.hits_handle == c.n_rows
+    assert c.hits_id == c.n_rows
+    assert c.hits_money == c.n_rows
+    # redaction grammar: handle consumed first, then money
+    assert c.sample_redacted.startswith("<HANDLE> ")
+    assert "<NUM>" in c.sample_redacted
+    assert not any(ch.isdigit() for ch in c.sample_redacted)
+
+
+def test_pii_screen_sample_is_lowest_key(spark):
+    c = [
+        r
+        for r in _Q["q_text_pii_screen"](spark, SF_SMOKE).collect()
+        if r.source == "customer"
+    ][0]
+    from gpe.io import load_table
+
+    first = (
+        load_table(spark, SF_SMOKE, "customer")
+        .orderBy("c_custkey")
+        .limit(1)
+        .collect()[0]
+    )
+    assert c.sample_redacted == (
+        f"<HANDLE> {first.c_mktsegment} <NUM>"
+    )
+
+
+# ------------------------------------------------- cluster-balanced sampling
+
+
+def test_cluster_balanced_quota_and_two_stage_cut(spark):
+    from gpe.io import load_table
+    from gpe.vectors import _CB_QUOTA, _kmeans_assignments
+
+    out = _Q["q_sample_cluster_balanced"](spark, SF_SMOKE).collect()
+    per_cluster: dict[int, list] = {}
+    for r in out:
+        per_cluster.setdefault(r.cluster, []).append(r)
+    a = _kmeans_assignments(load_table(spark, SF_SMOKE, "embeddings"))
+    sizes = {r.cluster: r.n for r in a.groupBy("cluster").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(per_cluster) == set(sizes)  # every cluster represented
+    for cl, rows in per_cluster.items():
+        assert len(rows) == min(_CB_QUOTA, sizes[cl])
+        assert sorted(r.draw_rank for r in rows) == list(
+            range(1, len(rows) + 1)
+        )
+        assert all(r.cluster_n == sizes[cl] for r in rows)
+    # the salted two-stage cut must equal the direct single-window cut
+    h32 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit("cb:"), F.col("vec_id").cast("string")).cast(
+                    "binary"
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("cluster").orderBy("h32", "vec_id")
+    direct = (
+        a.withColumn("h32", h32)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _CB_QUOTA)
+        .collect()
+    )
+    assert sorted((r.cluster, r.rk, r.vec_id) for r in direct) == sorted(
+        (r.cluster, r.draw_rank, r.vec_id) for r in out
+    )
+
+
+def test_cluster_balanced_draw_key_is_the_md5_recipe(spark):
+    out = _Q["q_sample_cluster_balanced"](spark, SF_SMOKE).collect()
+    for r in out[:20]:
+        expect = int(
+            hashlib.md5(f"cb:{r.vec_id}".encode()).hexdigest()[:8], 16
+        )
+        assert r.h32 == expect
