@@ -289,6 +289,27 @@ class LakeAPI:
         Pareto shortlist."""
         return _relational.q_agg_skyline(self.spark, self.sf_dir)
 
+    def tokenize_corpus(self) -> DataFrame:
+        """GET /corpus/tokenize — per-doc BPE-table encode report
+        (token counts + compression vs whitespace)."""
+        from gpe import text as _text
+
+        return _text.q_text_bpe_encode(self.spark, self.sf_dir)
+
+    def pii_screen(self) -> DataFrame:
+        """GET /corpus/pii-screen — per-source regex screen (hits per
+        pattern class + redacted sample) over the mixed corpus."""
+        from gpe import text as _text
+
+        return _text.q_text_pii_screen(self.spark, self.sf_dir)
+
+    def diversity_sample(self) -> DataFrame:
+        """GET /datasets/embeddings/sample?balanced=clusters — the
+        cluster-balanced quota sample."""
+        from gpe import vectors as _vectors
+
+        return _vectors.q_sample_cluster_balanced(self.spark, self.sf_dir)
+
     # ---- reporting endpoints -----------------------------------------
 
     def top_orders_page(self, page: int = 0, size: int = 50) -> DataFrame:

@@ -234,6 +234,26 @@ def readability_stream(stream: DataFrame) -> DataFrame:
     return readability_frame(stream)
 
 
+def pii_scan_stream(stream: DataFrame) -> DataFrame:
+    """Streaming twin of q_text_pii_screen's documents leg: the regex
+    screen is pure map-side scalar work per doc
+    (gpe.text.pii_scan_frame), so it streams statelessly at ingest rate
+    — the release-audit shape where every arriving crawl shard is
+    screened BEFORE it lands in the corpus, and the per-source rollup
+    (gpe.text.pii_rollup) runs sink-side exactly like the batch
+    aggregate. Equality asserted in
+    tests/test_streaming_equivalence.py."""
+    from gpe.text import pii_scan_frame
+
+    return pii_scan_frame(
+        stream.select(
+            F.lit("documents").alias("source"),
+            F.col("doc_id").alias("rec_id"),
+            F.col("text").alias("txt"),
+        )
+    )
+
+
 def calendar_cells_stream(stream: DataFrame) -> DataFrame:
     """Streaming half of q_ts_calendar_profile: the (ISO weekday, hour)
     bucket is map-side, the cell counts/value sums are a streaming

@@ -978,6 +978,15 @@ def q_text_pii_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("props").alias("txt"),
     )
     u = docs.unionByName(cust).unionByName(ev)
+    return pii_rollup(pii_scan_frame(u))
+
+
+def pii_scan_frame(u: DataFrame) -> DataFrame:
+    """Per-record screening half of q_text_pii_screen — pure map-side
+    regex over a (source, rec_id, txt) frame, so the SAME expression
+    tree runs unmodified on a document stream
+    (gpe.streaming.pii_scan_stream); equality asserted in
+    tests/test_streaming_equivalence.py."""
 
     def hits(p: str):
         return F.size(F.regexp_extract_all("txt", F.lit(p), F.lit(0)))
@@ -991,7 +1000,7 @@ def q_text_pii_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         _PII_MONEY,
         "<NUM>",
     )
-    scanned = u.select(
+    return u.select(
         "source",
         "rec_id",
         hits(_PII_HANDLE).alias("h_handle"),
@@ -1002,6 +1011,11 @@ def q_text_pii_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "flagged",
         (F.col("h_handle") + F.col("h_id") + F.col("h_money")) > 0,
     )
+
+
+def pii_rollup(scanned: DataFrame) -> DataFrame:
+    """Per-source aggregation half of q_text_pii_screen (shared with the
+    streaming twin's sink-side rollup)."""
     return scanned.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum(F.col("flagged").cast("int")).cast("long").alias("n_flagged"),

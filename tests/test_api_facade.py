@@ -271,6 +271,21 @@ def test_drift_report_appends_ks_row(api):
     )
 
 
+def test_r10_endpoints_delegate_to_declared_operators(api, spark):
+    import __spark_entry__ as spec
+
+    qs = spec.queries()
+    pairs = [
+        (api.tokenize_corpus(), "q_text_bpe_encode"),
+        (api.pii_screen(), "q_text_pii_screen"),
+        (api.diversity_sample(), "q_sample_cluster_balanced"),
+    ]
+    for got_df, key in pairs:
+        got = sorted(map(tuple, got_df.collect()))
+        want = sorted(map(tuple, qs[key](spark, api.sf_dir).collect()))
+        assert got == want and len(got) > 0, key
+
+
 def test_late_r9_endpoints_delegate_to_declared_operators(api, spark):
     import __spark_entry__ as spec
 

@@ -407,6 +407,38 @@ def test_streaming_quality_scores_equal_batch(spark):
         q.stop()
 
 
+def test_streaming_pii_screen_equals_batch(spark):
+    """Stateless per-doc screen on the stream + sink-side pii_rollup must
+    equal the batch operator's documents row exactly (the clean-source
+    zero counts and NULL sample included)."""
+    from gpe import text
+
+    doc_stream = streaming.stream_documents(spark, SF)
+    q = streaming.run_to_memory(
+        streaming.pii_scan_stream(doc_stream), "t_pii_scan", "append"
+    )
+    try:
+        cols = [
+            "source",
+            "n_rows",
+            "n_flagged",
+            "hits_handle",
+            "hits_id",
+            "hits_money",
+            "sample_redacted",
+        ]
+        got = _rows(text.pii_rollup(spark.table("t_pii_scan")), cols)
+        want = _rows(
+            text.q_text_pii_screen(spark, SF).filter(
+                F.col("source") == "documents"
+            ),
+            cols,
+        )
+        assert got == want and len(got) == 1
+    finally:
+        q.stop()
+
+
 def test_streaming_repetition_filter_equals_batch(spark):
     from gpe import text
 
