@@ -310,6 +310,24 @@ class LakeAPI:
 
         return _vectors.q_sample_cluster_balanced(self.spark, self.sf_dir)
 
+    def embedding_truncation_audit(self) -> DataFrame:
+        """GET /datasets/embeddings/truncation-audit — matryoshka
+        prefix-dim recall@5 vs the full-dim exact top-5."""
+        from gpe import vectors as _vectors
+
+        return _vectors.q_vec_matryoshka_recall(self.spark, self.sf_dir)
+
+    def corpus_zipf(self) -> DataFrame:
+        """GET /corpus/zipf — head-term power-law fit (slope, r²)."""
+        from gpe import text as _text
+
+        return _text.q_text_zipf_fit(self.spark, self.sf_dir)
+
+    def robust_order_stats(self) -> DataFrame:
+        """GET /reports/order-value-robust — winsorized/trimmed means
+        per priority."""
+        return _relational.q_agg_winsorized(self.spark, self.sf_dir)
+
     # ---- reporting endpoints -----------------------------------------
 
     def top_orders_page(self, page: int = 0, size: int = 50) -> DataFrame:

@@ -1208,6 +1208,92 @@ def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized + trimmed mean of order value per priority (5%/95%
+    discrete percentiles): the robust-location pair every metrics
+    platform publishes next to the raw mean, since a handful of whale
+    orders can move the plain average by percents. p05/p95 are
+    percentile_disc (smallest value whose cumulative count reaches
+    ceil(q·n)); winsorizing CLAMPS to the fences, trimming DROPS
+    outside them.
+
+    Determinism: everything is exact integer cents — the cumulative
+    cut, both fences, the clamped/trimmed sums (decimal(38,0);
+    HUGEINT oracle-side), and the means are exact integer DIV at e6
+    fixed point. No float enters until the final display divisions.
+
+    Scale notes (100 TB): groupBy (priority, cents) with map-side
+    partials collapses the scan to distinct values per group; both
+    cumulative windows run over that aggregate output
+    (window-audit-bounded); the fences broadcast back onto the same
+    aggregate, never onto raw rows. The two-pass shape of
+    q_agg_percentiles applies unchanged if distinct values per group
+    outgrow a partition."""
+    o = load_table(spark, sf_dir, "orders")
+    pv = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("v_cents"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = (
+        Window.partitionBy("priority")
+        .orderBy("v_cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_g = Window.partitionBy("priority")
+    cum = pv.select(
+        "priority",
+        "v_cents",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_g).alias("n"),
+    )
+    qs = cum.groupBy("priority", "n").agg(
+        F.min(
+            F.when(F.col("cum") >= F.expr("(n + 19) DIV 20"), F.col("v_cents"))
+        ).alias("p05_c"),
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr("(19 * n + 19) DIV 20"),
+                F.col("v_cents"),
+            )
+        ).alias("p95_c"),
+    )
+
+    def d38(col):
+        return col.cast("decimal(38,0)")
+
+    inside = (F.col("v_cents") >= F.col("p05_c")) & (
+        F.col("v_cents") <= F.col("p95_c")
+    )
+    clamp = F.greatest(F.least(F.col("v_cents"), F.col("p95_c")), F.col("p05_c"))
+    agg = (
+        pv.join(F.broadcast(qs), "priority")
+        .groupBy("priority", "n", "p05_c", "p95_c")
+        .agg(
+            F.sum(d38(clamp) * d38(F.col("cnt"))).alias("sw"),
+            F.sum(
+                F.when(inside, d38(F.col("v_cents")) * d38(F.col("cnt")))
+            ).alias("st"),
+            F.sum(F.when(inside, F.col("cnt"))).cast("long").alias("n_kept"),
+        )
+    )
+    return agg.select(
+        "priority",
+        F.col("n").cast("long").alias("n_orders"),
+        (F.col("p05_c") / F.lit(100.0)).alias("p05"),
+        (F.col("p95_c") / F.lit(100.0)).alias("p95"),
+        (F.expr("(sw * 10000) DIV n") / F.lit(1_000_000.0)).alias(
+            "mean_winsor"
+        ),
+        (F.expr("(st * 10000) DIV n_kept") / F.lit(1_000_000.0)).alias(
+            "mean_trimmed"
+        ),
+        "n_kept",
+    )
+
+
 def q_agg_iqr_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust-statistics outlier screen: per order status, the exact
     interquartile range and the Tukey-fence outlier counts
@@ -2406,6 +2492,7 @@ QUERIES = {
     "q_agg_listagg": q_agg_listagg,
     "q_agg_percentiles": q_agg_percentiles,
     "q_agg_iqr_fences": q_agg_iqr_fences,
+    "q_agg_winsorized": q_agg_winsorized,
     "q_agg_ttest_welch": q_agg_ttest_welch,
     "q_agg_mad": q_agg_mad,
     "q_agg_skew_kurtosis": q_agg_skew_kurtosis,
@@ -2941,6 +3028,47 @@ ORACLES = {
                {sql_fround('MAX(med)', 'median_price', 2)},
                {sql_fround('quantile_cont(ad, 0.5)', 'mad', 2)}
         FROM d GROUP BY o_orderstatus""",
+    # identical cents fixed point, percentile_disc cumulative cut,
+    # HUGEINT clamp/trim sums, and exact integer-DIV e6 means
+    "q_agg_winsorized": """
+        WITH pv AS (
+          SELECT o_orderpriority AS priority,
+                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                      AS BIGINT) AS v_cents,
+                 COUNT(*) AS cnt
+          FROM orders GROUP BY 1, 2),
+        cum AS (
+          SELECT priority, v_cents, cnt,
+                 SUM(cnt) OVER (PARTITION BY priority ORDER BY v_cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum,
+                 SUM(cnt) OVER (PARTITION BY priority) AS n
+          FROM pv),
+        qs AS (
+          SELECT priority, n,
+                 MIN(CASE WHEN cum >= (n + 19) // 20
+                          THEN v_cents END) AS p05_c,
+                 MIN(CASE WHEN cum >= (19 * n + 19) // 20
+                          THEN v_cents END) AS p95_c
+          FROM cum GROUP BY 1, 2),
+        agg AS (
+          SELECT pv.priority, qs.n, qs.p05_c, qs.p95_c,
+                 SUM(CAST(GREATEST(LEAST(v_cents, p95_c), p05_c)
+                          AS HUGEINT) * cnt) AS sw,
+                 SUM(CASE WHEN v_cents BETWEEN p05_c AND p95_c
+                          THEN CAST(v_cents AS HUGEINT) * cnt END) AS st,
+                 CAST(SUM(CASE WHEN v_cents BETWEEN p05_c AND p95_c
+                          THEN cnt END) AS BIGINT) AS n_kept
+          FROM pv JOIN qs ON pv.priority = qs.priority
+          GROUP BY 1, 2, 3, 4)
+        SELECT priority, CAST(n AS BIGINT) AS n_orders,
+               p05_c / 100.0 AS p05, p95_c / 100.0 AS p95,
+               CAST((sw * 10000) // CAST(n AS HUGEINT) AS BIGINT)
+                 / 1000000.0 AS mean_winsor,
+               CAST((st * 10000) // CAST(n_kept AS HUGEINT) AS BIGINT)
+                 / 1000000.0 AS mean_trimmed,
+               n_kept
+        FROM agg""",
     "q_agg_iqr_fences": f"""
         WITH s AS (
           SELECT o_orderstatus,

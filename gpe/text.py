@@ -1028,6 +1028,89 @@ def pii_rollup(scanned: DataFrame) -> DataFrame:
     )
 
 
+_ZIPF_TOP = 100  # head terms the power-law fit runs over
+
+
+def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law fit over the corpus head: OLS of ln(freq) on
+    ln(rank) for the top-100 terms (slope ≈ −1 on natural language —
+    Zipf 1949; a flat slope flags templated/synthetic text, a cliff
+    flags boilerplate) with the fit quality r². The corpus-health
+    one-liner a curation dashboard tracks per source/snapshot.
+
+    Determinism: ranks and counts are exact; each ln is e6-floored+EPS
+    into a LONG (the libm discipline — ln is not correctly-rounded, the
+    fixed point is); all OLS moments are exact decimal(38,0) integers
+    (HUGEINT oracle-side), and the only doubles are identical
+    final-division chains on identical integers.
+
+    Scale notes (100 TB): one token-count shuffle with map-side partials
+    (vocab-bounded output); the rank window and the 100-row OLS
+    aggregate run on that aggregate's output (window-audit-bounded).
+    Per-source fits = add the source key to every stage."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("w"))
+    cnt = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    w_rk = Window.orderBy(F.desc("c"), "w")
+    top = cnt.withColumn("rank", F.row_number().over(w_rk)).filter(
+        F.col("rank") <= _ZIPF_TOP
+    )
+    pts = top.select(
+        F.floor(
+            F.log(F.col("rank").cast("double")) * F.lit(1_000_000)
+            + F.lit(EPS)
+        )
+        .cast("long")
+        .alias("x"),
+        F.floor(
+            F.log(F.col("c").cast("double")) * F.lit(1_000_000) + F.lit(EPS)
+        )
+        .cast("long")
+        .alias("y"),
+    )
+
+    def d38(col):
+        return col.cast("decimal(38,0)")
+
+    agg = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(d38(F.col("x")) * d38(F.col("x")))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum(d38(F.col("y")) * d38(F.col("y")))
+        .cast("decimal(38,0)")
+        .alias("syy"),
+        F.sum(d38(F.col("x")) * d38(F.col("y")))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+    )
+    dx = d38(F.col("n")) * F.col("sxx") - d38(F.col("sx")) * d38(F.col("sx"))
+    dy = d38(F.col("n")) * F.col("syy") - d38(F.col("sy")) * d38(F.col("sy"))
+    dxy = d38(F.col("n")) * F.col("sxy") - d38(F.col("sx")) * d38(F.col("sy"))
+    slope = dxy.cast("double") / dx.cast("double")
+    intercept = (
+        (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+        / F.col("n")
+        / F.lit(1_000_000.0)
+    )
+    r2 = (dxy * dxy).cast("double") / (dx * dy).cast("double")
+    zero = F.lit(0).cast("decimal(38,0)")
+    return agg.select(
+        F.col("n").alias("n_terms"),
+        F.when(dx != zero, F.round(slope + F.lit(EPS), 6)).alias(
+            "zipf_slope"
+        ),
+        F.when(dx != zero, F.round(intercept + F.lit(EPS), 6)).alias(
+            "ln_intercept"
+        ),
+        F.when(
+            (dx != zero) & (dy != zero), F.round(r2 + F.lit(EPS), 6)
+        ).alias("r2"),
+    )
+
+
 _BM25_TERMS = ("spark", "table", "query")
 _BM25_K1_NUM = 22  # k1 = 1.2 -> (k1+1) = 2.2 = 22/10
 # score denominators are multiplied through by 10*T so every intermediate
@@ -1432,6 +1515,7 @@ QUERIES = {
     "q_text_bpe_merge_step": q_text_bpe_merge_step,
     "q_text_bpe_encode": q_text_bpe_encode,
     "q_text_pii_screen": q_text_pii_screen,
+    "q_text_zipf_fit": q_text_zipf_fit,
     "q_text_repetition": q_text_repetition,
     "q_text_cooccurrence_pmi": q_text_cooccurrence_pmi,
     "q_text_vocab_coverage": q_text_vocab_coverage,
@@ -1599,6 +1683,49 @@ ORACLES = {
         FROM sc
         ORDER BY score_e6 DESC, doc_id
         LIMIT 20""",
+    # identical e6-floored ln fixed points, exact HUGEINT OLS moments,
+    # and the same final-division double chains
+    "q_text_zipf_fit": f"""
+        WITH tok AS (
+          SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        cnt AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY 1),
+        top AS (
+          SELECT w, c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rank
+          FROM cnt QUALIFY rank <= {_ZIPF_TOP}),
+        pts AS (
+          SELECT CAST(FLOOR(ln(rank) * 1000000 + 1e-9) AS BIGINT) AS x,
+                 CAST(FLOOR(ln(c) * 1000000 + 1e-9) AS BIGINT) AS y
+          FROM top),
+        a AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+                 SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy,
+                 SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+          FROM pts),
+        v AS (
+          SELECT n, sx, sy,
+                 CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT)
+                   - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS dx,
+                 CAST(n AS HUGEINT) * CAST(syy AS HUGEINT)
+                   - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT) AS dy,
+                 CAST(n AS HUGEINT) * CAST(sxy AS HUGEINT)
+                   - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS dxy
+          FROM a)
+        SELECT n AS n_terms,
+               CASE WHEN dx <> 0 THEN
+                 ROUND(CAST(dxy AS DOUBLE) / CAST(dx AS DOUBLE)
+                       + 1e-9, 6) END AS zipf_slope,
+               CASE WHEN dx <> 0 THEN
+                 ROUND((CAST(sy AS DOUBLE)
+                        - CAST(dxy AS DOUBLE) / CAST(dx AS DOUBLE)
+                          * CAST(sx AS DOUBLE))
+                       / n / 1000000.0 + 1e-9, 6) END AS ln_intercept,
+               CASE WHEN dx <> 0 AND dy <> 0 THEN
+                 ROUND(CAST(dxy * dxy AS DOUBLE)
+                       / CAST(dx * dy AS DOUBLE) + 1e-9, 6) END AS r2
+        FROM v""",
     # identical union legs, per-class RE2∩Java regex counts on raw text,
     # chained g-flag redaction, and the struct-MIN flagged sample
     "q_text_pii_screen": f"""

@@ -682,6 +682,89 @@ def _pq_cand_body(emb: DataFrame, cdims: DataFrame) -> DataFrame:
     )
 
 
+_MRL_DIMS = (16, 32)  # matryoshka prefix lengths audited against full-64
+
+
+def q_vec_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka/prefix-embedding audit (Kusupati et al. 2022, arXiv
+    2205.13147): recall@5 of top-k search run on only the FIRST 16 and
+    first 32 of the 64 embedding components, against the exact full-dim
+    top-5 — the measurement that decides whether a store can serve
+    truncated vectors (4×/2× memory and bandwidth savings) without
+    re-embedding. One row per (prefix_dim, query).
+
+    Determinism: all three dots (full, 16, 32) are exact-decimal folds;
+    every top-5 cut is a (dot DESC, neighbor_id ASC) total order; hits
+    are integer counts and recall = n_hits/5.0 is a small-int division
+    both engines round identically.
+
+    Scale notes (100 TB): ONE broadcast-query corpus scan computes all
+    three dots per pair (the prefix dots are slices of the same arrays —
+    no second scan, no explode); the pair frame (queries × corpus, 3
+    decimal columns) is persisted once and feeds the three rank windows,
+    each partitioned by query_id. At billion-vector scale the corpus
+    side partitions by IVF cell exactly like q_vec_ann_ivf; the audit
+    stays sampled-query shaped."""
+    from pyspark.sql import Window
+
+    from gpe.common import persist_tracked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    pairs = persist_tracked(
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _dot_dec("q_emb", "embedding").alias("dot_full"),
+            *[
+                _dot_dec(
+                    F.slice("q_emb", 1, d), F.slice("embedding", 1, d)
+                ).alias(f"dot_{d}")
+                for d in _MRL_DIMS
+            ],
+        )
+    )
+
+    def topk(col: str) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc(col), F.asc("neighbor_id")
+        )
+        return (
+            pairs.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= _TOP_K)
+            .select("query_id", "neighbor_id")
+        )
+
+    full = topk("dot_full").withColumn("in_full", F.lit(1))
+    legs = []
+    for d in _MRL_DIMS:
+        legs.append(
+            topk(f"dot_{d}")
+            .join(full, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(
+                F.sum(F.coalesce(F.col("in_full"), F.lit(0)))
+                .cast("long")
+                .alias("n_hits")
+            )
+            .select(
+                F.lit(d).cast("int").alias("prefix_dim"),
+                "query_id",
+                "n_hits",
+                (F.col("n_hits") / F.lit(float(_TOP_K))).alias("recall"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
 def q_vec_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of every ANN variant (IVF / LSH / PQ) against the exact
     brute-force top-5 (VERDICT r3 #6) — the ANN quality metric as a
@@ -1229,6 +1312,7 @@ QUERIES = {
     "q_vec_pca_power": q_vec_pca_power,
     "q_vec_kmeans_step": q_vec_kmeans_step,
     "q_sample_cluster_balanced": q_sample_cluster_balanced,
+    "q_vec_matryoshka_recall": q_vec_matryoshka_recall,
     "q_vec_outliers": q_vec_outliers,
     "q_vec_range_search": q_vec_range_search,
     "q_vec_pairs_threshold": q_vec_pairs_threshold,
@@ -1330,6 +1414,62 @@ ORACLES = {
         SELECT label AS old_label, clabel AS new_label,
                CAST(COUNT(*) AS BIGINT) AS n_vecs
         FROM best WHERE rn = 1 GROUP BY 1, 2""",
+    # one positional join computes all three dots (prefix dots via
+    # FILTER on the 1-based pos — Spark slices the same 1..d prefix);
+    # identical total-order top-5 cuts and small-int recall division
+    "q_vec_matryoshka_recall": f"""
+        WITH ex AS ({_SQL_EXPLODED}),
+        d AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 {_SQL_DOT.format(a='q', b='c')} AS dot_full,
+                 SUM(CAST(q.x AS DECIMAL(12,10))
+                     * CAST(c.x AS DECIMAL(12,10)))
+                   FILTER (q.pos <= {_MRL_DIMS[0]}) AS dot_16,
+                 SUM(CAST(q.x AS DECIMAL(12,10))
+                     * CAST(c.x AS DECIMAL(12,10)))
+                   FILTER (q.pos <= {_MRL_DIMS[1]}) AS dot_32
+          FROM ex q JOIN ex c
+            ON q.pos = c.pos AND q.vec_id <> c.vec_id
+          WHERE q.vec_id < {_N_QUERIES}
+          GROUP BY 1, 2),
+        fulltop AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY dot_full DESC, neighbor_id) AS rk
+            FROM d) WHERE rk <= {_TOP_K}),
+        t16 AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY dot_16 DESC, neighbor_id) AS rk
+            FROM d) WHERE rk <= {_TOP_K}),
+        t32 AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY dot_32 DESC, neighbor_id) AS rk
+            FROM d) WHERE rk <= {_TOP_K}),
+        legs AS (
+          SELECT CAST({_MRL_DIMS[0]} AS INTEGER) AS prefix_dim,
+                 t.query_id,
+                 CAST(SUM(CASE WHEN f.neighbor_id IS NOT NULL
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+          FROM t16 t LEFT JOIN fulltop f
+            ON t.query_id = f.query_id
+               AND t.neighbor_id = f.neighbor_id
+          GROUP BY 2
+          UNION ALL
+          SELECT CAST({_MRL_DIMS[1]} AS INTEGER), t.query_id,
+                 CAST(SUM(CASE WHEN f.neighbor_id IS NOT NULL
+                          THEN 1 ELSE 0 END) AS BIGINT)
+          FROM t32 t LEFT JOIN fulltop f
+            ON t.query_id = f.query_id
+               AND t.neighbor_id = f.neighbor_id
+          GROUP BY 2)
+        SELECT prefix_dim, query_id, n_hits,
+               n_hits / {float(_TOP_K)} AS recall
+        FROM legs""",
     # same assignment CTE chain (shared _SQL_KMEANS_BEST), the
     # q_sample_weighted md5-prefix draw key salted 'cb:', and one
     # per-cluster rank — the builder's two-stage cut selects the

@@ -279,6 +279,9 @@ def test_r10_endpoints_delegate_to_declared_operators(api, spark):
         (api.tokenize_corpus(), "q_text_bpe_encode"),
         (api.pii_screen(), "q_text_pii_screen"),
         (api.diversity_sample(), "q_sample_cluster_balanced"),
+        (api.embedding_truncation_audit(), "q_vec_matryoshka_recall"),
+        (api.corpus_zipf(), "q_text_zipf_fit"),
+        (api.robust_order_stats(), "q_agg_winsorized"),
     ]
     for got_df, key in pairs:
         got = sorted(map(tuple, got_df.collect()))

@@ -236,3 +236,115 @@ def test_cluster_balanced_draw_key_is_the_md5_recipe(spark):
             hashlib.md5(f"cb:{r.vec_id}".encode()).hexdigest()[:8], 16
         )
         assert r.h32 == expect
+
+
+# ----------------------------------------------------- matryoshka recall
+
+
+def test_matryoshka_recall_matches_numpy_reference(spark):
+    """Recompute both prefix recalls in numpy float64 from the raw
+    embeddings (fixture dots are well-separated, so float64 ranking ==
+    exact-decimal ranking) — pins the semantics outside both engines."""
+    import numpy as np
+
+    from gpe.io import load_table
+
+    emb = sorted(
+        load_table(spark, SF_SMOKE, "embeddings").collect(),
+        key=lambda r: r.vec_id,
+    )
+    ids = np.array([r.vec_id for r in emb])
+    mat = np.array([list(r.embedding) for r in emb], dtype=np.float64)
+
+    def topk(qrow, dims):
+        dots = mat[:, :dims] @ mat[qrow, :dims]
+        order = sorted(
+            (i for i in range(len(ids)) if i != qrow),
+            key=lambda i: (-dots[i], ids[i]),
+        )
+        return {int(ids[i]) for i in order[:5]}
+
+    got = {
+        (r.prefix_dim, r.query_id): (r.n_hits, r.recall)
+        for r in _Q["q_vec_matryoshka_recall"](spark, SF_SMOKE).collect()
+    }
+    assert len(got) == 20
+    for qrow in range(10):
+        full = topk(qrow, 64)
+        for d in (16, 32):
+            hits = len(topk(qrow, d) & full)
+            n_hits, recall = got[(d, int(ids[qrow]))]
+            assert n_hits == hits, (d, qrow)
+            assert recall == hits / 5.0
+
+
+# ------------------------------------------------------------- zipf fit
+
+
+def test_zipf_fit_matches_python_ols(spark):
+    import math
+    from collections import Counter
+
+    from gpe.io import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("text").collect()
+    cnt = Counter()
+    for r in docs:
+        cnt.update(r.text.split(" "))
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    xs = [
+        math.floor(math.log(rk + 1) * 1_000_000 + 1e-9)
+        for rk in range(len(top))
+    ]
+    ys = [math.floor(math.log(c) * 1_000_000 + 1e-9) for _, c in top]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    dx, dy, dxy = n * sxx - sx * sx, n * syy - sy * sy, n * sxy - sx * sy
+    slope = dxy / dx
+    intercept = (sy - slope * sx) / n / 1_000_000.0
+    r2 = (dxy * dxy) / (dx * dy)
+    row = _Q["q_text_zipf_fit"](spark, SF_SMOKE).collect()[0]
+    assert row.n_terms == n
+    assert abs(row.zipf_slope - slope) < 2e-6
+    assert abs(row.ln_intercept - intercept) < 2e-6
+    assert abs(row.r2 - r2) < 2e-6
+    # natural-language-soup fixture: decreasing head, negative slope
+    assert row.zipf_slope < 0 and 0 < row.r2 <= 1
+
+
+# ---------------------------------------------------------- winsorized
+
+
+def test_winsorized_matches_python_reference(spark):
+    from gpe.io import load_table
+
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    ).collect()
+    by_grp: dict[str, list[int]] = {}
+    for r in orders:
+        cents = int(round(r.o_totalprice * 100))
+        by_grp.setdefault(r.o_orderpriority, []).append(cents)
+    got = {
+        r.priority: r
+        for r in _Q["q_agg_winsorized"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(by_grp)
+    for grp, vals in by_grp.items():
+        vals.sort()
+        n = len(vals)
+        klo, khi = -(-n * 1 // 20), -(-n * 19 // 20)  # ceil(q*n)
+        p05, p95 = vals[klo - 1], vals[khi - 1]
+        r = got[grp]
+        assert r.n_orders == n
+        assert r.p05 == p05 / 100.0 and r.p95 == p95 / 100.0
+        wins = [min(max(v, p05), p95) for v in vals]
+        trim = [v for v in vals if p05 <= v <= p95]
+        assert r.mean_winsor == (sum(wins) * 10000 // n) / 1_000_000.0
+        assert r.mean_trimmed == (
+            sum(trim) * 10000 // len(trim)
+        ) / 1_000_000.0
+        assert r.n_kept == len(trim)
