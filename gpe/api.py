@@ -310,6 +310,13 @@ class LakeAPI:
 
         return _vectors.q_sample_cluster_balanced(self.spark, self.sf_dir)
 
+    def media_near_duplicates(self) -> DataFrame:
+        """GET /media/near-duplicates — banded perceptual-hash pairs
+        within Hamming 12."""
+        from gpe import multimodal as _multimodal
+
+        return _multimodal.q_multimodal_phash(self.spark, self.sf_dir)
+
     def embedding_truncation_audit(self) -> DataFrame:
         """GET /datasets/embeddings/truncation-audit — matryoshka
         prefix-dim recall@5 vs the full-dim exact top-5."""

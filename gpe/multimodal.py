@@ -272,6 +272,142 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DEDUP_BLOCK = 256  # fixed-size dedup block (bytes)
 
 
+_PHASH_MIN_BYTES = 64  # payloads shorter than one bit per segment skip
+_PHASH_BANDS = 4  # 64-bit signature banded 4 × 16 bits
+_PHASH_MAX_HAMMING = 12
+
+
+def _phash_bands(media: DataFrame) -> DataFrame:
+    """Block-mean perceptual-hash signature over the opaque payload
+    (aHash family: Zauner 2010 'Implementation and Benchmarking of
+    Perceptual Image Hash Functions'): split the payload into 64
+    equal segments (byte p → segment (p·64) DIV n — every segment
+    nonempty at n ≥ 64), set bit i iff segment i's mean byte EXCEEDS
+    the payload mean (decided by the exact integer cross-multiply
+    seg_sum·n > total·seg_len), and emit the signature as FOUR 16-bit
+    band integers (bit k of band j has weight 2^(15−k)) — the
+    sign-safe layout for banding and XOR. Runs in mapInPandas like
+    every decode-side step in this module: Arrow batches in, one
+    signature row out, partition-preserving, so the 'decode' cost
+    parallelizes with the scan. A real image pHash (DCT of pixels)
+    swaps only the Python body; the banding plan is unchanged."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict = {
+                "media_id": [], "n_bytes": [],
+                "b0": [], "b1": [], "b2": [], "b3": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                n = len(b)
+                if n < _PHASH_MIN_BYTES:
+                    continue
+                tot = sum(b)
+                seg_sum = [0] * 64
+                seg_len = [0] * 64
+                for p, bv in enumerate(b):
+                    i = p * 64 // n
+                    seg_sum[i] += bv
+                    seg_len[i] += 1
+                bits = [
+                    1 if seg_sum[i] * n > tot * seg_len[i] else 0
+                    for i in range(64)
+                ]
+                bands = []
+                for j in range(_PHASH_BANDS):
+                    v = 0
+                    for k in range(16):
+                        v = v * 2 + bits[j * 16 + k]
+                    bands.append(v)
+                out["media_id"].append(mid)
+                out["n_bytes"].append(n)
+                for j in range(_PHASH_BANDS):
+                    out[f"b{j}"].append(bands[j])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        batches,
+        "media_id long, n_bytes long, b0 int, b1 int, b2 int, b3 int",
+    )
+
+
+def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate pairs over the binary payloads:
+    block-mean 64-bit signatures (_phash_bands), LSH-banded candidate
+    generation (two media are candidates iff they agree EXACTLY on at
+    least one of the four 16-bit bands), and an exact popcount Hamming
+    verify at ≤ 12. Pigeonhole makes recall PERFECT for pairs within
+    Hamming 3 (4 bands, so ≤3 differing bits leave some band clean);
+    pairs at 4-12 are found iff their differences cluster away from one
+    band — the standard banded-LSH recall trade-off
+    (q_dedup_minhash_lsh's), tuned toward precision here because
+    signature bits of byte-mean profiles are heavily correlated across
+    media; more/narrower bands buys recall at candidate-volume cost.
+    The near-dup complement to q_multimodal_dedup's exact block
+    matching — what catches re-encoded/slightly-edited media that
+    shares no exact block.
+
+    Determinism: signatures, band joins, and popcounts are all exact
+    integers; no float exists anywhere in this operator.
+
+    Scale notes (100 TB): signatures are one mapInPandas pass over the
+    payload scan (64 ints per medium — the only thing that ever
+    shuffles; payloads never leave their scan); candidates come from
+    4 equality-joins on (band, value) with map-side partials — never
+    all-pairs — and the verify runs on the banded candidate set only
+    (the q_dedup_minhash_lsh shape on bit signatures)."""
+    d = load_table(spark, sf_dir, "documents")
+    from gpe.common import persist_tracked
+
+    sig = persist_tracked(_phash_bands(attach_payload(d)))
+    long_form = sig.select(
+        "media_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"), F.col(f"b{j}").alias("v")
+                    )
+                    for j in range(_PHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("media_id", F.col("band.j").alias("j"), F.col("band.v").alias("v"))
+    cand = (
+        long_form.alias("x")
+        .join(
+            long_form.alias("y"),
+            (F.col("x.j") == F.col("y.j"))
+            & (F.col("x.v") == F.col("y.v"))
+            & (F.col("x.media_id") < F.col("y.media_id")),
+        )
+        .select(
+            F.col("x.media_id").alias("media_a"),
+            F.col("y.media_id").alias("media_b"),
+        )
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("media_id").alias("media_a"),
+        *[F.col(f"b{j}").alias(f"a{j}") for j in range(_PHASH_BANDS)],
+    )
+    sb = sig.select(
+        F.col("media_id").alias("media_b"),
+        *[F.col(f"b{j}").alias(f"bb{j}") for j in range(_PHASH_BANDS)],
+    )
+    hamming = sum(
+        F.expr(f"bit_count(a{j} ^ bb{j})") for j in range(_PHASH_BANDS)
+    )
+    return (
+        cand.join(sa, "media_a")
+        .join(sb, "media_b")
+        .withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= _PHASH_MAX_HAMMING)
+        .select("media_a", "media_b", "hamming")
+    )
+
+
 def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declared query: BLOCK-level storage dedup over the opaque BINARY
     payloads — split every payload into fixed 256-byte blocks, sha2-256
@@ -326,6 +462,7 @@ def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "q_multimodal_phash": q_multimodal_phash,
     "q_multimodal_dedup": q_multimodal_dedup,
     "q_multimodal_features": q_multimodal_features,
     "q_multimodal_frames": q_multimodal_frames,
@@ -334,6 +471,63 @@ QUERIES = {
 }
 
 ORACLES = {
+    # same forward segmentation (byte p -> segment (p*64) DIV n), exact
+    # cross-multiply bit rule, 2^(15-k) band weights, band-equality
+    # candidates, and popcount verify — ord over the ASCII corpus
+    # (byte == codepoint, the q_multimodal_resize precedent)
+    "q_multimodal_phash": f"""
+        WITH m AS (
+          SELECT doc_id AS media_id, text,
+                 CAST(octet_length(encode(text)) AS BIGINT) AS n
+          FROM documents
+          WHERE octet_length(encode(text)) >= {_PHASH_MIN_BYTES}),
+        p AS (
+          SELECT media_id, n, text,
+                 unnest(generate_series(0, CAST(n - 1 AS INTEGER)))
+                   AS p0
+          FROM m),
+        byv AS (
+          SELECT media_id, n, (p0 * 64) // n AS i,
+                 ord(substr(text, CAST(p0 + 1 AS INTEGER), 1)) AS bv
+          FROM p),
+        seg AS (
+          SELECT media_id, n, i, SUM(bv) AS s, COUNT(*) AS c
+          FROM byv GROUP BY 1, 2, 3),
+        tot AS (SELECT media_id, SUM(bv) AS t FROM byv GROUP BY 1),
+        bits AS (
+          SELECT seg.media_id, seg.i,
+                 CASE WHEN seg.s * seg.n > tot.t * seg.c
+                      THEN 1 ELSE 0 END AS bit
+          FROM seg JOIN tot ON seg.media_id = tot.media_id),
+        bandl AS (
+          SELECT media_id, CAST(i // 16 AS INTEGER) AS j,
+                 CAST(SUM(bit * (1 << CAST(15 - (i % 16) AS INTEGER)))
+                      AS INTEGER) AS v
+          FROM bits GROUP BY 1, 2),
+        sig AS (
+          SELECT media_id,
+                 MAX(CASE WHEN j = 0 THEN v END) AS b0,
+                 MAX(CASE WHEN j = 1 THEN v END) AS b1,
+                 MAX(CASE WHEN j = 2 THEN v END) AS b2,
+                 MAX(CASE WHEN j = 3 THEN v END) AS b3
+          FROM bandl GROUP BY 1),
+        cand AS (
+          SELECT DISTINCT x.media_id AS media_a, y.media_id AS media_b
+          FROM bandl x JOIN bandl y
+            ON x.j = y.j AND x.v = y.v
+               AND x.media_id < y.media_id),
+        verified AS (
+          SELECT media_a, media_b,
+                 CAST(bit_count(xor(sa.b0, sb.b0))
+                      + bit_count(xor(sa.b1, sb.b1))
+                      + bit_count(xor(sa.b2, sb.b2))
+                      + bit_count(xor(sa.b3, sb.b3)) AS BIGINT)
+                   AS hamming
+          FROM cand
+          JOIN sig sa ON cand.media_a = sa.media_id
+          JOIN sig sb ON cand.media_b = sb.media_id)
+        SELECT media_a, media_b, hamming
+        FROM verified WHERE hamming <= {_PHASH_MAX_HAMMING}""",
     # same 256-byte blocks over the same bytes (payload IS the text
     # bytes; ASCII corpus: substr-by-char == substr-by-byte), same
     # sha2-256 hex, exact integer group stats

@@ -54,6 +54,7 @@ for _name in (
 # regression net; tests/test_registry_order.py pins this window.
 HARD_SIGNAL_FIRST_50 = [
     # --- round-10 operators (zero driver evidence, newest first) ---
+    "q_multimodal_phash",
     "q_vec_matryoshka_recall",
     "q_text_zipf_fit",
     "q_agg_winsorized",
@@ -105,14 +106,13 @@ HARD_SIGNAL_FIRST_50 = [
     "q_scalar_math",
     "q_distinct_dropdup",
     "q_except",
-    # --- oldest r5-green re-check ---
-    "q_vec_ann_lsh",
 ]
 
 # Next in line for round 11: the remaining r5-green keys (oldest driver
 # evidence once the r10 window lands). r6+-green keys fall to the tail
 # automatically.
 _SECOND_WAVE = [
+    "q_vec_ann_lsh",
     "q_vec_ann_recall",
     "q_vec_ann_ivf",
     "q_vec_knn_brute",

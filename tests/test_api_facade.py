@@ -280,6 +280,7 @@ def test_r10_endpoints_delegate_to_declared_operators(api, spark):
         (api.pii_screen(), "q_text_pii_screen"),
         (api.diversity_sample(), "q_sample_cluster_balanced"),
         (api.embedding_truncation_audit(), "q_vec_matryoshka_recall"),
+        (api.media_near_duplicates(), "q_multimodal_phash"),
         (api.corpus_zipf(), "q_text_zipf_fit"),
         (api.robust_order_stats(), "q_agg_winsorized"),
     ]

@@ -348,3 +348,58 @@ def test_winsorized_matches_python_reference(spark):
             sum(trim) * 10000 // len(trim)
         ) / 1_000_000.0
         assert r.n_kept == len(trim)
+
+
+# ------------------------------------------------------------ phash
+
+
+def test_phash_matches_python_reference(spark):
+    """Recompute signatures, banded candidates, and Hamming verify in
+    plain Python over the raw texts — the full operator pinned outside
+    both engines."""
+    from gpe.io import load_table
+    from gpe.multimodal import (
+        _PHASH_MAX_HAMMING,
+        _PHASH_MIN_BYTES,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    sigs = {}
+    for r in docs:
+        b = r.text.encode()
+        n = len(b)
+        if n < _PHASH_MIN_BYTES:
+            continue
+        tot = sum(b)
+        ss, sl = [0] * 64, [0] * 64
+        for p, bv in enumerate(b):
+            i = p * 64 // n
+            ss[i] += bv
+            sl[i] += 1
+        bits = [1 if ss[i] * n > tot * sl[i] else 0 for i in range(64)]
+        bands = []
+        for j in range(4):
+            v = 0
+            for k in range(16):
+                v = v * 2 + bits[j * 16 + k]
+            bands.append(v)
+        sigs[r.doc_id] = bands
+    ids = sorted(sigs)
+    want = []
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            if not any(sigs[a][j] == sigs[b][j] for j in range(4)):
+                continue
+            h = sum(
+                bin(sigs[a][j] ^ sigs[b][j]).count("1") for j in range(4)
+            )
+            if h <= _PHASH_MAX_HAMMING:
+                want.append((a, b, h))
+    got = sorted(
+        (r.media_a, r.media_b, r.hamming)
+        for r in _Q["q_multimodal_phash"](spark, SF_SMOKE).collect()
+    )
+    assert got == sorted(want) and len(got) > 0
