@@ -868,8 +868,15 @@ def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.a").alias("a"), F.col("p.b").alias("b")
     ).agg(F.count(F.lit(1)).alias("c"))
     w_rk = Window.orderBy(F.desc("c"), "a", "b")
-    cand = cnt.withColumn("rk", F.row_number().over(w_rk)).filter(
-        F.col("rk") <= _BPE_CAND
+    # the ≤64-row candidate table fans out three ways (both sides of the
+    # conflict join + the keep anti-join) — persist it so the pair-count
+    # shuffle and its documents scan run ONCE, not once per consumer
+    from gpe.common import persist_tracked
+
+    cand = persist_tracked(
+        cnt.withColumn("rk", F.row_number().over(w_rk)).filter(
+            F.col("rk") <= _BPE_CAND
+        )
     )
     ctok = cand.select(
         "rk", F.explode(F.array("a", "b")).alias("tok")
