@@ -419,6 +419,20 @@ def heavy_hitters_from_counts(counts: DataFrame) -> DataFrame:
     )
 
 
+def token_counts_stream(stream: DataFrame) -> DataFrame:
+    """Streaming half of q_text_zipf_fit: token explode (stateless,
+    map-side) into a streaming count — one state-store row per distinct
+    token, vocabulary-bounded. The FIT lives in the sink
+    (gpe.text.zipf_fit_frame needs the global head ranking, a cross-row
+    property — the same sink-side-derivation rule as the heavy-hitter
+    cut): read the materialized counts, run the identical rank + OLS."""
+    return (
+        stream.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
 def chunk_stream(stream: DataFrame) -> DataFrame:
     """Streaming twin of q_text_chunk_windows — the chunker is pure
     map-side (sequence + slice per row), so it streams statelessly:

@@ -1058,6 +1058,14 @@ def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(F.explode(F.split("text", " ")).alias("w"))
     cnt = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    return zipf_fit_frame(cnt)
+
+
+def zipf_fit_frame(cnt: DataFrame) -> DataFrame:
+    """Rank + OLS half of q_text_zipf_fit over a (w, c) token-count
+    frame — shared with the streaming twin's sink-side fit
+    (gpe.streaming.token_counts_stream); equality asserted in
+    tests/test_streaming_equivalence.py."""
     w_rk = Window.orderBy(F.desc("c"), "w")
     top = cnt.withColumn("rank", F.row_number().over(w_rk)).filter(
         F.col("rank") <= _ZIPF_TOP

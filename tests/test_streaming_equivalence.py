@@ -407,6 +407,25 @@ def test_streaming_quality_scores_equal_batch(spark):
         q.stop()
 
 
+def test_streaming_zipf_fit_equals_batch(spark):
+    """Streaming token counts + the shared sink-side rank/OLS must equal
+    the batch fit bit-for-bit (exact integer moments make this an
+    equality, not a tolerance)."""
+    from gpe import text
+
+    doc_stream = streaming.stream_documents(spark, SF)
+    q = streaming.run_to_memory(
+        streaming.token_counts_stream(doc_stream), "t_tokcnt", "complete"
+    )
+    try:
+        cols = ["n_terms", "zipf_slope", "ln_intercept", "r2"]
+        got = _rows(text.zipf_fit_frame(spark.table("t_tokcnt")), cols)
+        want = _rows(text.q_text_zipf_fit(spark, SF), cols)
+        assert got == want and len(got) == 1
+    finally:
+        q.stop()
+
+
 def test_streaming_pii_screen_equals_batch(spark):
     """Stateless per-doc screen on the stream + sink-side pii_rollup must
     equal the batch operator's documents row exactly (the clean-source
