@@ -114,6 +114,30 @@ def main() -> None:
         F.round(F.avg("recall"), 3).alias("mean_recall")
     ).orderBy("method").show()
 
+    print("== truncated-embedding audit (r10): recall@5 at 16/32 of 64 dims ==")
+    vectors.q_vec_matryoshka_recall(spark, sf_dir).groupBy("prefix_dim").agg(
+        F.round(F.avg("recall"), 3).alias("mean_recall")
+    ).orderBy("prefix_dim").show()
+
+    print("== cluster-balanced diversity sample (r10): 40 per kmeans cell ==")
+    vectors.q_sample_cluster_balanced(spark, sf_dir).groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("sampled"), F.min("cluster_n").alias("cluster_n")
+    ).orderBy("cluster").show(5)
+
+    print("== tokenizer APPLY (r10): fixed merge table, per-doc compression ==")
+    enc = text.q_text_bpe_encode(spark, sf_dir)
+    enc.agg(
+        F.min("n_merge_rules").alias("rules"),
+        F.sum("n_merges").alias("total_merges"),
+        F.round(F.avg("compression"), 4).alias("mean_compression"),
+    ).show()
+
+    print("== corpus health: Zipf head fit (r10; slope ~ -1 on natural text) ==")
+    text.q_text_zipf_fit(spark, sf_dir).show()
+
+    print("== release audit (r10): PII screen per source + redacted sample ==")
+    text.q_text_pii_screen(spark, sf_dir).orderBy("source").show(truncate=40)
+
 
 if __name__ == "__main__":
     main()
