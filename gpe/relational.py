@@ -1284,6 +1284,9 @@ def q_agg_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_orders"),
         (F.col("p05_c") / F.lit(100.0)).alias("p05"),
         (F.col("p95_c") / F.lit(100.0)).alias("p95"),
+        # Spark DIV truncates toward zero, DuckDB // floors — identical
+        # here because order values are strictly positive (fixture
+        # invariant); a signed-measure variant must floor explicitly
         (F.expr("(sw * 10000) DIV n") / F.lit(1_000_000.0)).alias(
             "mean_winsor"
         ),

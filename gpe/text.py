@@ -972,10 +972,13 @@ def q_text_pii_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(
         F.lit("customer").alias("source"),
         F.col("c_custkey").alias("rec_id"),
-        F.concat_ws(
-            " ",
-            "c_name",
-            "c_mktsegment",
+        # F.concat (null-PROPAGATING) to mirror the oracle's `||` —
+        # concat_ws would silently skip a NULL field and diverge
+        F.concat(
+            F.col("c_name"),
+            F.lit(" "),
+            F.col("c_mktsegment"),
+            F.lit(" "),
             F.col("c_acctbal").cast("decimal(12,2)").cast("string"),
         ).alias("txt"),
     )
