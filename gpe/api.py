@@ -310,6 +310,18 @@ class LakeAPI:
 
         return _vectors.q_sample_cluster_balanced(self.spark, self.sf_dir)
 
+    def dataset_freshness(self) -> DataFrame:
+        """GET /datasets/freshness — per-feed staleness/density panel."""
+        from gpe import catalog as _catalog
+
+        return _catalog.q_catalog_freshness(self.spark, self.sf_dir)
+
+    def key_audit(self) -> DataFrame:
+        """GET /catalog/keys — candidate-key uniqueness verdicts."""
+        from gpe import catalog as _catalog
+
+        return _catalog.q_catalog_pk_infer(self.spark, self.sf_dir)
+
     def media_near_duplicates(self) -> DataFrame:
         """GET /media/near-duplicates — banded perceptual-hash pairs
         within Hamming 12."""

@@ -443,6 +443,120 @@ _ENTROPY_COLS = [
 ]
 
 
+# timestamp-bearing tables the freshness endpoint reports on
+_FRESHNESS_COLS = [
+    ("orders", "o_orderdate"),
+    ("lineitem", "l_shipdate"),
+    ("events", "ts"),
+]
+
+
+def q_catalog_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog freshness endpoint: per timestamp-bearing table, row
+    count, earliest/latest timestamp, the covered span in days, and the
+    e6 rows-per-day density — the staleness panel every data catalog
+    renders (is the feed still landing? at the usual rate?).
+
+    Determinism: min/max timestamps and counts are exact; span is an
+    exact date diff; density is integer DIV at e6.
+
+    Scale notes (100 TB): one map-side-partial min/max/count aggregate
+    per table over the projected timestamp column only — Parquet
+    footer statistics answer min/max without a data scan on sorted
+    lakes, and the plan degrades to a single column scan otherwise.
+    Output is #tables rows."""
+    parts = []
+    for name, col in _FRESHNESS_COLS:
+        t = load_table(spark, sf_dir, name)
+        parts.append(
+            t.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.min(col).alias("min_ts"),
+                F.max(col).alias("max_ts"),
+            ).select(
+                F.lit(f"{name}.{col}").alias("table_col"),
+                "n_rows",
+                "min_ts",
+                "max_ts",
+                (
+                    F.datediff(F.to_date("max_ts"), F.to_date("min_ts"))
+                    + F.lit(1)
+                )
+                .cast("long")
+                .alias("span_days"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.withColumn(
+        "rows_per_day_e6",
+        F.expr("(n_rows * 1000000) DIV span_days"),
+    )
+
+
+# candidate (primary) keys the uniqueness profiler audits; both lineitem
+# rows are negative on this lake — the single column by design, and the
+# TPC-H-canonical compound because the synthetic generator emits true
+# duplicate lines (measured: 6000 rows / 4599 distinct pairs at sf0.001)
+# — which is precisely the discovery a key audit exists to surface
+_PK_CANDIDATES = [
+    ("region", ["r_regionkey"]),
+    ("nation", ["n_nationkey"]),
+    ("customer", ["c_custkey"]),
+    ("supplier", ["s_suppkey"]),
+    ("part", ["p_partkey"]),
+    ("orders", ["o_orderkey"]),
+    ("lineitem", ["l_orderkey"]),
+    ("lineitem", ["l_orderkey", "l_linenumber"]),
+    ("events", ["event_id"]),
+    ("documents", ["doc_id"]),
+    ("embeddings", ["vec_id"]),
+]
+
+
+def q_catalog_pk_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key discovery — the uniqueness side of the join-graph
+    audit (q_catalog_fk_infer finds inclusion, this finds the keys to be
+    included IN): for each candidate column (set), total rows, distinct
+    key values, duplicate rows, and the is_unique verdict (unique column
+    combination discovery à la Heise/Papenbrock DUCC — here over a
+    name-affinity candidate list, as real profilers seed). Both lineitem
+    candidates come back NON-unique on this lake — the single column by
+    design, and the TPC-H-canonical (orderkey, linenumber) compound
+    because the synthetic generator emits genuinely duplicated lines —
+    exactly the assumed-PK-doesn't-hold discovery the audit exists for.
+
+    Determinism: exact COUNT/COUNT DISTINCT integers only.
+
+    Scale notes (100 TB): one distinct-aggregate per candidate over the
+    projected key columns only (map-side partial dedup carries most of
+    it); candidates never join each other. Output is #candidates rows."""
+    parts = []
+    for name, cols in _PK_CANDIDATES:
+        t = load_table(spark, sf_dir, name)
+        parts.append(
+            t.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.count_distinct(*[F.col(c) for c in cols])
+                .cast("long")
+                .alias("n_distinct"),
+            ).select(
+                F.lit(f"{name}({', '.join(cols)})").alias("key_cols"),
+                "n_rows",
+                "n_distinct",
+                (F.col("n_rows") - F.col("n_distinct"))
+                .cast("long")
+                .alias("dup_rows"),
+                (F.col("n_rows") == F.col("n_distinct")).alias("is_unique"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def q_catalog_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Categorical-column information profile: per (table, column) the
     cardinality, Shannon entropy (nats), and the top value's share — the
@@ -531,7 +645,45 @@ def _sql_column_entropy() -> str:
     return " UNION ALL ".join(parts)
 
 
+def _freshness_oracle() -> str:
+    legs = []
+    for name, col in _FRESHNESS_COLS:
+        span = (
+            f"date_diff('day', CAST(MIN({col}) AS DATE), "
+            f"CAST(MAX({col}) AS DATE)) + 1"
+        )
+        legs.append(
+            f"""SELECT '{name}.{col}' AS table_col,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   MIN({col}) AS min_ts, MAX({col}) AS max_ts,
+                   CAST({span} AS BIGINT) AS span_days,
+                   CAST((COUNT(*) * 1000000) // ({span}) AS BIGINT)
+                     AS rows_per_day_e6
+                FROM {name}"""
+        )
+    return "\nUNION ALL\n".join(legs)
+
+
+def _pk_infer_oracle() -> str:
+    legs = []
+    for name, cols in _PK_CANDIDATES:
+        key = cols[0] if len(cols) == 1 else f"({', '.join(cols)})"
+        label = f"{name}({', '.join(cols)})"
+        legs.append(
+            f"""SELECT '{label}' AS key_cols,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(DISTINCT {key}) AS BIGINT) AS n_distinct,
+                   CAST(COUNT(*) - COUNT(DISTINCT {key}) AS BIGINT)
+                     AS dup_rows,
+                   COUNT(*) = COUNT(DISTINCT {key}) AS is_unique
+                FROM {name}"""
+        )
+    return "\nUNION ALL\n".join(legs)
+
+
 QUERIES = {
+    "q_catalog_freshness": q_catalog_freshness,
+    "q_catalog_pk_infer": q_catalog_pk_infer,
     "q_catalog_column_entropy": q_catalog_column_entropy,
     "q_catalog_column_stats": q_catalog_column_stats,
     "q_catalog_schema": q_catalog_schema,
@@ -542,6 +694,11 @@ QUERIES = {
 }
 
 ORACLES = {
+    # per-table min/max/count legs generated from the same column list;
+    # exact date-diff span and integer-DIV density
+    "q_catalog_freshness": _freshness_oracle(),
+    # same candidate list (compound via row-value DISTINCT), exact counts
+    "q_catalog_pk_infer": _pk_infer_oracle(),
     # same per-column value histograms, e6-floored entropy terms,
     # (count DESC, value ASC) argmax
     "q_catalog_column_entropy": _sql_column_entropy(),

@@ -54,6 +54,8 @@ for _name in (
 # regression net; tests/test_registry_order.py pins this window.
 HARD_SIGNAL_FIRST_50 = [
     # --- round-10 operators (zero driver evidence, newest first) ---
+    "q_catalog_freshness",
+    "q_catalog_pk_infer",
     "q_multimodal_phash",
     "q_vec_matryoshka_recall",
     "q_text_zipf_fit",
@@ -104,14 +106,16 @@ HARD_SIGNAL_FIRST_50 = [
     "q_multimodal_frames",
     "q_scalar_date",
     "q_scalar_math",
-    "q_distinct_dropdup",
-    "q_except",
 ]
 
 # Next in line for round 11: the remaining r5-green keys (oldest driver
 # evidence once the r10 window lands). r6+-green keys fall to the tail
 # automatically.
 _SECOND_WAVE = [
+    # r4-stale trivial set-ops displaced by the late-r10 catalog keys
+    # (new keys outrank stale re-checks) — first in line for r11
+    "q_distinct_dropdup",
+    "q_except",
     "q_vec_ann_lsh",
     "q_vec_ann_recall",
     "q_vec_ann_ivf",

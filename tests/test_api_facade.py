@@ -281,6 +281,8 @@ def test_r10_endpoints_delegate_to_declared_operators(api, spark):
         (api.diversity_sample(), "q_sample_cluster_balanced"),
         (api.embedding_truncation_audit(), "q_vec_matryoshka_recall"),
         (api.media_near_duplicates(), "q_multimodal_phash"),
+        (api.dataset_freshness(), "q_catalog_freshness"),
+        (api.key_audit(), "q_catalog_pk_infer"),
         (api.corpus_zipf(), "q_text_zipf_fit"),
         (api.robust_order_stats(), "q_agg_winsorized"),
     ]

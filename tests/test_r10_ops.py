@@ -403,3 +403,33 @@ def test_phash_matches_python_reference(spark):
         for r in _Q["q_multimodal_phash"](spark, SF_SMOKE).collect()
     )
     assert got == sorted(want) and len(got) > 0
+
+
+# ------------------------------------------------------- catalog r10
+
+
+def test_pk_infer_verdicts(spark):
+    rows = {r.key_cols: r for r in _Q["q_catalog_pk_infer"](spark, SF_SMOKE).collect()}
+    assert len(rows) == 11
+    # real keys are unique; BOTH lineitem candidates are non-unique on
+    # this lake (the compound fails too — the generator emits true
+    # duplicate lines), which is the discovery the audit surfaces
+    assert rows["orders(o_orderkey)"].is_unique
+    assert not rows["lineitem(l_orderkey)"].is_unique
+    assert rows["lineitem(l_orderkey)"].dup_rows > 0
+    assert not rows["lineitem(l_orderkey, l_linenumber)"].is_unique
+    # the compound still resolves most of the duplication
+    assert (
+        rows["lineitem(l_orderkey, l_linenumber)"].n_distinct
+        > rows["lineitem(l_orderkey)"].n_distinct
+    )
+    for k, r in rows.items():
+        assert r.n_rows - r.n_distinct == r.dup_rows
+        assert r.is_unique == (r.dup_rows == 0)
+
+
+def test_freshness_spans_are_consistent(spark):
+    for r in _Q["q_catalog_freshness"](spark, SF_SMOKE).collect():
+        assert r.n_rows > 0 and r.min_ts <= r.max_ts
+        assert r.span_days >= 1
+        assert r.rows_per_day_e6 == r.n_rows * 1_000_000 // r.span_days
