@@ -47,7 +47,7 @@ def main(argv: list[str]) -> None:
     lines = [
         f"# BENCH — per-query wall-clock at sf{sf} (local[32], noop sink)",
         "",
-        f"Round-9, {date.today().isoformat()}: **{total:.3f} s total "
+        f"Round-10, {date.today().isoformat()}: **{total:.3f} s total "
         f"over {len(keys)} keys**, 0 errors — per-query MEDIAN of "
         f"{len(runs)} runs (sum of medians); every run is a full fresh-"
         f"session pass."
@@ -59,27 +59,28 @@ def main(argv: list[str]) -> None:
             else ""
         ),
         "",
-        "Round-9 addendum: this regeneration covers the final 242-key "
-        "registry — the 22 r9 keys (ml eval family incl. confusion/"
-        "margins/knn-eval, interarrival/peaks/mix-entropy/decompose/"
-        "seasonal-anomaly, weighted sampling, hapax, bigram LM, "
-        "paragraph + block dedup, BFS layers, ship lag, column entropy, "
-        "skyline, Cramér's V) cost ~30 s of the cold pass combined; "
-        "none is iterative (the BFS relaxation is 3 bounded rounds over "
-        "mask-sized frames). RIG NOTE for cross-round comparison: the "
-        "shared rig ran progressively hotter through the r9 recording "
-        "day — a mid-day 235-key trio landed 264-268 s with a per-key "
-        "median ratio of 1.14 vs the r8 quiet-rig recording (uniform "
-        "inflation, p10 0.95 / p90 1.34, the documented shared-rig "
-        "signature; no structural regressions), and the end-of-day "
-        "242-key quartets ran hotter still (287-364 s totals; the final "
-        "recording is 304/355/315/316 s with the 304 s cold pass); "
-        "per-key median evening/mid-day ratio 1.08). Like-for-like "
-        "against r8's 208 s over the common 220 keys, the mid-day "
-        "equivalent is ~232 s. The cold column (the driver-graded "
-        "protocol) is the day's best full pass. The only >2× per-key "
-        "moves all day were the two known Arrow-worker-variance keys "
-        "(q_udaf_applyinpandas, q_multimodal_audio_windows).",
+        "Round-10 addendum: this regeneration covers the final 251-key "
+        "registry (quartet totals 322.7/301.8/324.3/323.4 s; the first "
+        "pass is the designated cold artifact BENCH_COLD_r10.json). The "
+        "headline change is the q_ml_knn_eval rewrite — the r9 registry's "
+        "only weak-graded key — from posexplode-join-on-pos dots to a "
+        "broadcast-array IEEE-double prefilter + exact-decimal shortlist "
+        "re-rank: 30.5 s (r9 median) → ~3.3 s median / 3.07 s on the "
+        "early quiet-rig cold pass. The 9 NEW r10 keys (bpe encode, pii "
+        "screen, cluster-balanced sample, matryoshka recall, zipf fit, "
+        "winsorized means, phash near-dup, catalog freshness, pk infer) "
+        "cost ~13 s of the cold pass combined; none is iterative. An "
+        "EARLY quiet-rig cold pass at the start of the round "
+        "(BENCH_COLD_r10_early.json, 308.8 s over the 242 pre-r10 keys, "
+        "VERDICT r9 #3's protocol) confirmed every r9 'residual "
+        "regression' (q_customer_rfm 7.25→4.65 s, q_vec_knn_brute "
+        "3.72→2.34 s, q_udaf_applyinpandas 2.18→1.54 s, "
+        "q_multimodal_audio_windows 1.79→1.31 s) as rig drift — all back "
+        "at their medians with zero code changes; per-key ratio vs the "
+        "r9 cold artifact median 1.10, p10 0.88 / p90 1.46, the "
+        "documented uniform shared-rig signature. The slowest key is now "
+        "the exact-recall containment prefix join — the documented "
+        "candidate-generation floor; no undefended number remains.",
         "",
         "## BENCH_r07 spike-key reconciliation (VERDICT r7 #2)",
         "",
