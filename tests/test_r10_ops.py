@@ -16,6 +16,7 @@ import __spark_entry__ as spec
 from tests.conftest import SF_SMOKE
 
 _Q = spec.queries()
+_O = spec.oracle_sql()
 
 
 # ---------------------------------------------------------------- BPE encode
@@ -433,3 +434,126 @@ def test_freshness_spans_are_consistent(spark):
         assert r.n_rows > 0 and r.min_ts <= r.max_ts
         assert r.span_days >= 1
         assert r.rows_per_day_e6 == r.n_rows * 1_000_000 // r.span_days
+
+
+def test_bpe_encode_equal_token_runs_cross_engine(spark, tmp_path):
+    """The a==b rule path (greedy floor(run/2) merges vs the oracle's
+    per-island (k+1) DIV 2) is never exercised by the fixture corpus
+    (its kept table has no repeated-token rule) — pin it on crafted
+    data against the REAL DuckDB oracle, plus the python greedy fold."""
+    import duckdb
+    import pandas as pd
+
+    texts = [
+        "a a a a a",          # 4 matches, one island -> 2 merges
+        "x a a a y a a a a",  # islands of 2 and 3 matches -> 1 + 2
+        "a b a a b a",        # run split by b's -> single-match islands
+        "q w e r t",          # no matches at all
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["crafted"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    d = tmp_path / "bpe_runs"
+    d.mkdir()
+    pdf.to_parquet(str(d / "documents.parquet"))
+    rows = {
+        r.doc_id: r for r in _Q["q_text_bpe_encode"](spark, str(d)).collect()
+    }
+    # ('a','a') dominates the pair counts, so it must be rule #1 and the
+    # greedy fold must take floor(run_len/2) merges per run of a's
+    assert rows[0].n_merges == 2 and rows[0].n_tokens_bpe == 3
+    assert rows[1].n_merges == 1 + 2
+    # doc 3's once-seen disjoint pairs ((q,w), (e,r)) are legitimately
+    # kept as rules too — its exact count comes from the replica below
+    # python greedy-fold replica over whatever table was kept
+    from gpe.text import _BPE_CAND, _BPE_TABLE
+
+    from collections import Counter
+
+    cnt = Counter()
+    for t in texts:
+        toks = t.split(" ")
+        for i in range(len(toks) - 1):
+            cnt[(toks[i], toks[i + 1])] += 1
+    cand = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:_BPE_CAND]
+    seen: set[str] = set()
+    table: set[tuple[str, str]] = set()
+    for (a, b), _ in cand:
+        if not ({a, b} & seen) and len(table) < _BPE_TABLE:
+            table.add((a, b))
+        seen |= {a, b}
+    assert ("a", "a") in table
+    for doc_id, t in enumerate(texts):
+        acc: list[str] = []
+        for tok in t.split(" "):
+            if acc and (acc[-1], tok) in table:
+                acc[-1] = acc[-1] + "_" + tok
+            else:
+                acc.append(tok)
+        assert rows[doc_id].n_tokens_bpe == len(acc), doc_id
+    # and the REAL oracle agrees cell-for-cell
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet')"
+    )
+    oracle = con.execute(_O["q_text_bpe_encode"]).fetch_df()
+    con.close()
+    got = sorted(
+        tuple(r)
+        for r in _Q["q_text_bpe_encode"](spark, str(d)).collect()
+    )
+    import pandas as _pd
+
+    want = sorted(
+        tuple(None if _pd.isna(v) else v for v in t)
+        for t in oracle.itertuples(index=False, name=None)
+    )
+    assert got == want
+
+
+def test_phash_identical_payloads_are_hamming_zero(spark, tmp_path):
+    """Two byte-identical payloads must surface as a candidate pair with
+    Hamming 0 — the exact-dup floor of the near-dup detector — and the
+    real oracle must agree."""
+    import duckdb
+    import pandas as pd
+
+    base = ("the quick brown fox jumps over the lazy dog " * 3).strip()
+    other = ("zzzz yyyy xxxx wwww vvvv uuuu tttt ssss rrrr " * 3).strip()
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [base, base, other],
+            "lang": ["en"] * 3,
+            "source": ["crafted"] * 3,
+            "n_chars": [len(base), len(base), len(other)],
+        }
+    )
+    d = tmp_path / "phash_dup"
+    d.mkdir()
+    pdf.to_parquet(str(d / "documents.parquet"))
+    got = sorted(
+        (r.media_a, r.media_b, r.hamming)
+        for r in _Q["q_multimodal_phash"](spark, str(d)).collect()
+    )
+    assert (0, 1, 0) in got
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet')"
+    )
+    want = sorted(
+        tuple(t)
+        for t in con.execute(_O["q_multimodal_phash"])
+        .fetch_df()
+        .itertuples(index=False, name=None)
+    )
+    con.close()
+    assert got == want
