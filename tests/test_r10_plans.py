@@ -75,6 +75,11 @@ def test_bpe_encode_documents_scans_are_bounded(spark):
     """Table derivation + encode: the documents file feeds the pair
     counter once (candidate table persisted before its three consumers)
     and the encoder once — the merge table must NOT trigger re-scans."""
+    # plan text around InMemoryRelation changes once a prior test has
+    # MATERIALIZED a matching cache (Spark's CacheManager substitutes the
+    # old entry and prints its finalized child plans), so pin the state:
+    # a fresh, unmaterialized build
+    spark.catalog.clearCache()
     plan = _physical(spark, "q_text_bpe_encode")
     assert "InMemoryTableScan" in plan  # candidate cache active
     # every FileScan line except the encoder's own sits under an
