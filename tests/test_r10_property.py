@@ -152,3 +152,97 @@ def test_phash_matches_oracle_on_random_payloads(
     got = _cmp(spark, d, "q_multimodal_phash", "documents")
     if len(texts[0]) >= 64:
         assert any(h == 0 for _, _, h in got)  # the forced dup surfaced
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(
+                ["word", "Agent#007", "Ledger#123456789", "12.50",
+                 "9876543", "x1", "#", "a#b", "7.1", "007#x", "55555.99"]
+            ),
+            min_size=1,
+            max_size=12,
+        ).map(" ".join),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_pii_screen_matches_oracle_on_adversarial_text(spark, scratch, docs):
+    """Java regex vs RE2 on texts packed with boundary cases for all
+    three classes (handles, 6+-digit runs, money decimals, near-misses
+    like 'a#b' and '007#x') — counts AND the chained redaction must
+    agree. Only the documents leg varies; customer/events come from the
+    smoke fixture so the union shape stays the declared one."""
+    import shutil
+
+    from tests.conftest import SF_SMOKE
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(docs)),
+            "text": docs,
+            "lang": ["xx"] * len(docs),
+            "source": ["prop"] * len(docs),
+            "n_chars": [len(t) for t in docs],
+        }
+    )
+    d = scratch / f"s{abs(hash(tuple(docs))) % 10**9}"
+    d.mkdir(exist_ok=True)
+    pdf.to_parquet(str(d / "documents.parquet"))
+    for t in ("customer", "events"):
+        shutil.copy(f"{SF_SMOKE}/{t}.parquet", str(d / f"{t}.parquet"))
+    got = sorted(
+        tuple(r) for r in _Q["q_text_pii_screen"](spark, str(d)).collect()
+    )
+    con = duckdb.connect()
+    for t in ("documents", "customer", "events"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{d}/{t}.parquet')"
+        )
+    pdf_o = con.execute(_O["q_text_pii_screen"]).fetch_df()
+    con.close()
+    want = sorted(
+        tuple(None if pd.isna(v) else v for v in t)
+        for t in pdf_o.itertuples(index=False, name=None)
+    )
+    assert got == want
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(list("abcdefghij")), min_size=1, max_size=40
+        ).map(" ".join),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_zipf_fit_matches_oracle_on_random_counts(spark, scratch, docs):
+    """Arbitrary token-count distributions — the e6-floored ln fixed
+    points and the HUGEINT OLS moments must agree bit-exactly (this is
+    the probe for ln() boundary divergence between the JVM and libm)."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(docs)),
+            "text": docs,
+            "lang": ["xx"] * len(docs),
+            "source": ["prop"] * len(docs),
+            "n_chars": [len(t) for t in docs],
+        }
+    )
+    d = scratch / f"z{abs(hash(tuple(docs))) % 10**9}"
+    d.mkdir(exist_ok=True)
+    pdf.to_parquet(str(d / "documents.parquet"))
+    _cmp(spark, d, "q_text_zipf_fit", "documents")
