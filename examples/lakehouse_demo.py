@@ -47,6 +47,14 @@ def main() -> None:
     print("== incremental view maintenance (delta arithmetic) ==")
     cdc.q_mv_incremental(spark, sf_dir).show(5)
 
+    print("== catalog freshness panel (r10) ==")
+    catalog.q_catalog_freshness(spark, sf_dir).orderBy("table_col").show()
+
+    print("== key audit (r10): is the assumed PK actually unique? ==")
+    catalog.q_catalog_pk_infer(spark, sf_dir).orderBy("key_cols").show(
+        truncate=False
+    )
+
     print("lakehouse demo complete")
 
 
