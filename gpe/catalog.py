@@ -527,7 +527,12 @@ def q_catalog_pk_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
     because the synthetic generator emits genuinely duplicated lines —
     exactly the assumed-PK-doesn't-hold discovery the audit exists for.
 
-    Determinism: exact COUNT/COUNT DISTINCT integers only.
+    Determinism: exact COUNT/COUNT DISTINCT integers only. Cross-engine
+    caveat (latent — these key columns are non-null by fixture
+    invariant): on NULL-bearing compounds Spark's count_distinct(a, b)
+    drops rows with any NULL while DuckDB's row-value
+    COUNT(DISTINCT (a, b)) keeps them; a nullable-key variant must
+    filter NULLs explicitly on both sides first.
 
     Scale notes (100 TB): one distinct-aggregate per candidate over the
     projected key columns only (map-side partial dedup carries most of
