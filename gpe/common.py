@@ -213,6 +213,44 @@ def two_pass_running_sums(spark, df, order_cols, value_out_pairs):
     return out.drop(*drop)
 
 
+def two_pass_prior_min(spark, df, order_cols, value_col: str, out_col: str):
+    """Distributed ``MIN(value) OVER (ORDER BY order_cols ROWS BETWEEN
+    UNBOUNDED PRECEDING AND 1 PRECEDING)`` — the STRICT-prior running min
+    behind sorted-sweep skylines (q_agg_skyline), by the same two-pass
+    range-partition recipe as two_pass_running_sums: range repartition →
+    local prior-min window → broadcast per-partition-minimum offset
+    table. ``out_col`` is NULL exactly on the global first row (the
+    window-function convention: F.least skips NULLs, so it is NULL only
+    when both the local prior-min and the prior-partition min are).
+    ``order_cols`` must be a TOTAL order or prior-min values at ties are
+    nondeterministic. Partition-count-invariant (min is associative;
+    tests/test_two_pass_invariance.py runs 8 and 64)."""
+    from pyspark.sql import Window
+
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    part = df.repartitionByRange(two_pass_parts(spark), *cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # persist pass-1: feeds the output rows AND the per-partition minima
+    loc = persist_tracked(
+        part.withColumn("_lmin", F.min(value_col).over(w_local))
+    )
+    mins = loc.groupBy("_pid").agg(F.min(value_col).alias("_pmin"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = mins.select(
+        "_pid", F.min("_pmin").over(w_off).alias("_omin")
+    )
+    out = loc.join(F.broadcast(offs), "_pid").withColumn(
+        out_col, F.least("_omin", "_lmin")
+    )
+    return out.drop("_pid", "_lmin", "_omin")
+
+
 def dec(col: Column | str) -> Column:
     """Exact decimal view of a raw 2-decimal-valued double column (or of a
     double expression whose true value has ≤2 decimals, e.g. ``1 - disc``)."""

@@ -179,17 +179,21 @@ def q_ml_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     empty bins. Determinism: the (score, vec_id) order is total, so bin
     membership is engine-identical.
 
-    Scale notes (100 TB): the NTILE window is unpartitioned but runs over
-    the AGGREGATE output of _class_scores (one row per vector scored
-    against one class — bounded by construction per the window-audit
-    rule); for 10⁹+ vectors the two-pass range-partition NTILE of
-    gpe/common.py (q_customer_rfm's recipe) swaps in unchanged."""
+    Scale notes (100 TB): the score frame is one row per vector — OPEN
+    cardinality — so the global NTILE is the two-pass range-partition
+    recipe (gpe/common.two_pass_ntile: range repartition → local rank →
+    broadcast offset table; the r11 window-audit tightening retired the
+    old unpartitioned-NTILE-over-aggregate form). Partition-count-
+    invariant per tests/test_two_pass_invariance.py."""
+    from gpe.common import two_pass_ntile
+
     emb = load_table(spark, sf_dir, "embeddings")
     sc = _class_scores(emb).filter(F.col("cls") == 0)
-    w = Window.orderBy("score", "vec_id")
     # cast: Spark ntile is INT, DuckDB NTILE is BIGINT — the driver's
     # schema gate compares dtypes (tests/test_io_sources.py dtype parity)
-    b = sc.withColumn("bin", F.ntile(10).over(w).cast("long"))
+    b = two_pass_ntile(spark, sc, 10, ["score", "vec_id"], "bin").withColumn(
+        "bin", F.col("bin").cast("long")
+    )
     return (
         b.groupBy("bin")
         .agg(
@@ -309,9 +313,14 @@ def q_ml_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     its argmax (earliest value on ties) are exact-integer decisions.
 
     Scale notes (100 TB): groupBy(value) with map-side partials collapses
-    the events scan to distinct-value rows; both cumulative windows run
-    over that aggregate output (window-audit-bounded). The result is one
-    row."""
+    the events scan to distinct-value rows; that support is still OPEN
+    cardinality (distinct metric values grow with the data), so both
+    cumulative sums are the two-pass range-partition recipe
+    (gpe/common.two_pass_running_sums — one shuffle computes both
+    prefixes; the r11 window-audit tightening retired the old
+    unpartitioned-window form) and the argmax is a 1-row sort-limit
+    (TakeOrdered — per-partition top-1, no global sort). The result is
+    one row."""
     e = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("event_type").isin("click", "purchase"))
@@ -324,12 +333,11 @@ def q_ml_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_a").cast("long").alias("a"),
         F.sum(F.lit(1) - F.col("is_a")).cast("long").alias("b"),
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    cum = per_v.select(
-        "v",
-        F.sum("a").over(w).alias("ca"),
-        F.sum("b").over(w).alias("cb"),
-    )
+    from gpe.common import two_pass_running_sums
+
+    cum = two_pass_running_sums(
+        spark, per_v, ["v"], [("a", "ca"), ("b", "cb")]
+    ).select("v", "ca", "cb")
     tot = per_v.agg(
         F.sum("a").cast("long").alias("na"), F.sum("b").cast("long").alias("nb")
     )
@@ -341,10 +349,9 @@ def q_ml_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "d_num"
         ),
     )
-    w_top = Window.orderBy(F.desc("d_num"), F.asc("v"))
     return (
-        d.withColumn("rn", F.row_number().over(w_top))
-        .filter(F.col("rn") == 1)
+        d.orderBy(F.desc("d_num"), F.asc("v"))
+        .limit(1)
         .select(
             "na",
             "nb",
@@ -506,6 +513,40 @@ _SQL_ML_MARGIN = f"""
 _KNN_EVAL_QUERIES = 100  # eval set: vec_id < 100 (the sampled-audit shape)
 _KNN_K = 5
 
+# Prefilter-margin derivation (ADVICE r10 — the superset property is now
+# ENFORCED, not assumed): the IEEE-double dot fold's absolute error is
+# ≤ dim · u · Σ|qᵢ·cᵢ| ≤ dim² · u · B² with u = 2⁻⁵³ and |component| ≤ B.
+# With B = 32 and dim ≤ 2048 that is ≤ 4.8e-7 < _KNN_MARGIN, so keeping
+# every candidate within _KNN_MARGIN of the k-th double score is a
+# guaranteed superset of the exact-decimal top-k. Both B and the dim cap
+# are asserted IN-PLAN (once per row, fused into the embedding projection
+# so column pruning cannot drop the check) — a fixture with larger
+# components fails loudly instead of silently weakening the guarantee.
+_KNN_COMP_BOUND = 32.0
+_KNN_DIM_CAP = 2048
+_KNN_MARGIN = 1e-6
+
+
+def _bound_checked(emb_col: str):
+    """The embedding column, guarded: evaluates to the array when every
+    |component| ≤ _KNN_COMP_BOUND and dim ≤ _KNN_DIM_CAP, raises
+    otherwise. assert_true returns NULL on pass, so the WHEN fuses the
+    check into the consuming expression's own column."""
+    ok = (
+        F.aggregate(
+            F.col(emb_col),
+            F.lit(0.0),
+            lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+        )
+        <= F.lit(_KNN_COMP_BOUND)
+    ) & (F.size(F.col(emb_col)) <= F.lit(_KNN_DIM_CAP))
+    return F.when(
+        F.assert_true(
+            ok, F.lit("knn_eval: embedding breaks the prefilter bound")
+        ).isNull(),
+        F.col(emb_col),
+    )
+
 
 def q_ml_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN classifier evaluation (k = 5, cosine-by-dot): for each of the
@@ -531,9 +572,10 @@ def q_ml_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     the repo's own documented fold-before-explode anti-pattern, VERDICT
     r9 #1); this rewrite removes that shuffle entirely. The hot scan
     runs the ~5×-cheaper IEEE double fold; the top-k cut keeps every
-    candidate within a 1e-6 margin of the k-th double score (double
-    fold error over 64 unit-bounded components is ~1e-13, so the
-    margin set is a guaranteed superset of the exact top-k), and only
+    candidate within _KNN_MARGIN of the k-th double score — a superset
+    of the exact top-k GUARANTEED by the in-plan component-bound guard
+    (see the _KNN_MARGIN derivation above; a fixture breaking the bound
+    raises instead of silently weakening the cut), and only
     that (queries × ~k)-row shortlist pays the exact-decimal re-rank —
     the q_vec_range_search prefilter discipline applied to a RANK cut.
     Evaluating EVERY vector is the all-pairs job
@@ -551,9 +593,15 @@ def q_ml_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("nlabel"),
         "embedding",
     )
+    # bound guards evaluate ONCE PER ROW below the broadcast join (the
+    # projection sits on each join input, not on the pair fan-out)
+    q_chk = q.select(
+        "query_id", _bound_checked("q_emb").alias("q_emb")
+    )
+    c_chk = c.select("nid", _bound_checked("embedding").alias("embedding"))
     scores = (
-        F.broadcast(q.select("query_id", "q_emb"))
-        .join(c.select("nid", "embedding"), F.col("query_id") != F.col("nid"))
+        F.broadcast(q_chk)
+        .join(c_chk, F.col("query_id") != F.col("nid"))
         .select(
             "query_id",
             "nid",
@@ -570,7 +618,7 @@ def q_ml_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(
             (F.col("rk_dbl") <= _KNN_K)
-            | (F.col("dbl") >= F.col("kth_dbl") - F.lit(1e-6))
+            | (F.col("dbl") >= F.col("kth_dbl") - F.lit(_KNN_MARGIN))
         )
         .select("query_id", "nid")
     )

@@ -2309,11 +2309,14 @@ def q_agg_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     LONGs under a total order — every decision exact.
 
     Scale notes (100 TB): one FK sort-merge join + one supplier-keyed
-    partial agg collapse the fact table to #suppliers rows; the sweep
-    window is unpartitioned but runs over that aggregate output (the
-    window-audit bound). For skylines over raw-row inputs the
-    partition-local-skyline → merge pattern replaces it; dimension
-    tables make the aggregate form the real-world shape."""
+    partial agg collapse the fact table to #suppliers rows — still OPEN
+    cardinality (suppliers scale with the data) — so the sweep's strict-
+    prior running min is the two-pass range-partition recipe
+    (gpe/common.two_pass_prior_min: range repartition on the sweep order
+    → local prior-min window → broadcast per-partition-minimum offset
+    table; the r11 window-audit tightening retired the old unpartitioned
+    sweep window). Every stage is distributed; the only global structure
+    is the partition-count-sized offset table."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey",
         "l_suppkey",
@@ -2336,10 +2339,15 @@ def q_agg_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("lag_e3"),
     )
-    w_prev = Window.orderBy(
-        F.desc("rev_e4"), F.asc("lag_e3"), F.asc("l_suppkey")
-    ).rowsBetween(Window.unboundedPreceding, -1)
-    sky = agg.withColumn("cummin_prev", F.min("lag_e3").over(w_prev)).filter(
+    from gpe.common import two_pass_prior_min
+
+    sky = two_pass_prior_min(
+        spark,
+        agg,
+        [F.desc("rev_e4"), F.asc("lag_e3"), F.asc("l_suppkey")],
+        "lag_e3",
+        "cummin_prev",
+    ).filter(
         F.col("cummin_prev").isNull()
         | (F.col("lag_e3") < F.col("cummin_prev"))
     )

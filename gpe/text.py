@@ -815,6 +815,7 @@ def q_text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BPE_CAND = 64  # ranked pair candidates considered for the merge table
 _BPE_TABLE = 20  # merge rules kept (the fixed table the encoder applies)
+_BPE_SALT = 16  # stage-1 salt buckets for the candidate cut (VERDICT r10 #3)
 
 
 def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -844,9 +845,10 @@ def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     membership and the fold are exact; ratios are e6-floored.
 
     Scale notes (100 TB): pair counting is one partial-agg shuffle
-    (pair cardinality ≤ |vocab|²); ranking + conflict thinning run on
-    the aggregate's output (candidate table ≤ 64 rows — the
-    window-audit-bounded frame); the table broadcasts as ONE map row
+    (pair cardinality ≤ |vocab|²); the candidate cut is the two-stage
+    salted top-k (16 buckets → ≤ 1,024-row contracted frame → global
+    re-rank), so no task sorts the whole pair table; conflict thinning
+    runs on the ≤ 64-row candidate table; the table broadcasts as ONE map row
     and the encode is per-row scalar array work inside codegen — NO
     shuffle touches the documents scan. A longer table (32k merges)
     broadcasts the same way; the fold cost is linear in doc length."""
@@ -864,17 +866,39 @@ def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     )
-    cnt = prs.groupBy(
-        F.col("p.a").alias("a"), F.col("p.b").alias("b")
-    ).agg(F.count(F.lit(1)).alias("c"))
+    cnt = (
+        prs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        # the fold's no-chaining guarantee REQUIRES rule tokens without
+        # '_' (a merged symbol "a_b" must never equal a rule side); the
+        # invariant is enforced here rather than assumed of the corpus
+        # (ADVICE r10), and mirrored in the oracle's cnt CTE
+        .filter(
+            ~F.col("a").contains("_") & ~F.col("b").contains("_")
+        )
+    )
+    # Two-stage candidate cut (VERDICT r10 #3): pair cardinality is OPEN
+    # (≤ |vocab|², grows with the corpus), so the top-64 rank is salted —
+    # stage 1 keeps each of 16 hash buckets' top-64 (a superset of the
+    # global top-64), stage 2 re-ranks the ≤ 16·64 survivors on a
+    # contraction-bounded frame (the test_window_audit policy).
+    w1 = Window.partitionBy(
+        F.pmod(
+            F.crc32(F.concat_ws(" ", "a", "b").cast("binary")),
+            F.lit(_BPE_SALT),
+        )
+    ).orderBy(F.desc("c"), "a", "b")
+    pre = (
+        cnt.withColumn("rk1", F.row_number().over(w1))
+        .filter(F.col("rk1") <= _BPE_CAND)
+        .drop("rk1")
+    )
     w_rk = Window.orderBy(F.desc("c"), "a", "b")
     # the ≤64-row candidate table fans out three ways (both sides of the
     # conflict join + the keep anti-join) — persist it so the pair-count
     # shuffle and its documents scan run ONCE, not once per consumer
-    from gpe.common import persist_tracked
-
     cand = persist_tracked(
-        cnt.withColumn("rk", F.row_number().over(w_rk)).filter(
+        pre.withColumn("rk", F.row_number().over(w_rk)).filter(
             F.col("rk") <= _BPE_CAND
         )
     )
@@ -911,8 +935,9 @@ def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = d.crossJoin(F.broadcast(mtab)).withColumn(
         "encoded",
         # same fold as the merge step, keyed by map lookup: a merged
-        # symbol carries '_' and the corpus vocabulary does not, so a
-        # fresh merge can never chain into another rule
+        # symbol carries '_' and rule tokens are FILTERED to be '_'-free
+        # (enforced above, not assumed), so a fresh merge can never
+        # chain into another rule
         F.expr(
             "aggregate(toks, CAST(array() AS array<string>),"
             " (acc, t) -> CASE WHEN size(acc) > 0"
@@ -1039,6 +1064,7 @@ def pii_rollup(scanned: DataFrame) -> DataFrame:
 
 
 _ZIPF_TOP = 100  # head terms the power-law fit runs over
+_ZIPF_SALT = 16  # stage-1 salt buckets for the head cut (VERDICT r10 #2)
 
 
 def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1055,8 +1081,10 @@ def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     final-division chains on identical integers.
 
     Scale notes (100 TB): one token-count shuffle with map-side partials
-    (vocab-bounded output); the rank window and the 100-row OLS
-    aggregate run on that aggregate's output (window-audit-bounded).
+    (vocab-bounded output); the head cut is the two-stage salted top-k
+    (16 salt buckets → ≤ 1,600-row contracted frame → global re-rank),
+    so no single task ever sorts the whole vocabulary; the 100-row OLS
+    aggregate runs on the contracted head.
     Per-source fits = add the source key to every stage."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(F.explode(F.split("text", " ")).alias("w"))
@@ -1068,9 +1096,26 @@ def zipf_fit_frame(cnt: DataFrame) -> DataFrame:
     """Rank + OLS half of q_text_zipf_fit over a (w, c) token-count
     frame — shared with the streaming twin's sink-side fit
     (gpe.streaming.token_counts_stream); equality asserted in
-    tests/test_streaming_equivalence.py."""
+    tests/test_streaming_equivalence.py.
+
+    The head cut is TWO-STAGE (VERDICT r10 #2): the token-count frame has
+    OPEN cardinality (the vocabulary grows with the corpus), so a global
+    row_number over it would funnel every distinct term through one task
+    at 100 TB. Stage 1 ranks within 16 hash-salt buckets and keeps each
+    bucket's top-100 — a guaranteed superset of the global top-100, since
+    a global-head term is a fortiori in its own bucket's head. Stage 2
+    re-ranks the ≤ 16·100 survivors; that window is unpartitioned but its
+    frame is contraction-bounded (the test_window_audit policy)."""
+    w1 = Window.partitionBy(
+        F.pmod(F.crc32(F.col("w").cast("binary")), F.lit(_ZIPF_SALT))
+    ).orderBy(F.desc("c"), "w")
+    pre = (
+        cnt.withColumn("rk1", F.row_number().over(w1))
+        .filter(F.col("rk1") <= _ZIPF_TOP)
+        .drop("rk1")
+    )
     w_rk = Window.orderBy(F.desc("c"), "w")
-    top = cnt.withColumn("rank", F.row_number().over(w_rk)).filter(
+    top = pre.withColumn("rank", F.row_number().over(w_rk)).filter(
         F.col("rank") <= _ZIPF_TOP
     )
     pts = top.select(
@@ -1797,7 +1842,10 @@ ORACLES = {
           SELECT a.doc_id, a.pos, a.tok AS pa, b.tok AS pb
           FROM p0 a JOIN p0 b
             ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
-        cnt AS (SELECT pa, pb, COUNT(*) AS c FROM prs GROUP BY 1, 2),
+        cnt AS (
+          SELECT pa, pb, COUNT(*) AS c FROM prs
+          WHERE NOT contains(pa, '_') AND NOT contains(pb, '_')
+          GROUP BY 1, 2),
         cand AS (
           SELECT pa, pb,
                  ROW_NUMBER() OVER (ORDER BY c DESC, pa, pb) AS rk

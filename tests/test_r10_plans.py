@@ -98,3 +98,29 @@ def test_phash_signature_frame_is_persisted(spark):
     payload bytes never feed a join directly."""
     plan = _physical(spark, "q_multimodal_phash")
     assert "InMemoryTableScan" in plan
+
+
+def _iter_logical(node):
+    yield node
+    for i in range(node.children().size()):
+        yield from _iter_logical(node.children().apply(i))
+
+
+def test_head_cuts_are_two_stage_salted(spark):
+    """VERDICT r10 #2/#3: the zipf and bpe head cuts rank within hash-salt
+    buckets first — stage 1 must be a PARTITIONED window keyed on pmod —
+    so no task ever sorts the whole open token/pair aggregate; stage 2
+    re-ranks only the contracted survivors (test_window_audit verifies
+    that side of the contract)."""
+    for key in ("q_text_zipf_fit", "q_text_bpe_encode"):
+        plan = _Q[key](spark, SF_SMOKE)._jdf.queryExecution().analyzed()
+        salted = [
+            n
+            for n in _iter_logical(plan)
+            if n.getClass().getSimpleName() == "Window"
+            and n.partitionSpec().size() > 0
+        ]
+        assert salted, f"{key}: stage-1 partitioned window missing"
+        # the salt key itself (materialized as a _w alias below the
+        # window) must be the crc32-pmod bucket, not a data column
+        assert "pmod(crc32(" in plan.toString(), key

@@ -157,3 +157,66 @@ def test_running_sums_plural_matches_singular(spark):
     for _id, v, cum in a:
         run += v
         assert cum == run
+
+def test_prior_min_matches_single_partition_window(spark):
+    """two_pass_prior_min must equal the naive unpartitioned strict-prior
+    window (the r11 skyline rewrite's correctness anchor), including the
+    NULL on the global first row and at duplicate values."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gpe.common import two_pass_prior_min
+
+    df = spark.range(500).select(
+        F.col("id"), ((F.col("id") * 37) % 101).alias("v")
+    )
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, -1)
+    want = sorted(
+        tuple(r)
+        for r in df.withColumn("m", F.min("v").over(w))
+        .select("id", "v", "m")
+        .collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in two_pass_prior_min(spark, df, ["id"], "v", "m")
+        .select("id", "v", "m")
+        .collect()
+    )
+    assert got == want
+    assert got[0][2] is None  # strict-prior: first row has no prior
+
+
+def test_skyline_partition_count_invariant(spark, monkeypatch):
+    # q_agg_skyline's strict-prior sweep runs through
+    # gpe.common.two_pass_prior_min (r11); the offset-table reconstruction
+    # must return the same Pareto front for ANY range partition count
+    import gpe.common as C
+    import gpe.relational as R
+
+    for sf in (SF_SMOKE, SF_T2):
+        a = _run_at(monkeypatch, C, R.q_agg_skyline, spark, sf, 8)
+        b = _run_at(monkeypatch, C, R.q_agg_skyline, spark, sf, 64)
+        assert a == b
+
+
+def test_ml_calibration_partition_count_invariant(spark, monkeypatch):
+    # r11: the calibration NTILE runs through gpe.common.two_pass_ntile
+    import gpe.common as C
+    import gpe.ml as M
+
+    for sf in (SF_SMOKE, SF_T2):
+        a = _run_at(monkeypatch, C, M.q_ml_calibration, spark, sf, 8)
+        b = _run_at(monkeypatch, C, M.q_ml_calibration, spark, sf, 64)
+        assert a == b
+
+
+def test_ml_ks_partition_count_invariant(spark, monkeypatch):
+    # r11: both KS cumulative sums run through two_pass_running_sums
+    import gpe.common as C
+    import gpe.ml as M
+
+    for sf in (SF_SMOKE, SF_T2):
+        a = _run_at(monkeypatch, C, M.q_ml_ks, spark, sf, 8)
+        b = _run_at(monkeypatch, C, M.q_ml_ks, spark, sf, 64)
+        assert a == b
