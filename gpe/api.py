@@ -296,6 +296,21 @@ class LakeAPI:
 
         return _text.q_text_bpe_encode(self.spark, self.sf_dir)
 
+    def filtered_search(self) -> DataFrame:
+        """GET /vectors/search?filter=… — attribute-filtered top-5
+        vector search (the predicate pushed into the IVF probe)."""
+        from gpe import vectors as _vectors
+
+        return _vectors.q_vec_knn_filtered(self.spark, self.sf_dir)
+
+    def ingest_dedup_screen(self) -> DataFrame:
+        """POST /ingest/dedup-screen — the new-batch slice screened
+        against the standing corpus signature index: per-doc
+        accepted/duplicate decision + index-upsert counts."""
+        from gpe import dedup as _dedup
+
+        return _dedup.q_dedup_delta(self.spark, self.sf_dir)
+
     def pii_screen(self) -> DataFrame:
         """GET /corpus/pii-screen — per-source regex screen (hits per
         pattern class + redacted sample) over the mixed corpus."""

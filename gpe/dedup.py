@@ -1659,6 +1659,115 @@ def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DELTA_MOD = 10
+_DELTA_SLOT = 7  # new batch = docs with doc_id % 10 == 7 (deterministic)
+
+
+def q_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup-delta batch job (VERDICT r10 #6): screen a
+    deterministic NEW-BATCH slice (doc_id % 10 == 7) against the STANDING
+    corpus's MinHash signature index and emit the per-doc ingest decision
+    — accepted / rejected-as-duplicate, the matched standing doc, and the
+    signature rows the accepted docs upsert into the index. This is the
+    nightly-ingest shape: the corpus index already exists; only the batch
+    pays signature + probe cost.
+
+    Pipeline composition: the batch's banded shingle-MinHash rows
+    (_ngram_minhash_bands — the open-vocab 100 TB path) probe the
+    standing index via the band-key equi-join; candidates exact-verify
+    at trigram Jaccard > 0.5 (q_dedup_ngram_lsh's threshold and verify);
+    the decision frame then applies q_merge_upsert's broadcast MERGE
+    decomposition — the batch-sized match table is BROADCAST, the batch
+    is only ever the streamed side, and accepted docs' 32 band rows are
+    the INSERT leg (reported as idx_upserts).
+
+    Determinism: the slice is arithmetic on doc_id; matches are exact
+    integer set algebra; dup_of = MIN matching standing id and
+    best_jaccard = MAX of round6(inter/union) — total orders.
+
+    Oracle: FULL-RECOMPUTE EQUIVALENCE (the q_mv_incremental trick) —
+    the SQL recomputes batch×corpus trigram Jaccard from scratch with no
+    index; equality shows the incremental path loses nothing. Recall
+    rides the same banding contract as q_dedup_ngram_lsh (fixture pairs
+    stay ≥ 0.7 — tests/test_fixture_invariants.py).
+
+    Scale notes (100 TB): the index is corpus-sized but the probe join
+    shuffles only (batch bands ⋈ index bands) on band_key; the verify
+    ships gram arrays for candidate ids only; everything after is
+    batch-sized and broadcast. Intra-batch dups compose by running
+    q_dedup_ngram_lsh over the batch alone first."""
+    d = load_table(spark, sf_dir, "documents")
+    is_new = F.pmod(F.col("doc_id"), F.lit(_DELTA_MOD)) == F.lit(_DELTA_SLOT)
+    # persist: gram sets feed the banding (both legs) and the verify join
+    gram_sets = persist_tracked(
+        _doc_gram_sets(d).withColumn("is_new", is_new)
+    )
+    bands_new = _ngram_minhash_bands(
+        gram_sets.filter(F.col("is_new"))
+    ).select(
+        F.col("doc_id").alias("new_id"), F.col("sz").alias("sz_n"), "band_key"
+    )
+    bands_idx = _ngram_minhash_bands(
+        gram_sets.filter(~F.col("is_new"))
+    ).select(
+        F.col("doc_id").alias("corp_id"), F.col("sz").alias("sz_c"), "band_key"
+    )
+    cand = (
+        bands_new.join(bands_idx, "band_key")
+        # J > 0.5 forces 2·min(sz) > max(sz): prune inside the join stage
+        .filter(
+            F.lit(2) * F.least("sz_n", "sz_c") > F.greatest("sz_n", "sz_c")
+        )
+        .select("new_id", "corp_id")
+        .distinct()
+    )
+    gn = gram_sets.filter(F.col("is_new")).select(
+        F.col("doc_id").alias("new_id"), F.col("grams").alias("grams_n")
+    )
+    gc = gram_sets.filter(~F.col("is_new")).select(
+        F.col("doc_id").alias("corp_id"), F.col("grams").alias("grams_c")
+    )
+    inter = F.size(F.array_intersect("grams_n", "grams_c")).cast("long")
+    union = (
+        F.size("grams_n").cast("long") + F.size("grams_c").cast("long") - inter
+    )
+    verified = (
+        F.broadcast(cand.join(gn, "new_id"))
+        .join(gc, "corp_id")
+        .withColumn("inter", inter)
+        .withColumn("union_size", union)
+        .filter(F.lit(2) * F.col("inter") > F.col("union_size"))
+    )
+    m = verified.groupBy("new_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.min("corp_id").alias("dup_of"),
+        F.max(
+            F.round(F.col("inter").cast("double") / F.col("union_size"), 6)
+        ).alias("best_jaccard"),
+    )
+    # merge decomposition: batch streamed, match table broadcast
+    return (
+        gn.join(F.broadcast(m), "new_id", "left")
+        .select(
+            F.col("new_id").alias("doc_id"),
+            F.when(F.col("n_matches").isNull(), F.lit("accepted"))
+            .otherwise(F.lit("duplicate"))
+            .alias("status"),
+            "dup_of",
+            "best_jaccard",
+            F.coalesce(F.col("n_matches"), F.lit(0).cast("long")).alias(
+                "n_matches"
+            ),
+            F.when(
+                F.col("n_matches").isNull(),
+                F.lit(_NGRAM_N_BANDS).cast("long"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("idx_upserts"),
+        )
+    )
+
+
 QUERIES = {
     "q_graph_pagerank": q_graph_pagerank,
     "q_graph_triangles": q_graph_triangles,
@@ -1673,6 +1782,7 @@ QUERIES = {
     "q_dedup_embed_cosine": q_dedup_embed_cosine,
     "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "q_dedup_ngram_lsh": q_dedup_ngram_lsh,
+    "q_dedup_delta": q_dedup_delta,
     "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_components": q_dedup_components,
@@ -1856,6 +1966,53 @@ ORACLES = {
     # negligible. A regenerated fixture with a near-threshold pair would
     # need more bands, not a code fix.
     "q_dedup_ngram_lsh": _SQL_NGRAM_JACCARD,
+    # FULL-RECOMPUTE equivalence for the incremental path: no index, no
+    # banding — raw batch×corpus trigram Jaccard (the q_mv_incremental
+    # oracle trick). Recall contract identical to q_dedup_ngram_lsh's
+    # note above (fixture pairs stay >= 0.7).
+    "q_dedup_delta": f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos,
+                 unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+        grams AS (
+          SELECT DISTINCT doc_id,
+                 tok || '|' || lead(tok, 1) OVER w || '|'
+                     || lead(tok, 2) OVER w AS g
+          FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+          QUALIFY lead(tok, 2) OVER w IS NOT NULL),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+        pairs AS (
+          SELECT n.doc_id AS new_id, c.doc_id AS corp_id, COUNT(*) AS inter
+          FROM grams n JOIN grams c ON n.g = c.g
+          WHERE n.doc_id % {_DELTA_MOD} = {_DELTA_SLOT}
+            AND c.doc_id % {_DELTA_MOD} <> {_DELTA_SLOT}
+          GROUP BY 1, 2),
+        ver AS (
+          SELECT new_id, corp_id, inter,
+                 sa.sz + sb.sz - inter AS union_size
+          FROM pairs
+          JOIN sizes sa ON sa.doc_id = new_id
+          JOIN sizes sb ON sb.doc_id = corp_id
+          WHERE 2 * inter > sa.sz + sb.sz - inter),
+        m AS (
+          SELECT new_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_matches,
+                 MIN(corp_id) AS dup_of,
+                 MAX(ROUND(CAST(inter AS DOUBLE) / union_size, 6))
+                   AS best_jaccard
+          FROM ver GROUP BY 1)
+        SELECT d.doc_id,
+               CASE WHEN m.new_id IS NULL THEN 'accepted'
+                    ELSE 'duplicate' END AS status,
+               m.dup_of,
+               m.best_jaccard,
+               COALESCE(m.n_matches, 0) AS n_matches,
+               CAST(CASE WHEN m.new_id IS NULL THEN {_NGRAM_N_BANDS}
+                         ELSE 0 END AS BIGINT) AS idx_upserts
+        FROM documents d LEFT JOIN m ON m.new_id = d.doc_id
+        WHERE d.doc_id % {_DELTA_MOD} = {_DELTA_SLOT}""",
     "q_dedup_minhash_lsh": _SQL_JACCARD_PAIRS,
     "q_dedup_simhash": """
         WITH tf AS (

@@ -40,82 +40,38 @@ for _name in (
 
 
 # The driver hash-verifies exactly the FIRST 50 keys of queries() each round
-# (verified r1–r9: CORRECTNESS_r0N covers precisely registry indices 0-49),
+# (verified r1-r10: CORRECTNESS_r0N covers precisely registry indices 0-49),
 # so registry order decides which keys get hard correctness signal.
-# Round-10 window (VERDICT r9 next-round #2 — zero the evidence debt):
-# (a) the 3 operators NEW this round (zero driver evidence, newest
-# first); (b) the 12 keys the driver has NEVER checked (r8 additions —
-# the r8 driver artifacts never landed; all parity-green under HEAD);
-# (c) all 31 keys whose latest driver evidence is round 4 (five rounds
-# of module churn since); (d) the 4 oldest r5-green keys. After this
-# window lands, every key's latest driver evidence is r5+ and nothing
-# is driver-unseen. The r9-green keys fall to the tail automatically.
-# Keys after position 50 keep local parity (tools/parity.py) as their
-# regression net; tests/test_registry_order.py pins this window.
+# Round-11 window (VERDICT r10 next-round #1), composition 1+2+5+2+40:
+# (a) q_ml_knn_eval FIRST -- rewritten r10 AFTER its last driver hash (r9)
+# and extended r11 with the in-plan prefilter-bound guard: the registry's
+# only stale-evidence-vs-HEAD key two rounds running until this lands;
+# (b) the 2 operators NEW this round (zero driver evidence);
+# (c) the 5 keys whose CODE CHANGED in r11 (two-stage head cuts for
+# zipf/bpe, two-pass rewrites for calibration/ks/skyline -- changed keys
+# outrank stale re-checks, the currency policy);
+# (d) the 2 r4-stale set-ops deferred from the r10 window;
+# (e) the 40 oldest r5-stale keys in prior _SECOND_WAVE order.
+# After this window lands, every key's latest driver evidence is r5+ with
+# only 9 r5-stale keys left (staged below for r12). Keys after position 50
+# keep local parity (tools/parity.py) as their regression net;
+# tests/test_registry_order.py pins this window.
 HARD_SIGNAL_FIRST_50 = [
-    # --- round-10 operators (zero driver evidence, newest first) ---
-    "q_catalog_freshness",
-    "q_catalog_pk_infer",
-    "q_multimodal_phash",
-    "q_vec_matryoshka_recall",
+    # --- (a) rewritten r10+r11, driver evidence predates both changes ---
+    "q_ml_knn_eval",
+    # --- (b) round-11 operators (zero driver evidence) ---
+    "q_vec_knn_filtered",
+    "q_dedup_delta",
+    # --- (c) code changed r11 (latest evidence r9/r10, now stale) ---
     "q_text_zipf_fit",
-    "q_agg_winsorized",
     "q_text_bpe_encode",
-    "q_text_pii_screen",
-    "q_sample_cluster_balanced",
-    # --- never driver-checked (r8 additions; r8 artifacts never landed) ---
-    "q_dedup_dup_stats",
-    "q_text_winnowing",
-    "q_pack_bin_stats",
-    "q_vec_dim_stats",
-    "q_ts_daily_percentiles",
-    "q_multimodal_resize",
-    "q_join_partition_pruned",
-    "q_udtf_tokens",
-    "q_text_length_histogram",
-    "q_agg_topn_share",
-    "q_cdc_scd2_current",
-    "q_catalog_quality_checks",
-    # --- r4-stale (latest driver evidence round 4) ---
-    "q_join_left_outer",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_theta_range",
-    "q_join_fuzzy_name",
-    "q_join_skew_salted",
-    "q_join_lateral",
-    "q_agg_groupby",
-    "q_scalar_string",
-    "q_explode_tokens",
-    "q_scalar_json",
-    "q_scalar_string2",
-    "q_agg_listagg",
-    "q_agg_percentiles",
-    "q_agg_histogram",
-    "q_agg_corr_regr",
-    "q_agg_conditional",
-    "q_subquery_correlated",
-    "q_pivot_status_by_year",
-    "q_catalog_schema",
-    "q_text_unigram_logprob",
-    "q_text_keyphrases",
-    "q_pack_sequences",
-    "q_text_chunk_windows",
-    "q_mix_temperature",
-    "q_ts_anomaly_zscore",
-    "q_multimodal_frames",
-    "q_scalar_date",
-    "q_scalar_math",
-]
-
-# Next in line for round 11: the remaining r5-green keys (oldest driver
-# evidence once the r10 window lands). r6+-green keys fall to the tail
-# automatically.
-_SECOND_WAVE = [
-    # r4-stale trivial set-ops displaced by the late-r10 catalog keys
-    # (new keys outrank stale re-checks) — first in line for r11
+    "q_ml_calibration",
+    "q_ml_ks",
+    "q_agg_skyline",
+    # --- (d) r4-stale set-ops (oldest evidence in the registry) ---
     "q_distinct_dropdup",
     "q_except",
+    # --- (e) r5-stale (latest driver evidence round 5) ---
     "q_vec_ann_lsh",
     "q_vec_ann_recall",
     "q_vec_ann_ivf",
@@ -156,6 +112,12 @@ _SECOND_WAVE = [
     "q_text_stats",
     "q_text_tfidf_topterms",
     "q_text_ngrams",
+]
+
+# Next in line for round 12: the 9 remaining r5-stale keys -- once THEY
+# land, the whole registry's evidence is r6+. r6+-green keys fall to the
+# tail automatically.
+_SECOND_WAVE = [
     "q_text_quality",
     "q_text_langid",
     "q_text_tokencount",
@@ -165,7 +127,6 @@ _SECOND_WAVE = [
     "q_udf_pandas_scalar",
     "q_udaf_applyinpandas",
     "q_udf_cogroup",
-    "q_sort_multi",
 ]
 
 

@@ -433,6 +433,99 @@ def q_vec_ann_ivf(
     return _rerank_top5(_ivf_cand(spark, sf_dir, cdims), emb, dots)
 
 
+# q_vec_knn_filtered: the metadata predicate pushed INTO the probe. Kept
+# as one SQL-syntax string so the Spark builder (F.expr) and the DuckDB
+# oracle share it verbatim — the two sides can never drift.
+_KNN_FILTER_PRED = "label % 2 = 0"
+
+
+def q_vec_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute-FILTERED vector search (VERDICT r10 #5): top-5 cosine
+    neighbors per query among only the corpus vectors satisfying a
+    metadata predicate (label % 2 = 0) — the filtered-ANN shape every
+    retrieval stack needs (tenant/language/licence-scoped search).
+
+    The predicate is pushed INTO the probe, never post-filtered: the IVF
+    cell list itself is filtered BEFORE cell ranking (each query probes
+    its top-2 cells AMONG ALLOWED CELLS — with per-label cells a label
+    predicate is exactly a cell predicate), and the corpus side of the
+    scoring join carries the same filter below the join. Post-filtering
+    an unfiltered top-k would both under-fill k and waste the scan; a
+    filtered-out cell can never cost a probe slot here.
+
+    Determinism: identical exact-decimal machinery as q_vec_ann_ivf
+    (cell sims and dots are DECIMAL folds; rank and probe cuts are
+    (DESC, ASC) total orders).
+
+    Scale notes (100 TB): the filtered codebook broadcasts (≤ k cells);
+    probes × queries stays driver-sized and broadcasts against ONE
+    corpus scan whose predicate + pruning reach the parquet reader
+    (plan-asserted in tests/test_r11_plans.py); the exact re-rank pays
+    the decimal fold only on the shortlist. Same shapes as
+    _ivf_cand/_rerank_top5 with the predicate threaded through."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    allowed = F.expr(_KNN_FILTER_PRED)
+    # cell predicate: filter the CELL LIST before ranking probe cells
+    cdims = _centroid_dims(emb).select("label", "pos", "cdim").filter(allowed)
+    qx = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.posexplode("embedding").alias("pos", "x"),
+    )
+    q_cell = (
+        qx.join(F.broadcast(cdims), "pos")
+        .withColumn(
+            "term",
+            F.col("x").cast("decimal(12,10)")
+            * F.col("cdim").cast("decimal(14,8)"),
+        )
+        .groupBy("query_id", "label")
+        .agg(F.sum("term").alias("cell_sim"))
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.desc("cell_sim"), F.asc("label")
+    )
+    probes = (
+        q_cell.withColumn("prn", F.row_number().over(wc))
+        .filter(F.col("prn") <= _IVF_PROBES)
+        .select("query_id", "label")
+    )
+    # corpus predicate BELOW the scoring join (one filtered scan; the
+    # explicit broadcast keeps the plan stats-independent — VERDICT r3 #5)
+    corp = emb.filter(allowed).select(
+        F.col("vec_id").alias("neighbor_id"), "label", "embedding"
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(corp.select("neighbor_id", "label"), "label")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    scored = (
+        F.broadcast(cand.join(q, "query_id"))
+        .join(corp.select("neighbor_id", "embedding"), "neighbor_id")
+        .withColumn("dot", _dot_dec("q_emb", "embedding"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("dot"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("dot", 6).cast("double").alias("sim"),
+            "rank",
+        )
+    )
+
+
 _N_PLANES = 16  # sign-LSH hyperplanes → 4 bands × 4 bits
 _LSH_BAND_BITS = 4
 _DIM = 64
@@ -1318,6 +1411,7 @@ QUERIES = {
     "q_vec_pairs_threshold": q_vec_pairs_threshold,
     "q_vec_centroids": q_vec_centroids,
     "q_vec_ann_ivf": q_vec_ann_ivf,
+    "q_vec_knn_filtered": q_vec_knn_filtered,
     "q_vec_ann_lsh": q_vec_ann_lsh,
     "q_vec_ann_pq": q_vec_ann_pq,
     "q_vec_ann_recall": q_vec_ann_recall,
@@ -1625,6 +1719,46 @@ ORACLES = {
           SELECT p.query_id, e.vec_id AS neighbor_id, e.pos, e.x
           FROM probes p JOIN exploded e ON e.label = p.label
           WHERE e.vec_id <> p.query_id),
+        dots AS (
+          SELECT c.query_id, c.neighbor_id,
+                 SUM(CAST(c.x AS DECIMAL(12,10))
+                     * CAST(q.x AS DECIMAL(12,10))) AS dot
+          FROM cand c JOIN qx q ON q.query_id = c.query_id AND q.pos = c.pos
+          GROUP BY 1, 2),
+        ranked AS (
+          SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY dot DESC, neighbor_id ASC) AS INTEGER) AS rank
+          FROM dots)
+        SELECT query_id, neighbor_id,
+               CAST(ROUND(dot, 6) AS DOUBLE) AS sim, rank
+        FROM ranked WHERE rank <= {_TOP_K}""",
+    # q_vec_ann_ivf with _KNN_FILTER_PRED threaded through the SAME two
+    # places as the builder: the cell list (cdims -> fcd) and the
+    # candidate corpus leg — the predicate lives inside the probe, not
+    # as a post-filter of an unfiltered top-k
+    "q_vec_knn_filtered": f"""
+        WITH exploded AS ({_SQL_EXPLODED}),
+        {_SQL_CDIMS},
+        fcd AS (SELECT * FROM cdims WHERE {_KNN_FILTER_PRED}),
+        qx AS (
+          SELECT vec_id AS query_id, pos, x FROM exploded
+          WHERE vec_id < {_N_QUERIES}),
+        q_cell AS (
+          SELECT qx.query_id, c.label,
+                 SUM(CAST(qx.x AS DECIMAL(12,10))
+                     * CAST(c.cdim AS DECIMAL(14,8))) AS cell_sim
+          FROM qx JOIN fcd c ON qx.pos = c.pos
+          GROUP BY 1, 2),
+        probes AS (
+          SELECT query_id, label FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cell_sim DESC, label ASC) AS prn
+            FROM q_cell)
+          WHERE prn <= {_IVF_PROBES}),
+        cand AS (
+          SELECT p.query_id, e.vec_id AS neighbor_id, e.pos, e.x
+          FROM probes p JOIN exploded e ON e.label = p.label
+          WHERE e.vec_id <> p.query_id AND {_KNN_FILTER_PRED.replace("label", "e.label")}),
         dots AS (
           SELECT c.query_id, c.neighbor_id,
                  SUM(CAST(c.x AS DECIMAL(12,10))

@@ -271,6 +271,20 @@ def test_drift_report_appends_ks_row(api):
     )
 
 
+def test_r11_endpoints_delegate_to_declared_operators(api, spark):
+    import __spark_entry__ as spec
+
+    qs = spec.queries()
+    pairs = [
+        (api.filtered_search(), "q_vec_knn_filtered"),
+        (api.ingest_dedup_screen(), "q_dedup_delta"),
+    ]
+    for got_df, key in pairs:
+        got = sorted(map(tuple, got_df.collect()))
+        want = sorted(map(tuple, qs[key](spark, api.sf_dir).collect()))
+        assert got == want and len(got) > 0, key
+
+
 def test_r10_endpoints_delegate_to_declared_operators(api, spark):
     import __spark_entry__ as spec
 
