@@ -311,6 +311,14 @@ class LakeAPI:
 
         return _dedup.q_dedup_delta(self.spark, self.sf_dir)
 
+    def packing_plan_report(self) -> DataFrame:
+        """GET /training/packing-plan — best-fit-decreasing vs streaming
+        next-fit padding-waste comparison (the offline-re-pack tuning
+        number)."""
+        from gpe import packing as _packing
+
+        return _packing.q_pack_bestfit(self.spark, self.sf_dir)
+
     def pii_screen(self) -> DataFrame:
         """GET /corpus/pii-screen — per-source regex screen (hits per
         pattern class + redacted sample) over the mixed corpus."""

@@ -215,3 +215,72 @@ def test_dedup_delta_plan_shapes(spark):
     assert "CartesianProduct" not in phys
     assert "BroadcastExchange" in phys
     assert "InMemoryTableScan" in phys
+
+
+# ------------------------------------------------- q_pack_bestfit
+
+
+def _py_pack(ns, best_fit: bool, cap: int = 512):
+    """Independent Python reference for the no-spill folds: returns the
+    final residual list for one shard."""
+    resids: list[int] = []
+    for n in ns:
+        if best_fit:
+            fits = [r for r in resids if r >= n]
+            if fits:
+                resids[resids.index(min(fits))] -= n
+            else:
+                resids.append(max(cap - n, 0))
+        else:
+            if resids and resids[-1] >= n:
+                resids[-1] -= n
+            else:
+                resids.append(max(cap - n, 0))
+    return resids
+
+
+def test_pack_bestfit_matches_python_reference(spark):
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .collect()
+    )
+    shards: dict[int, list] = {}
+    for r in docs:
+        shards.setdefault(r.doc_id % 8, []).append((r.n, r.doc_id))
+    p_bfd = w_bfd = p_nf = w_nf = toks = 0
+    for items in shards.values():
+        toks += sum(n for n, _ in items)
+        desc = [n for n, d in sorted(items, key=lambda t: (-t[0], t[1]))]
+        arr = [n for n, d in sorted(items, key=lambda t: t[1])]
+        rb = _py_pack(desc, best_fit=True)
+        rn = _py_pack(arr, best_fit=False)
+        p_bfd += len(rb)
+        w_bfd += sum(rb)
+        p_nf += len(rn)
+        w_nf += sum(rn)
+    rows = {r.strategy: r for r in _Q["q_pack_bestfit"](spark, SF_SMOKE).collect()}
+    b, n = rows["bestfit_decreasing"], rows["nextfit_arrival"]
+    assert (b.n_packs, b.total_waste, b.total_tokens) == (p_bfd, w_bfd, toks)
+    assert (n.n_packs, n.total_waste, n.total_tokens) == (p_nf, w_nf, toks)
+    # waste bookkeeping closes: packs * capacity = tokens + waste (no
+    # oversize docs at this SF), and BFD never loses to the stream pass
+    assert b.n_packs * 512 == toks + b.total_waste
+    assert n.n_packs * 512 == toks + n.total_waste
+    assert b.total_waste <= n.total_waste
+    assert b.utilization >= n.utilization
+
+
+def test_pack_bestfit_plan_is_window_free_and_python_free(spark):
+    """The folds are JVM higher-order functions: the physical plan must
+    show no window operator, no Python/Arrow eval, and exactly one
+    shuffle (the groupBy(shard) partial agg)."""
+    phys = (
+        _Q["q_pack_bestfit"](spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in phys
+    assert "Python" not in phys and "ArrowEval" not in phys
+    assert phys.count("Exchange hashpartitioning") <= 2  # shard agg (+final 1-row)
