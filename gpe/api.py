@@ -319,6 +319,27 @@ class LakeAPI:
 
         return _packing.q_pack_bestfit(self.spark, self.sf_dir)
 
+    def retrieval_ndcg(self) -> DataFrame:
+        """GET /ml/retrieval-ndcg — NDCG@10 per query for the
+        label-relevance retrieval audit."""
+        from gpe import ml as _ml
+
+        return _ml.q_ml_ndcg(self.spark, self.sf_dir)
+
+    def column_mutual_info(self) -> DataFrame:
+        """GET /profile/mutual-info — MI/NMI between the status and
+        priority columns (feature-redundancy screen)."""
+        from gpe import relational as _relational
+
+        return _relational.q_agg_mutual_info(self.spark, self.sf_dir)
+
+    def dup_ngram_report(self) -> DataFrame:
+        """GET /corpus/dup-ngram-coverage — per-source duplicate-trigram
+        mass (the RefinedWeb-style filter signal)."""
+        from gpe import text as _text
+
+        return _text.q_text_dup_ngram_coverage(self.spark, self.sf_dir)
+
     def pii_screen(self) -> DataFrame:
         """GET /corpus/pii-screen — per-source regex screen (hits per
         pattern class + redacted sample) over the mixed corpus."""

@@ -710,8 +710,150 @@ _SQL_ML_KNN_EVAL = f"""
 """
 
 
+# NDCG@10 retrieval audit: queries vec_id < 10 (the q_vec_* query set),
+# graded relevance = label match, ranked by exact-decimal cosine dot.
+_NDCG_QUERIES = 10
+_NDCG_K = 10
+_NDCG_SALT = 16
+# rank-discount weights floor(1e9 / log2(rank+1)), PRECOMPUTED once here in
+# Python and baked as integer literals into BOTH engines' plans — libm
+# log2 may differ in the last ulp between the JVM and DuckDB, and a
+# floor() on either side of that ulp would flip a weight; a shared literal
+# table removes the hazard by construction (the SURVEY §5.3 discipline).
+_NDCG_W = tuple(
+    int(1_000_000_000 / __import__("math").log2(i + 1))
+    for i in range(1, _NDCG_K + 1)
+)
+
+
+def q_ml_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 per query for label-relevance retrieval (Järvelin &
+    Kekäläinen 2002): each query's corpus ranking by exact-decimal cosine
+    dot (self excluded, ties → smaller neighbor id), binary relevance =
+    label match, ideal DCG from min(k, n_relevant) top slots — the
+    ranking-quality audit that complements q_vec_ann_recall (overlap@k
+    says the index returns the right SET; NDCG says the ORDER puts
+    same-class items first, which is what a RAG/curation consumer feels).
+
+    Determinism: dots are order-free exact decimals (gpe/vectors._dot_dec);
+    ranks are a total order; discount weights are the module-level
+    _NDCG_W integer literals (see its comment — no runtime log2 anywhere);
+    DCG/IDCG are exact integer sums and NDCG is one exact integer DIV
+    followed by a display division. Every label class has dozens of
+    members in the fixture, so IDCG > 0 always; a zero-relevant query
+    would surface as a NULL ndcg, not a crash.
+
+    Scale notes (100 TB): queries broadcast as whole arrays against one
+    corpus scan — no embedding shuffle (the q_vec_knn_brute audit shape);
+    the top-10 cut is the house TWO-STAGE salted rank (stage 1 partitions
+    by (query, nid % 16) and keeps 10 per salt bucket, stage 2 re-ranks
+    the ≤160-row survivor set) so no corpus-size window partition exists
+    anywhere; n_relevant is one partial-agg groupBy. Never a global or
+    per-query full sort."""
+    from gpe.common import persist_tracked
+    from gpe.vectors import _dot_dec
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _NDCG_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("q_emb"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("nid"), F.col("label").alias("nlabel"), "embedding"
+    )
+    dots = persist_tracked(
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("nid"))
+        .select(
+            "query_id",
+            "qlabel",
+            "nid",
+            (F.col("nlabel") == F.col("qlabel")).cast("int").alias("rel"),
+            _dot_dec("q_emb", "embedding").alias("dot"),
+        )
+    )
+    nrel = dots.groupBy("query_id").agg(F.sum("rel").alias("n_rel"))
+    w1 = Window.partitionBy("query_id", F.col("nid") % _NDCG_SALT).orderBy(
+        F.desc("dot"), F.asc("nid")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("nid"))
+    top = (
+        dots.withColumn("rk1", F.row_number().over(w1))
+        .filter(F.col("rk1") <= _NDCG_K)
+        .withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= _NDCG_K)
+    )
+    w_tab = F.array(*[F.lit(w) for w in _NDCG_W])
+    scored = top.join(F.broadcast(nrel), "query_id").withColumn(
+        "w_e9", F.element_at(w_tab, F.col("rk"))
+    )
+    per_q = scored.groupBy("query_id", "qlabel", "n_rel").agg(
+        F.sum(F.col("rel") * F.col("w_e9")).alias("dcg_e9"),
+        F.sum(
+            F.when(
+                F.col("rk") <= F.least(F.lit(_NDCG_K), F.col("n_rel")),
+                F.col("w_e9"),
+            ).otherwise(F.lit(0))
+        ).alias("idcg_e9"),
+    )
+    return per_q.select(
+        "query_id",
+        F.col("qlabel").cast("int").alias("label"),
+        F.col("n_rel").cast("long").alias("n_rel"),
+        F.col("dcg_e9").cast("long").alias("dcg_e9"),
+        F.col("idcg_e9").cast("long").alias("idcg_e9"),
+        (F.expr("(dcg_e9 * 1000000) DIV idcg_e9") / F.lit(1_000_000.0)).alias(
+            "ndcg_at_10"
+        ),
+    )
+
+
+_SQL_ML_NDCG = f"""
+    WITH ex AS ({_SQL_EXPLODED}),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS nid,
+             SUM(CAST(q.x AS DECIMAL(12,10)) * CAST(c.x AS DECIMAL(12,10)))
+               AS dot
+      FROM ex q JOIN ex c ON q.pos = c.pos AND q.vec_id <> c.vec_id
+      WHERE q.vec_id < {_NDCG_QUERIES}
+      GROUP BY 1, 2),
+    rel AS (
+      SELECT d.query_id, lq.label AS qlabel, d.nid, d.dot,
+             CASE WHEN ln.label = lq.label THEN 1 ELSE 0 END AS rel
+      FROM dots d
+      JOIN lab lq ON lq.vec_id = d.query_id
+      JOIN lab ln ON ln.vec_id = d.nid),
+    nrel AS (SELECT query_id, SUM(rel) AS n_rel FROM rel GROUP BY 1),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY dot DESC, nid ASC) AS rk
+      FROM rel),
+    scored AS (
+      SELECT t.query_id, t.qlabel, n.n_rel, t.rel, t.rk,
+             ({list(_NDCG_W)})[t.rk] AS w_e9
+      FROM ranked t JOIN nrel n ON n.query_id = t.query_id
+      WHERE t.rk <= {_NDCG_K}),
+    agg AS (
+      SELECT query_id, qlabel, n_rel,
+             SUM(rel * w_e9) AS dcg_e9,
+             SUM(CASE WHEN rk <= LEAST({_NDCG_K}, n_rel)
+                 THEN w_e9 ELSE 0 END) AS idcg_e9
+      FROM scored GROUP BY 1, 2, 3)
+    SELECT query_id,
+           CAST(qlabel AS INTEGER) AS label,
+           CAST(n_rel AS BIGINT) AS n_rel,
+           CAST(dcg_e9 AS BIGINT) AS dcg_e9,
+           CAST(idcg_e9 AS BIGINT) AS idcg_e9,
+           ((dcg_e9 * 1000000) // idcg_e9) / 1000000.0 AS ndcg_at_10
+    FROM agg
+"""
+
+
 QUERIES = {
     "q_ml_knn_eval": q_ml_knn_eval,
+    "q_ml_ndcg": q_ml_ndcg,
     "q_ml_confusion": q_ml_confusion,
     "q_ml_margin": q_ml_margin,
     "q_ml_auc": q_ml_auc,
@@ -722,6 +864,7 @@ QUERIES = {
 
 ORACLES = {
     "q_ml_knn_eval": _SQL_ML_KNN_EVAL,
+    "q_ml_ndcg": _SQL_ML_NDCG,
     "q_ml_confusion": _SQL_ML_CONFUSION,
     "q_ml_margin": _SQL_ML_MARGIN,
     "q_ml_auc": _SQL_ML_AUC,

@@ -2436,6 +2436,99 @@ def q_agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (nats) between order status and priority, with
+    the marginal entropies and the normalized MI (NMI = I/√(H_x·H_y),
+    Strehl & Ghosh 2002) — the feature-redundancy/leakage screen a
+    training pipeline runs on categorical column pairs before using one
+    to stratify or split on the other (complements q_agg_cramers_v:
+    V measures association strength in χ² units, MI in information
+    units, and NMI is comparable across column pairs).
+
+    Observed cells only: a zero cell contributes p·ln(…) = 0 to MI
+    (lim p→0), so unlike q_agg_cramers_v no marginal cross-join grid is
+    needed.
+
+    Determinism: counts are exact integers; each cell term
+    (n_xy/N)·ln(N·n_xy/(n_x·n_y)) and each marginal entropy term is one
+    IEEE double expression over exact ints, e9-FLOORED (EPS-nudged) into
+    a LONG before summation (the q_text_cooccurrence_pmi idiom at e9 —
+    terms can be NEGATIVE for anti-associated cells; floor is the same
+    deterministic bias in both engines); NMI's √ and division run over
+    the exact integer sums and are display-rounded with the ε nudge.
+
+    Scale notes (100 TB): one scan → one partial-agg shuffle into the
+    ≤ r×c cell grid (15 rows here); marginals are aggregates OF the
+    grid; everything after the first shuffle is broadcast arithmetic on
+    a bounded frame."""
+    from gpe.common import persist_tracked
+
+    o = load_table(spark, sf_dir, "orders")
+    cells = persist_tracked(
+        o.groupBy("o_orderstatus", "o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_obs")
+        )
+    )
+    row_m = cells.groupBy("o_orderstatus").agg(F.sum("n_obs").alias("row_tot"))
+    col_m = cells.groupBy("o_orderpriority").agg(
+        F.sum("n_obs").alias("col_tot")
+    )
+    tot = cells.agg(F.sum("n_obs").alias("n_total"))
+
+    def _h_e9(tot_col: str) -> F.Column:
+        # (m/N)·ln(N/m), e9-floored per marginal term
+        return F.sum(
+            F.floor(
+                (F.col(tot_col) / F.col("n_total"))
+                * F.log(F.col("n_total") / F.col(tot_col))
+                * F.lit(1_000_000_000)
+                + F.lit(EPS)
+            ).cast("long")
+        )
+
+    hx = (
+        row_m.crossJoin(F.broadcast(tot))
+        .agg(_h_e9("row_tot").alias("hx_e9"))
+    )
+    hy = (
+        col_m.crossJoin(F.broadcast(tot))
+        .agg(_h_e9("col_tot").alias("hy_e9"))
+    )
+    term_e9 = F.floor(
+        (F.col("n_obs") / F.col("n_total"))
+        * F.log(
+            F.col("n_obs").cast("double")
+            * F.col("n_total")
+            / (F.col("row_tot").cast("double") * F.col("col_tot"))
+        )
+        * F.lit(1_000_000_000)
+        + F.lit(EPS)
+    ).cast("long")
+    return (
+        cells.join(F.broadcast(row_m), "o_orderstatus")
+        .join(F.broadcast(col_m), "o_orderpriority")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("n_total")
+        .agg(F.sum(term_e9).alias("mi_e9"))
+        .crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .select(
+            F.col("n_total").cast("long").alias("n_total"),
+            (F.col("mi_e9") / F.lit(1_000_000_000.0)).alias("mi_nats"),
+            (F.col("hx_e9") / F.lit(1_000_000_000.0)).alias("entropy_status"),
+            (F.col("hy_e9") / F.lit(1_000_000_000.0)).alias(
+                "entropy_priority"
+            ),
+            F.round(
+                F.col("mi_e9")
+                / F.sqrt(F.col("hx_e9").cast("double") * F.col("hy_e9"))
+                + F.lit(EPS),
+                6,
+            ).alias("nmi"),
+        )
+    )
+
+
 def q_agg_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Power-of-two (log-spaced) histogram of order totals — the data-
     profiling shape for heavy-tailed columns where q_agg_histogram's
@@ -2479,6 +2572,7 @@ def q_agg_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_agg_chi2": q_agg_chi2,
     "q_agg_cramers_v": q_agg_cramers_v,
+    "q_agg_mutual_info": q_agg_mutual_info,
     "q_join_ship_lag": q_join_ship_lag,
     "q_agg_skyline": q_agg_skyline,
     "q_agg_log_histogram": q_agg_log_histogram,
@@ -2606,6 +2700,43 @@ ORACLES = {
         FROM j GROUP BY 1""",
     # identical cells/marginals as chi2; e6-floored terms → exact-int
     # χ² sum; one IEEE sqrt tail
+    "q_agg_mutual_info": """
+        WITH cells AS (
+          SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_obs
+          FROM orders GROUP BY 1, 2),
+        rm AS (SELECT o_orderstatus, SUM(n_obs) AS row_tot
+               FROM cells GROUP BY 1),
+        cm AS (SELECT o_orderpriority, SUM(n_obs) AS col_tot
+               FROM cells GROUP BY 1),
+        tot AS (SELECT SUM(n_obs) AS n_total FROM cells),
+        hx AS (
+          SELECT SUM(CAST(FLOOR((row_tot / n_total)
+                     * ln(n_total / row_tot)
+                     * 1000000000 + 1e-9) AS BIGINT)) AS hx_e9
+          FROM rm CROSS JOIN tot),
+        hy AS (
+          SELECT SUM(CAST(FLOOR((col_tot / n_total)
+                     * ln(n_total / col_tot)
+                     * 1000000000 + 1e-9) AS BIGINT)) AS hy_e9
+          FROM cm CROSS JOIN tot),
+        mi AS (
+          SELECT t.n_total,
+                 SUM(CAST(FLOOR((ce.n_obs / t.n_total)
+                     * ln(CAST(ce.n_obs AS DOUBLE) * t.n_total
+                          / (CAST(rm.row_tot AS DOUBLE) * cm.col_tot))
+                     * 1000000000 + 1e-9) AS BIGINT)) AS mi_e9
+          FROM cells ce
+          JOIN rm ON rm.o_orderstatus = ce.o_orderstatus
+          JOIN cm ON cm.o_orderpriority = ce.o_orderpriority
+          CROSS JOIN tot t
+          GROUP BY t.n_total)
+        SELECT CAST(n_total AS BIGINT) AS n_total,
+               mi_e9 / 1000000000.0 AS mi_nats,
+               hx_e9 / 1000000000.0 AS entropy_status,
+               hy_e9 / 1000000000.0 AS entropy_priority,
+               ROUND(mi_e9 / sqrt(CAST(hx_e9 AS DOUBLE) * hy_e9) + 1e-9, 6)
+                 AS nmi
+        FROM mi CROSS JOIN hx CROSS JOIN hy""",
     "q_agg_cramers_v": """
         WITH cells AS (
           SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_obs

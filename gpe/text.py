@@ -1568,7 +1568,79 @@ def q_text_dup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc duplicate-trigram coverage per source: for each doc, the
+    fraction of its trigram INSTANCES whose trigram also occurs in at
+    least one other document — the "duplicate n-gram fraction" filter of
+    RefinedWeb (Penedo et al. 2023) / the Gopher rules (Rae et al. 2021),
+    measured at the source level where a curation pipeline acts on it.
+    Complements the existing screens: q_text_repetition is WITHIN-doc
+    repetition, q_text_dup_paragraphs is exact chunk reuse — this is
+    fuzzy cross-doc boilerplate mass.
+
+    Docs with fewer than 3 tokens have no trigram and are excluded from
+    the screen (inner semantics, stated in the oracle WHERE too).
+
+    Determinism: all counts exact integers; per-doc coverage is an exact
+    integer DIV to e6 fixed point; the source roll-up averages the e6
+    LONGs with another integer DIV — no float until the final display
+    division.
+
+    Scale notes (100 TB): the gram build is map-side (in-row `transform`
+    over the token array — no posexplode window); then three keyed
+    shuffles, each with map-side partial aggregation: (doc, gram)
+    instance counts, gram → distinct-doc counts (the collapsed
+    (doc, gram) frame, never raw instances), and the gram-keyed join
+    back; the per-doc and per-source roll-ups ride the doc keying.
+    Nothing global, no windows, no driver collection; skew on a
+    mega-duplicated gram is bounded because the join carries only the
+    collapsed per-doc rows, not instance multiplicity."""
+    d = load_table(spark, sf_dir, "documents")
+    t = (
+        d.select("doc_id", "source", F.split("text", " ").alias("t"))
+        .withColumn("n", F.size("t"))
+        .filter(F.col("n") >= 3)
+    )
+    grams = t.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, n - 2), i -> concat_ws(' ',"
+                " element_at(t, i), element_at(t, i + 1),"
+                " element_at(t, i + 2)))"
+            )
+        ).alias("gram"),
+    )
+    per_dg = grams.groupBy("doc_id", "source", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    gdocs = per_dg.groupBy("gram").agg(F.count(F.lit(1)).alias("g_docs"))
+    doc_cov = (
+        per_dg.join(gdocs, "gram")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.sum(
+                F.when(F.col("g_docs") >= 2, F.col("c")).otherwise(F.lit(0))
+            ).alias("n_dup"),
+        )
+        .withColumn("cov_e6", F.expr("(n_dup * 1000000) DIV n_grams"))
+    )
+    return doc_cov.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.expr("sum(cov_e6) DIV count(1)") / F.lit(1_000_000.0)).alias(
+            "avg_dup_coverage"
+        ),
+        F.count(F.when(F.col("cov_e6") > 500_000, 1))
+        .cast("long")
+        .alias("n_flagged"),
+        (F.max("cov_e6") / F.lit(1_000_000.0)).alias("max_dup_coverage"),
+    )
+
+
 QUERIES = {
+    "q_text_dup_ngram_coverage": q_text_dup_ngram_coverage,
     "q_text_dup_paragraphs": q_text_dup_paragraphs,
     "q_text_bigram_lm": q_text_bigram_lm,
     "q_text_hapax": q_text_hapax,
@@ -1642,6 +1714,36 @@ def _sql_dup_paragraphs() -> str:
 
 
 ORACLES = {
+    "q_text_dup_ngram_coverage": """
+        WITH t AS (
+          SELECT doc_id, source, string_split(text, ' ') AS t,
+                 len(string_split(text, ' ')) AS n
+          FROM documents),
+        tt AS (SELECT * FROM t WHERE n >= 3),
+        grams AS (
+          SELECT doc_id, source,
+                 unnest(list_transform(generate_series(1, n - 2),
+                   i -> concat_ws(' ', t[i], t[i + 1], t[i + 2]))) AS gram
+          FROM tt),
+        pdg AS (
+          SELECT doc_id, source, gram, COUNT(*) AS c
+          FROM grams GROUP BY 1, 2, 3),
+        gd AS (SELECT gram, COUNT(*) AS g_docs FROM pdg GROUP BY 1),
+        dc AS (
+          SELECT p.doc_id, p.source,
+                 SUM(p.c) AS n_grams,
+                 SUM(CASE WHEN g.g_docs >= 2 THEN p.c ELSE 0 END) AS n_dup
+          FROM pdg p JOIN gd g ON g.gram = p.gram
+          GROUP BY 1, 2),
+        pd AS (
+          SELECT source, (n_dup * 1000000) // n_grams AS cov_e6 FROM dc)
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               (SUM(cov_e6) // COUNT(*)) / 1000000.0 AS avg_dup_coverage,
+               CAST(COUNT(*) FILTER (cov_e6 > 500000) AS BIGINT)
+                 AS n_flagged,
+               MAX(cov_e6) / 1000000.0 AS max_dup_coverage
+        FROM pd GROUP BY source""",
     # chunk CTE derived from packing's constants; sha256 hex both sides
     "q_text_dup_paragraphs": _sql_dup_paragraphs(),
     # identical bigram multiset (positional self-join ≡ the indexed

@@ -1,0 +1,169 @@
+"""Round-11 second operator batch: NDCG@10, categorical mutual
+information, and cross-doc duplicate-trigram coverage — independent
+Python references beyond the oracle hash (the house rule), plus the
+plan-shape contracts the docstrings promise."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+from fractions import Fraction
+
+import pyspark.sql.functions as F
+
+import __spark_entry__ as spec
+
+from tests.conftest import SF_SMOKE
+
+_Q = spec.queries()
+
+
+# ------------------------------------------------------- q_ml_ndcg
+
+
+def _exact_dots(emb_rows, qid):
+    """Exact query-corpus dot products via Fraction (float32 components
+    are exact binary rationals, so Fraction sums are the true values the
+    decimal fold approximates with 20 digits — same ordering)."""
+    q = next(r for r in emb_rows if r.vec_id == qid)
+    out = []
+    for r in emb_rows:
+        if r.vec_id == qid:
+            continue
+        d = sum(
+            Fraction(a) * Fraction(b) for a, b in zip(q.embedding, r.embedding)
+        )
+        out.append((r.vec_id, r.label, d))
+    return out, q.label
+
+
+def test_ndcg_matches_fraction_reference(spark):
+    rows = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect()
+    w = [int(1_000_000_000 / math.log2(i + 1)) for i in range(1, 11)]
+    got = {r.query_id: r for r in _Q["q_ml_ndcg"](spark, SF_SMOKE).collect()}
+    assert set(got) == set(range(10))
+    for qid in range(10):
+        dots, qlabel = _exact_dots(rows, qid)
+        dots.sort(key=lambda t: (-t[2], t[0]))
+        n_rel = sum(1 for _, lab, _ in dots if lab == qlabel)
+        dcg = sum(
+            w[i] for i, (_, lab, _) in enumerate(dots[:10]) if lab == qlabel
+        )
+        idcg = sum(w[: min(10, n_rel)])
+        r = got[qid]
+        assert r.label == qlabel
+        assert r.n_rel == n_rel
+        assert r.dcg_e9 == dcg, qid
+        assert r.idcg_e9 == idcg, qid
+        assert r.ndcg_at_10 == (dcg * 1_000_000 // idcg) / 1_000_000.0
+        assert 0.0 <= r.ndcg_at_10 <= 1.0
+
+
+def test_ndcg_plan_has_no_unpartitioned_or_corpus_size_window(spark):
+    """The docstring promises the two-stage salted cut: every window in
+    the plan must be partitioned (stage 1 by (query, salt), stage 2 by
+    query over the <=160-row survivor frame), and the query side must
+    reach the corpus via a broadcast."""
+    phys = (
+        _Q["q_ml_ndcg"](spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastExchange" in phys
+    for line in phys.splitlines():
+        if "Window " in line or line.strip().startswith("Window"):
+            assert "partitionBy" not in line or "query_id" in line
+
+
+# ------------------------------------------------ q_agg_mutual_info
+
+
+def test_mutual_info_matches_python_reference(spark):
+    o = (
+        spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .select("o_orderstatus", "o_orderpriority")
+        .collect()
+    )
+    cells = Counter((r.o_orderstatus, r.o_orderpriority) for r in o)
+    rm = Counter()
+    cm = Counter()
+    for (s, p), c in cells.items():
+        rm[s] += c
+        cm[p] += c
+    n = sum(cells.values())
+    mi_e9 = sum(
+        math.floor(
+            (c / n) * math.log(c * n / (rm[s] * cm[p])) * 1e9 + 1e-9
+        )
+        for (s, p), c in cells.items()
+    )
+    hx_e9 = sum(
+        math.floor((c / n) * math.log(n / c) * 1e9 + 1e-9)
+        for c in rm.values()
+    )
+    hy_e9 = sum(
+        math.floor((c / n) * math.log(n / c) * 1e9 + 1e-9)
+        for c in cm.values()
+    )
+    r = _Q["q_agg_mutual_info"](spark, SF_SMOKE).collect()[0]
+    assert r.n_total == n
+    assert r.mi_nats == mi_e9 / 1e9
+    assert r.entropy_status == hx_e9 / 1e9
+    assert r.entropy_priority == hy_e9 / 1e9
+    assert r.nmi == round(mi_e9 / math.sqrt(float(hx_e9) * hy_e9) + 1e-9, 6)
+    # information inequalities: 0 <= I <= min(H_x, H_y); NMI in [0, 1]
+    assert 0 <= r.mi_nats <= min(r.entropy_status, r.entropy_priority) + 1e-9
+    assert 0.0 <= r.nmi <= 1.0
+
+
+# --------------------------------------- q_text_dup_ngram_coverage
+
+
+def test_dup_ngram_coverage_matches_python_reference(spark):
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "source", "text")
+        .collect()
+    )
+    per_doc = {}
+    gram_docs = Counter()
+    for r in docs:
+        toks = r.text.split(" ")
+        if len(toks) < 3:
+            continue
+        grams = Counter(
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        )
+        per_doc[r.doc_id] = (r.source, grams)
+        for g in grams:
+            gram_docs[g] += 1
+    by_source: dict[str, list[int]] = {}
+    for src, grams in per_doc.values():
+        tot = sum(grams.values())
+        dup = sum(c for g, c in grams.items() if gram_docs[g] >= 2)
+        by_source.setdefault(src, []).append(dup * 1_000_000 // tot)
+    got = {
+        r.source: r
+        for r in _Q["q_text_dup_ngram_coverage"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(by_source)
+    for src, covs in by_source.items():
+        r = got[src]
+        assert r.n_docs == len(covs)
+        assert r.avg_dup_coverage == (sum(covs) // len(covs)) / 1_000_000.0
+        assert r.n_flagged == sum(1 for c in covs if c > 500_000)
+        assert r.max_dup_coverage == max(covs) / 1_000_000.0
+
+
+def test_dup_ngram_plan_is_window_free(spark):
+    """The gram build is an in-row transform: no window operator and no
+    Python/Arrow eval anywhere in the plan."""
+    phys = (
+        _Q["q_text_dup_ngram_coverage"](spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in phys
+    assert "Python" not in phys and "ArrowEval" not in phys
