@@ -319,6 +319,20 @@ class LakeAPI:
 
         return _packing.q_pack_bestfit(self.spark, self.sf_dir)
 
+    def hybrid_search(self) -> DataFrame:
+        """GET /vectors/hybrid-search — reciprocal-rank fusion of the
+        semantic and lexical legs (fused top-5 per query)."""
+        from gpe import vectors as _vectors
+
+        return _vectors.q_rag_rank_fusion(self.spark, self.sf_dir)
+
+    def k_anonymity_report(self) -> DataFrame:
+        """GET /governance/k-anonymity — quasi-identifier equivalence-
+        class census and re-identification risk share."""
+        from gpe import catalog as _catalog
+
+        return _catalog.q_privacy_k_anon(self.spark, self.sf_dir)
+
     def retrieval_ndcg(self) -> DataFrame:
         """GET /ml/retrieval-ndcg — NDCG@10 per query for the
         label-relevance retrieval audit."""

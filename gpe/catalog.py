@@ -18,7 +18,7 @@ import os
 from pyspark.sql import DataFrame, Row, SparkSession, Window
 from pyspark.sql import functions as F
 
-from gpe.common import persist_tracked
+from gpe.common import EPS, persist_tracked
 from gpe.io import TABLES, load_table, write_partitioned
 
 
@@ -686,7 +686,77 @@ def _pk_infer_oracle() -> str:
     return "\nUNION ALL\n".join(legs)
 
 
+# k-anonymity threshold for the re-identification screen
+_K_ANON = 5
+# shift added to exact cents before the $1000 bucket DIV: Spark's DIV
+# truncates toward zero while DuckDB's // floors, so NEGATIVE balances
+# would bucket differently; shifting all cents positive (+$1M) makes the
+# two identical without changing bucket boundaries.
+_BAL_SHIFT_CENTS = 100_000_000
+
+
+def q_privacy_k_anon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity screen (Sweeney 2002, k = 5) over the customer table's
+    quasi-identifiers (nation, market segment, $1000 account-balance
+    bucket): equivalence-class census with the counts a governance
+    review acts on — unsafe classes/rows (size < k), singletons
+    (uniquely re-identifiable), and the re-identification risk share.
+    The release gate a training-data pipeline runs before customer-
+    derived features leave the lake (complements q_pii_mask /
+    q_text_pii_screen: those find direct identifiers, this measures
+    LINKAGE risk from harmless-looking columns).
+
+    Determinism: the balance bucket is exact integer arithmetic on
+    cents (raw 2-decimal column cast per the gpe/common.py discipline,
+    shifted positive — see _BAL_SHIFT_CENTS — then integer DIV);
+    everything else is integer counts; the single ratio is one IEEE
+    division with the EPS-nudged display round.
+
+    Scale notes (100 TB): one scan → one partial-agg shuffle keyed by
+    the quasi-identifier tuple → a 1-row reduce over the class frame.
+    Class cardinality is the QI-combination count (bounded well below
+    row count by definition of the screen), so the second stage never
+    rivals the scan."""
+    c = load_table(spark, sf_dir, "customer")
+    cls = (
+        c.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.expr(
+                "(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)"
+                f" + {_BAL_SHIFT_CENTS}) DIV 100000"
+            ).alias("bal_bucket"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "bal_bucket")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    return (
+        cls.agg(
+            F.sum("sz").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.count(F.when(F.col("sz") < _K_ANON, 1))
+            .cast("long")
+            .alias("n_unsafe_classes"),
+            F.sum(F.when(F.col("sz") < _K_ANON, F.col("sz")).otherwise(0))
+            .cast("long")
+            .alias("n_unsafe_rows"),
+            F.count(F.when(F.col("sz") == 1, 1))
+            .cast("long")
+            .alias("n_singletons"),
+            F.min("sz").cast("long").alias("min_class_size"),
+            F.max("sz").cast("long").alias("max_class_size"),
+        )
+        .withColumn(
+            "reident_risk",
+            F.round(
+                F.col("n_unsafe_rows") / F.col("n_rows") + F.lit(EPS), 6
+            ),
+        )
+    )
+
+
 QUERIES = {
+    "q_privacy_k_anon": q_privacy_k_anon,
     "q_catalog_freshness": q_catalog_freshness,
     "q_catalog_pk_infer": q_catalog_pk_infer,
     "q_catalog_column_entropy": q_catalog_column_entropy,
@@ -699,6 +769,25 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_privacy_k_anon": f"""
+        WITH cls AS (
+          SELECT c_nationkey, c_mktsegment,
+                 (CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+                  + {_BAL_SHIFT_CENTS}) // 100000 AS bal_bucket,
+                 COUNT(*) AS sz
+          FROM customer GROUP BY 1, 2, 3)
+        SELECT CAST(SUM(sz) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_classes,
+               CAST(COUNT(*) FILTER (sz < {_K_ANON}) AS BIGINT)
+                 AS n_unsafe_classes,
+               CAST(SUM(CASE WHEN sz < {_K_ANON} THEN sz ELSE 0 END)
+                    AS BIGINT) AS n_unsafe_rows,
+               CAST(COUNT(*) FILTER (sz = 1) AS BIGINT) AS n_singletons,
+               CAST(MIN(sz) AS BIGINT) AS min_class_size,
+               CAST(MAX(sz) AS BIGINT) AS max_class_size,
+               ROUND(SUM(CASE WHEN sz < {_K_ANON} THEN sz ELSE 0 END)
+                     / CAST(SUM(sz) AS DOUBLE) + 1e-9, 6) AS reident_risk
+        FROM cls""",
     # per-table min/max/count legs generated from the same column list;
     # exact date-diff span and integer-DIV density
     "q_catalog_freshness": _freshness_oracle(),

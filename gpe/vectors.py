@@ -1053,6 +1053,152 @@ def q_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# hybrid-retrieval fusion: per-leg candidate depth, RRF smoothing constant
+# (Cormack/Clarke/Buettcher 2009's k=60), fused output depth, salt buckets
+_FUSE_LEG_K = 20
+_FUSE_RRF_K = 60
+_FUSE_TOP = 5
+_FUSE_SALT = 16
+
+
+def q_rag_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack, Clarke &
+    Buettcher, SIGIR'09): for each query item (id < 10), fuse a SEMANTIC
+    leg (exact-decimal cosine over the embedding) with a LEXICAL leg
+    (trigram-set Jaccard over the text) by RRF score
+    Σ 1/(60 + rank_leg), and return the fused top-5 — the hybrid-search
+    endpoint every RAG stack runs (dense recall + lexical precision).
+    The corpus is the text ⋈ vector inner join on doc_id = vec_id (the
+    q_multimodal_join convention — only items indexed in BOTH modalities
+    are fusable).
+
+    Per-leg lists are TOP-20 (the standard fused-list depth), so an item
+    missing from one leg simply contributes 0 — no full-corpus ranking
+    exists anywhere.
+
+    Determinism: the semantic rank orders exact decimals; the lexical
+    rank orders integer e6 Jaccards ((inter·1e6) DIV union, counts of
+    DISTINCT trigrams); RRF contributions are exact integer DIVs
+    (1e9 DIV (60 + rank)), so the fused score is an exact integer sum
+    and every rank is a total order with id tie-breaks.
+
+    Scale notes (100 TB): the semantic leg is the broadcast-query array
+    fold (no embedding shuffle) with the house two-stage salted top-k;
+    the lexical leg joins the BROADCAST query gram set against the
+    corpus gram stream — each corpus row meets only its own grams, the
+    intersection count is one keyed partial agg, and the same two-stage
+    cut bounds the rank. The fusion join and final rank run on ≤ 40
+    candidate rows per query. Stop-gram posting lists are the known
+    skew risk of raw Jaccard legs; q_text_bm25_search is the
+    idf-weighted production lexical leg, and this operator shares its
+    candidate-generation shape."""
+    from pyspark.sql import Window
+
+    from gpe.common import persist_tracked
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = persist_tracked(
+        d.join(e, d.doc_id == e.vec_id).select("doc_id", "text", "embedding")
+    )
+    q = corpus.filter(F.col("doc_id") < _N_QUERIES).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("text").alias("q_text"),
+        F.col("embedding").alias("q_emb"),
+    )
+
+    def two_stage_top(df, order, out):
+        w1 = Window.partitionBy(
+            "query_id", F.col("nid") % _FUSE_SALT
+        ).orderBy(*order)
+        w2 = Window.partitionBy("query_id").orderBy(*order)
+        return (
+            df.withColumn("_rk1", F.row_number().over(w1))
+            .filter(F.col("_rk1") <= _FUSE_LEG_K)
+            .withColumn(out, F.row_number().over(w2))
+            .filter(F.col(out) <= _FUSE_LEG_K)
+            .select("query_id", "nid", out)
+        )
+
+    # semantic leg: broadcast queries, map-side exact-decimal fold
+    dots = (
+        F.broadcast(q.select("query_id", "q_emb"))
+        .join(
+            corpus.select(F.col("doc_id").alias("nid"), "embedding"),
+            F.col("query_id") != F.col("nid"),
+        )
+        .select(
+            "query_id", "nid", _dot_dec("q_emb", "embedding").alias("dot")
+        )
+    )
+    sem = two_stage_top(dots, [F.desc("dot"), F.asc("nid")], "rank_sem")
+
+    # lexical leg: DISTINCT trigram sets, posting-list intersection
+    gram_expr = (
+        "array_distinct(transform(sequence(1, size(t) - 2), i ->"
+        " concat_ws(' ', element_at(t, i), element_at(t, i + 1),"
+        " element_at(t, i + 2))))"
+    )
+    grams = persist_tracked(
+        corpus.select("doc_id", F.split("text", " ").alias("t"))
+        .filter(F.size("t") >= 3)
+        .select("doc_id", F.explode(F.expr(gram_expr)).alias("gram"))
+    )
+    gsize = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    qg = grams.filter(F.col("doc_id") < _N_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "gram"
+    )
+    qsz = gsize.filter(F.col("doc_id") < _N_QUERIES).select(
+        F.col("doc_id").alias("query_id"), F.col("sz").alias("q_sz")
+    )
+    inter = (
+        F.broadcast(qg)
+        .join(grams.withColumnRenamed("doc_id", "nid"), "gram")
+        .filter(F.col("query_id") != F.col("nid"))
+        .groupBy("query_id", "nid")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = (
+        inter.join(
+            gsize.select(F.col("doc_id").alias("nid"), F.col("sz").alias("n_sz")),
+            "nid",
+        )
+        .join(F.broadcast(qsz), "query_id")
+        .withColumn(
+            "jac_e6", F.expr("(inter * 1000000) DIV (q_sz + n_sz - inter)")
+        )
+    )
+    lex = two_stage_top(jac, [F.desc("jac_e6"), F.asc("nid")], "rank_lex")
+
+    fused = (
+        sem.join(lex, ["query_id", "nid"], "full_outer")
+        .withColumn(
+            "rrf_e9",
+            F.coalesce(
+                F.expr(f"1000000000 DIV ({_FUSE_RRF_K} + rank_sem)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr(f"1000000000 DIV ({_FUSE_RRF_K} + rank_lex)"), F.lit(0)
+            ),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_e9"), F.asc("nid")
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf))
+        .filter(F.col("fused_rank") <= _FUSE_TOP)
+        .select(
+            "query_id",
+            F.col("nid").alias("doc_id"),
+            F.col("rank_sem").cast("long").alias("rank_sem"),
+            F.col("rank_lex").cast("long").alias("rank_lex"),
+            F.col("rrf_e9").cast("long").alias("rrf_e9"),
+            F.col("fused_rank").cast("int").alias("fused_rank"),
+        )
+    )
+
+
 _SQL_CDIMS = """
   cdims AS (
     SELECT label, pos,
@@ -1412,6 +1558,7 @@ QUERIES = {
     "q_vec_centroids": q_vec_centroids,
     "q_vec_ann_ivf": q_vec_ann_ivf,
     "q_vec_knn_filtered": q_vec_knn_filtered,
+    "q_rag_rank_fusion": q_rag_rank_fusion,
     "q_vec_ann_lsh": q_vec_ann_lsh,
     "q_vec_ann_pq": q_vec_ann_pq,
     "q_vec_ann_recall": q_vec_ann_recall,
@@ -1637,6 +1784,74 @@ ORACLES = {
                ROUND(CAST(SUM(mse_d) AS DOUBLE) / COUNT(*) + {EPS}, 12)
                  AS avg_mse
         FROM r GROUP BY label""",
+    "q_rag_rank_fusion": f"""
+        WITH corpus AS (
+          SELECT d.doc_id, d.text, e.embedding
+          FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+        ex AS (
+          SELECT doc_id, generate_subscripts(embedding, 1) AS pos,
+                 CAST(unnest(embedding) AS DOUBLE) AS x
+          FROM corpus),
+        dots AS (
+          SELECT q.doc_id AS query_id, c.doc_id AS nid,
+                 {_SQL_DOT.format(a='q', b='c')} AS dot
+          FROM ex q JOIN ex c ON q.pos = c.pos AND q.doc_id <> c.doc_id
+          WHERE q.doc_id < {_N_QUERIES}
+          GROUP BY 1, 2),
+        sem AS (
+          SELECT query_id, nid, rank_sem FROM (
+            SELECT query_id, nid,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY dot DESC, nid ASC) AS rank_sem
+            FROM dots) WHERE rank_sem <= {_FUSE_LEG_K}),
+        tok AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+        grams AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                   generate_series(1, len(t) - 2),
+                   i -> concat_ws(' ', t[i], t[i + 1], t[i + 2])))) AS gram
+          FROM tok WHERE len(t) >= 3),
+        gsize AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY 1),
+        inter AS (
+          SELECT qg.doc_id AS query_id, cg.doc_id AS nid,
+                 COUNT(*) AS inter
+          FROM grams qg
+          JOIN grams cg ON qg.gram = cg.gram AND qg.doc_id <> cg.doc_id
+          WHERE qg.doc_id < {_N_QUERIES}
+          GROUP BY 1, 2),
+        jac AS (
+          SELECT i.query_id, i.nid,
+                 (i.inter * 1000000) // (qs.sz + ns.sz - i.inter) AS jac_e6
+          FROM inter i
+          JOIN gsize qs ON qs.doc_id = i.query_id
+          JOIN gsize ns ON ns.doc_id = i.nid),
+        lex AS (
+          SELECT query_id, nid, rank_lex FROM (
+            SELECT query_id, nid,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY jac_e6 DESC, nid ASC) AS rank_lex
+            FROM jac) WHERE rank_lex <= {_FUSE_LEG_K}),
+        fused AS (
+          SELECT COALESCE(s.query_id, l.query_id) AS query_id,
+                 COALESCE(s.nid, l.nid) AS nid,
+                 s.rank_sem, l.rank_lex,
+                 COALESCE(1000000000 // ({_FUSE_RRF_K} + s.rank_sem), 0)
+                   + COALESCE(1000000000 // ({_FUSE_RRF_K} + l.rank_lex), 0)
+                   AS rrf_e9
+          FROM sem s
+          FULL OUTER JOIN lex l
+            ON s.query_id = l.query_id AND s.nid = l.nid),
+        final AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY rrf_e9 DESC, nid ASC) AS fused_rank
+          FROM fused)
+        SELECT query_id, nid AS doc_id,
+               CAST(rank_sem AS BIGINT) AS rank_sem,
+               CAST(rank_lex AS BIGINT) AS rank_lex,
+               CAST(rrf_e9 AS BIGINT) AS rrf_e9,
+               CAST(fused_rank AS INTEGER) AS fused_rank
+        FROM final WHERE fused_rank <= {_FUSE_TOP}""",
     "q_vec_knn_brute": f"""
         WITH q AS ({_SQL_EXPLODED.replace('FROM embeddings',
                     'FROM embeddings WHERE vec_id < ' + str(_N_QUERIES))}),

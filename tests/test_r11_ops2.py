@@ -167,3 +167,101 @@ def test_dup_ngram_plan_is_window_free(spark):
     )
     assert "Window" not in phys
     assert "Python" not in phys and "ArrowEval" not in phys
+
+
+# ---------------------------------------------- q_rag_rank_fusion
+
+
+def test_rank_fusion_matches_python_reference(spark):
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect()
+    ids = sorted(set(docs) & {r.vec_id for r in emb})
+    # semantic leg (Fraction-exact dots), lexical leg (distinct trigrams)
+    tri = {}
+    for i in ids:
+        toks = docs[i].split(" ")
+        tri[i] = {
+            " ".join(toks[j : j + 3]) for j in range(max(len(toks) - 2, 0))
+        }
+    fused_ref = {}
+    for qid in range(10):
+        dots, _ = _exact_dots([r for r in emb if r.vec_id in set(ids)], qid)
+        dots.sort(key=lambda t: (-t[2], t[0]))
+        rank_sem = {nid: i + 1 for i, (nid, _, _) in enumerate(dots[:20])}
+        jac = []
+        for nid in ids:
+            if nid == qid:
+                continue
+            inter = len(tri[qid] & tri[nid])
+            if inter == 0:
+                continue
+            union = len(tri[qid]) + len(tri[nid]) - inter
+            jac.append((nid, inter * 1_000_000 // union))
+        jac.sort(key=lambda t: (-t[1], t[0]))
+        rank_lex = {nid: i + 1 for i, (nid, _) in enumerate(jac[:20])}
+        scores = {}
+        for nid in set(rank_sem) | set(rank_lex):
+            s = 0
+            if nid in rank_sem:
+                s += 1_000_000_000 // (60 + rank_sem[nid])
+            if nid in rank_lex:
+                s += 1_000_000_000 // (60 + rank_lex[nid])
+            scores[nid] = s
+        top = sorted(scores.items(), key=lambda t: (-t[1], t[0]))[:5]
+        fused_ref[qid] = [
+            (nid, rank_sem.get(nid), rank_lex.get(nid), s, i + 1)
+            for i, (nid, s) in enumerate(top)
+        ]
+    got = _Q["q_rag_rank_fusion"](spark, SF_SMOKE).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(
+            (r.doc_id, r.rank_sem, r.rank_lex, r.rrf_e9, r.fused_rank)
+        )
+    for qid in range(10):
+        assert sorted(by_q[qid], key=lambda t: t[4]) == fused_ref[qid], qid
+
+
+def test_rank_fusion_plan_broadcasts_both_query_legs(spark):
+    phys = (
+        _Q["q_rag_rank_fusion"](spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert phys.count("BroadcastExchange") >= 2
+    assert "CartesianProduct" not in phys
+    assert "Python" not in phys and "ArrowEval" not in phys
+
+
+# ----------------------------------------------- q_privacy_k_anon
+
+
+def test_k_anon_matches_python_reference(spark):
+    from decimal import Decimal
+
+    rows = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").collect()
+    cls = Counter()
+    for r in rows:
+        cents = int(
+            Decimal(str(r.c_acctbal)).quantize(Decimal("0.01")) * 100
+        )
+        bucket = (cents + 100_000_000) // 100_000
+        cls[(r.c_nationkey, r.c_mktsegment, bucket)] += 1
+    unsafe = {k: v for k, v in cls.items() if v < 5}
+    got = _Q["q_privacy_k_anon"](spark, SF_SMOKE).collect()[0]
+    assert got.n_rows == len(rows)
+    assert got.n_classes == len(cls)
+    assert got.n_unsafe_classes == len(unsafe)
+    assert got.n_unsafe_rows == sum(unsafe.values())
+    assert got.n_singletons == sum(1 for v in cls.values() if v == 1)
+    assert got.min_class_size == min(cls.values())
+    assert got.max_class_size == max(cls.values())
+    assert got.reident_risk == round(
+        sum(unsafe.values()) / len(rows) + 1e-9, 6
+    )
