@@ -319,6 +319,13 @@ class LakeAPI:
 
         return _packing.q_pack_bestfit(self.spark, self.sf_dir)
 
+    def sketch_calibration_report(self) -> DataFrame:
+        """GET /dedup/sketch-calibration — MinHash estimate-vs-exact
+        Jaccard error per decile (index-quality audit)."""
+        from gpe import dedup as _dedup
+
+        return _dedup.q_dedup_sketch_calibration(self.spark, self.sf_dir)
+
     def hybrid_search(self) -> DataFrame:
         """GET /vectors/hybrid-search — reciprocal-rank fusion of the
         semantic and lexical legs (fused top-5 per query)."""

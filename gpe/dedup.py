@@ -544,6 +544,88 @@ def q_dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _exact_jaccard_pairs(load_table(spark, sf_dir, "documents"))
 
 
+# q_dedup_sketch_calibration: exact-Jaccard lower bound for the audited
+# pair population (4·|∩| ≥ |∪| ⇔ J ≥ 0.25) and the e6 weight of one
+# matching signature chunk (1e6 / 32 — exact, so the estimate is an
+# integer with no DIV)
+_CAL_TAU_NUM, _CAL_TAU_DEN = 1, 4
+_CAL_CHUNK_E6 = 1_000_000 // _N_MINHASH
+
+
+def q_dedup_sketch_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash sketch calibration audit: for every DISTINCT-token-SET pair
+    with exact Jaccard ≥ 0.25, compare the 32-chunk md5-MinHash estimate
+    (matching chunks / 32 — Broder 1997's unbiased collision estimator)
+    against the exact popcount Jaccard, bucketed by exact-J decile —
+    the index-quality report for the dedup family, exactly what
+    q_vec_ann_recall is for the ANN family: BEFORE trusting banded
+    candidates at a new threshold, a pipeline reads this table to see
+    the sketch's bias/spread in the J-range the threshold lives in.
+
+    Set-level on purpose: signatures depend only on the token set, so
+    doc multiplicity would only re-weight bins without new information
+    (same-set pairs have identical signatures trivially — excluded).
+    Rides the md5 signature path (shared with q_dedup_minhash_lsh via
+    _mask_sig_supernodes) because DuckDB can re-derive md5 chunk minima
+    exactly; the open-vocab xxhash64 n-gram path has no DuckDB twin, so
+    its calibration is covered by the pytest equality pins instead.
+
+    Determinism: signatures are md5 hex chunk minima (lexicographic ==
+    numeric at fixed 8-hex width, identical bytes in both engines);
+    match counts are exact integers; est_e6 = matches·31250 exactly
+    (1e6/32 divides evenly); exact_e6 is one integer DIV; every bin
+    statistic is an integer sum + integer DIV.
+
+    Scale notes (100 TB): everything runs on the vocabulary-bounded
+    distinct-mask frame (the supernode contraction), never on docs; the
+    mask cross-join is quadratic only in DISTINCT SETS (the closed-vocab
+    regime where the mask path is valid at all — the open-vocab twin
+    bands instead of crossing); the audit output is ≤ 10 rows."""
+    d = load_table(spark, sf_dir, "documents")
+    g = persist_tracked(_mask_sig_supernodes(d))
+    sig_cols = [f"mh{j}" for j in range(_N_MINHASH)]
+    a = g.select(
+        F.col("mask").alias("mx"),
+        *[F.col(c).alias(f"a{j}") for j, c in enumerate(sig_cols)],
+    )
+    b = g.select(
+        F.col("mask").alias("my"),
+        *[F.col(c).alias(f"b{j}") for j, c in enumerate(sig_cols)],
+    )
+    matches = sum(
+        (F.col(f"a{j}") == F.col(f"b{j}")).cast("int")
+        for j in range(_N_MINHASH)
+    )
+    pairs = (
+        a.join(b, F.col("mx") < F.col("my"))
+        .withColumn("inter", F.expr("CAST(bit_count(mx & my) AS BIGINT)"))
+        .withColumn("un", F.expr("CAST(bit_count(mx | my) AS BIGINT)"))
+        .filter(
+            F.lit(_CAL_TAU_DEN) * F.col("inter")
+            >= F.lit(_CAL_TAU_NUM) * F.col("un")
+        )
+        .select(
+            F.expr("(inter * 1000000) DIV un").alias("exact_e6"),
+            (matches * F.lit(_CAL_CHUNK_E6)).cast("long").alias("est_e6"),
+        )
+        .withColumn("abs_err_e6", F.abs(F.col("est_e6") - F.col("exact_e6")))
+        .withColumn("jaccard_bin", F.expr("exact_e6 DIV 100000"))
+    )
+    return pairs.groupBy("jaccard_bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        (F.expr("sum(abs_err_e6) DIV count(1)") / F.lit(1_000_000.0)).alias(
+            "mean_abs_err"
+        ),
+        (F.max("abs_err_e6") / F.lit(1_000_000.0)).alias("max_abs_err"),
+        (F.expr("sum(exact_e6) DIV count(1)") / F.lit(1_000_000.0)).alias(
+            "mean_exact"
+        ),
+        (F.expr("sum(est_e6) DIV count(1)") / F.lit(1_000_000.0)).alias(
+            "mean_est"
+        ),
+    )
+
+
 def q_dedup_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup observability: per source, document count, distinct
     normalized-content count (q_dedup_exact's sha2(lower(trim)) hash),
@@ -1774,6 +1856,7 @@ QUERIES = {
     "q_graph_bfs_layers": q_graph_bfs_layers,
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_dup_stats": q_dedup_dup_stats,
+    "q_dedup_sketch_calibration": q_dedup_sketch_calibration,
     "q_dedup_near_pairs": q_dedup_near_pairs,
     "q_dedup_containment": q_dedup_containment,
     "q_dedup_containment_prefix": q_dedup_containment_prefix,
@@ -1840,6 +1923,66 @@ ORACLES = {
                      * 1000000 / COUNT(*)) / 1000000.0 AS dup_ratio
         FROM documents GROUP BY 1""",
     "q_dedup_near_pairs": _SQL_JACCARD_PAIRS,
+    # set-level md5 chunk-minima re-derived per representative doc (one
+    # rep per distinct token set == one mask supernode); md5 hex bytes,
+    # substring positions, and lexicographic minima are engine-identical
+    "q_dedup_sketch_calibration": f"""
+        WITH toks AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_distinct(string_split(text, ' '))) AS token
+          FROM documents),
+        dsets AS (
+          SELECT doc_id, list_sort(list(token)) AS tset
+          FROM toks GROUP BY doc_id),
+        reps AS (SELECT MIN(doc_id) AS rep FROM dsets GROUP BY tset),
+        rtoks AS (
+          SELECT t.doc_id, t.token
+          FROM toks t JOIN reps r ON r.rep = t.doc_id),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM rtoks GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 sa.sz AS sz_a, sb.sz AS sz_b, COUNT(*) AS inter
+          FROM rtoks a
+          JOIN rtoks b ON a.token = b.token AND a.doc_id < b.doc_id
+          JOIN sizes sa ON sa.doc_id = a.doc_id
+          JOIN sizes sb ON sb.doc_id = b.doc_id
+          GROUP BY 1, 2, 3, 4),
+        fp AS (
+          SELECT id_a, id_b, inter, sz_a + sz_b - inter AS un
+          FROM pairs
+          WHERE {_CAL_TAU_DEN} * inter
+                >= {_CAL_TAU_NUM} * (sz_a + sz_b - inter)),
+        sigs AS (
+          SELECT doc_id, j,
+                 MIN(substring(md5(concat(CAST(j // 4 AS VARCHAR), '|',
+                                          token)),
+                               1 + 8 * (j % 4), 8)) AS mh
+          FROM rtoks, (SELECT unnest(generate_series(0, {_N_MINHASH - 1}))
+                         AS j)
+          GROUP BY doc_id, j),
+        m AS (
+          SELECT f.id_a, f.id_b, f.inter, f.un,
+                 SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS matches
+          FROM fp f
+          JOIN sigs sa ON sa.doc_id = f.id_a
+          JOIN sigs sb ON sb.doc_id = f.id_b AND sb.j = sa.j
+          GROUP BY 1, 2, 3, 4),
+        e AS (
+          SELECT (inter * 1000000) // un AS exact_e6,
+                 matches * {_CAL_CHUNK_E6} AS est_e6
+          FROM m),
+        e2 AS (
+          SELECT exact_e6, est_e6,
+                 abs(est_e6 - exact_e6) AS abs_err_e6,
+                 exact_e6 // 100000 AS jaccard_bin
+          FROM e)
+        SELECT CAST(jaccard_bin AS BIGINT) AS jaccard_bin,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               (SUM(abs_err_e6) // COUNT(*)) / 1000000.0 AS mean_abs_err,
+               MAX(abs_err_e6) / 1000000.0 AS max_abs_err,
+               (SUM(exact_e6) // COUNT(*)) / 1000000.0 AS mean_exact,
+               (SUM(est_e6) // COUNT(*)) / 1000000.0 AS mean_est
+        FROM e2 GROUP BY 1""",
     # 3 unrolled integer-scaled power iterations over the same pair set
     # as q_dedup_near_pairs; every arithmetic step is integer (// and
     # *85//100), so the hash matches the Spark DIV chain exactly.

@@ -265,3 +265,72 @@ def test_k_anon_matches_python_reference(spark):
     assert got.reident_risk == round(
         sum(unsafe.values()) / len(rows) + 1e-9, 6
     )
+
+
+# ------------------------------------- q_dedup_sketch_calibration
+
+
+def test_sketch_calibration_matches_python_reference(spark):
+    import hashlib
+
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    sets = {}
+    for r in docs:
+        t = frozenset(r.text.split(" "))
+        sets.setdefault(t, r.doc_id)  # one rep per distinct set
+    reps = list(sets.items())
+
+    def sig(tokens):
+        out = []
+        for j in range(32):
+            g, rr = divmod(j, 4)
+            out.append(
+                min(
+                    hashlib.md5(f"{g}|{tok}".encode()).hexdigest()[
+                        8 * rr : 8 * rr + 8
+                    ]
+                    for tok in tokens
+                )
+            )
+        return out
+
+    sigs = {rep: sig(t) for t, rep in reps}
+    bins = {}
+    for i in range(len(reps)):
+        for k in range(i + 1, len(reps)):
+            (ta, _), (tb, _) = reps[i], reps[k]
+            inter = len(ta & tb)
+            un = len(ta | tb)
+            if 4 * inter < un:
+                continue
+            exact_e6 = inter * 1_000_000 // un
+            m = sum(
+                1
+                for x, y in zip(sigs[reps[i][1]], sigs[reps[k][1]])
+                if x == y
+            )
+            est_e6 = m * 31_250
+            b = exact_e6 // 100_000
+            bins.setdefault(b, []).append((abs(est_e6 - exact_e6), exact_e6, est_e6))
+    got = {
+        r.jaccard_bin: r
+        for r in _Q["q_dedup_sketch_calibration"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(bins)
+    for b, errs in bins.items():
+        r = got[b]
+        n = len(errs)
+        assert r.n_pairs == n
+        assert r.mean_abs_err == (sum(e for e, _, _ in errs) // n) / 1e6
+        assert r.max_abs_err == max(e for e, _, _ in errs) / 1e6
+        assert r.mean_exact == (sum(x for _, x, _ in errs) // n) / 1e6
+        assert r.mean_est == (sum(y for _, _, y in errs) // n) / 1e6
+    # the estimator is unbiased: per-bin mean estimate tracks mean exact
+    # within the binomial spread (32 chunks -> sd ~ 0.09); allow 3 sd
+    for b, r in got.items():
+        if r.n_pairs >= 10:
+            assert abs(r.mean_est - r.mean_exact) < 0.27 / (r.n_pairs ** 0.5) + 0.03
