@@ -340,6 +340,13 @@ class LakeAPI:
 
         return _catalog.q_privacy_k_anon(self.spark, self.sf_dir)
 
+    def hard_negative_triplets(self) -> DataFrame:
+        """GET /ml/hard-negatives — per-query contrastive triplet
+        (best positive, hardest negative, margin, violation flag)."""
+        from gpe import ml as _ml
+
+        return _ml.q_ml_hard_negatives(self.spark, self.sf_dir)
+
     def retrieval_ndcg(self) -> DataFrame:
         """GET /ml/retrieval-ndcg — NDCG@10 per query for the
         label-relevance retrieval audit."""

@@ -809,6 +809,105 @@ def q_ml_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ml_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (the in-batch
+    hard-negative selection of DPR, Karpukhin et al. 2020 / SimCSE): for
+    each query vector (vec_id < 10), the single best SAME-label neighbor
+    (the positive) and the single best DIFFERENT-label neighbor (the
+    hard negative) by exact-decimal cosine dot, with the triplet margin
+    pos − neg and a violation flag (margin ≤ 0 ⇔ the hardest negative
+    outranks the best positive — the pairs a contrastive fine-tune must
+    fix first). Complements q_ml_margin: that audits CLASS PROTOTYPES,
+    this mines INSTANCE-level triplets a training job consumes.
+
+    Determinism: dots are order-free exact decimals; each leg's argmax
+    is max(struct(dot, −nid)) — an exact lexicographic comparison whose
+    tie-break is the smaller neighbor id; the margin is an exact decimal
+    difference; display values round at 6dp.
+
+    Scale notes (100 TB): queries broadcast as arrays against one corpus
+    scan (the q_vec_knn_brute shape); each leg is a map-side PARTIAL
+    argmax folded per (query, leg) — NO window, NO sort, NO self-join
+    anywhere, so the whole operator is one broadcast join + one
+    partial-agg shuffle of 2 struct rows per query."""
+    from gpe.vectors import _dot_dec
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _NDCG_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("q_emb"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("nid"), F.col("label").alias("nlabel"), "embedding"
+    )
+    dots = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("nid"))
+        .select(
+            "query_id",
+            "qlabel",
+            (F.col("nlabel") == F.col("qlabel")).alias("same"),
+            F.struct(
+                _dot_dec("q_emb", "embedding").alias("dot"),
+                (-F.col("nid")).alias("mneg"),
+            ).alias("s"),
+        )
+    )
+    per_q = dots.groupBy("query_id", "qlabel").agg(
+        F.max(F.when(F.col("same"), F.col("s"))).alias("pos"),
+        F.max(F.when(~F.col("same"), F.col("s"))).alias("neg"),
+    )
+    return per_q.select(
+        "query_id",
+        F.col("qlabel").cast("int").alias("label"),
+        (-F.col("pos.mneg")).cast("long").alias("pos_id"),
+        F.round("pos.dot", 6).cast("double").alias("pos_sim"),
+        (-F.col("neg.mneg")).cast("long").alias("neg_id"),
+        F.round("neg.dot", 6).cast("double").alias("neg_sim"),
+        F.round(F.col("pos.dot") - F.col("neg.dot"), 6)
+        .cast("double")
+        .alias("margin"),
+        (F.col("pos.dot") <= F.col("neg.dot")).alias("violated"),
+    )
+
+
+_SQL_ML_HARD_NEGATIVES = f"""
+    WITH ex AS ({_SQL_EXPLODED}),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS nid,
+             SUM(CAST(q.x AS DECIMAL(12,10)) * CAST(c.x AS DECIMAL(12,10)))
+               AS dot
+      FROM ex q JOIN ex c ON q.pos = c.pos AND q.vec_id <> c.vec_id
+      WHERE q.vec_id < {_NDCG_QUERIES}
+      GROUP BY 1, 2),
+    rel AS (
+      SELECT d.query_id, lq.label AS qlabel, d.nid, d.dot,
+             (ln.label = lq.label) AS same
+      FROM dots d
+      JOIN lab lq ON lq.vec_id = d.query_id
+      JOIN lab ln ON ln.vec_id = d.nid),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id, same
+                 ORDER BY dot DESC, nid ASC) AS rk
+      FROM rel),
+    pos AS (SELECT query_id, qlabel, nid, dot FROM ranked
+            WHERE same AND rk = 1),
+    neg AS (SELECT query_id, nid, dot FROM ranked
+            WHERE NOT same AND rk = 1)
+    SELECT p.query_id,
+           CAST(p.qlabel AS INTEGER) AS label,
+           CAST(p.nid AS BIGINT) AS pos_id,
+           CAST(ROUND(p.dot, 6) AS DOUBLE) AS pos_sim,
+           CAST(n.nid AS BIGINT) AS neg_id,
+           CAST(ROUND(n.dot, 6) AS DOUBLE) AS neg_sim,
+           CAST(ROUND(p.dot - n.dot, 6) AS DOUBLE) AS margin,
+           (p.dot <= n.dot) AS violated
+    FROM pos p JOIN neg n ON n.query_id = p.query_id
+"""
+
+
 _SQL_ML_NDCG = f"""
     WITH ex AS ({_SQL_EXPLODED}),
     lab AS (SELECT vec_id, label FROM embeddings),
@@ -854,6 +953,7 @@ _SQL_ML_NDCG = f"""
 QUERIES = {
     "q_ml_knn_eval": q_ml_knn_eval,
     "q_ml_ndcg": q_ml_ndcg,
+    "q_ml_hard_negatives": q_ml_hard_negatives,
     "q_ml_confusion": q_ml_confusion,
     "q_ml_margin": q_ml_margin,
     "q_ml_auc": q_ml_auc,
@@ -865,6 +965,7 @@ QUERIES = {
 ORACLES = {
     "q_ml_knn_eval": _SQL_ML_KNN_EVAL,
     "q_ml_ndcg": _SQL_ML_NDCG,
+    "q_ml_hard_negatives": _SQL_ML_HARD_NEGATIVES,
     "q_ml_confusion": _SQL_ML_CONFUSION,
     "q_ml_margin": _SQL_ML_MARGIN,
     "q_ml_auc": _SQL_ML_AUC,

@@ -334,3 +334,45 @@ def test_sketch_calibration_matches_python_reference(spark):
     for b, r in got.items():
         if r.n_pairs >= 10:
             assert abs(r.mean_est - r.mean_exact) < 0.27 / (r.n_pairs ** 0.5) + 0.03
+
+
+# -------------------------------------------- q_ml_hard_negatives
+
+
+def test_hard_negatives_matches_fraction_reference(spark):
+    rows = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect()
+    got = {
+        r.query_id: r
+        for r in _Q["q_ml_hard_negatives"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(range(10))
+    for qid in range(10):
+        dots, qlabel = _exact_dots(rows, qid)
+        pos = min(
+            (t for t in dots if t[1] == qlabel), key=lambda t: (-t[2], t[0])
+        )
+        neg = min(
+            (t for t in dots if t[1] != qlabel), key=lambda t: (-t[2], t[0])
+        )
+        r = got[qid]
+        assert r.label == qlabel
+        assert (r.pos_id, r.neg_id) == (pos[0], neg[0])
+        assert r.violated == (pos[2] <= neg[2])
+        assert abs(r.margin - float(pos[2] - neg[2])) < 2e-6
+    # violated <=> non-positive margin, on every row (the flag and the
+    # number must agree; the fixture's clusters are weak at top-1, so
+    # most triplets violate — exactly the rows a fine-tune mines)
+    for r in got.values():
+        assert r.violated == (r.margin <= 0)
+
+
+def test_hard_negatives_plan_is_window_and_sort_free(spark):
+    phys = (
+        _Q["q_ml_hard_negatives"](spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in phys
+    assert "BroadcastExchange" in phys
+    assert "Python" not in phys and "ArrowEval" not in phys
