@@ -138,6 +138,29 @@ def main() -> None:
     print("== release audit (r10): PII screen per source + redacted sample ==")
     text.q_text_pii_screen(spark, sf_dir).orderBy("source").show(truncate=40)
 
+    print("== duplicate-trigram mass per source (r11, RefinedWeb filter) ==")
+    text.q_text_dup_ngram_coverage(spark, sf_dir).orderBy(
+        F.desc("avg_dup_coverage")
+    ).show(5)
+
+    print("== incremental ingest (r11): new batch vs standing dedup index ==")
+    dedup.q_dedup_delta(spark, sf_dir).groupBy("status").agg(
+        F.count(F.lit(1)).alias("docs")
+    ).show()
+
+    print("== sketch calibration (r11): MinHash est-vs-exact per J decile ==")
+    dedup.q_dedup_sketch_calibration(spark, sf_dir).orderBy(
+        "jaccard_bin"
+    ).show()
+
+    print("== packing strategy comparison (r11): best-fit vs streaming ==")
+    packing.q_pack_bestfit(spark, sf_dir).show()
+
+    print("== hybrid retrieval (r11): RRF of semantic + lexical legs ==")
+    vectors.q_rag_rank_fusion(spark, sf_dir).filter("query_id = 0").orderBy(
+        "fused_rank"
+    ).show()
+
 
 if __name__ == "__main__":
     main()
