@@ -584,6 +584,23 @@ def q_dedup_sketch_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     g = persist_tracked(_mask_sig_supernodes(d))
     sig_cols = [f"mh{j}" for j in range(_N_MINHASH)]
+    # popcount-filter FIRST on skinny 1-column frames (the cross join
+    # carries two LONGs per row, never the 64 signature strings), THEN
+    # fetch signatures for the qualifying pairs only via two broadcast
+    # joins against the tiny supernode frame — measured at sf0.1 (idle
+    # rig, fresh sessions): 4.3 s warm vs 7.7 s for crossing the
+    # signature-wide frames directly; cold within noise of equal
+    mx = g.select(F.col("mask").alias("mx"))
+    my = g.select(F.col("mask").alias("my"))
+    qual = (
+        mx.join(my, F.col("mx") < F.col("my"))
+        .withColumn("inter", F.expr("CAST(bit_count(mx & my) AS BIGINT)"))
+        .withColumn("un", F.expr("CAST(bit_count(mx | my) AS BIGINT)"))
+        .filter(
+            F.lit(_CAL_TAU_DEN) * F.col("inter")
+            >= F.lit(_CAL_TAU_NUM) * F.col("un")
+        )
+    )
     a = g.select(
         F.col("mask").alias("mx"),
         *[F.col(c).alias(f"a{j}") for j, c in enumerate(sig_cols)],
@@ -597,13 +614,8 @@ def q_dedup_sketch_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(_N_MINHASH)
     )
     pairs = (
-        a.join(b, F.col("mx") < F.col("my"))
-        .withColumn("inter", F.expr("CAST(bit_count(mx & my) AS BIGINT)"))
-        .withColumn("un", F.expr("CAST(bit_count(mx | my) AS BIGINT)"))
-        .filter(
-            F.lit(_CAL_TAU_DEN) * F.col("inter")
-            >= F.lit(_CAL_TAU_NUM) * F.col("un")
-        )
+        qual.join(F.broadcast(a), "mx")
+        .join(F.broadcast(b), "my")
         .select(
             F.expr("(inter * 1000000) DIV un").alias("exact_e6"),
             (matches * F.lit(_CAL_CHUNK_E6)).cast("long").alias("est_e6"),

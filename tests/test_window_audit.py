@@ -59,6 +59,7 @@ _CLOSED_VOCAB_DISTINCT_KEYS = (
     "q_dedup_containment",
     "q_dedup_graph_degree",
     "q_dedup_minhash_lsh",
+    "q_dedup_sketch_calibration",
     "q_dedup_near_pairs",
     "q_graph_bfs_layers",
     "q_graph_pagerank",
