@@ -47,7 +47,7 @@ def main(argv: list[str]) -> None:
     lines = [
         f"# BENCH — per-query wall-clock at sf{sf} (local[32], noop sink)",
         "",
-        f"Round-10, {date.today().isoformat()}: **{total:.3f} s total "
+        f"Round-11, {date.today().isoformat()}: **{total:.3f} s total "
         f"over {len(keys)} keys**, 0 errors — per-query MEDIAN of "
         f"{len(runs)} runs (sum of medians); every run is a full fresh-"
         f"session pass."
@@ -59,31 +59,29 @@ def main(argv: list[str]) -> None:
             else ""
         ),
         "",
-        "Round-10 addendum: this regeneration covers the final 251-key "
-        "registry (five full passes: 322.7/301.8/324.3/323.4 s mid-"
-        "afternoon under moderate shared load, then 277.8 s on a truly "
-        "quiet rig (loadavg 0.1) — the designated cold artifact "
-        "BENCH_COLD_r10.json, the same best-pass convention as r9; "
-        "medians are taken over the last four passes). The "
-        "headline change is the q_ml_knn_eval rewrite — the r9 registry's "
-        "only weak-graded key — from posexplode-join-on-pos dots to a "
-        "broadcast-array IEEE-double prefilter + exact-decimal shortlist "
-        "re-rank: 30.5 s (r9 median) → ~3.3 s median / 3.07 s on the "
-        "early quiet-rig cold pass. The 9 NEW r10 keys (bpe encode, pii "
-        "screen, cluster-balanced sample, matryoshka recall, zipf fit, "
-        "winsorized means, phash near-dup, catalog freshness, pk infer) "
-        "cost ~13 s of the cold pass combined; none is iterative. An "
-        "EARLY quiet-rig cold pass at the start of the round "
-        "(BENCH_COLD_r10_early.json, 308.8 s over the 242 pre-r10 keys, "
-        "VERDICT r9 #3's protocol) confirmed every r9 'residual "
-        "regression' (q_customer_rfm 7.25→4.65 s, q_vec_knn_brute "
-        "3.72→2.34 s, q_udaf_applyinpandas 2.18→1.54 s, "
-        "q_multimodal_audio_windows 1.79→1.31 s) as rig drift — all back "
-        "at their medians with zero code changes; per-key ratio vs the "
-        "r9 cold artifact median 1.10, p10 0.88 / p90 1.46, the "
-        "documented uniform shared-rig signature. The slowest key is now "
-        "the exact-recall containment prefix join — the documented "
-        "candidate-generation floor; no undefended number remains.",
+        "Round-11 addendum: this regeneration covers the final 261-key "
+        "registry (10 new r11 keys). Five full passes "
+        "316.1/354.8/343.4/343.4/291.3 s; the 291.3 s pass ran on a "
+        "quiet rig (loadavg ~0.1) and is the designated cold artifact "
+        "BENCH_COLD_r11.json (the same best-pass convention as r9/r10). "
+        "On the 251 keys shared with round 10, this cold pass totals "
+        "268.9 s vs BENCH_COLD_r10's 277.8 s (0.968x; per-key ratio "
+        "median 0.958, p10 0.79 / p90 1.12) with ZERO regressions "
+        ">30% & >1 s — the round's changes (two-stage head cuts for "
+        "zipf/bpe, two-pass calibration/ks/skyline) were 100 TB plan "
+        "fixes and, as predicted, cost nothing at sf0.1. The 10 NEW r11 "
+        "keys (filtered vector search, dedup-delta ingest, best-fit "
+        "packing, NDCG, mutual information, dup-ngram coverage, RRF "
+        "rank fusion, k-anonymity, sketch calibration, hard negatives) "
+        "cost 22.4 s of the cold pass combined; none is iterative; the "
+        "heaviest are q_dedup_delta 5.6 s (banded batch-vs-index probe "
+        "+ exact verify — the candidate-generation family floor), "
+        "q_ml_ndcg 4.3 s and q_dedup_sketch_calibration 4.2 s (both "
+        "ride the broadcast-dots / supernode pipelines). An EARLY "
+        "quiet-rig cold pass at the start of the round "
+        "(BENCH_COLD_r11_early.json, 277.6 s over the 251 pre-r11 keys, "
+        "median ratio 0.993 vs the r10 cold artifact) re-anchored the "
+        "rig-drift protocol before any r11 code landed.",
         "",
         "## BENCH_r07 spike-key reconciliation (VERDICT r7 #2)",
         "",
