@@ -333,6 +333,13 @@ class LakeAPI:
 
         return _vectors.q_rag_rank_fusion(self.spark, self.sf_dir)
 
+    def zorder_audit(self) -> DataFrame:
+        """GET /lake/zorder-audit — zone-map quality of z-curve vs
+        linear layouts (the OPTIMIZE ZORDER decision table)."""
+        from gpe import catalog as _catalog
+
+        return _catalog.q_lake_zorder(self.spark, self.sf_dir)
+
     def k_anonymity_report(self) -> DataFrame:
         """GET /governance/k-anonymity — quasi-identifier equivalence-
         class census and re-identification risk share."""

@@ -42,18 +42,18 @@ for _name in (
 # The driver hash-verifies exactly the FIRST 50 keys of queries() each round
 # (verified r1-r10: CORRECTNESS_r0N covers precisely registry indices 0-49),
 # so registry order decides which keys get hard correctness signal.
-# Round-11 window (VERDICT r10 next-round #1), composition 1+10+5+2+32:
+# Round-11 window (VERDICT r10 next-round #1), composition 1+11+5+2+31:
 # (a) q_ml_knn_eval FIRST -- rewritten r10 AFTER its last driver hash (r9)
 # and extended r11 with the in-plan prefilter-bound guard: the registry's
 # only stale-evidence-vs-HEAD key two rounds running until this lands;
-# (b) the 10 operators NEW this round (zero driver evidence);
+# (b) the 11 operators NEW this round (zero driver evidence);
 # (c) the 5 keys whose CODE CHANGED in r11 (two-stage head cuts for
 # zipf/bpe, two-pass rewrites for calibration/ks/skyline -- changed keys
 # outrank stale re-checks, the currency policy);
 # (d) the 2 r4-stale set-ops deferred from the r10 window;
-# (e) the 32 oldest r5-stale keys in prior _SECOND_WAVE order.
+# (e) the 31 oldest r5-stale keys in prior _SECOND_WAVE order.
 # After this window lands, every key's latest driver evidence is r5+ with
-# only 17 r5-stale keys left (staged below for r12). Keys after position 50
+# only 18 r5-stale keys left (staged below for r12). Keys after position 50
 # keep local parity (tools/parity.py) as their regression net;
 # tests/test_registry_order.py pins this window.
 HARD_SIGNAL_FIRST_50 = [
@@ -70,6 +70,7 @@ HARD_SIGNAL_FIRST_50 = [
     "q_privacy_k_anon",
     "q_dedup_sketch_calibration",
     "q_ml_hard_negatives",
+    "q_lake_zorder",
     # --- (c) code changed r11 (latest evidence r9/r10, now stale) ---
     "q_text_zipf_fit",
     "q_text_bpe_encode",
@@ -111,15 +112,15 @@ HARD_SIGNAL_FIRST_50 = [
     "q_agg_approx_distinct",
     "q_agg_multi_distinct",
     "q_agg_having",
-    "q_union_all",
 ]
 
-# Next in line for round 12: the 17 remaining r5-stale keys -- once THEY
+# Next in line for round 12: the 18 remaining r5-stale keys -- once THEY
 # land, the whole registry's evidence is r6+. r6+-green keys fall to the
 # tail automatically. (The first six were displaced from the r11 window
-# by the eight late-landing r11 operators, so they lead the wave in their
+# by the nine late-landing r11 operators, so they lead the wave in their
 # original window order.)
 _SECOND_WAVE = [
+    "q_union_all",
     "q_union_distinct",
     "q_intersect",
     "q_subquery_scalar",

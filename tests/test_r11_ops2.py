@@ -376,3 +376,65 @@ def test_hard_negatives_plan_is_window_and_sort_free(spark):
     assert "Window" not in phys
     assert "BroadcastExchange" in phys
     assert "Python" not in phys and "ArrowEval" not in phys
+
+
+# --------------------------------------------------- q_lake_zorder
+
+
+def _morton(a: int, b: int) -> int:
+    z = 0
+    for i in range(16):
+        z |= ((a >> i) & 1) << (2 * i)
+        z |= ((b >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_zorder_matches_python_reference(spark):
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .select("o_custkey", "o_totalprice")
+        .collect()
+    )
+    from decimal import Decimal
+
+    pts = [
+        (r.o_custkey, int(Decimal(str(r.o_totalprice)).quantize(Decimal("0.01")) * 100))
+        for r in rows
+    ]
+    min_a, max_a = min(p[0] for p in pts), max(p[0] for p in pts)
+    min_b, max_b = min(p[1] for p in pts), max(p[1] for p in pts)
+    norm = [
+        (
+            (a - min_a) * 65535 // max(max_a - min_a, 1),
+            (b - min_b) * 65535 // max(max_b - min_b, 1),
+        )
+        for a, b in pts
+    ]
+    got = {r.strategy: r for r in _Q["q_lake_zorder"](spark, SF_SMOKE).collect()}
+    for tag, keyf in [
+        ("zorder", lambda na, nb: _morton(na, nb) >> 22),
+        ("linear", lambda na, nb: na >> 6),
+    ]:
+        per: dict[int, list] = {}
+        for na, nb in norm:
+            per.setdefault(keyf(na, nb), []).append((na, nb))
+        spans = [
+            (
+                max(v[0] for v in vs) - min(v[0] for v in vs) + 1,
+                max(v[1] for v in vs) - min(v[1] for v in vs) + 1,
+            )
+            for vs in per.values()
+        ]
+        r = got[tag]
+        nb_ = len(spans)
+        assert r.n_buckets == nb_
+        assert r.n_rows == len(norm)
+        assert r.avg_span_a == sum(s[0] for s in spans) // nb_
+        assert r.avg_span_b == sum(s[1] for s in spans) // nb_
+        assert r.avg_area_e6 == (
+            sum(s[0] * s[1] * 1_000_000 // 4294967296 for s in spans) // nb_
+        )
+    # the layout story: z-order bounds BOTH dims; linear is lopsided
+    z, l = got["zorder"], got["linear"]
+    assert z.avg_span_b < l.avg_span_b / 4
+    assert l.avg_span_a < z.avg_span_a
