@@ -2519,11 +2519,17 @@ def q_agg_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("hy_e9") / F.lit(1_000_000_000.0)).alias(
                 "entropy_priority"
             ),
-            F.round(
-                F.col("mi_e9")
-                / F.sqrt(F.col("hx_e9").cast("double") * F.col("hy_e9"))
-                + F.lit(EPS),
-                6,
+            # a constant column has zero entropy: NMI's normalizer is 0
+            # and the ratio is undefined — NULL, not a division error
+            # (ANSI Spark throws on /0; DuckDB returns inf)
+            F.when(
+                (F.col("hx_e9") > 0) & (F.col("hy_e9") > 0),
+                F.round(
+                    F.col("mi_e9")
+                    / F.sqrt(F.col("hx_e9").cast("double") * F.col("hy_e9"))
+                    + F.lit(EPS),
+                    6,
+                ),
             ).alias("nmi"),
         )
     )
@@ -2734,8 +2740,10 @@ ORACLES = {
                mi_e9 / 1000000000.0 AS mi_nats,
                hx_e9 / 1000000000.0 AS entropy_status,
                hy_e9 / 1000000000.0 AS entropy_priority,
-               ROUND(mi_e9 / sqrt(CAST(hx_e9 AS DOUBLE) * hy_e9) + 1e-9, 6)
-                 AS nmi
+               CASE WHEN hx_e9 > 0 AND hy_e9 > 0
+                    THEN ROUND(mi_e9 / sqrt(CAST(hx_e9 AS DOUBLE) * hy_e9)
+                               + 1e-9, 6)
+               END AS nmi
         FROM mi CROSS JOIN hx CROSS JOIN hy""",
     "q_agg_cramers_v": """
         WITH cells AS (
