@@ -37,7 +37,15 @@ def _physical(spark, key: str) -> str:
 def test_no_cartesian_product_in_r9_keys(spark):
     """The only all-pairs surface allowed is the mask-level BNLJ of the
     graph family (the documented closed-vocab bound); a CartesianProduct
-    node anywhere is a scale bug."""
+    node anywhere is a scale bug.
+
+    clearCache() first (the test_dedup_delta_plan_shapes precedent):
+    a mask frame left cached by an EARLIER test file changes the
+    planner's stats and flips the mask-pair BNLJ into a conditioned
+    CartesianProduct — same rows, different node name, spurious fail
+    (first seen r11 when the sketch-calibration tests began caching a
+    supernode frame upstream of this file's alphabetical slot)."""
+    spark.catalog.clearCache()
     for key in R9_KEYS:
         plan = _physical(spark, key)
         assert "CartesianProduct" not in plan, key
@@ -66,7 +74,11 @@ def test_bfs_layers_reuses_persisted_mask_frames(spark):
     InMemoryTableScan (one materialization feeding all three relaxation
     rounds), never re-deriving the mask build per round. (Plan-text node
     COUNTS are meaningless here — each iteration's lineage reprints the
-    cached subtree — so assert presence, not multiplicity.)"""
+    cached subtree — so assert presence, not multiplicity.)
+
+    clearCache() first — same cross-file cache-state rationale as
+    test_no_cartesian_product_in_r9_keys."""
+    spark.catalog.clearCache()
     plan = _physical(spark, "q_graph_bfs_layers")
     assert "InMemoryTableScan" in plan
     assert "CartesianProduct" not in plan

@@ -59,29 +59,37 @@ def main(argv: list[str]) -> None:
             else ""
         ),
         "",
-        "Round-11 addendum: this regeneration covers the final 261-key "
-        "registry (10 new r11 keys). Five full passes "
-        "316.1/354.8/343.4/343.4/291.3 s; the 291.3 s pass ran on a "
-        "quiet rig (loadavg ~0.1) and is the designated cold artifact "
-        "BENCH_COLD_r11.json (the same best-pass convention as r9/r10). "
-        "On the 251 keys shared with round 10, this cold pass totals "
-        "268.9 s vs BENCH_COLD_r10's 277.8 s (0.968x; per-key ratio "
-        "median 0.958, p10 0.79 / p90 1.12) with ZERO regressions "
-        ">30% & >1 s — the round's changes (two-stage head cuts for "
-        "zipf/bpe, two-pass calibration/ks/skyline) were 100 TB plan "
-        "fixes and, as predicted, cost nothing at sf0.1. The 10 NEW r11 "
-        "keys (filtered vector search, dedup-delta ingest, best-fit "
-        "packing, NDCG, mutual information, dup-ngram coverage, RRF "
-        "rank fusion, k-anonymity, sketch calibration, hard negatives) "
-        "cost 22.4 s of the cold pass combined; none is iterative; the "
-        "heaviest are q_dedup_delta 5.6 s (banded batch-vs-index probe "
-        "+ exact verify — the candidate-generation family floor), "
-        "q_ml_ndcg 4.3 s and q_dedup_sketch_calibration 4.2 s (both "
-        "ride the broadcast-dots / supernode pipelines). An EARLY "
-        "quiet-rig cold pass at the start of the round "
-        "(BENCH_COLD_r11_early.json, 277.6 s over the 251 pre-r11 keys, "
-        "median ratio 0.993 vs the r10 cold artifact) re-anchored the "
-        "rig-drift protocol before any r11 code landed.",
+        "Round-11 addendum: this regeneration covers the final 262-key "
+        "registry (11 new r11 keys). Nine full passes were recorded "
+        "across the round's two bench windows. The first window (261-key "
+        "checkpoint, before q_lake_zorder landed) caught the round's one "
+        "truly quiet slot: 291.3 s with loadavg ~0.1 — preserved as "
+        "BENCH_COLD_r11_checkpoint.json, and on the 251 keys shared with "
+        "round 10 it totals 268.9 s vs BENCH_COLD_r10's 277.8 s (0.968x; "
+        "per-key ratio median 0.958, p10 0.79 / p90 1.12) with ZERO "
+        "regressions >30% & >1 s — the round's code changes (two-stage "
+        "head cuts for zipf/bpe, two-pass calibration/ks/skyline) were "
+        "100 TB plan fixes and cost nothing at sf0.1. The second window "
+        "(full 262-key registry) ran under rising shared-host load: six "
+        "passes 334.0/330.4/417.5/357.2/378.6/519.2 s; the designated "
+        "cold artifact BENCH_COLD_r11.json is the best (330.4 s; shared-"
+        "key ratio 1.10 vs r10 with the uniform trivial-key signature — "
+        "rig drift per the noise note, not plans: the same code measured "
+        "0.968x hours earlier), and the three visibly inflated passes "
+        "are excluded from the medians per the standing convention. The "
+        "11 NEW r11 keys (filtered vector search, dedup-delta ingest, "
+        "best-fit packing, NDCG, hard negatives, RRF rank fusion, mutual "
+        "information, dup-ngram coverage, k-anonymity, sketch "
+        "calibration, z-order audit) cost 22-24 s of a cold pass "
+        "combined; none is iterative; the heaviest are q_dedup_delta "
+        "~5 s (banded batch-vs-index probe + exact verify — the "
+        "candidate-generation family floor), q_ml_ndcg ~4.5 s and "
+        "q_dedup_sketch_calibration ~4 s (both ride the broadcast-dots "
+        "/ supernode pipelines). An EARLY quiet-rig cold pass at the "
+        "start of the round (BENCH_COLD_r11_early.json, 277.6 s over "
+        "the 251 pre-r11 keys, median ratio 0.993 vs the r10 cold "
+        "artifact) re-anchored the rig-drift protocol before any r11 "
+        "code landed.",
         "",
         "## BENCH_r07 spike-key reconciliation (VERDICT r7 #2)",
         "",
