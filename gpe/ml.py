@@ -741,7 +741,9 @@ def q_ml_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     DCG/IDCG are exact integer sums and NDCG is one exact integer DIV
     followed by a display division. Every label class has dozens of
     members in the fixture, so IDCG > 0 always; a zero-relevant query
-    would surface as a NULL ndcg, not a crash.
+    surfaces as a NULL ndcg, not a crash — the integer DIV is guarded by
+    an explicit idcg_e9 > 0 predicate on BOTH engines (Spark 4's
+    ANSI-default would otherwise raise DIVIDE_BY_ZERO; r12 ADVICE fix).
 
     Scale notes (100 TB): queries broadcast as whole arrays against one
     corpus scan — no embedding shuffle (the q_vec_knn_brute audit shape);
@@ -803,9 +805,10 @@ def q_ml_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_rel").cast("long").alias("n_rel"),
         F.col("dcg_e9").cast("long").alias("dcg_e9"),
         F.col("idcg_e9").cast("long").alias("idcg_e9"),
-        (F.expr("(dcg_e9 * 1000000) DIV idcg_e9") / F.lit(1_000_000.0)).alias(
-            "ndcg_at_10"
-        ),
+        F.when(
+            F.col("idcg_e9") > 0,
+            F.expr("(dcg_e9 * 1000000) DIV idcg_e9") / F.lit(1_000_000.0),
+        ).alias("ndcg_at_10"),
     )
 
 
@@ -823,7 +826,13 @@ def q_ml_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: dots are order-free exact decimals; each leg's argmax
     is max(struct(dot, −nid)) — an exact lexicographic comparison whose
     tie-break is the smaller neighbor id; the margin is an exact decimal
-    difference; display values round at 6dp.
+    difference; display values round at 6dp. ``violated`` is AUTHORITATIVE
+    (computed from the PRE-round exact dots); ``margin`` is
+    display-rounded, so a true margin in (0, 5e-7) prints as 0.0 with
+    violated=false — by design, the flag wins (r12 ADVICE note). A query
+    with no same-label or no different-label corpus member is DROPPED
+    (matching the oracle's inner pos JOIN neg), not emitted with NULL
+    legs — degenerate-label robustness, r12 ADVICE fix.
 
     Scale notes (100 TB): queries broadcast as arrays against one corpus
     scan (the q_vec_knn_brute shape); each leg is a map-side PARTIAL
@@ -857,7 +866,7 @@ def q_ml_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_q = dots.groupBy("query_id", "qlabel").agg(
         F.max(F.when(F.col("same"), F.col("s"))).alias("pos"),
         F.max(F.when(~F.col("same"), F.col("s"))).alias("neg"),
-    )
+    ).filter(F.col("pos").isNotNull() & F.col("neg").isNotNull())
     return per_q.select(
         "query_id",
         F.col("qlabel").cast("int").alias("label"),
@@ -945,7 +954,9 @@ _SQL_ML_NDCG = f"""
            CAST(n_rel AS BIGINT) AS n_rel,
            CAST(dcg_e9 AS BIGINT) AS dcg_e9,
            CAST(idcg_e9 AS BIGINT) AS idcg_e9,
-           ((dcg_e9 * 1000000) // idcg_e9) / 1000000.0 AS ndcg_at_10
+           CASE WHEN idcg_e9 > 0
+                THEN ((dcg_e9 * 1000000) // idcg_e9) / 1000000.0
+           END AS ndcg_at_10
     FROM agg
 """
 

@@ -359,11 +359,15 @@ def test_hard_negatives_matches_fraction_reference(spark):
         assert (r.pos_id, r.neg_id) == (pos[0], neg[0])
         assert r.violated == (pos[2] <= neg[2])
         assert abs(r.margin - float(pos[2] - neg[2])) < 2e-6
-    # violated <=> non-positive margin, on every row (the flag and the
-    # number must agree; the fixture's clusters are weak at top-1, so
-    # most triplets violate — exactly the rows a fine-tune mines)
+    # violated => non-positive DISPLAY margin (one-directional: the flag
+    # is authoritative from the pre-round exact dots, while margin is
+    # display-rounded at 6dp — a true margin in (0, 5e-7) legitimately
+    # prints 0.0 with violated=false, so the reverse implication must not
+    # be asserted; the fixture's clusters are weak at top-1, so most
+    # triplets violate — exactly the rows a fine-tune mines)
     for r in got.values():
-        assert r.violated == (r.margin <= 0)
+        if r.violated:
+            assert r.margin <= 0
 
 
 def test_hard_negatives_plan_is_window_and_sort_free(spark):
