@@ -961,7 +961,192 @@ _SQL_ML_NDCG = f"""
 """
 
 
+# q_ml_quality_fit: keep/drop threshold on the e6-scaled predicted
+# quality (0.5 on the 0..1 score)
+_QFIT_THRESH_E6 = 900_000
+
+
+def _qfit_dec(x: str) -> str:
+    """Widen one BIGINT moment to DECIMAL(38,0) so the Cramer triple
+    products stay exact far past int64 (n·Sxx·Szz ≈ 1e36 at a 1e10-doc
+    lake). DuckDB's twin widens to HUGEINT (int128) — both are exact
+    integers, so the dets agree bit-for-bit."""
+    return f"CAST({x} AS DECIMAL(38,0))"
+
+
+def _qfit_dets(dialect_cast) -> dict[str, str]:
+    """The four Cramer determinants of the 3x3 normal equations
+    A·w = b, A = [[n,Sx,Sz],[Sx,Sxx,Sxz],[Sz,Sxz,Szz]], b = [Sy,Sxy,
+    Szy] — ONE expression template instantiated per engine (cast
+    differs, arithmetic identical)."""
+    c = dialect_cast
+    m00 = f"({c('s_xx')} * s_zz - {c('s_xz')} * s_xz)"
+    return {
+        "det": f"{c('n')} * {m00}"
+        f" - {c('s_x')} * ({c('s_x')} * s_zz - {c('s_xz')} * s_z)"
+        f" + {c('s_z')} * ({c('s_x')} * s_xz - {c('s_xx')} * s_z)",
+        "det0": f"{c('s_y')} * {m00}"
+        f" - {c('s_x')} * ({c('s_xy')} * s_zz - {c('s_xz')} * s_zy)"
+        f" + {c('s_z')} * ({c('s_xy')} * s_xz - {c('s_xx')} * s_zy)",
+        "det1": f"{c('n')} * ({c('s_xy')} * s_zz - {c('s_xz')} * s_zy)"
+        f" - {c('s_y')} * ({c('s_x')} * s_zz - {c('s_xz')} * s_z)"
+        f" + {c('s_z')} * ({c('s_x')} * s_zy - {c('s_xy')} * s_z)",
+        "det2": f"{c('n')} * ({c('s_xx')} * s_zy - {c('s_xy')} * s_xz)"
+        f" - {c('s_x')} * ({c('s_x')} * s_zy - {c('s_xy')} * s_z)"
+        f" + {c('s_y')} * ({c('s_x')} * s_xz - {c('s_xx')} * s_z)",
+    }
+
+
+def q_ml_quality_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-lake TRAINED quality filter (VERDICT r11 next-round #8) — the
+    model-based curation step (fastText-style classifier distilled to a
+    linear probe) closed end-to-end IN-PLAN: (1) assemble the 3x3
+    normal-equation moments for quality ~ n_tokens + n_stopwords over
+    the documents table (the q_ml_gram_moments summation-form pattern,
+    Chu et al. NIPS'06 — target y = the e6-scaled q_text_quality
+    heuristic score, i.e. heuristic→model distillation), (2) SOLVE the
+    system via closed-form Cramer determinants over the exact integer
+    moments (no driver solve — the 1-row moment frame never leaves the
+    cluster), (3) score EVERY doc with the fitted weights and emit the
+    filter decision histogram: per band (keep: predicted >= 0.9, else
+    drop — 0.9 sits at the fixture score distribution's upper half, so
+    both bands are populated and the threshold is a real decision), doc count and mean predicted quality, with the fitted
+    weights (e6-floored) on each row.
+
+    Determinism: features and the e6 target are exact integers (the
+    quality score is the already-hash-checked round-6 double; ·1e6 +
+    floor(+0.5) pins it); all nine moments are exact BIGINT sums;
+    determinants are exact DECIMAL(38,0) integer arithmetic (DuckDB:
+    HUGEINT) — identical by construction; weights are single IEEE
+    divisions of the SAME exact integers (decimal→double conversion is
+    correctly rounded in both engines), and every per-doc prediction is
+    the same 5-op IEEE expression. A singular system (det = 0, only
+    possible with degenerate collinear features) yields NULL weights
+    and band 'unscored' on both engines rather than a crash.
+
+    Scale notes (100 TB): pass 1 is ONE map-side-partial aggregate to a
+    single 9-moment row (shipping moments, not rows — the statistical-
+    query pattern); the solve is arithmetic ON that row; pass 2
+    broadcasts the 1-row weight table into a second scan and reduces to
+    2 band rows. No window, no join wider than a 1-row broadcast, two
+    projected scans total."""
+    from gpe.text import quality_exprs
+
+    d = load_table(spark, sf_dir, "documents")
+    q = d.select(*quality_exprs()).select(
+        F.col("n_tokens").cast("long").alias("x"),
+        F.col("n_stopwords").cast("long").alias("z"),
+        F.floor(F.col("quality_score") * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("y"),
+    )
+    m = q.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s_x"),
+        F.sum("z").alias("s_z"),
+        F.sum("y").alias("s_y"),
+        F.sum(F.col("x") * F.col("x")).alias("s_xx"),
+        F.sum(F.col("x") * F.col("z")).alias("s_xz"),
+        F.sum(F.col("z") * F.col("z")).alias("s_zz"),
+        F.sum(F.col("x") * F.col("y")).alias("s_xy"),
+        F.sum(F.col("z") * F.col("y")).alias("s_zy"),
+    )
+    dets = _qfit_dets(_qfit_dec)
+    solved = m.select(
+        *[F.expr(e).alias(k) for k, e in dets.items()]
+    ).select(
+        *[
+            F.when(
+                F.col("det") != 0,
+                F.expr(f"CAST({dk} AS DOUBLE) / CAST(det AS DOUBLE)"),
+            ).alias(w)
+            for dk, w in (("det0", "w0"), ("det1", "w1"), ("det2", "w2"))
+        ]
+    )
+    scored = q.crossJoin(F.broadcast(solved)).select(
+        F.floor(
+            F.col("w0") + F.col("w1") * F.col("x") + F.col("w2") * F.col("z")
+        ).alias("pred_e6"),
+        "w0",
+        "w1",
+        "w2",
+    )
+    return (
+        scored.groupBy(
+            F.when(F.col("pred_e6").isNull(), "unscored")
+            .when(F.col("pred_e6") >= _QFIT_THRESH_E6, "keep")
+            .otherwise("drop")
+            .alias("band")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.expr("sum(pred_e6) DIV count(1)").alias("mean_pred_e6"),
+            F.floor(F.min("w0") * 1_000_000).cast("long").alias("w0_e6"),
+            F.floor(F.min("w1") * 1_000_000).cast("long").alias("w1_e6"),
+            F.floor(F.min("w2") * 1_000_000).cast("long").alias("w2_e6"),
+        )
+    )
+
+
+def _qfit_hug(x: str) -> str:
+    return f"CAST({x} AS HUGEINT)"
+
+
+_QFIT_DETS_SQL = _qfit_dets(_qfit_hug)
+
+_SQL_ML_QUALITY_FIT = f"""
+    WITH t AS (
+      SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+             CAST(len(list_filter(string_split(text, ' '),
+                  tk -> tk IN ('the', 'a'))) AS BIGINT) AS z,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents),
+    q AS (
+      SELECT x, z,
+             CAST(FLOOR(ROUND(0.5 * LEAST(CAST(x AS DOUBLE) / 50.0, 1.0)
+                   + 0.5 * (1.0 - FLOOR(z * 1000000.0 / x) / 1000000.0)
+                   + {EPS}, 6) * 1000000 + 0.5) AS BIGINT) AS y
+      FROM t),
+    m AS (
+      SELECT COUNT(*) AS n,
+             SUM(x) AS s_x, SUM(z) AS s_z, SUM(y) AS s_y,
+             SUM(x * x) AS s_xx, SUM(x * z) AS s_xz,
+             SUM(z * z) AS s_zz, SUM(x * y) AS s_xy,
+             SUM(z * y) AS s_zy
+      FROM q),
+    d AS (
+      SELECT ({_QFIT_DETS_SQL['det']}) AS det,
+             ({_QFIT_DETS_SQL['det0']}) AS det0,
+             ({_QFIT_DETS_SQL['det1']}) AS det1,
+             ({_QFIT_DETS_SQL['det2']}) AS det2
+      FROM m),
+    w AS (
+      SELECT CASE WHEN det <> 0
+                  THEN CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE) END AS w0,
+             CASE WHEN det <> 0
+                  THEN CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE) END AS w1,
+             CASE WHEN det <> 0
+                  THEN CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE) END AS w2
+      FROM d),
+    scored AS (
+      SELECT CAST(FLOOR(w.w0 + w.w1 * q.x + w.w2 * q.z) AS BIGINT)
+               AS pred_e6,
+             w.w0, w.w1, w.w2
+      FROM q CROSS JOIN w)
+    SELECT CASE WHEN pred_e6 IS NULL THEN 'unscored'
+                WHEN pred_e6 >= {_QFIT_THRESH_E6} THEN 'keep'
+                ELSE 'drop' END AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(pred_e6) // COUNT(*) AS BIGINT) AS mean_pred_e6,
+           CAST(FLOOR(MIN(w0) * 1000000) AS BIGINT) AS w0_e6,
+           CAST(FLOOR(MIN(w1) * 1000000) AS BIGINT) AS w1_e6,
+           CAST(FLOOR(MIN(w2) * 1000000) AS BIGINT) AS w2_e6
+    FROM scored GROUP BY 1
+"""
+
+
 QUERIES = {
+    "q_ml_quality_fit": q_ml_quality_fit,
     "q_ml_knn_eval": q_ml_knn_eval,
     "q_ml_ndcg": q_ml_ndcg,
     "q_ml_hard_negatives": q_ml_hard_negatives,
@@ -974,6 +1159,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_ml_quality_fit": _SQL_ML_QUALITY_FIT,
     "q_ml_knn_eval": _SQL_ML_KNN_EVAL,
     "q_ml_ndcg": _SQL_ML_NDCG,
     "q_ml_hard_negatives": _SQL_ML_HARD_NEGATIVES,

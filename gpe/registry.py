@@ -35,91 +35,50 @@ for _name in (
     "udf",
     "cdc",
     "ml",
+    "streaming",
 ):
     _MODULES.append(__import__(f"gpe.{_name}", fromlist=[_name]))
 
 
 # The driver hash-verifies exactly the FIRST 50 keys of queries() each round
-# (verified r1-r10: CORRECTNESS_r0N covers precisely registry indices 0-49),
+# (verified r1-r11: CORRECTNESS_r0N covers precisely registry indices 0-49),
 # so registry order decides which keys get hard correctness signal.
-# Round-11 window (VERDICT r10 next-round #1), composition 1+11+5+2+31:
-# (a) q_ml_knn_eval FIRST -- rewritten r10 AFTER its last driver hash (r9)
-# and extended r11 with the in-plan prefilter-bound guard: the registry's
-# only stale-evidence-vs-HEAD key two rounds running until this lands;
-# (b) the 11 operators NEW this round (zero driver evidence);
-# (c) the 5 keys whose CODE CHANGED in r11 (two-stage head cuts for
-# zipf/bpe, two-pass rewrites for calibration/ks/skyline -- changed keys
-# outrank stale re-checks, the currency policy);
-# (d) the 2 r4-stale set-ops deferred from the r10 window;
-# (e) the 31 oldest r5-stale keys in prior _SECOND_WAVE order.
-# After this window lands, every key's latest driver evidence is r5+ with
-# only 18 r5-stale keys left (staged below for r12). Keys after position 50
-# keep local parity (tools/parity.py) as their regression net;
+# Round-12 window (VERDICT r11 next-round #1 + the currency policy),
+# composition 3+5+7+18+17:
+# (a) the 3 keys whose CODE CHANGED in r12 after their r11 driver hash
+# (pack_bestfit's corpus-derived sharding, ndcg's idcg guard,
+# hard_negatives' degenerate-row drop) -- changed keys outrank stale
+# re-checks, the currency policy;
+# (b) the 5 operators NEW in r12 (zero driver evidence);
+# (c) the 7 keys touched in r11 AFTER their last driver check
+# (judge-parity-verified at r11 HEAD, but driver evidence still predates
+# the code -- VERDICT r11 #1 names them first among re-checks);
+# (d) the 18 remaining r5-stale keys (oldest evidence in the registry);
+# (e) the 17 oldest r6-stale keys, in their r6-window order.
+# After this window lands, every key's evidence is r6+ with 33 r6-stale
+# keys left (staged below for r13). Keys after position 50 keep local
+# parity (tools/parity.py) as their regression net;
 # tests/test_registry_order.py pins this window.
 HARD_SIGNAL_FIRST_50 = [
-    # --- (a) rewritten r10+r11, driver evidence predates both changes ---
-    "q_ml_knn_eval",
-    # --- (b) round-11 operators (zero driver evidence) ---
-    "q_vec_knn_filtered",
-    "q_dedup_delta",
+    # --- (a) code changed r12, driver evidence (r11) predates it ---
     "q_pack_bestfit",
     "q_ml_ndcg",
-    "q_agg_mutual_info",
-    "q_text_dup_ngram_coverage",
-    "q_rag_rank_fusion",
-    "q_privacy_k_anon",
-    "q_dedup_sketch_calibration",
     "q_ml_hard_negatives",
-    "q_lake_zorder",
-    # --- (c) code changed r11 (latest evidence r9/r10, now stale) ---
-    "q_text_zipf_fit",
-    "q_text_bpe_encode",
-    "q_ml_calibration",
-    "q_ml_ks",
-    "q_agg_skyline",
-    # --- (d) r4-stale set-ops (oldest evidence in the registry) ---
-    "q_distinct_dropdup",
-    "q_except",
-    # --- (e) r5-stale (latest driver evidence round 5) ---
-    "q_vec_ann_lsh",
-    "q_vec_ann_recall",
-    "q_vec_ann_ivf",
-    "q_vec_knn_brute",
-    "q_dedup_embed_cosine",
-    "q_vec_pairs_threshold",
-    "q_vec_centroids",
-    "q_dedup_exact",
-    "q_cdc_compact",
-    "q_dedup_simhash",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_ngram_lsh",
-    "q_scd2_intervals",
-    "q_scan_parquet",
-    "q_scan_projected",
-    "q_scan_all_tables_counts",
-    "q_split_train_val",
-    "q_project_compute",
-    "q_filter_conj",
-    "q_filter_disj_in",
-    "q_filter_like",
-    "q_filter_between_dates",
-    "q_case_when",
-    "q_join_full_outer",
-    "q_join_cross_limited",
-    "q_agg_global",
-    "q_agg_count_distinct",
-    "q_agg_approx_quantile",
-    "q_agg_approx_distinct",
-    "q_agg_multi_distinct",
-    "q_agg_having",
-]
-
-# Next in line for round 12: the 18 remaining r5-stale keys -- once THEY
-# land, the whole registry's evidence is r6+. r6+-green keys fall to the
-# tail automatically. (The first six were displaced from the r11 window
-# by the nine late-landing r11 operators, so they lead the wave in their
-# original window order.)
-_SECOND_WAVE = [
+    # --- (b) round-12 operators (zero driver evidence) ---
+    "q_vec_index_delta",
+    "q_text_substring_dedup",
+    "q_lake_zorder_write",
+    "q_stream_tumbling_availablenow",
+    "q_ml_quality_fit",
+    # --- (c) touched r11 after their last driver check ---
+    "q_dedup_near_pairs",
+    "q_agg_cramers_v",
+    "q_multimodal_join",
+    "q_pack_bin_stats",
+    "q_text_bpe_merge_step",
+    "q_text_dup_paragraphs",
+    "q_agg_log_histogram",
+    # --- (d) r5-stale (latest driver evidence round 5) ---
     "q_union_all",
     "q_union_distinct",
     "q_intersect",
@@ -138,6 +97,62 @@ _SECOND_WAVE = [
     "q_udf_pandas_scalar",
     "q_udaf_applyinpandas",
     "q_udf_cogroup",
+    # --- (e) r6-stale, oldest first in r6-window order ---
+    "q_agg_bitwise",
+    "q_agg_stats",
+    "q_sort_multi",
+    "q_win_cume_nth",
+    "q_win_range_frame",
+    "q_win_topk_per_group",
+    "q_win_moving_avg_time",
+    "q_win_first_last",
+    "q_ts_tumbling",
+    "q_ts_ohlc",
+    "q_ts_sliding",
+    "q_ts_sessionize",
+    "q_ts_funnel",
+    "q_ts_retention",
+    "q_ts_gap_fill",
+    "q_ts_interpolate",
+    "q_sample_systematic",
+]
+
+# Next in line for round 13: the 33 remaining r6-stale keys -- once THEY
+# land, the whole registry's evidence is r7+.
+_SECOND_WAVE = [
+    "q_sample_stratified",
+    "q_mix_sources",
+    "q_merge_upsert",
+    "q_ts_holt",
+    "q_ts_downsample_triangle",
+    "q_join_asof_nearest",
+    "q_agg_gini",
+    "q_ts_seasonality",
+    "q_vec_outliers",
+    "q_win_drawdown",
+    "q_text_ngram_novelty",
+    "q_ts_concurrency",
+    "q_ts_forecast_snaive",
+    "q_agg_hhi",
+    "q_join_scd2_pointintime",
+    "q_ts_cusum",
+    "q_ts_rollup_multigrain",
+    "q_ts_mom_growth",
+    "q_vec_kmeans_step",
+    "q_ts_transitions",
+    "q_ts_ewma",
+    "q_win_moving_median",
+    "q_pii_mask",
+    "q_vec_quantize_int8",
+    "q_text_token_entropy",
+    "q_agg_weighted_median",
+    "q_dedup_containment",
+    "q_vec_range_search",
+    "q_ts_vwap",
+    "q_ts_attribution",
+    "q_mv_incremental",
+    "q_customer_rfm",
+    "q_win_streaks",
 ]
 
 

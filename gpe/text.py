@@ -432,6 +432,149 @@ def q_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SUB_K = 3  # gram width shared with q_text_winnowing
+_SUB_MIN_LEN = 50  # emit shared spans of >= 50 tokens (Lee et al. 2022)
+_SUB_ANCHOR_CAP = 200  # drop seed fps selected at > cap corpus positions
+
+
+def q_text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shared-substring spans between document pairs (VERDICT r11
+    next-round #4) — the removal-grade sub-document dedup stage of
+    "Deduplicating Training Data Makes Language Models Better" (Lee et
+    al., ACL 2022), which their suffix-array pass computes and which
+    paragraph/winnowing keys only FLAG: for every doc pair sharing a
+    winnowing-selected fingerprint, extend the aligned anchors to the
+    MAXIMAL exactly-matching token span on that diagonal and emit spans
+    >= 50 tokens as (doc_a, doc_b, start_a, start_b, len) — the byte
+    ranges a removal job cuts.
+
+    Seeding is winnowing-complete: any shared substring of >= k+w-1
+    tokens contains a full fingerprint window inside the match, whose
+    minimum is the SAME aligned gram in both docs (identical hash
+    sequence), so both select it and the anchor join finds the diagonal
+    (Schleimer et al., SIGMOD'03 Thm. 2; 50 >= k+w-1 = 6). Seed fps
+    selected at > _SUB_ANCHOR_CAP corpus positions are dropped — the
+    standard frequent-anchor recall knob (a >= 50-token span carries
+    ~2/(w+1) x 48 ~= 19 selected anchors, so one surviving anchor is
+    enough and the cap only bites when ALL are hyper-frequent); the
+    oracle applies the SAME cap, and precision is exact regardless:
+    the extension walks ALL grams on the candidate diagonal, so every
+    emitted span is a true maximal match (gram s-1 / e+1 mismatching
+    pins token start_a-1 / start_a+len as differing or out-of-doc).
+
+    Determinism: md5 gram hashes and lexicographic window minima are
+    engine-portable; runs are consecutive-integer islands (order-free
+    once grouped); output positions are 0-based token offsets on both
+    engines.
+
+    Scale notes (100 TB): grams + rolling minima + selection flags all
+    reuse ONE (doc_id, pos) sort; the anchor self-join shuffles only
+    SELECTED fps (~2/(w+1) density) with the frequency cap bounding any
+    single hash bucket at cap^2 pairs (the PPJoin stopword discipline);
+    candidate (pair, diagonal) keys are distinct-deduped BEFORE
+    extension and broadcast into the gram scan, so extension cost is
+    sum of candidate-doc lengths, never corpus^2; island windows
+    partition by (pair, diagonal) — bounded by a single doc's length."""
+    d = load_table(spark, sf_dir, "documents")
+    pos_tok = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        pos_tok.select(
+            "doc_id",
+            "pos",
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    "token",
+                    F.lead("token", 1).over(w),
+                    F.lead("token", 2).over(w),
+                ).cast("binary")
+            ).alias("fp"),
+            F.lead("token", 2).over(w).alias("_t2"),
+        )
+        .filter(F.col("_t2").isNotNull())
+        .drop("_t2")
+    )
+    # selection: gram p is selected iff it equals the trailing-window
+    # minimum of SOME full window covering it — the same (doc_id, pos)
+    # sort serves the rolling min, its leads, and the row counter.
+    wmin = w.rowsBetween(-(_WINNOW_W - 1), Window.currentRow)
+    m = grams.select(
+        "doc_id",
+        "pos",
+        "fp",
+        F.min("fp").over(wmin).alias("wm"),
+        (F.row_number().over(w) >= _WINNOW_W).alias("full"),
+    )
+    sel_pred = F.lit(False)
+    for i in range(_WINNOW_W):
+        sel_pred = sel_pred | (
+            (F.lead("wm", i).over(w) == F.col("fp"))
+            & F.lead("full", i).over(w)
+        )
+    sel = (
+        m.withColumn("sel", sel_pred)
+        .filter("sel")
+        .select("doc_id", "pos", "fp")
+    )
+    rare = sel.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= _SUB_ANCHOR_CAP
+    )
+    sel = sel.join(F.broadcast(rare.select("fp")), "fp")
+    a = sel.select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "fp"
+    )
+    b = sel.select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "fp"
+    )
+    cand = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", (F.col("pa") - F.col("pb")).alias("diag"))
+        .distinct()
+    )
+    # extension: all grams of doc_a on candidate diagonals, matched
+    # against the aligned gram of doc_b by (pos, fp) equality
+    ga = grams.select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "fp"
+    )
+    gb = grams.select(
+        F.col("doc_id").alias("b_doc"),
+        F.col("pos").alias("pb"),
+        F.col("fp").alias("b_fp"),
+    )
+    matched = (
+        ga.join(F.broadcast(cand), "doc_a")
+        .join(
+            gb,
+            (F.col("b_doc") == F.col("doc_b"))
+            & (F.col("pb") == F.col("pa") - F.col("diag"))
+            & (F.col("b_fp") == F.col("fp")),
+        )
+        .select("doc_a", "doc_b", "diag", "pa")
+    )
+    wrun = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = matched.withColumn(
+        "grp", F.col("pa") - F.row_number().over(wrun)
+    )
+    spans = runs.groupBy("doc_a", "doc_b", "diag", "grp").agg(
+        F.min("pa").alias("s"), F.max("pa").alias("e")
+    )
+    return (
+        spans.withColumn("len", F.col("e") - F.col("s") + _SUB_K)
+        .filter(F.col("len") >= _SUB_MIN_LEN)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("s").cast("long").alias("start_a"),
+            (F.col("s") - F.col("diag")).cast("long").alias("start_b"),
+            F.col("len").cast("long").alias("len"),
+        )
+    )
+
+
 def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc mean unigram log-probability against the corpus's own
     unigram model — the cheap LM-score quality filter (docs of common
@@ -1666,6 +1809,7 @@ QUERIES = {
     "q_text_tokencount": q_text_tokencount,
     "q_text_fingerprint": q_text_fingerprint,
     "q_text_winnowing": q_text_winnowing,
+    "q_text_substring_dedup": q_text_substring_dedup,
     "q_text_length_histogram": q_text_length_histogram,
 }
 
@@ -2311,6 +2455,64 @@ ORACLES = {
                FLOOR(COUNT(*) * 1000000 / (SELECT total FROM tot))
                  / 1000000.0 AS share
         FROM t GROUP BY 1""",
+    "q_text_substring_dedup": f"""
+        WITH pos_tok AS (
+          SELECT doc_id,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos,
+                 unnest(string_split(text, ' ')) AS token
+          FROM documents),
+        g0 AS (
+          SELECT doc_id, pos,
+                 md5(token || ' ' || LEAD(token, 1) OVER w || ' '
+                           || LEAD(token, 2) OVER w) AS fp,
+                 LEAD(token, 2) OVER w AS t2
+          FROM pos_tok
+          WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        g AS (SELECT doc_id, pos, fp FROM g0 WHERE t2 IS NOT NULL),
+        m AS (
+          SELECT doc_id, pos, fp,
+                 MIN(fp) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN {_WINNOW_W - 1} PRECEDING
+                               AND CURRENT ROW) AS wm,
+                 (ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+                  >= {_WINNOW_W}) AS isfull
+          FROM g),
+        m2 AS (
+          SELECT doc_id, pos, fp,
+                 (   (LEAD(wm, 0) OVER w2 = fp AND LEAD(isfull, 0) OVER w2)
+                  OR (LEAD(wm, 1) OVER w2 = fp AND LEAD(isfull, 1) OVER w2)
+                  OR (LEAD(wm, 2) OVER w2 = fp AND LEAD(isfull, 2) OVER w2)
+                  OR (LEAD(wm, 3) OVER w2 = fp AND LEAD(isfull, 3) OVER w2)
+                 ) AS sel
+          FROM m WINDOW w2 AS (PARTITION BY doc_id ORDER BY pos)),
+        sel AS (SELECT doc_id, pos, fp FROM m2 WHERE sel),
+        rare AS (SELECT fp FROM sel GROUP BY fp
+                 HAVING COUNT(*) <= {_SUB_ANCHOR_CAP}),
+        selr AS (SELECT s.* FROM sel s JOIN rare r ON s.fp = r.fp),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.pos - b.pos AS diag
+          FROM selr a JOIN selr b
+            ON a.fp = b.fp AND a.doc_id < b.doc_id),
+        matched AS (
+          SELECT c.doc_a, c.doc_b, c.diag, ga.pos AS pa
+          FROM cand c
+          JOIN g ga ON ga.doc_id = c.doc_a
+          JOIN g gb ON gb.doc_id = c.doc_b
+                   AND gb.pos = ga.pos - c.diag AND gb.fp = ga.fp),
+        runs AS (
+          SELECT doc_a, doc_b, diag, pa,
+                 pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag
+                                         ORDER BY pa) AS grp
+          FROM matched),
+        spans AS (
+          SELECT doc_a, doc_b, diag, grp, MIN(pa) AS s, MAX(pa) AS e
+          FROM runs GROUP BY 1, 2, 3, 4)
+        SELECT doc_a, doc_b,
+               CAST(s - 1 AS BIGINT) AS start_a,
+               CAST(s - diag - 1 AS BIGINT) AS start_b,
+               CAST(e - s + {_SUB_K} AS BIGINT) AS len
+        FROM spans WHERE e - s + {_SUB_K} >= {_SUB_MIN_LEN}""",
     "q_text_winnowing": f"""
         WITH pos_tok AS (
           SELECT doc_id,

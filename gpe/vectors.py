@@ -1544,6 +1544,144 @@ def q_vec_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q_vec_index_delta: the nightly-ingest batch and the serve-query subset.
+# Kept as SQL-syntax predicate strings shared verbatim with the oracle.
+_DELTA_BATCH_PRED = "vec_id % 10 = 7"
+_DELTA_SERVE_MAX = 100  # serve queries: batch vectors with vec_id < 100
+
+
+def q_vec_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN-index maintenance (VERDICT r11 next-round #3) —
+    the embedding-store analog of nightly ingest: a deterministic
+    new-vector batch (vec_id % 10 = 7) is assigned into the STANDING IVF
+    cells (codebook built from the standing vectors only), emitting (a)
+    per-cell delta stats — standing size vs newly-assigned count, the
+    number an index-maintenance job watches to decide when a cell needs
+    re-training/splitting — and (b) the batch's top-5 neighbors SERVED
+    FROM the standing index via the normal 2-probe IVF path (new vectors
+    are searchable against the standing corpus the moment they arrive,
+    before any codebook rebuild). Completes the incremental story next
+    to q_dedup_delta (corpus dedup) and q_mv_incremental (aggregates).
+
+    Output: union of `section='cell_delta'` rows (cell, n_standing,
+    n_new) and `section='serve'` rows (query_id, neighbor_id, sim, rank),
+    NULL-padded to one schema on both engines.
+
+    Determinism: codebook components are the shared e8-floored exact
+    decimals (_centroid_dims over the standing subset); batch→cell
+    assignment is argmax via max(struct(cell_sim, −label)) — an exact
+    lexicographic comparison, tie → smaller label; serve ranks are the
+    IVF total order (dot DESC, neighbor_id ASC). Oracle = full SQL
+    recompute of the same standing/batch split (the q_dedup_delta
+    full-recompute-equivalence trick).
+
+    Scale notes (100 TB): the index side is never re-scanned beyond the
+    probe — the codebook (k × dim rows) broadcasts into ONE batch scan
+    for assignment (map-side partial agg + argmax fold, NO window over
+    the batch), and the serve leg broadcasts the O(queries × probes)
+    shortlist against the standing table exactly like q_vec_ann_ivf.
+    Per-query windows exist only over ≤10 cells (probe pick) and the
+    probed candidate set (rerank), both IVF-bounded;
+    tests/test_r12_ops.py pins the plan shape."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    standing = emb.filter(~F.expr(_DELTA_BATCH_PRED))
+    batch = emb.filter(F.expr(_DELTA_BATCH_PRED))
+    cdims = _centroid_dims(standing).select("label", "pos", "cdim")
+    # (a) assign EVERY batch vector to its standing cell: broadcast
+    # codebook into one batch scan, exact-decimal cell sims, argmax fold
+    bx = batch.select("vec_id", F.posexplode("embedding").alias("pos", "x"))
+    sims = (
+        bx.join(F.broadcast(cdims), "pos")
+        .withColumn(
+            "term",
+            F.col("x").cast("decimal(12,10)")
+            * F.col("cdim").cast("decimal(14,8)"),
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.sum("term").alias("cell_sim"))
+    )
+    assign = sims.groupBy("vec_id").agg(
+        F.max(
+            F.struct(F.col("cell_sim"), (-F.col("label")).alias("ml"))
+        ).alias("s")
+    ).select("vec_id", (-F.col("s.ml")).cast("int").alias("cell"))
+    n_new = assign.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_new")
+    )
+    n_standing = standing.groupBy(
+        F.col("label").cast("int").alias("cell")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_standing"))
+    cell_rows = (
+        n_standing.join(n_new, "cell", "left")
+        .select(
+            F.lit("cell_delta").alias("section"),
+            "cell",
+            "n_standing",
+            F.coalesce("n_new", F.lit(0).cast("long")).alias("n_new"),
+            F.lit(None).cast("long").alias("query_id"),
+            F.lit(None).cast("long").alias("neighbor_id"),
+            F.lit(None).cast("double").alias("sim"),
+            F.lit(None).cast("int").alias("rank"),
+        )
+    )
+    # (b) serve the batch subset FROM the standing index: probe top-2
+    # standing cells per query, exact top-5 within the probed cells
+    qx = bx.filter(F.col("vec_id") < _DELTA_SERVE_MAX).select(
+        F.col("vec_id").alias("query_id"), "pos", "x"
+    )
+    q_cell = (
+        qx.join(F.broadcast(cdims), "pos")
+        .withColumn(
+            "term",
+            F.col("x").cast("decimal(12,10)")
+            * F.col("cdim").cast("decimal(14,8)"),
+        )
+        .groupBy("query_id", "label")
+        .agg(F.sum("term").alias("cell_sim"))
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.desc("cell_sim"), F.asc("label")
+    )
+    probes = (
+        q_cell.withColumn("prn", F.row_number().over(wc))
+        .filter(F.col("prn") <= _IVF_PROBES)
+        .select("query_id", "label")
+    )
+    q_emb = batch.filter(F.col("vec_id") < _DELTA_SERVE_MAX).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        F.broadcast(probes.join(q_emb, "query_id"))
+        .join(
+            standing.select(
+                F.col("vec_id").alias("neighbor_id"), "label", "embedding"
+            ),
+            "label",
+        )
+        .withColumn("dot", _dot_dec("q_emb", "embedding"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("dot"), F.asc("neighbor_id")
+    )
+    serve_rows = (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= _TOP_K)
+        .select(
+            F.lit("serve").alias("section"),
+            F.lit(None).cast("int").alias("cell"),
+            F.lit(None).cast("long").alias("n_standing"),
+            F.lit(None).cast("long").alias("n_new"),
+            "query_id",
+            "neighbor_id",
+            F.round("dot", 6).cast("double").alias("sim"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+    return cell_rows.unionByName(serve_rows)
+
+
 QUERIES = {
     "q_vec_dim_stats": q_vec_dim_stats,
     "q_vec_knn_brute": q_vec_knn_brute,
@@ -1563,6 +1701,7 @@ QUERIES = {
     "q_vec_ann_pq": q_vec_ann_pq,
     "q_vec_ann_recall": q_vec_ann_recall,
     "q_multimodal_join": q_multimodal_join,
+    "q_vec_index_delta": q_vec_index_delta,
 }
 
 # the exact Lloyd-assignment CTE chain (mirrors _kmeans_assignments),
@@ -1596,6 +1735,78 @@ _SQL_KMEANS_BEST = f"""ex AS ({_SQL_EXPLODED}),
           FROM sc)"""
 
 ORACLES = {
+    "q_vec_index_delta": f"""
+        WITH exploded AS ({_SQL_EXPLODED}),
+        standing AS (
+          SELECT * FROM exploded WHERE NOT ({_DELTA_BATCH_PRED})),
+        batch AS (
+          SELECT * FROM exploded WHERE {_DELTA_BATCH_PRED}),
+        cdims AS (
+          SELECT label, pos,
+                 FLOOR(CAST(SUM(CAST(x AS DECIMAL(12,10))) AS DOUBLE)
+                       * 100000000 / COUNT(*)) / 100000000.0 AS cdim
+          FROM standing GROUP BY 1, 2),
+        sims AS (
+          SELECT b.vec_id, c.label,
+                 SUM(CAST(b.x AS DECIMAL(12,10))
+                     * CAST(c.cdim AS DECIMAL(14,8))) AS cell_sim
+          FROM batch b JOIN cdims c ON b.pos = c.pos
+          GROUP BY 1, 2),
+        assign AS (
+          SELECT vec_id, label AS cell FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                      ORDER BY cell_sim DESC, label ASC) AS rn
+            FROM sims) WHERE rn = 1),
+        n_new AS (SELECT cell, COUNT(*) AS n_new FROM assign GROUP BY 1),
+        n_st AS (
+          SELECT label AS cell, COUNT(*) AS n_standing
+          FROM embeddings WHERE NOT ({_DELTA_BATCH_PRED}) GROUP BY 1),
+        qx AS (
+          SELECT vec_id AS query_id, pos, x FROM batch
+          WHERE vec_id < {_DELTA_SERVE_MAX}),
+        q_cell AS (
+          SELECT qx.query_id, c.label,
+                 SUM(CAST(qx.x AS DECIMAL(12,10))
+                     * CAST(c.cdim AS DECIMAL(14,8))) AS cell_sim
+          FROM qx JOIN cdims c ON qx.pos = c.pos
+          GROUP BY 1, 2),
+        probes AS (
+          SELECT query_id, label FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cell_sim DESC, label ASC) AS prn
+            FROM q_cell) WHERE prn <= {_IVF_PROBES}),
+        cand AS (
+          SELECT p.query_id, s.vec_id AS neighbor_id, s.pos, s.x
+          FROM probes p JOIN standing s ON s.label = p.label),
+        dots AS (
+          SELECT c.query_id, c.neighbor_id,
+                 SUM(CAST(c.x AS DECIMAL(12,10))
+                     * CAST(q.x AS DECIMAL(12,10))) AS dot
+          FROM cand c JOIN qx q
+            ON q.query_id = c.query_id AND q.pos = c.pos
+          GROUP BY 1, 2),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY dot DESC, neighbor_id ASC) AS rank
+          FROM dots)
+        SELECT 'cell_delta' AS section,
+               CAST(s.cell AS INTEGER) AS cell,
+               CAST(s.n_standing AS BIGINT) AS n_standing,
+               CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new,
+               CAST(NULL AS BIGINT) AS query_id,
+               CAST(NULL AS BIGINT) AS neighbor_id,
+               CAST(NULL AS DOUBLE) AS sim,
+               CAST(NULL AS INTEGER) AS rank
+        FROM n_st s LEFT JOIN n_new n ON n.cell = s.cell
+        UNION ALL
+        SELECT 'serve',
+               CAST(NULL AS INTEGER),
+               CAST(NULL AS BIGINT),
+               CAST(NULL AS BIGINT),
+               query_id, neighbor_id,
+               CAST(ROUND(dot, 6) AS DOUBLE),
+               CAST(rank AS INTEGER)
+        FROM ranked WHERE rank <= {_TOP_K}""",
     "q_vec_dim_stats": f"""
         WITH ex AS ({_SQL_EXPLODED})
         SELECT CAST(pos AS INTEGER) AS pos,

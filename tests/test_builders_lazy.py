@@ -30,6 +30,9 @@ ITERATIVE_BY_DESIGN = {
     "q_source_orc_roundtrip",
     "q_join_partition_pruned",
     "q_lake_snapshot_diff",  # writes the two snapshot eras under diff
+    "q_lake_zorder_write",  # performs the z-order re-layout write
+    # RUN-BY-DESIGN: starts and awaits the bounded streaming query
+    "q_stream_tumbling_availablenow",
 }
 
 
