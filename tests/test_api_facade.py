@@ -323,3 +323,20 @@ def test_late_r9_endpoints_delegate_to_declared_operators(api, spark):
         got = sorted(map(tuple, got_df.collect()))
         want = sorted(map(tuple, qs[key](spark, api.sf_dir).collect()))
         assert got == want and len(got) > 0, key
+
+
+def test_r12_endpoints_delegate_to_declared_operators(api, spark):
+    import __spark_entry__ as spec
+
+    qs = spec.queries()
+    pairs = [
+        (api.substring_duplicates(), "q_text_substring_dedup"),
+        (api.vector_index_delta(), "q_vec_index_delta"),
+        (api.zorder_optimize(), "q_lake_zorder_write"),
+        (api.quality_model_filter(), "q_ml_quality_fit"),
+        (api.hourly_rollup_backfill(), "q_stream_tumbling_availablenow"),
+    ]
+    for got_df, key in pairs:
+        got = sorted(map(tuple, got_df.collect()))
+        want = sorted(map(tuple, qs[key](spark, api.sf_dir).collect()))
+        assert got == want and len(got) > 0, key
