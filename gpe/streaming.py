@@ -1404,17 +1404,104 @@ def q_stream_tumbling_availablenow(
         .start()
     )
     q.awaitTermination()
-    return spark.table(name)
+    from gpe.common import ntz
+
+    # the streaming agg keys on TIMESTAMP (ltz — watermarks require it);
+    # the materialized output returns to TIMESTAMP_NTZ like every derived-
+    # timestamp batch output (identity on the wall clock under the pinned
+    # UTC session) so the dtype contract matches the batch twin
+    return spark.table(name).select(
+        ntz(F.col("bucket_start")).alias("bucket_start"),
+        "n_events",
+        "sum_value",
+    )
+
+
+def q_stream_sessionize_availablenow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Second driver-scored streaming key (the tumbling key's §2.10
+    sibling): the SESSION-WINDOW twin — file source → watermarked
+    ``session_window(ts, 30 minutes)`` per user → memory sink — run
+    under ``trigger(availableNow=True)`` and returned as the
+    materialized batch frame. Exercises the streaming primitive the
+    tumbling key cannot: dynamic-gap session state MERGING (two open
+    sessions fuse when a bridging event arrives), hash-checked against
+    the batch gaps-and-islands formulation.
+
+    Columns are the twin-equal subset (user_id, session_start,
+    n_events, sum_value): streaming session_window defines end =
+    last_event + gap while the batch op reports max(ts) — a
+    DEFINITIONAL difference, so the end column stays pytest-only
+    (tests/test_streaming_equivalence.py) and the driver hash pins the
+    rest. Complete output mode — watermark drops nothing, equality is
+    exact.
+
+    RUN-BY-DESIGN: plan construction starts and awaits the bounded
+    streaming query; tests/test_builders_lazy.py carries the pinned
+    exemption. Scale notes: state = one row per OPEN session per user
+    (closed sessions evict under the watermark in update mode); the
+    availableNow backfill shape and sink swap note of the tumbling key
+    apply unchanged."""
+    name = "gpe_stream_sessions_" + os.path.basename(
+        sf_dir.rstrip("/")
+    ).replace(".", "_")
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    agg = session_aggregates(stream_events(spark, sf_dir)).select(
+        "user_id", "session_start", "n_events", "sum_value"
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from gpe.common import ntz
+
+    # ltz -> ntz on the materialized output, as in the tumbling key
+    return spark.table(name).select(
+        "user_id",
+        ntz(F.col("session_start")).alias("session_start"),
+        "n_events",
+        "sum_value",
+    )
 
 
 from gpe import timeseries as _ts  # noqa: E402  (oracle reuse, no cycle)
 
 QUERIES = {
     "q_stream_tumbling_availablenow": q_stream_tumbling_availablenow,
+    "q_stream_sessionize_availablenow": q_stream_sessionize_availablenow,
 }
 
-# the oracle IS q_ts_tumbling's — the batch twin and the streaming
-# materialization can never drift apart silently
+# the tumbling oracle IS q_ts_tumbling's — the batch twin and the
+# streaming materialization can never drift apart silently; the session
+# oracle is the q_ts_sessionize CTE chain projected to the twin-equal
+# columns (same gap constant, same grouping)
 ORACLES = {
     "q_stream_tumbling_availablenow": _ts.ORACLES["q_ts_tumbling"],
+    "q_stream_sessionize_availablenow": f"""
+        WITH flagged AS (
+          SELECT user_id, ts, event_id, value,
+                 CASE WHEN LAG(ts) OVER w IS NULL
+                        OR date_diff('microsecond', LAG(ts) OVER w, ts)
+                           > {_ts._SESSION_GAP_US}
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sessions AS (
+          SELECT user_id, ts, value,
+                 CAST(SUM(new_session) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS BIGINT) AS session_id
+          FROM flagged)
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               {_ts._SUM_VAL}
+        FROM sessions GROUP BY user_id, session_id""",
 }

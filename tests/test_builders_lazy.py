@@ -33,6 +33,7 @@ ITERATIVE_BY_DESIGN = {
     "q_lake_zorder_write",  # performs the z-order re-layout write
     # RUN-BY-DESIGN: starts and awaits the bounded streaming query
     "q_stream_tumbling_availablenow",
+    "q_stream_sessionize_availablenow",
 }
 
 

@@ -233,3 +233,20 @@ def test_quality_fit_solves_the_normal_equations(spark):
     n_keep_ref = int((np.floor(pred) >= 900_000).sum())
     n_keep_got = bands["keep"].n_docs if "keep" in bands else 0
     assert abs(n_keep_got - n_keep_ref) <= 3
+
+
+def test_stream_sessionize_availablenow_equals_batch_twin(spark):
+    from gpe import timeseries
+
+    cols = ["user_id", "session_start", "n_events", "sum_value"]
+    got = sorted(
+        tuple(r[c] for c in cols)
+        for r in _Q["q_stream_sessionize_availablenow"](
+            spark, SF_SMOKE
+        ).collect()
+    )
+    want = sorted(
+        tuple(r[c] for c in cols)
+        for r in timeseries.q_ts_sessionize(spark, SF_SMOKE).collect()
+    )
+    assert got == want and len(got) > 0
