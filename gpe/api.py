@@ -454,6 +454,13 @@ class LakeAPI:
 
         return _ml.q_ml_quality_fit(self.spark, self.sf_dir)
 
+    def decontamination_report(self) -> DataFrame:
+        """GET /corpus/decontaminate — per-source removable sub-document
+        duplicate mass under the keep-first span-removal rule."""
+        from gpe import text as _text
+
+        return _text.q_text_decontaminate(self.spark, self.sf_dir)
+
     def hourly_rollup_backfill(self) -> DataFrame:
         """POST /streams/hourly-rollup/backfill — runs the tumbling
         streaming twin to completion (availableNow) and returns the

@@ -44,18 +44,18 @@ for _name in (
 # (verified r1-r11: CORRECTNESS_r0N covers precisely registry indices 0-49),
 # so registry order decides which keys get hard correctness signal.
 # Round-12 window (VERDICT r11 next-round #1 + the currency policy),
-# composition 3+6+7+18+16:
+# composition 3+7+7+18+15:
 # (a) the 3 keys whose CODE CHANGED in r12 after their r11 driver hash
 # (pack_bestfit's corpus-derived sharding, ndcg's idcg guard,
 # hard_negatives' degenerate-row drop) -- changed keys outrank stale
 # re-checks, the currency policy;
-# (b) the 6 operators NEW in r12 (zero driver evidence);
+# (b) the 7 operators NEW in r12 (zero driver evidence);
 # (c) the 7 keys touched in r11 AFTER their last driver check
 # (judge-parity-verified at r11 HEAD, but driver evidence still predates
 # the code -- VERDICT r11 #1 names them first among re-checks);
 # (d) the 18 remaining r5-stale keys (oldest evidence in the registry);
-# (e) the 16 oldest r6-stale keys, in their r6-window order.
-# After this window lands, every key's evidence is r6+ with 34 r6-stale
+# (e) the 15 oldest r6-stale keys, in their r6-window order.
+# After this window lands, every key's evidence is r6+ with 35 r6-stale
 # keys left (staged below for r13). Keys after position 50 keep local
 # parity (tools/parity.py) as their regression net;
 # tests/test_registry_order.py pins this window.
@@ -71,6 +71,7 @@ HARD_SIGNAL_FIRST_50 = [
     "q_stream_tumbling_availablenow",
     "q_stream_sessionize_availablenow",
     "q_ml_quality_fit",
+    "q_text_decontaminate",
     # --- (c) touched r11 after their last driver check ---
     "q_dedup_near_pairs",
     "q_agg_cramers_v",
@@ -114,14 +115,14 @@ HARD_SIGNAL_FIRST_50 = [
     "q_ts_funnel",
     "q_ts_retention",
     "q_ts_gap_fill",
-    "q_ts_interpolate",
 ]
 
 # Next in line for round 13: the 34 remaining r6-stale keys -- once THEY
 # land, the whole registry's evidence is r7+. (q_sample_systematic was
 # displaced from the r12 window by the late-landing sessionize streaming
-# key, so it leads the wave.)
+# key, so it leads the wave, with q_ts_interpolate displaced likewise.)
 _SECOND_WAVE = [
+    "q_ts_interpolate",
     "q_sample_systematic",
     "q_sample_stratified",
     "q_mix_sources",

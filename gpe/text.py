@@ -444,6 +444,14 @@ _SUB_ANCHOR_CAP = 200  # drop seed fps selected at > cap corpus positions
 _SUB_MIN_ANCHORS = 3
 
 
+def substring_spans_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (doc_a, doc_b, start_a, start_b, len) span frame — shared by
+    q_text_substring_dedup (the report) and q_text_decontaminate (the
+    removal application), the flag→remove pairing of the house pipeline
+    idiom (one definition, two consumers, zero drift)."""
+    return q_text_substring_dedup(spark, sf_dir)
+
+
 def q_text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact shared-substring spans between document pairs (VERDICT r11
     next-round #4) — the removal-grade sub-document dedup stage of
@@ -592,6 +600,79 @@ def q_text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("s") - F.col("diag")).cast("long").alias("start_b"),
             F.col("len").cast("long").alias("len"),
         )
+    )
+
+
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Removal APPLICATION of the substring-dedup spans (the second half
+    of Lee et al. ACL'22's flag→remove pipeline): every span is cut from
+    the LATER document (doc_b — keep-first, the standard arrival-order
+    convention), overlapping spans per doc are merged by exact interval
+    union (gaps-and-islands over sorted starts with a running max-end),
+    and the report rolls up per source: docs, total tokens, affected
+    docs, removable tokens, and the floor-e6 removable share — the
+    "how much of this feed is sub-document duplicate mass" number a
+    curation pipeline gates on before a re-crawl.
+
+    Shares substring_spans_frame with q_text_substring_dedup (one span
+    definition, two consumers — the house pipeline idiom), and the
+    oracle embeds the span oracle verbatim as a CTE, so the report can
+    never drift from the spans it claims to apply.
+
+    Determinism: intervals are exact integers; the union is order-free
+    once islands are keyed (duplicate (s, e) intervals are DISTINCTed
+    first, and the (s, e) sort is total per doc); shares are exact-long
+    FLOOR ratios.
+
+    Scale notes (100 TB): the island window partitions by doc_b —
+    bounded by one doc's span count; the per-doc removable table joins
+    documents on doc_id (plain equi-join, AQE-planned — the affected-doc
+    side is output-sized, never broadcast-assumed); the rollup is one
+    |sources|-ary partial agg."""
+    spans = substring_spans_frame(spark, sf_dir)
+    iv = spans.select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("start_b").alias("s"),
+        (F.col("start_b") + F.col("len")).alias("e"),
+    ).distinct()
+    w = Window.partitionBy("doc_id").orderBy("s", "e")
+    mx = iv.withColumn(
+        "pmax",
+        F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+    )
+    isl = mx.withColumn(
+        "g",
+        F.sum(
+            F.when(
+                F.col("pmax").isNull() | (F.col("s") > F.col("pmax")), 1
+            ).otherwise(0)
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    cov = isl.groupBy("doc_id", "g").agg(
+        (F.max("e") - F.min("s")).alias("covered")
+    )
+    per_doc = cov.groupBy("doc_id").agg(F.sum("covered").alias("removable"))
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n"),
+    )
+    j = d.join(per_doc, "doc_id", "left")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n").cast("long").alias("total_tokens"),
+        F.count("removable").cast("long").alias("n_affected_docs"),
+        F.coalesce(F.sum("removable"), F.lit(0))
+        .cast("long")
+        .alias("removable_tokens"),
+        (
+            F.floor(
+                F.coalesce(F.sum("removable"), F.lit(0))
+                * F.lit(1_000_000)
+                / F.sum("n")
+            )
+            / F.lit(1_000_000.0)
+        ).alias("removable_share"),
     )
 
 
@@ -1830,6 +1911,7 @@ QUERIES = {
     "q_text_fingerprint": q_text_fingerprint,
     "q_text_winnowing": q_text_winnowing,
     "q_text_substring_dedup": q_text_substring_dedup,
+    "q_text_decontaminate": q_text_decontaminate,
     "q_text_length_histogram": q_text_length_histogram,
 }
 
@@ -2574,6 +2656,49 @@ ORACLES = {
 # Composed AFTER the dict: the class-metrics oracle embeds the langid
 # oracle verbatim, so a tuned model can never silently diverge between
 # the prediction key and its evaluation key (the pipeline-module idiom).
+# Composed AFTER the dict: the decontamination report embeds the
+# substring-span oracle VERBATIM as its CTE, so the removal application
+# can never drift from the spans it claims to apply (the q_ml_class_metrics
+# pipeline-module idiom).
+ORACLES["q_text_decontaminate"] = f"""
+    WITH spans AS ({ORACLES["q_text_substring_dedup"]}),
+    iv AS (
+      SELECT DISTINCT doc_b AS doc_id, start_b AS s, start_b + len AS e
+      FROM spans),
+    mx AS (
+      SELECT doc_id, s, e,
+             MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pmax
+      FROM iv),
+    isl AS (
+      SELECT doc_id, s, e,
+             SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS g
+      FROM mx),
+    cov AS (
+      SELECT doc_id, g, MAX(e) - MIN(s) AS covered
+      FROM isl GROUP BY 1, 2),
+    per_doc AS (
+      SELECT doc_id, SUM(covered) AS removable FROM cov GROUP BY 1),
+    tok AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      FROM documents)
+    SELECT t.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(t.n) AS BIGINT) AS total_tokens,
+           CAST(COUNT(p.doc_id) AS BIGINT) AS n_affected_docs,
+           CAST(COALESCE(SUM(p.removable), 0) AS BIGINT)
+             AS removable_tokens,
+           FLOOR(COALESCE(SUM(p.removable), 0) * 1000000.0 / SUM(t.n))
+             / 1000000.0 AS removable_share
+    FROM tok t LEFT JOIN per_doc p ON p.doc_id = t.doc_id
+    GROUP BY 1
+"""
+
 ORACLES["q_ml_class_metrics"] = f"""
     WITH preds AS ({ORACLES['q_text_langid']}),
     a AS (SELECT actual_lang AS lang, CAST(COUNT(*) AS BIGINT) AS n_actual

@@ -331,6 +331,7 @@ def test_r12_endpoints_delegate_to_declared_operators(api, spark):
     qs = spec.queries()
     pairs = [
         (api.substring_duplicates(), "q_text_substring_dedup"),
+        (api.decontamination_report(), "q_text_decontaminate"),
         (api.vector_index_delta(), "q_vec_index_delta"),
         (api.zorder_optimize(), "q_lake_zorder_write"),
         (api.quality_model_filter(), "q_ml_quality_fit"),

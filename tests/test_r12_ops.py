@@ -250,3 +250,53 @@ def test_stream_sessionize_availablenow_equals_batch_twin(spark):
         for r in timeseries.q_ts_sessionize(spark, SF_SMOKE).collect()
     )
     assert got == want and len(got) > 0
+
+
+# -------------------------------------------- q_text_decontaminate
+
+
+def test_decontaminate_interval_union_matches_python(spark):
+    """Per-source removable mass equals a pure-Python interval union over
+    the operator's own span frame + the keep-first (cut doc_b) rule."""
+    from collections import defaultdict
+
+    import duckdb
+
+    spans = _Q["q_text_substring_dedup"](spark, SF_SMOKE).collect()
+    per_doc = defaultdict(list)
+    for r in spans:
+        per_doc[r.doc_b].append((int(r.start_b), int(r.start_b + r.len)))
+    removable = {}
+    for doc, ivs in per_doc.items():
+        ivs = sorted(set(ivs))
+        tot, cur_s, cur_e = 0, None, None
+        for s, e in ivs:
+            if cur_e is None or s > cur_e:
+                if cur_e is not None:
+                    tot += cur_e - cur_s
+                cur_s, cur_e = s, e
+            else:
+                cur_e = max(cur_e, e)
+        if cur_e is not None:
+            tot += cur_e - cur_s
+        removable[doc] = tot
+    docs = duckdb.sql(
+        f"SELECT doc_id, source, len(string_split(text, ' ')) FROM "
+        f"'{SF_SMOKE}/documents.parquet'"
+    ).fetchall()
+    want = defaultdict(lambda: [0, 0, 0, 0])  # docs, tokens, affected, rm
+    for doc_id, src, n in docs:
+        row = want[src]
+        row[0] += 1
+        row[1] += n
+        if doc_id in removable:
+            row[2] += 1
+            row[3] += removable[doc_id]
+    got = _Q["q_text_decontaminate"](spark, SF_SMOKE).collect()
+    assert len(got) == len(want)
+    for r in got:
+        nd, nt, na, rm = want[r.source]
+        assert (r.n_docs, r.total_tokens, r.n_affected_docs,
+                r.removable_tokens) == (nd, nt, na, rm), r.source
+    # the fixture carries real removable mass
+    assert sum(r.removable_tokens for r in got) > 0
