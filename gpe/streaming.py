@@ -1358,6 +1358,34 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"
     return q
 
 
+def _run_available_now(spark: SparkSession, agg: DataFrame, name: str):
+    """Start a complete-mode memory-sink query under availableNow and
+    block until drained. The state-store task count is pinned to 32 for
+    the bounded run (a VANILLA driver session defaults shuffle
+    partitions to 200 → 200 near-empty state tasks per micro-batch per
+    key at smoke scale; the prior session value is restored after) —
+    the same scoped-conf discipline as stream_events' timezone pin."""
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    old = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def q_stream_tumbling_availablenow(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1392,18 +1420,9 @@ def q_stream_tumbling_availablenow(
     name = "gpe_stream_tumbling_" + os.path.basename(
         sf_dir.rstrip("/")
     ).replace(".", "_")
-    for q in spark.streams.active:
-        if q.name == name:
-            q.stop()
-    agg = tumbling_counts(stream_events(spark, sf_dir))
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    _run_available_now(
+        spark, tumbling_counts(stream_events(spark, sf_dir)), name
     )
-    q.awaitTermination()
     from gpe.common import ntz
 
     # the streaming agg keys on TIMESTAMP (ltz — watermarks require it);
@@ -1446,20 +1465,13 @@ def q_stream_sessionize_availablenow(
     name = "gpe_stream_sessions_" + os.path.basename(
         sf_dir.rstrip("/")
     ).replace(".", "_")
-    for q in spark.streams.active:
-        if q.name == name:
-            q.stop()
-    agg = session_aggregates(stream_events(spark, sf_dir)).select(
-        "user_id", "session_start", "n_events", "sum_value"
+    _run_available_now(
+        spark,
+        session_aggregates(stream_events(spark, sf_dir)).select(
+            "user_id", "session_start", "n_events", "sum_value"
+        ),
+        name,
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
     from gpe.common import ntz
 
     # ltz -> ntz on the materialized output, as in the tumbling key
