@@ -161,6 +161,26 @@ def main() -> None:
         "fused_rank"
     ).show()
 
+    print("== sub-document dedup (r12): exact shared spans >= 50 tokens ==")
+    text.q_text_substring_dedup(spark, sf_dir).orderBy(
+        F.desc("len")
+    ).show(5)
+
+    print("== decontamination report (r12): removable span mass/source ==")
+    text.q_text_decontaminate(spark, sf_dir).orderBy(
+        F.desc("removable_share")
+    ).show(5)
+
+    print("== trained quality filter (r12): in-plan Cramer fit + bands ==")
+    from gpe import ml
+
+    ml.q_ml_quality_fit(spark, sf_dir).show()
+
+    print("== ANN index nightly delta (r12): cell stats + served top-k ==")
+    vectors.q_vec_index_delta(spark, sf_dir).filter(
+        "section = 'cell_delta'"
+    ).orderBy("cell").show()
+
 
 if __name__ == "__main__":
     main()

@@ -33,6 +33,8 @@ def test_corpus_pipeline_demo_runs():
     stdout = _run("corpus_pipeline_demo.py")
     assert "cluster representatives" in stdout
     assert "nearest neighbors" in stdout
+    assert "decontamination report (r12)" in stdout
+    assert "trained quality filter (r12)" in stdout
 
 
 def test_monitoring_demo_runs():
