@@ -63,11 +63,13 @@ def main(argv: list[str]) -> None:
         "registry (7 new r12 keys: incremental ANN-index delta, exact "
         "substring-span dedup + its decontamination report, the z-order "
         "re-layout WRITE, two availableNow streaming materializations, "
-        "and the in-plan trained quality fit). Nine full passes were "
-        "recorded (six on the final 269-key code); unlike r11, NO quiet "
+        "and the in-plan trained quality fit). Ten full passes were "
+        "recorded (seven on the final 269-key code); unlike r11, NO quiet "
         "slot appeared all day — the "
         "shared host oscillated loadavg 0.2-12 within single passes "
-        "(final-code totals 366-572 s), so the recorded trio is the three "
+        "(final-code totals 366-572 s; a loadavg-0.08 start still finished "
+        "at 557 s as the co-tenant returned mid-pass), so the recorded "
+        "trio is the three "
         "lowest-total final-code passes (366.2/407.1/430.9 s) and the "
         "designated cold artifact BENCH_COLD_r12.json is the best "
         "(366.2 s). Against the r11 QUIET checkpoint the shared-key "
