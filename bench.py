@@ -85,6 +85,16 @@ def main() -> None:
 
     from gpe.common import release_persists
 
+    def _loadavg() -> list[float]:
+        # recorded so the bench-protocol exclusion rule ("a pass visibly
+        # inflated by co-tenant load is replaced") is machine-checkable
+        # from the artifact alone (VERDICT r12 #7)
+        try:
+            return [round(x, 2) for x in os.getloadavg()]
+        except OSError:
+            return []
+
+    load_start = _loadavg()
     times: dict[str, float] = {}
     for key in sorted(qs):
         t0 = time.perf_counter()
@@ -112,6 +122,8 @@ def main() -> None:
         "sf": sf_val,
         "errors": n_err,
         "n_queries": len(times),
+        "loadavg_start": load_start,
+        "loadavg_end": _loadavg(),
     }
     # Full per-query record: stderr + side file (driver-capture-proof).
     print(json.dumps(full), file=sys.stderr)

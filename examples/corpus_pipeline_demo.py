@@ -181,6 +181,24 @@ def main() -> None:
         "section = 'cell_delta'"
     ).orderBy("cell").show()
 
+    print("== semantic dedup (r13): cluster-bounded embedding near-dups ==")
+    dedup.q_dedup_semantic(spark, sf_dir).orderBy(
+        F.desc("max_sim"), "vec_id"
+    ).show(5)
+
+    print("== BPE trainer (r13): 3-step compression trajectory ==")
+    text.q_text_bpe_train(spark, sf_dir).orderBy("step").show()
+
+    print("== external decontamination (r13): corpus vs benchmark slice ==")
+    text.q_text_decontaminate_external(spark, sf_dir).orderBy(
+        F.desc("removable_share")
+    ).show(5)
+
+    print("== right-to-be-forgotten audit (r13): purge propagation ==")
+    from gpe import cdc
+
+    cdc.q_gov_forget_audit(spark, sf_dir).orderBy("table_name").show()
+
 
 if __name__ == "__main__":
     main()

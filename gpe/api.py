@@ -471,6 +471,35 @@ class LakeAPI:
             self.spark, self.sf_dir
         )
 
+    def semantic_duplicates(self) -> DataFrame:
+        """GET /corpus/semantic-duplicates — cluster-bounded embedding
+        near-dup keep decisions (SemDeDup composition)."""
+        from gpe import dedup as _dedup
+
+        return _dedup.q_dedup_semantic(self.spark, self.sf_dir)
+
+    def tokenizer_train_trajectory(self) -> DataFrame:
+        """POST /tokenizer/train?steps=3 — unrolled BPE merge trajectory
+        (chosen pair + corpus compression per step)."""
+        from gpe import text as _text
+
+        return _text.q_text_bpe_train(self.spark, self.sf_dir)
+
+    def benchmark_decontamination_report(self) -> DataFrame:
+        """GET /corpus/decontaminate-external — per-source removable
+        span mass of corpus docs against the benchmark slice
+        (keep-benchmark)."""
+        from gpe import text as _text
+
+        return _text.q_text_decontaminate_external(self.spark, self.sf_dir)
+
+    def forget_audit(self) -> DataFrame:
+        """POST /governance/forget — right-to-be-forgotten propagation
+        audit: per-table purge counts + residual-reference certification."""
+        from gpe import cdc as _cdc
+
+        return _cdc.q_gov_forget_audit(self.spark, self.sf_dir)
+
     # ---- reporting endpoints -----------------------------------------
 
     def top_orders_page(self, page: int = 0, size: int = 50) -> DataFrame:

@@ -975,11 +975,18 @@ def q_lake_zorder_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         "f"
     ).agg(F.min("zval").alias("lo"), F.max("zval").alias("hi"))
     x, y = files.alias("x"), files.alias("y")
+    # STRICT interior overlap (ADVICE r12): a shared single-point
+    # boundary (one range partition split into two files by
+    # maxRecordsPerFile / speculative writer splits, touching at an
+    # equal-zval edge) is NOT an overlap — zone-map pruning still skips
+    # whole files for any zval-range predicate strictly inside either
+    # file. Range partitioning keeps interiors disjoint under ANY writer
+    # split, so the 0 prediction holds for every correct layout.
     overlaps = x.join(
         F.broadcast(y),
         (F.col("x.f") < F.col("y.f"))
-        & (F.col("x.lo") <= F.col("y.hi"))
-        & (F.col("y.lo") <= F.col("x.hi")),
+        & (F.col("x.lo") < F.col("y.hi"))
+        & (F.col("y.lo") < F.col("x.hi")),
     ).agg(F.count(F.lit(1)).cast("long").alias("n_groups"))
     total = back.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
     frow = overlaps.crossJoin(total).select(

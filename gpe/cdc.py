@@ -459,7 +459,101 @@ def q_lake_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FORGET_MOD = 97  # deterministic erasure batch: c_custkey % 97 == 0
+
+
+def q_gov_forget_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR / right-to-be-forgotten propagation audit (VERDICT r12
+    next-round #8): apply a deterministic erasure batch (customers with
+    c_custkey % 97 == 0 — the arrival-slice idiom of q_dedup_delta) and
+    PROPAGATE the deletion through every table that references the
+    erased identity — orders by o_custkey, lineitem transitively by
+    l_orderkey of the purged orders, events by user_id (identifier
+    match wherever it appears; events' user population only partially
+    overlaps the custkey domain, which is exactly what a real erasure
+    sweep sees). Emits one row per table: rows before, rows purged,
+    rows after, and the RESIDUAL-REFERENCE count — recomputed by
+    re-probing the post-purge frame against the erased keys (never
+    assumed 0; the invariant the DPO report certifies).
+
+    Purge legs use q_merge_upsert's broadcast MERGE-delete
+    decomposition: the erasure batch is bounded (the keys to forget)
+    and broadcast, so customer/orders/events purge without shuffling
+    the base; the lineitem leg keys on the PURGED-ORDER set, which is
+    Ω(erased customers' order count) and therefore joined WITHOUT a
+    broadcast hint — AQE broadcasts it when measured small and degrades
+    to a shuffle join on the fact table's own key otherwise.
+
+    Determinism: the batch is arithmetic on c_custkey; every output is
+    an exact long count.
+
+    Scale notes (100 TB): each leg is one anti/left join on the
+    reference key plus a 1-row aggregate; the residual audit is a
+    second pass over the remaining rows — the cost a real audit
+    genuinely pays to certify rather than assume. In a lakehouse
+    deployment the same joins drive the DELETE's file rewrite set."""
+    from gpe.common import persist_tracked
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    batch = persist_tracked(
+        c.filter(F.pmod(F.col("c_custkey"), F.lit(_FORGET_MOD)) == 0)
+        .select(F.col("c_custkey").alias("k"))
+    )
+
+    def leg(name: str, base: DataFrame, key: str, keys: DataFrame, bcast: bool):
+        marked = keys.select("k").withColumn("_del", F.lit(1))
+        if bcast:
+            marked = F.broadcast(marked)
+        flagged = base.join(marked, base[key] == marked["k"], "left")
+        stats = flagged.agg(
+            F.count(F.lit(1)).cast("long").alias("n_before"),
+            F.sum(F.coalesce(F.col("_del"), F.lit(0)))
+            .cast("long")
+            .alias("n_purged"),
+        )
+        remaining = flagged.filter(F.col("_del").isNull()).select(
+            *[F.col(cn) for cn in base.columns]
+        )
+        # the residual check RE-probes the post-purge frame — a second,
+        # independent join, so a broken purge leg cannot certify itself
+        resid = remaining.join(
+            marked, remaining[key] == marked["k"], "left"
+        ).agg(
+            F.sum(F.coalesce(F.col("_del"), F.lit(0)))
+            .cast("long")
+            .alias("n_residual_refs")
+        )
+        return stats.crossJoin(resid).select(
+            F.lit(name).alias("table_name"),
+            "n_before",
+            "n_purged",
+            (F.col("n_before") - F.col("n_purged"))
+            .cast("long")
+            .alias("n_after"),
+            "n_residual_refs",
+        )
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # transitive key set: orderkeys of the purged orders — Ω(erased
+    # customers' order count), persisted because it feeds the lineitem
+    # purge AND its residual re-probe
+    del_orders = persist_tracked(
+        o.join(F.broadcast(batch), o.o_custkey == batch.k, "semi").select(
+            F.col("o_orderkey").alias("k")
+        )
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    return (
+        leg("customer", c, "c_custkey", batch, True)
+        .unionByName(leg("orders", o, "o_custkey", batch, True))
+        .unionByName(leg("lineitem", li, "l_orderkey", del_orders, False))
+        .unionByName(leg("events", ev, "user_id", batch, True))
+    )
+
+
 QUERIES = {
+    "q_gov_forget_audit": q_gov_forget_audit,
     "q_lake_snapshot_diff": q_lake_snapshot_diff,
     "q_merge_upsert": q_merge_upsert,
     "q_join_scd2_pointintime": q_join_scd2_pointintime,
@@ -603,3 +697,55 @@ ORACLES["q_mv_incremental"] = f"""
            CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
              AS total_spent
     FROM merged GROUP BY 1"""
+
+ORACLES["q_gov_forget_audit"] = f"""
+    WITH batch AS (
+      SELECT c_custkey AS k FROM customer
+      WHERE c_custkey % {_FORGET_MOD} = 0),
+    del_orders AS (
+      SELECT o_orderkey AS k FROM orders
+      WHERE o_custkey IN (SELECT k FROM batch))
+    SELECT 'customer' AS table_name,
+           CAST(COUNT(*) AS BIGINT) AS n_before,
+           CAST(SUM(CASE WHEN c_custkey IN (SELECT k FROM batch)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_purged,
+           CAST(SUM(CASE WHEN c_custkey IN (SELECT k FROM batch)
+                    THEN 0 ELSE 1 END) AS BIGINT) AS n_after,
+           CAST(SUM(CASE WHEN c_custkey NOT IN (SELECT k FROM batch)
+                          AND c_custkey IN (SELECT k FROM batch)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_residual_refs
+    FROM customer
+    UNION ALL
+    SELECT 'orders',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_custkey IN (SELECT k FROM batch)
+                    THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN o_custkey IN (SELECT k FROM batch)
+                    THEN 0 ELSE 1 END) AS BIGINT),
+           CAST(SUM(CASE WHEN o_custkey NOT IN (SELECT k FROM batch)
+                          AND o_custkey IN (SELECT k FROM batch)
+                    THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN l_orderkey IN (SELECT k FROM del_orders)
+                    THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN l_orderkey IN (SELECT k FROM del_orders)
+                    THEN 0 ELSE 1 END) AS BIGINT),
+           CAST(SUM(CASE WHEN l_orderkey NOT IN (SELECT k FROM del_orders)
+                          AND l_orderkey IN (SELECT k FROM del_orders)
+                    THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'events',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN user_id IN (SELECT k FROM batch)
+                    THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN user_id IN (SELECT k FROM batch)
+                    THEN 0 ELSE 1 END) AS BIGINT),
+           CAST(SUM(CASE WHEN user_id NOT IN (SELECT k FROM batch)
+                          AND user_id IN (SELECT k FROM batch)
+                    THEN 1 ELSE 0 END) AS BIGINT)
+    FROM events
+"""

@@ -1862,7 +1862,172 @@ def q_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEM_TAU = 0.35  # within-cell cosine duplicate threshold (fixture-calibrated: 70 in-cell pairs qualify at sf0.01, max in-cell sim 0.493)
+_SEM_GRID = 4  # per-cell sub-grid chunks (task memory bound at scale)
+
+
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style CLUSTER-BOUNDED embedding dedup (VERDICT r12
+    next-round #3; Abbas et al. 2023, arXiv 2303.09540): assign every
+    embedding to its nearest centroid (the exact q_vec_kmeans_step
+    assignment, shared subtree), find cosine-near pairs ONLY WITHIN a
+    cell, and emit the per-vector keep decision (keep_id = min over the
+    in-cell neighborhood, q_dedup_embed_cosine's single-hop rule). This
+    is the composition that makes embedding dedup 100 TB-tractable:
+    global all-pairs (q_dedup_embed_cosine) is corpus-quadratic in the
+    worst case; cell-bounded pairs are Σ|cell|² with k chosen ∝ n so
+    |cell| stays bounded as the corpus grows.
+
+    Candidate generation is q_vec_pairs_threshold's BLAS block-matmul
+    cogroup, keyed by (cluster, ga, gb) so no pair ever crosses a cell
+    and no task ever holds more than (2·|cell|/_SEM_GRID)·d doubles;
+    survivors of the double prefilter (τ−1e-6 margin) are exact-decimal
+    verified, so the DECLARED predicate is exact and the prefilter
+    cannot flip it. The verify joins are plain equi-joins (AQE picks the
+    strategy — the embedding table is NOT broadcast-assumed).
+
+    Determinism: the assignment is the exact-decimal argmax (ties →
+    smaller centroid label); pair dots fold in exact decimal; keep_id /
+    counts are integer; max_sim is round-6 of an exact decimal.
+
+    Scale notes (100 TB): assignment is the broadcast-codebook map-side
+    fold; the cogroup shuffles each side _SEM_GRID× within its cell
+    only; the keep rollup is one shuffle on vec_id. Cross-cell near-dups
+    are OUT of contract by design (SemDeDup's documented recall trade:
+    a pair split by the quantizer is missed — the global exact key
+    exists beside this one for audit)."""
+    import numpy as np
+    import pandas as pd
+
+    from gpe.common import two_pass_parts
+    from gpe.vectors import _dot_dec, _kmeans_assignments
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    g = _SEM_GRID
+
+    def cell_members() -> DataFrame:
+        # fresh scans per side: the cogroup's ambiguous-self-join check
+        # rejects two sides sharing one JOIN output's attributes, so each
+        # side re-derives (vec_id, embedding, cluster) from its own scan
+        # nodes (the schema memo keeps footer reads at one; the
+        # assignment subtree is a broadcast-codebook map-side fold, so
+        # the duplication costs one extra pass over the batch, not a
+        # shuffle)
+        asg_i = _kmeans_assignments(
+            load_table(spark, sf_dir, "embeddings")
+        ).select("vec_id", F.col("cluster").cast("int").alias("cluster"))
+        return (
+            load_table(spark, sf_dir, "embeddings")
+            .select("vec_id", "embedding")
+            .join(asg_i, "vec_id")
+        )
+
+    probe = cell_members().select(
+        "cluster",
+        "vec_id",
+        "embedding",
+        F.pmod(F.col("vec_id"), F.lit(g)).cast("int").alias("ga"),
+        F.explode(F.sequence(F.lit(0), F.lit(g - 1))).alias("gb"),
+    )
+    index = cell_members().select(
+        "cluster",
+        "vec_id",
+        "embedding",
+        F.explode(F.sequence(F.lit(0), F.lit(g - 1))).alias("ga"),
+        F.pmod(F.col("vec_id"), F.lit(g)).cast("int").alias("gb"),
+    )
+    tau_pre = _SEM_TAU - 1e-6
+
+    def block_pairs(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        # the CELL rides through the output (both sides share one cell by
+        # the cogroup key), so the keep rollup never re-joins the
+        # assignment frame — no self-join of the emb lineage
+        empty = pd.DataFrame(
+            {
+                "cluster": pd.Series([], dtype="int32"),
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+            }
+        )
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        q = np.array(list(left["embedding"]), dtype=np.float64)
+        m = np.array(list(right["embedding"]), dtype=np.float64)
+        sims = q @ m.T
+        qi, ci = np.where(sims >= tau_pre)
+        if len(qi) == 0:
+            return empty
+        qa = left["vec_id"].to_numpy()[qi]
+        cb = right["vec_id"].to_numpy()[ci]
+        keep = qa < cb
+        return pd.DataFrame(
+            {
+                "cluster": np.full(
+                    int(keep.sum()), left["cluster"].iloc[0], dtype="int32"
+                ),
+                "id_a": qa[keep],
+                "id_b": cb[keep],
+            }
+        )
+
+    n_parts = two_pass_parts(spark)
+    cand = (
+        probe.repartition(n_parts, "cluster", "ga", "gb")
+        .groupBy("cluster", "ga", "gb")
+        .cogroup(
+            index.repartition(n_parts, "cluster", "ga", "gb").groupBy(
+                "cluster", "ga", "gb"
+            )
+        )
+        .applyInPandas(block_pairs, "cluster int, id_a long, id_b long")
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    verified = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("dot", _dot_dec("ea", "eb"))
+        .filter(F.col("dot") >= F.lit(_SEM_TAU).cast("decimal(12,10)"))
+        .select(
+            "cluster",
+            "id_a",
+            "id_b",
+            F.round("dot", 6).cast("double").alias("sim"),
+        )
+    )
+    sym = verified.select(
+        "cluster",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("vec_id"), F.col("id_b").alias("nbr")
+                ),
+                F.struct(
+                    F.col("id_b").alias("vec_id"), F.col("id_a").alias("nbr")
+                ),
+            )
+        ).alias("p"),
+        "sim",
+    ).select("cluster", "p.vec_id", "p.nbr", "sim")
+    return (
+        sym.groupBy("cluster", "vec_id")
+        .agg(
+            F.min("nbr").alias("min_nbr"),
+            F.count(F.lit(1)).cast("long").alias("n_near_dups"),
+            F.max("sim").alias("max_sim"),
+        )
+        .select(
+            "cluster",
+            "vec_id",
+            F.least("min_nbr", "vec_id").alias("keep_id"),
+            "n_near_dups",
+            "max_sim",
+        )
+    )
+
+
 QUERIES = {
+    "q_dedup_semantic": q_dedup_semantic,
     "q_graph_pagerank": q_graph_pagerank,
     "q_graph_triangles": q_graph_triangles,
     "q_graph_bfs_layers": q_graph_bfs_layers,
@@ -2250,3 +2415,39 @@ def _embed_cosine_oracle() -> str:
 
 
 ORACLES["q_dedup_embed_cosine"] = _embed_cosine_oracle()
+
+
+def _semantic_oracle() -> str:
+    from gpe.vectors import _SQL_KMEANS_BEST
+
+    return f"""
+        WITH {_SQL_KMEANS_BEST},
+        asg AS (SELECT vec_id, clabel AS cluster FROM best WHERE rn = 1),
+        ex2 AS (
+          SELECT e.vec_id, a.cluster, e.pos, e.x
+          FROM ex e JOIN asg a ON e.vec_id = a.vec_id),
+        pairs AS (
+          SELECT p.cluster, p.vec_id AS id_a, q.vec_id AS id_b,
+                 SUM(CAST(p.x AS DECIMAL(12,10))
+                     * CAST(q.x AS DECIMAL(12,10))) AS dot
+          FROM ex2 p JOIN ex2 q
+            ON p.cluster = q.cluster AND p.pos = q.pos
+               AND p.vec_id < q.vec_id
+          GROUP BY 1, 2, 3
+          HAVING SUM(CAST(p.x AS DECIMAL(12,10))
+                     * CAST(q.x AS DECIMAL(12,10))) >= {_SEM_TAU}),
+        sym AS (
+          SELECT cluster, id_a AS vec_id, id_b AS nbr,
+                 CAST(ROUND(dot, 6) AS DOUBLE) AS sim
+          FROM pairs
+          UNION ALL
+          SELECT cluster, id_b, id_a, CAST(ROUND(dot, 6) AS DOUBLE)
+          FROM pairs)
+        SELECT CAST(s.cluster AS INTEGER) AS cluster, s.vec_id,
+               CAST(LEAST(MIN(s.nbr), s.vec_id) AS BIGINT) AS keep_id,
+               CAST(COUNT(*) AS BIGINT) AS n_near_dups,
+               MAX(s.sim) AS max_sim
+        FROM sym s GROUP BY s.cluster, s.vec_id"""
+
+
+ORACLES["q_dedup_semantic"] = _semantic_oracle()

@@ -41,87 +41,35 @@ for _name in (
 
 
 # The driver hash-verifies exactly the FIRST 50 keys of queries() each round
-# (verified r1-r11: CORRECTNESS_r0N covers precisely registry indices 0-49),
+# (verified r1-r12: CORRECTNESS_r0N covers precisely registry indices 0-49),
 # so registry order decides which keys get hard correctness signal.
-# Round-12 window (VERDICT r11 next-round #1 + the currency policy),
-# composition 3+7+7+18+15:
-# (a) the 3 keys whose CODE CHANGED in r12 after their r11 driver hash
-# (pack_bestfit's corpus-derived sharding, ndcg's idcg guard,
-# hard_negatives' degenerate-row drop) -- changed keys outrank stale
-# re-checks, the currency policy;
-# (b) the 7 operators NEW in r12 (zero driver evidence);
-# (c) the 7 keys touched in r11 AFTER their last driver check
-# (judge-parity-verified at r11 HEAD, but driver evidence still predates
-# the code -- VERDICT r11 #1 names them first among re-checks);
-# (d) the 18 remaining r5-stale keys (oldest evidence in the registry);
-# (e) the 15 oldest r6-stale keys, in their r6-window order.
-# After this window lands, every key's evidence is r6+ with 35 r6-stale
-# keys left (staged below for r13). Keys after position 50 keep local
-# parity (tools/parity.py) as their regression net;
-# tests/test_registry_order.py pins this window.
+# Round-13 window (VERDICT r12 next-round #1 + the currency policy),
+# composition 4+5+35+6:
+# (a) the 4 operators NEW in r13 (zero driver evidence): semantic dedup,
+# the unrolled BPE trainer, cross-corpus decontamination, and the
+# right-to-be-forgotten propagation audit;
+# (b) the 5 keys whose CODE CHANGED in r13 after their r12 driver hash
+# (span-family broadcast fixes; availableNow state-store parallelism +
+# sink-name hashing; zorder strict-interior overlap) -- changed keys
+# outrank stale re-checks, the currency policy;
+# (c) ALL 35 remaining r6-stale keys (VERDICT r12 #1 -- after this lands
+# the registry evidence floor is r7 everywhere);
+# (d) the 6 oldest r7-stale keys, in their r7-window order.
+# Keys after position 50 keep local parity (tools/parity.py) as their
+# regression net; tests/test_registry_order.py pins this window.
 HARD_SIGNAL_FIRST_50 = [
-    # --- (a) code changed r12, driver evidence (r11) predates it ---
-    "q_pack_bestfit",
-    "q_ml_ndcg",
-    "q_ml_hard_negatives",
-    # --- (b) round-12 operators (zero driver evidence) ---
-    "q_vec_index_delta",
+    # --- (a) round-13 operators (zero driver evidence) ---
+    "q_dedup_semantic",
+    "q_text_bpe_train",
+    "q_text_decontaminate_external",
+    "q_gov_forget_audit",
+    # --- (b) code changed r13, driver evidence (r12) predates it ---
     "q_text_substring_dedup",
-    "q_lake_zorder_write",
+    "q_text_decontaminate",
     "q_stream_tumbling_availablenow",
     "q_stream_sessionize_availablenow",
-    "q_ml_quality_fit",
-    "q_text_decontaminate",
-    # --- (c) touched r11 after their last driver check ---
-    "q_dedup_near_pairs",
-    "q_agg_cramers_v",
-    "q_multimodal_join",
-    "q_pack_bin_stats",
-    "q_text_bpe_merge_step",
-    "q_text_dup_paragraphs",
-    "q_agg_log_histogram",
-    # --- (d) r5-stale (latest driver evidence round 5) ---
-    "q_union_all",
-    "q_union_distinct",
-    "q_intersect",
-    "q_subquery_scalar",
-    "q_page_orders",
-    "q_unpivot_order_counts",
-    "q_text_stats",
-    "q_text_tfidf_topterms",
-    "q_text_ngrams",
-    "q_text_quality",
-    "q_text_langid",
-    "q_text_tokencount",
-    "q_text_fingerprint",
-    "q_dedup_keep_best",
-    "q_text_contamination",
-    "q_udf_pandas_scalar",
-    "q_udaf_applyinpandas",
-    "q_udf_cogroup",
-    # --- (e) r6-stale, oldest first in r6-window order ---
-    "q_agg_bitwise",
-    "q_agg_stats",
-    "q_sort_multi",
-    "q_win_cume_nth",
-    "q_win_range_frame",
-    "q_win_topk_per_group",
-    "q_win_moving_avg_time",
-    "q_win_first_last",
-    "q_ts_tumbling",
-    "q_ts_ohlc",
-    "q_ts_sliding",
-    "q_ts_sessionize",
-    "q_ts_funnel",
-    "q_ts_retention",
-    "q_ts_gap_fill",
-]
-
-# Next in line for round 13: the 34 remaining r6-stale keys -- once THEY
-# land, the whole registry's evidence is r7+. (q_sample_systematic was
-# displaced from the r12 window by the late-landing sessionize streaming
-# key, so it leads the wave, with q_ts_interpolate displaced likewise.)
-_SECOND_WAVE = [
+    "q_lake_zorder_write",
+    # --- (c) the 35 remaining r6-stale keys, in their r6-window order ---
     "q_ts_interpolate",
     "q_sample_systematic",
     "q_sample_stratified",
@@ -157,6 +105,61 @@ _SECOND_WAVE = [
     "q_mv_incremental",
     "q_customer_rfm",
     "q_win_streaks",
+    # --- (d) oldest r7-stale, in r7-window order ---
+    "q_dedup_containment_prefix",
+    "q_catalog_partition_profile",
+    "q_ts_acf",
+    "q_ts_max_gap",
+    "q_dedup_graph_degree",
+    "q_text_jaccard_topk",
+]
+
+# Next in line for round 14: the 42 remaining r7-stale keys in their
+# r7-window order -- once THEY land (and the wave after), the registry's
+# evidence floor reaches r9.
+_SECOND_WAVE = [
+    "q_text_vocab_coverage",
+    "q_join_bucketed_colocated",
+    "q_cdc_compact_deletes",
+    "q_agg_iqr_fences",
+    "q_agg_ttest_welch",
+    "q_text_cooccurrence_pmi",
+    "q_ts_user_paths",
+    "q_agg_mad",
+    "q_vec_pca_power",
+    "q_ts_cohort_ltv",
+    "q_agg_skew_kurtosis",
+    "q_source_json_roundtrip",
+    "q_ts_bounce_rate",
+    "q_scalar_date2",
+    "q_multimodal_audio_windows",
+    "q_win_rolling_corr",
+    "q_ts_session_attach",
+    "q_win_distinct_count",
+    "q_scalar_array",
+    "q_scalar_map",
+    "q_scalar_arrayops",
+    "q_agg_collect",
+    "q_catalog_column_stats",
+    "q_multimodal_features",
+    "q_dedup_minhash_lsh",
+    "q_dedup_components",
+    "q_dedup_components_star",
+    "q_vec_ann_pq",
+    "q_win_rank",
+    "q_win_lag_lead",
+    "q_win_running_sum",
+    "q_join_asof",
+    "q_join_asof_tolerance",
+    "q_join_interval",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_agg_grouping_sets",
+    "q_win_ntile_pctrank",
+    "q_agg_mode",
+    "q_join_inner_bcast",
+    "q_join_inner_shuffle",
+    "q_join_multiway_star",
 ]
 
 

@@ -1358,18 +1358,41 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"
     return q
 
 
+def _sink_name(prefix: str, sf_dir: str) -> str:
+    """Memory-sink query/table name for a bounded run: basename for
+    readability + an md5 prefix of the FULL path (ADVICE r12: two
+    different sf_dirs sharing a basename would otherwise collide — the
+    second run stops/replaces the first and any previously returned lazy
+    DataFrame silently re-binds to the newer run's data)."""
+    import hashlib
+
+    p = sf_dir.rstrip("/")
+    tag = hashlib.md5(p.encode()).hexdigest()[:8]
+    return f"{prefix}_{os.path.basename(p).replace('.', '_')}_{tag}"
+
+
 def _run_available_now(spark: SparkSession, agg: DataFrame, name: str):
     """Start a complete-mode memory-sink query under availableNow and
-    block until drained. The state-store task count is pinned to 32 for
-    the bounded run (a VANILLA driver session defaults shuffle
-    partitions to 200 → 200 near-empty state tasks per micro-batch per
-    key at smoke scale; the prior session value is restored after) —
-    the same scoped-conf discipline as stream_events' timezone pin."""
+    block until drained. The state-store task count is derived from the
+    session's parallelism (VERDICT r12 #6: a VANILLA driver session
+    defaults shuffle partitions to 200 → 200 near-empty state tasks per
+    micro-batch per key at smoke scale, while a hard-coded 32 would
+    under-parallelize the state store on a real cluster; the prior
+    session value is restored after) — the same scoped-conf discipline
+    as stream_events' timezone pin. Single-threaded-driver assumption
+    (ADVICE r12): the override is session-global for the bounded run's
+    duration, so a batch query planned CONCURRENTLY on the same session
+    would pick it up — the driver/bench/test harnesses are all
+    sequential, and a concurrent deployment should set the state-store
+    partitioning via cluster conf instead of relying on this scope."""
     for q in spark.streams.active:
         if q.name == name:
             q.stop()
     old = spark.conf.get("spark.sql.shuffle.partitions", None)
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(spark.sparkContext.defaultParallelism),
+    )
     try:
         q = (
             agg.writeStream.format("memory")
@@ -1417,9 +1440,7 @@ def q_stream_tumbling_availablenow(
     one row per open window. The memory sink holds #windows rows (the
     result, not the input); a cluster deployment swaps it for a Delta/
     parquet sink in update mode without touching the aggregation."""
-    name = "gpe_stream_tumbling_" + os.path.basename(
-        sf_dir.rstrip("/")
-    ).replace(".", "_")
+    name = _sink_name("gpe_stream_tumbling", sf_dir)
     _run_available_now(
         spark, tumbling_counts(stream_events(spark, sf_dir)), name
     )
@@ -1462,9 +1483,7 @@ def q_stream_sessionize_availablenow(
     (closed sessions evict under the watermark in update mode); the
     availableNow backfill shape and sink swap note of the tumbling key
     apply unchanged."""
-    name = "gpe_stream_sessions_" + os.path.basename(
-        sf_dir.rstrip("/")
-    ).replace(".", "_")
+    name = _sink_name("gpe_stream_sessions", sf_dir)
     _run_available_now(
         spark,
         session_aggregates(stream_events(spark, sf_dir)).select(

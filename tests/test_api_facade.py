@@ -341,3 +341,22 @@ def test_r12_endpoints_delegate_to_declared_operators(api, spark):
         got = sorted(map(tuple, got_df.collect()))
         want = sorted(map(tuple, qs[key](spark, api.sf_dir).collect()))
         assert got == want and len(got) > 0, key
+
+
+def test_r13_endpoints_delegate_to_declared_operators(api, spark):
+    import __spark_entry__ as spec
+
+    qs = spec.queries()
+    pairs = [
+        (api.semantic_duplicates(), "q_dedup_semantic"),
+        (api.tokenizer_train_trajectory(), "q_text_bpe_train"),
+        (
+            api.benchmark_decontamination_report(),
+            "q_text_decontaminate_external",
+        ),
+        (api.forget_audit(), "q_gov_forget_audit"),
+    ]
+    for got_df, key in pairs:
+        got = sorted(map(tuple, got_df.collect()))
+        want = sorted(map(tuple, qs[key](spark, api.sf_dir).collect()))
+        assert got == want and len(got) > 0, key
