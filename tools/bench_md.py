@@ -47,7 +47,7 @@ def main(argv: list[str]) -> None:
     lines = [
         f"# BENCH — per-query wall-clock at sf{sf} (local[32], noop sink)",
         "",
-        f"Round-12, {date.today().isoformat()}: **{total:.3f} s total "
+        f"Round-13, {date.today().isoformat()}: **{total:.3f} s total "
         f"over {len(keys)} keys**, 0 errors — per-query MEDIAN of "
         f"{len(runs)} runs (sum of medians); every run is a full fresh-"
         f"session pass."
@@ -59,39 +59,35 @@ def main(argv: list[str]) -> None:
             else ""
         ),
         "",
-        "Round-12 addendum: this regeneration covers the final 269-key "
-        "registry (7 new r12 keys: incremental ANN-index delta, exact "
-        "substring-span dedup + its decontamination report, the z-order "
-        "re-layout WRITE, two availableNow streaming materializations, "
-        "and the in-plan trained quality fit). Ten full passes were "
-        "recorded (seven on the final 269-key code); unlike r11, NO quiet "
-        "slot appeared all day — the "
-        "shared host oscillated loadavg 0.2-12 within single passes "
-        "(final-code totals 366-572 s; a loadavg-0.08 start still finished "
-        "at 557 s as the co-tenant returned mid-pass), so the recorded "
-        "trio is the three "
-        "lowest-total final-code passes (366.2/407.1/430.9 s) and the "
-        "designated cold artifact BENCH_COLD_r12.json is the best "
-        "(366.2 s). Against the r11 QUIET checkpoint the shared-key "
-        "ratio is 1.19 (median 1.19, p10 1.02 / p90 1.47) with the "
-        "uniform trivial-key inflation signature (q_scan_projected "
-        "0.125->0.154, q_filter_like 0.082->0.109 — pure metadata scans "
-        "cannot regress from plans), i.e. rig drift per the noise note; "
-        "the EARLY r12 anchor pass (BENCH_COLD_r12_early.json, 373.5 s "
-        "over 267 keys before the round's optimization landed) brackets "
-        "the same drift from the round's start. The 7 NEW r12 keys cost "
-        "18.4 s of the median table combined; the heaviest, "
-        "q_text_decontaminate (4.8 s) and q_text_substring_dedup "
-        "(3.6 s), share one span pipeline whose candidate set is cut "
-        "~1000x by the provable min-anchor floor (SCALE.md r12 lessons; "
-        "the first cut of the round measured 20.4 s before that floor "
-        "landed — the optimization is recorded, not assumed). "
-        "Deliberate code-side deltas beyond drift: q_pack_bestfit "
-        "0.98->1.32 s carries the NEW corpus-derived shard-count stage "
-        "(a 1-row broadcast count — the r11 verdict's weak-key fix; at "
-        "sf0.1 it also moves packing from 8 to 10 real shards), and the "
-        "two streaming keys pay a fixed ~2-3.5 s of state-store "
-        "micro-batch scheduling by design (bounded availableNow runs).",
+        "Round-13 addendum: this regeneration covers the final 273-key "
+        "registry (4 new r13 keys: cluster-bounded semantic embedding "
+        "dedup, the 3-step unrolled BPE trainer, cross-corpus benchmark "
+        "decontamination, and the right-to-be-forgotten propagation "
+        "audit). Eight full passes were recorded (seven on the final 273-key code + the early anchor); the rig again oscillated all day (final-code totals 366-585 s, loadavg_start 0.5-4.1 in the artifacts), with clean slots appearing between co-tenant waves. The recorded trio is the three lowest-total "
+        "final-code passes (366.3/374.4/393.4 s) and the designated cold artifact "
+        "BENCH_COLD_r13.json is the best (366.3 s); the EARLY r13 "
+        "anchor pass (BENCH_COLD_r13_early.json, 505.8 s over 269 keys "
+        "on the incoming r12 code, loadavg-inflated ~1.7x on trivial "
+        "keys) brackets the round-start drift, and every pass JSON now "
+        "records loadavg at start/end (VERDICT r12 #7 — the exclusion "
+        "rule is machine-checkable from the artifacts). Against the r12 "
+        "cold artifact the 269 shared keys measure sum ratio 0.982 "
+        "(median 0.97, p10 0.78 / p90 1.16) — round-over-round the "
+        "code did not get slower; the span keys hold their r12 cost "
+        "after the broadcast restructure (substring_dedup 3.1 s, "
+        "decontaminate 3.9 s medians). The 4 NEW r13 "
+        "keys cost 12.4 s of the median table combined "
+        "(q_dedup_semantic 3.7 s, q_text_bpe_train 4.6 s, "
+        "q_text_decontaminate_external 2.9 s, q_gov_forget_audit "
+        "1.2 s); their DuckDB oracles complete at sf0.1 in 8.3 s "
+        "combined (semantic 4.6, external-decon 2.0, bpe-train 1.6, "
+        "forget 0.2). Deliberate code-side deltas: the span-family "
+        "broadcast fix (blocklist anti-join replacing the whitelist "
+        "broadcast; candidate hint dropped to AQE) is hash-neutral and "
+        "measured cost-neutral (substring_dedup/decontaminate within "
+        "noise of their r12 medians), and the availableNow runner now "
+        "derives its state-store task count from session parallelism "
+        "(identical plans at local[32]).",
         "",
         "## BENCH_r07 spike-key reconciliation (VERDICT r7 #2)",
         "",
