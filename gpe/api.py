@@ -500,6 +500,23 @@ class LakeAPI:
 
         return _cdc.q_gov_forget_audit(self.spark, self.sf_dir)
 
+    def semantic_cell_report(self) -> DataFrame:
+        """GET /corpus/semantic-duplicates/cells — per-cell dup-mass
+        rollup (size, removals, pairs, share) for k/τ tuning."""
+        from gpe import dedup as _dedup
+
+        return _dedup.q_dedup_semantic_cells(self.spark, self.sf_dir)
+
+    def sliding_rollup_backfill(self) -> DataFrame:
+        """POST /streams/sliding-rollup/backfill — runs the sliding
+        streaming twin to completion (availableNow) and returns the
+        materialized overlapping-window rollup."""
+        from gpe import streaming as _streaming
+
+        return _streaming.q_stream_sliding_availablenow(
+            self.spark, self.sf_dir
+        )
+
     # ---- reporting endpoints -----------------------------------------
 
     def top_orders_page(self, page: int = 0, size: int = 50) -> DataFrame:

@@ -2026,8 +2026,67 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-CELL rollup of the semantic dedup decisions (the "per-cell
+    dedup stats" half of VERDICT r12 #3): for every kmeans cell — cell
+    size, vectors with at least one in-cell near-dup, vectors a keep-min
+    pass would REMOVE (keep_id != vec_id), qualifying pair count, and
+    the floor-e6 removed share. This is the per-cluster dup-mass report
+    a SemDeDup deployment reads to pick k and τ (a cell with dup_share
+    near 1 is a collapsed mode; near 0, the quantizer is wasting cells).
+
+    Derivations are exact integers off the keep frame: each qualifying
+    pair contributes 2 symmetric neighbor entries, so n_pairs =
+    Σ n_near_dups DIV 2 (always even by symmetry); zero-dup cells emit
+    via the left join from the assignment sizes, never dropped.
+
+    Scale notes (100 TB): the keep frame is output-sized; sizes are one
+    partial-agg shuffle on cluster; the rollup is one |cells|-ary agg.
+    Everything inherits q_dedup_semantic's cell-bounded plan."""
+    from gpe.vectors import _kmeans_assignments
+
+    keep = q_dedup_semantic(spark, sf_dir)
+    sizes = (
+        _kmeans_assignments(load_table(spark, sf_dir, "embeddings"))
+        .groupBy(F.col("cluster").cast("int").alias("cluster"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+    )
+    j = sizes.join(keep, "cluster", "left")
+    return j.groupBy("cluster", "n_vecs").agg(
+        F.count("vec_id").cast("long").alias("n_dup_vecs"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("keep_id") != F.col("vec_id"), 1).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_removed"),
+        F.expr("coalesce(sum(n_near_dups), 0) div 2")
+        .cast("long")
+        .alias("n_pairs"),
+        (
+            F.floor(
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("keep_id") != F.col("vec_id"), 1
+                        ).otherwise(0)
+                    ),
+                    F.lit(0),
+                )
+                * F.lit(1_000_000)
+                / F.first("n_vecs")
+            )
+            / F.lit(1_000_000.0)
+        ).alias("dup_share"),
+    )
+
+
 QUERIES = {
     "q_dedup_semantic": q_dedup_semantic,
+    "q_dedup_semantic_cells": q_dedup_semantic_cells,
     "q_graph_pagerank": q_graph_pagerank,
     "q_graph_triangles": q_graph_triangles,
     "q_graph_bfs_layers": q_graph_bfs_layers,
@@ -2451,3 +2510,31 @@ def _semantic_oracle() -> str:
 
 
 ORACLES["q_dedup_semantic"] = _semantic_oracle()
+
+
+def _semantic_cells_oracle() -> str:
+    from gpe.vectors import _SQL_KMEANS_BEST
+
+    return f"""
+        WITH keep AS (SELECT * FROM ({_semantic_oracle()})),
+        sizes AS (
+          SELECT CAST(cluster AS INTEGER) AS cluster,
+                 CAST(COUNT(*) AS BIGINT) AS n_vecs
+          FROM (WITH {_SQL_KMEANS_BEST}
+                SELECT clabel AS cluster FROM best WHERE rn = 1)
+          GROUP BY 1)
+        SELECT s.cluster, s.n_vecs,
+               CAST(COUNT(k.vec_id) AS BIGINT) AS n_dup_vecs,
+               CAST(COALESCE(SUM(CASE WHEN k.keep_id <> k.vec_id
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT)
+                 AS n_removed,
+               CAST(COALESCE(SUM(k.n_near_dups), 0) // 2 AS BIGINT)
+                 AS n_pairs,
+               FLOOR(COALESCE(SUM(CASE WHEN k.keep_id <> k.vec_id
+                                       THEN 1 ELSE 0 END), 0)
+                     * 1000000.0 / s.n_vecs) / 1000000.0 AS dup_share
+        FROM sizes s LEFT JOIN keep k ON s.cluster = k.cluster
+        GROUP BY 1, 2"""
+
+
+ORACLES["q_dedup_semantic_cells"] = _semantic_cells_oracle()

@@ -44,25 +44,30 @@ for _name in (
 # (verified r1-r12: CORRECTNESS_r0N covers precisely registry indices 0-49),
 # so registry order decides which keys get hard correctness signal.
 # Round-13 window (VERDICT r12 next-round #1 + the currency policy),
-# composition 4+5+35+6:
-# (a) the 4 operators NEW in r13 (zero driver evidence): semantic dedup,
-# the unrolled BPE trainer, cross-corpus decontamination, and the
-# right-to-be-forgotten propagation audit;
+# composition 6+5+35+4:
+# (a) the 6 operators NEW in r13 (zero driver evidence): semantic dedup
+# + its per-cell stats rollup, the unrolled BPE trainer, cross-corpus
+# decontamination, the right-to-be-forgotten propagation audit, and the
+# sliding-window availableNow streaming twin;
 # (b) the 5 keys whose CODE CHANGED in r13 after their r12 driver hash
 # (span-family broadcast fixes; availableNow state-store parallelism +
 # sink-name hashing; zorder strict-interior overlap) -- changed keys
 # outrank stale re-checks, the currency policy;
 # (c) ALL 35 remaining r6-stale keys (VERDICT r12 #1 -- after this lands
 # the registry evidence floor is r7 everywhere);
-# (d) the 6 oldest r7-stale keys, in their r7-window order.
+# (d) the 4 oldest r7-stale keys, in their r7-window order (the next
+# two, q_dedup_graph_degree and q_text_jaccard_topk, were displaced by
+# the two late-landing r13 keys and lead _SECOND_WAVE for r14).
 # Keys after position 50 keep local parity (tools/parity.py) as their
 # regression net; tests/test_registry_order.py pins this window.
 HARD_SIGNAL_FIRST_50 = [
     # --- (a) round-13 operators (zero driver evidence) ---
     "q_dedup_semantic",
+    "q_dedup_semantic_cells",
     "q_text_bpe_train",
     "q_text_decontaminate_external",
     "q_gov_forget_audit",
+    "q_stream_sliding_availablenow",
     # --- (b) code changed r13, driver evidence (r12) predates it ---
     "q_text_substring_dedup",
     "q_text_decontaminate",
@@ -110,14 +115,14 @@ HARD_SIGNAL_FIRST_50 = [
     "q_catalog_partition_profile",
     "q_ts_acf",
     "q_ts_max_gap",
-    "q_dedup_graph_degree",
-    "q_text_jaccard_topk",
 ]
 
 # Next in line for round 14: the 42 remaining r7-stale keys in their
 # r7-window order -- once THEY land (and the wave after), the registry's
 # evidence floor reaches r9.
 _SECOND_WAVE = [
+    "q_dedup_graph_degree",
+    "q_text_jaccard_topk",
     "q_text_vocab_coverage",
     "q_join_bucketed_colocated",
     "q_cdc_compact_deletes",

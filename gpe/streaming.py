@@ -70,6 +70,25 @@ def tumbling_counts(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def sliding_counts(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of q_ts_sliding: 1-hour windows sliding every 15
+    minutes under a watermark — each event lands in 4 OVERLAPPING open
+    windows, the state-multiplicity primitive the tumbling twin cannot
+    exercise (state: one row per open window instance = up to 4x the
+    tumbling state for the same horizon)."""
+    from gpe.common import dec
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(dec("value")), 2).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("bucket_start"), "n_events", "sum_value")
+    )
+
+
 def grain_counts_stream(stream: DataFrame, grain: str) -> DataFrame:
     """Streaming leg of the q_ts_rollup_multigrain ladder at one grain
     ('hour' | 'day' | 'month'): counts and exact-decimal value sums per
@@ -1502,11 +1521,45 @@ def q_stream_sessionize_availablenow(
     )
 
 
+
+def q_stream_sliding_availablenow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Third driver-scored streaming key: the SLIDING-WINDOW twin run
+    under ``trigger(availableNow=True)`` — overlapping window instances
+    (every event updates 4 open windows), the state-multiplicity
+    primitive neither the tumbling key (1 window per event) nor the
+    session key (dynamic gaps) exercises. Hash-checked against
+    q_ts_sliding's oracle VERBATIM, so the streaming window assignment
+    provably equals the batch formulation.
+
+    Mode/RUN-BY-DESIGN/scale notes: identical to
+    q_stream_tumbling_availablenow (complete mode — watermark drops
+    nothing, equality exact; bounded availableNow backfill; sink holds
+    #windows result rows; tests/test_builders_lazy.py carries the
+    pinned exemption). State is one row per OPEN window INSTANCE —
+    horizon/slide × the tumbling state for the same horizon, the cost a
+    sliding deployment accepts for overlap."""
+    name = _sink_name("gpe_stream_sliding", sf_dir)
+    _run_available_now(
+        spark, sliding_counts(stream_events(spark, sf_dir)), name
+    )
+    from gpe.common import ntz
+
+    # ltz -> ntz on the materialized output, as in the tumbling key
+    return spark.table(name).select(
+        ntz(F.col("bucket_start")).alias("bucket_start"),
+        "n_events",
+        "sum_value",
+    )
+
+
 from gpe import timeseries as _ts  # noqa: E402  (oracle reuse, no cycle)
 
 QUERIES = {
     "q_stream_tumbling_availablenow": q_stream_tumbling_availablenow,
     "q_stream_sessionize_availablenow": q_stream_sessionize_availablenow,
+    "q_stream_sliding_availablenow": q_stream_sliding_availablenow,
 }
 
 # the tumbling oracle IS q_ts_tumbling's — the batch twin and the
@@ -1515,6 +1568,8 @@ QUERIES = {
 # columns (same gap constant, same grouping)
 ORACLES = {
     "q_stream_tumbling_availablenow": _ts.ORACLES["q_ts_tumbling"],
+    # the sliding oracle IS q_ts_sliding's — same twin-verbatim contract
+    "q_stream_sliding_availablenow": _ts.ORACLES["q_ts_sliding"],
     "q_stream_sessionize_availablenow": f"""
         WITH flagged AS (
           SELECT user_id, ts, event_id, value,

@@ -355,6 +355,8 @@ def test_r13_endpoints_delegate_to_declared_operators(api, spark):
             "q_text_decontaminate_external",
         ),
         (api.forget_audit(), "q_gov_forget_audit"),
+        (api.semantic_cell_report(), "q_dedup_semantic_cells"),
+        (api.sliding_rollup_backfill(), "q_stream_sliding_availablenow"),
     ]
     for got_df, key in pairs:
         got = sorted(map(tuple, got_df.collect()))

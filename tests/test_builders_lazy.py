@@ -34,6 +34,7 @@ ITERATIVE_BY_DESIGN = {
     # RUN-BY-DESIGN: starts and awaits the bounded streaming query
     "q_stream_tumbling_availablenow",
     "q_stream_sessionize_availablenow",
+    "q_stream_sliding_availablenow",
 }
 
 

@@ -281,3 +281,32 @@ def test_zorder_write_disjoint_under_writer_splits(spark):
             spark.conf.unset("spark.sql.files.maxRecordsPerFile")
         else:
             spark.conf.set("spark.sql.files.maxRecordsPerFile", old)
+
+
+# ----------------------- q_dedup_semantic_cells / sliding twin
+
+
+def test_semantic_cells_consistent_with_keep_frame(spark):
+    keep = _Q["q_dedup_semantic"](spark, SF_SMOKE).collect()
+    cells = {r.cluster: r for r in _Q["q_dedup_semantic_cells"](spark, SF_SMOKE).collect()}
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    assert sum(r.n_vecs for r in cells.values()) == emb.count()
+    by_cell = {}
+    for r in keep:
+        by_cell.setdefault(r.cluster, []).append(r)
+    for c, row in cells.items():
+        mine = by_cell.get(c, [])
+        assert row.n_dup_vecs == len(mine)
+        assert row.n_removed == sum(1 for r in mine if r.keep_id != r.vec_id)
+        assert row.n_pairs == sum(r.n_near_dups for r in mine) // 2
+        assert 0.0 <= row.dup_share <= 1.0
+    # zero-dup cells still emit (left join, never dropped)
+    assert len(cells) >= len(by_cell)
+
+
+def test_sliding_stream_twin_equals_batch(spark):
+    got = sorted(
+        map(tuple, _Q["q_stream_sliding_availablenow"](spark, SF_SMOKE).collect())
+    )
+    want = sorted(map(tuple, _Q["q_ts_sliding"](spark, SF_SMOKE).collect()))
+    assert got == want and len(got) > 0
