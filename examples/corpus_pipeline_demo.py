@@ -199,6 +199,21 @@ def main() -> None:
 
     cdc.q_gov_forget_audit(spark, sf_dir).orderBy("table_name").show()
 
+    print("== semantic dedup recall audit (r14): cross-cell miss census ==")
+    dedup.q_dedup_semantic_recall(spark, sf_dir).orderBy(
+        F.asc_nulls_last("sim_bin")
+    ).show()
+
+    print("== streaming ingest dedup (r14): availableNow sieve vs batch ==")
+    from gpe import streaming
+
+    streaming.q_stream_dedup_availablenow(spark, sf_dir).orderBy(
+        F.desc("n_copies"), "keeper_doc_id"
+    ).show(5)
+
+    print("== corpus erasure (r14): documents/embeddings + index retractions ==")
+    cdc.q_gov_forget_corpus(spark, sf_dir).orderBy("table_name").show()
+
 
 if __name__ == "__main__":
     main()

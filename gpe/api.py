@@ -517,6 +517,32 @@ class LakeAPI:
             self.spark, self.sf_dir
         )
 
+    def semantic_recall_report(self) -> DataFrame:
+        """GET /corpus/semantic-duplicates/recall — the cross-cell
+        recall audit of cluster-bounded dedup vs global exact pairs
+        (per-cosine-bin census + ROLLUP total)."""
+        from gpe import dedup as _dedup
+
+        return _dedup.q_dedup_semantic_recall(self.spark, self.sf_dir)
+
+    def ingest_dedup_backfill(self) -> DataFrame:
+        """POST /streams/ingest-dedup/backfill — runs the streaming
+        content-hash dedup sieve to completion (availableNow) and
+        returns the accepted set labeled with keeper/copy counts."""
+        from gpe import streaming as _streaming
+
+        return _streaming.q_stream_dedup_availablenow(
+            self.spark, self.sf_dir
+        )
+
+    def forget_corpus(self) -> DataFrame:
+        """POST /governance/forget-corpus — erasure propagation across
+        documents/embeddings plus the standing dedup/ANN index
+        retractions, residuals re-probed."""
+        from gpe import cdc as _cdc
+
+        return _cdc.q_gov_forget_corpus(self.spark, self.sf_dir)
+
     # ---- reporting endpoints -----------------------------------------
 
     def top_orders_page(self, page: int = 0, size: int = 50) -> DataFrame:

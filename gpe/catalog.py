@@ -873,6 +873,46 @@ def q_lake_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ZW_FILES = 16  # target file count of the z-order re-layout write
 
 
+def _file_overlap_count(files: DataFrame) -> DataFrame:
+    """1-row overlap count over per-file [lo, hi] zval stats (ADVICE r12
+    + ADVICE r13). A pair counts as overlapping when either
+
+    - the interiors intersect STRICTLY (x.lo < y.hi AND y.lo < x.hi) —
+      a range predicate strictly inside one file would read both; or
+    - one file is a POINT file (lo = hi) whose value lies in the other
+      file's CLOSED range — such a file is pure duplicate mass (a
+      heavily duplicated zval split out by maxRecordsPerFile) that a
+      zval = v point predicate can never prune, including the
+      coincident [v,v]/[v,v] layout the strict-interior form missed.
+
+    Deliberately OUT of contract: two non-point files merely TOUCHING
+    at an equal-zval edge ([a,v] / [v,b] — a sorted writer split). A
+    point predicate at exactly v reads both, but every interior range
+    predicate still prunes, and the touching layout is what any correct
+    sorted split of a partition produces — flagging it would make the
+    0-overlap invariant unachievable under maxRecordsPerFile.
+
+    The join is files-count-sized metadata (broadcast), never rows."""
+    x, y = files.alias("x"), files.alias("y")
+    interior = (F.col("x.lo") < F.col("y.hi")) & (
+        F.col("y.lo") < F.col("x.hi")
+    )
+    point_x = (
+        (F.col("x.lo") == F.col("x.hi"))
+        & (F.col("y.lo") <= F.col("x.lo"))
+        & (F.col("x.lo") <= F.col("y.hi"))
+    )
+    point_y = (
+        (F.col("y.lo") == F.col("y.hi"))
+        & (F.col("x.lo") <= F.col("y.lo"))
+        & (F.col("y.lo") <= F.col("x.hi"))
+    )
+    return x.join(
+        F.broadcast(y),
+        (F.col("x.f") < F.col("y.f")) & (interior | point_x | point_y),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_groups"))
+
+
 def q_lake_zorder_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order re-layout WRITE + readback audit (VERDICT r11 next-round
     #5) — q_lake_zorder predicts what a Morton re-layout buys; this key
@@ -888,10 +928,13 @@ def q_lake_zorder_write(spark: SparkSession, sf_dir: str) -> DataFrame:
       the achieved layout has the predicted zone-map quality.
     - `file_disjointness`: per written FILE (input_file_name) the
       [min, max] zval interval, and the count of OVERLAPPING file
-      pairs; range partitioning makes files zval-disjoint by
-      construction (equal keys never split), so the oracle predicts 0 —
-      the property that lets a zval-range predicate prune whole FILES,
-      which is what the re-layout is FOR.
+      pairs per _file_overlap_count's contract (strict interior
+      intersection, plus point files landing inside another file's
+      closed range — ADVICE r13's duplicate-mass case); range
+      partitioning makes files zval-disjoint by construction (equal
+      keys never split), so the oracle predicts 0 — the property that
+      lets a zval-range predicate prune whole FILES, which is what the
+      re-layout is FOR.
 
     n_groups carries the per-section cardinality fact (bucket count /
     overlap count); spans are NULL on the file row.
@@ -974,20 +1017,7 @@ def q_lake_zorder_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     files = back.select(F.input_file_name().alias("f"), "zval").groupBy(
         "f"
     ).agg(F.min("zval").alias("lo"), F.max("zval").alias("hi"))
-    x, y = files.alias("x"), files.alias("y")
-    # STRICT interior overlap (ADVICE r12): a shared single-point
-    # boundary (one range partition split into two files by
-    # maxRecordsPerFile / speculative writer splits, touching at an
-    # equal-zval edge) is NOT an overlap — zone-map pruning still skips
-    # whole files for any zval-range predicate strictly inside either
-    # file. Range partitioning keeps interiors disjoint under ANY writer
-    # split, so the 0 prediction holds for every correct layout.
-    overlaps = x.join(
-        F.broadcast(y),
-        (F.col("x.f") < F.col("y.f"))
-        & (F.col("x.lo") < F.col("y.hi"))
-        & (F.col("y.lo") < F.col("x.hi")),
-    ).agg(F.count(F.lit(1)).cast("long").alias("n_groups"))
+    overlaps = _file_overlap_count(files)
     total = back.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
     frow = overlaps.crossJoin(total).select(
         F.lit("file_disjointness").alias("strategy"),

@@ -2084,9 +2084,109 @@ def q_dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_semantic_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECALL AUDIT of the SemDeDup cluster-bounded trade (VERDICT r13
+    next-round #2 — the q_vec_ann_recall pattern applied to semantic
+    dedup): q_dedup_semantic only sees pairs the quantizer keeps in one
+    cell, so its documented miss set is exactly the τ-near pairs SPLIT
+    across cells. This key MEASURES that trade against ground truth:
+    the global EXACT pair set at the same τ (_SEM_TAU, exact-decimal
+    verified — the q_vec_pairs_threshold grid superset at τ=0.30
+    re-verified at 0.35), each pair tagged recalled (both ends share a
+    kmeans cell — precisely the pairs the cell-bounded grid generates,
+    which is exhaustive and exact WITHIN a cell) or missed
+    (quantizer-split), censused by cosine bin (floor(sim·20): 0.05-wide
+    bins from τ up) with a ROLLUP total row (sim_bin NULL) — overall
+    recall is the number a curation team quotes before trusting
+    cluster-bounded dedup at 100 TB, and the per-bin margin census
+    shows WHERE the misses sit (expected: hugging τ, the SemDeDup
+    argument; misses at high cosine mean k is too large for the
+    corpus).
+
+    No per-cell recall section BY DESIGN: within any one cell the grid
+    enumerates every pair exactly, so per-cell recall is identically 1
+    — the per-cell dup-mass tuning view is q_dedup_semantic_cells' job;
+    what varies per bin is the cross-cell miss mass censused here
+    (tests/test_r14_ops.py pins Σ n_recalled == Σ per-cell pair count
+    ·2/2 against the cells rollup).
+
+    Determinism: exact-decimal pair predicate; integer counts;
+    recall_e6 is integer floor-scaling; sim_bin is floor of the round-6
+    double — identical IEEE arithmetic both engines.
+
+    Scale notes (100 TB): the exact global pair set is the audit's
+    irreducible cost (Θ(n²) worst case — run it on a SAMPLE at full
+    scale, the standard recall-audit deployment; the grid bounds
+    per-task memory exactly as q_vec_pairs_threshold documents). The
+    assignment legs are fresh broadcast-codebook map-side folds (the
+    ambiguous-self-join discipline of q_dedup_semantic's cell_members);
+    all joins are pair-set-sized equi-joins left to AQE — nothing here
+    broadcast-assumes the embedding table. Cites: Abbas et al. 2023
+    (SemDeDup, arXiv 2303.09540) §4 recall discussion."""
+    from gpe.vectors import _dot_dec, _kmeans_assignments, q_vec_pairs_threshold
+
+    pairs = q_vec_pairs_threshold(spark, sf_dir).select("id_a", "id_b")
+    a = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
+    )
+    b = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
+    )
+    exact = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("dot", _dot_dec("ea", "eb"))
+        .filter(F.col("dot") >= F.lit(_SEM_TAU).cast("decimal(12,10)"))
+        .select(
+            "id_a", "id_b", F.round("dot", 6).cast("double").alias("sim")
+        )
+    )
+
+    def asg_leg(side: str) -> DataFrame:
+        # fresh scan per leg (ambiguous-self-join discipline): each leg
+        # re-derives the assignment from its own scan nodes; the
+        # codebook fold is map-side, so the cost is one extra pass
+        return _kmeans_assignments(
+            load_table(spark, sf_dir, "embeddings")
+        ).select(
+            F.col("vec_id").alias(f"id_{side}"),
+            F.col("cluster").cast("int").alias(f"cell_{side}"),
+        )
+
+    flagged = (
+        exact.join(asg_leg("a"), "id_a")
+        .join(asg_leg("b"), "id_b")
+        .select(
+            F.floor(F.col("sim") * 20).cast("int").alias("sim_bin"),
+            (F.col("cell_a") == F.col("cell_b"))
+            .cast("int")
+            .alias("rec"),
+        )
+    )
+    return (
+        flagged.rollup("sim_bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("rec").cast("long").alias("n_recalled"),
+        )
+        .select(
+            "sim_bin",
+            "n_pairs",
+            "n_recalled",
+            (F.col("n_pairs") - F.col("n_recalled"))
+            .cast("long")
+            .alias("n_missed"),
+            F.expr("n_recalled * 1000000 DIV n_pairs")
+            .cast("long")
+            .alias("recall_e6"),
+        )
+    )
+
+
 QUERIES = {
     "q_dedup_semantic": q_dedup_semantic,
     "q_dedup_semantic_cells": q_dedup_semantic_cells,
+    "q_dedup_semantic_recall": q_dedup_semantic_recall,
     "q_graph_pagerank": q_graph_pagerank,
     "q_graph_triangles": q_graph_triangles,
     "q_graph_bfs_layers": q_graph_bfs_layers,
@@ -2538,3 +2638,39 @@ def _semantic_cells_oracle() -> str:
 
 
 ORACLES["q_dedup_semantic_cells"] = _semantic_cells_oracle()
+
+
+def _semantic_recall_oracle() -> str:
+    # global exact pairs at _SEM_TAU (no cluster bound — the ground
+    # truth), each tagged by whether the two ends share a kmeans cell,
+    # censused per 0.05 cosine bin + ROLLUP total
+    from gpe.vectors import _SQL_KMEANS_BEST
+
+    return f"""
+        WITH {_SQL_KMEANS_BEST},
+        asg AS (SELECT vec_id, clabel AS cluster FROM best WHERE rn = 1),
+        gdots AS (
+          SELECT p.vec_id AS id_a, q.vec_id AS id_b,
+                 SUM(CAST(p.x AS DECIMAL(12,10))
+                     * CAST(q.x AS DECIMAL(12,10))) AS dot
+          FROM ex p JOIN ex q
+            ON p.pos = q.pos AND p.vec_id < q.vec_id
+          GROUP BY 1, 2
+          HAVING SUM(CAST(p.x AS DECIMAL(12,10))
+                     * CAST(q.x AS DECIMAL(12,10))) >= {_SEM_TAU}),
+        flagged AS (
+          SELECT CAST(FLOOR(CAST(ROUND(d.dot, 6) AS DOUBLE) * 20)
+                      AS INTEGER) AS sim_bin,
+                 CASE WHEN ca.cluster = cb.cluster THEN 1 ELSE 0 END AS rec
+          FROM gdots d
+          JOIN asg ca ON d.id_a = ca.vec_id
+          JOIN asg cb ON d.id_b = cb.vec_id)
+        SELECT sim_bin,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(rec) AS BIGINT) AS n_recalled,
+               CAST(COUNT(*) - SUM(rec) AS BIGINT) AS n_missed,
+               CAST(SUM(rec) * 1000000 // COUNT(*) AS BIGINT) AS recall_e6
+        FROM flagged GROUP BY ROLLUP(sim_bin)"""
+
+
+ORACLES["q_dedup_semantic_recall"] = _semantic_recall_oracle()

@@ -41,86 +41,34 @@ for _name in (
 
 
 # The driver hash-verifies exactly the FIRST 50 keys of queries() each round
-# (verified r1-r12: CORRECTNESS_r0N covers precisely registry indices 0-49),
+# (verified r1-r13: CORRECTNESS_r0N covers precisely registry indices 0-49),
 # so registry order decides which keys get hard correctness signal.
-# Round-13 window (VERDICT r12 next-round #1 + the currency policy),
-# composition 6+5+35+4:
-# (a) the 6 operators NEW in r13 (zero driver evidence): semantic dedup
-# + its per-cell stats rollup, the unrolled BPE trainer, cross-corpus
-# decontamination, the right-to-be-forgotten propagation audit, and the
-# sliding-window availableNow streaming twin;
-# (b) the 5 keys whose CODE CHANGED in r13 after their r12 driver hash
-# (span-family broadcast fixes; availableNow state-store parallelism +
-# sink-name hashing; zorder strict-interior overlap) -- changed keys
-# outrank stale re-checks, the currency policy;
-# (c) ALL 35 remaining r6-stale keys (VERDICT r12 #1 -- after this lands
-# the registry evidence floor is r7 everywhere);
-# (d) the 4 oldest r7-stale keys, in their r7-window order (the next
-# two, q_dedup_graph_degree and q_text_jaccard_topk, were displaced by
-# the two late-landing r13 keys and lead _SECOND_WAVE for r14).
+# Round-14 window (VERDICT r13 next-round #1 + the currency policy),
+# composition 3+3+44:
+# (a) the 3 operators NEW in r14 (zero driver evidence): the SemDeDup
+# cross-cell recall audit, the availableNow streaming ingest-dedup twin,
+# and the corpus/vector-modality erasure propagation;
+# (b) the 3 keys whose CODE CHANGED in r14 after their r13 driver hash
+# (BPE trainer: would_continue convergence flag + ADVICE r13
+# degenerate-corpus guard; zorder write: ADVICE r13 point-file overlap
+# predicate; forget audit: leg helper factored to module level for the
+# corpus key) -- changed keys outrank stale re-checks, the currency
+# policy;
+# (c) ALL 44 remaining r7-stale keys, in their r7-window order -- after
+# this lands the registry evidence floor rises from r7 to r9
+# (VERDICT r13 #1: the whole r7 block in one window).
 # Keys after position 50 keep local parity (tools/parity.py) as their
 # regression net; tests/test_registry_order.py pins this window.
 HARD_SIGNAL_FIRST_50 = [
-    # --- (a) round-13 operators (zero driver evidence) ---
-    "q_dedup_semantic",
-    "q_dedup_semantic_cells",
+    # --- (a) round-14 operators (zero driver evidence) ---
+    "q_dedup_semantic_recall",
+    "q_stream_dedup_availablenow",
+    "q_gov_forget_corpus",
+    # --- (b) code changed r14, driver evidence (r13) predates it ---
     "q_text_bpe_train",
-    "q_text_decontaminate_external",
-    "q_gov_forget_audit",
-    "q_stream_sliding_availablenow",
-    # --- (b) code changed r13, driver evidence (r12) predates it ---
-    "q_text_substring_dedup",
-    "q_text_decontaminate",
-    "q_stream_tumbling_availablenow",
-    "q_stream_sessionize_availablenow",
     "q_lake_zorder_write",
-    # --- (c) the 35 remaining r6-stale keys, in their r6-window order ---
-    "q_ts_interpolate",
-    "q_sample_systematic",
-    "q_sample_stratified",
-    "q_mix_sources",
-    "q_merge_upsert",
-    "q_ts_holt",
-    "q_ts_downsample_triangle",
-    "q_join_asof_nearest",
-    "q_agg_gini",
-    "q_ts_seasonality",
-    "q_vec_outliers",
-    "q_win_drawdown",
-    "q_text_ngram_novelty",
-    "q_ts_concurrency",
-    "q_ts_forecast_snaive",
-    "q_agg_hhi",
-    "q_join_scd2_pointintime",
-    "q_ts_cusum",
-    "q_ts_rollup_multigrain",
-    "q_ts_mom_growth",
-    "q_vec_kmeans_step",
-    "q_ts_transitions",
-    "q_ts_ewma",
-    "q_win_moving_median",
-    "q_pii_mask",
-    "q_vec_quantize_int8",
-    "q_text_token_entropy",
-    "q_agg_weighted_median",
-    "q_dedup_containment",
-    "q_vec_range_search",
-    "q_ts_vwap",
-    "q_ts_attribution",
-    "q_mv_incremental",
-    "q_customer_rfm",
-    "q_win_streaks",
-    # --- (d) oldest r7-stale, in r7-window order ---
-    "q_dedup_containment_prefix",
-    "q_catalog_partition_profile",
-    "q_ts_acf",
-    "q_ts_max_gap",
-]
-
-# Next in line for round 14: the 42 remaining r7-stale keys in their
-# r7-window order -- once THEY land (and the wave after), the registry's
-# evidence floor reaches r9.
-_SECOND_WAVE = [
+    "q_gov_forget_audit",
+    # --- (c) the 44 remaining r7-stale keys, in their r7-window order ---
     "q_dedup_graph_degree",
     "q_text_jaccard_topk",
     "q_text_vocab_coverage",
@@ -165,6 +113,53 @@ _SECOND_WAVE = [
     "q_join_inner_bcast",
     "q_join_inner_shuffle",
     "q_join_multiway_star",
+]
+
+# Next in line for round 15: the 42 r9-stale keys in their r9-window
+# order -- once THEY land, the registry's evidence floor reaches r10.
+_SECOND_WAVE = [
+    "q_ts_anomaly_seasonal",
+    "q_catalog_column_entropy",
+    "q_join_ship_lag",
+    "q_multimodal_dedup",
+    "q_text_bigram_lm",
+    "q_ml_confusion",
+    "q_ml_margin",
+    "q_ts_decompose",
+    "q_graph_bfs_layers",
+    "q_sample_weighted",
+    "q_text_hapax",
+    "q_ts_interarrival",
+    "q_ts_peaks",
+    "q_ts_mix_entropy",
+    "q_ml_auc",
+    "q_ml_psi",
+    "q_ml_class_metrics",
+    "q_ts_mann_kendall",
+    "q_pipeline_quality_gate",
+    "q_text_readability",
+    "q_ts_changepoint",
+    "q_ts_theilsen",
+    "q_catalog_fk_infer",
+    "q_agg_chi2",
+    "q_source_orc_roundtrip",
+    "q_graph_triangles",
+    "q_text_heavy_hitters",
+    "q_ts_survival_km",
+    "q_ml_gram_moments",
+    "q_agg_decile_lift",
+    "q_agg_benford",
+    "q_ts_calendar_profile",
+    "q_graph_pagerank",
+    "q_text_bm25_search",
+    "q_text_repetition",
+    "q_agg_market_basket",
+    "q_lake_snapshot_diff",
+    "q_source_csv_roundtrip",
+    "q_source_schema_evolution",
+    "q_join_theta_bucketed",
+    "q_join_bloom_prefilter",
+    "q_ts_active_users",
 ]
 
 

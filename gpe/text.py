@@ -1320,6 +1320,9 @@ def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # audit question); redaction applies handle → id → money so the handle
 # replacement consumes its digits first.
 _BPE_TRAIN_STEPS = 3  # unrolled trainer iterations (the pagerank pattern)
+_BPE_PAIR_FLOOR = 2  # convergence floor: a production trainer stops when
+# the argmax pair count drops below this (merging a once-occurring pair
+# buys one token corpus-wide — below any real trainer's stop threshold)
 
 
 def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1332,9 +1335,21 @@ def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-steps), picks the argmax pair (count DESC, then
     lexicographic — a total order), applies it corpus-wide with the
     greedy left-to-right fold, and emits one trajectory row: the chosen
-    pair, its count, and the corpus token totals before/after — the
+    pair, its count, the corpus token totals before/after, and a
+    `would_continue` convergence flag (argmax count ≥ _BPE_PAIR_FLOOR —
+    VERDICT r13 #5: the signal a production trainer's driver loop reads
+    to stop; the unrolled steps here are the declared trajectory, a
+    32k-merge run wraps the same step in `while would_continue`) — the
     compression trajectory a tokenizer team reads before freezing a
     table.
+
+    Degenerate corpus (ADVICE r13): a step with NO adjacent pairs
+    anywhere emits NO trajectory row (the step frame derives from the
+    argmax frame, which is empty — inner-join semantics matching the
+    oracle's `FROM top{i}`), and the corpus passes through the merge
+    unchanged (the argmax attaches via a LEFT join, so null pair rules
+    no-op in the fold) — later steps behave identically instead of
+    collapsing the corpus to empty.
 
     The fold's no-chaining guarantee holds at EVERY step: a fresh
     merged symbol pair_a+'_'+pair_b is strictly longer than pair_a, so
@@ -1375,7 +1390,10 @@ def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("p")
         )
-        top = (
+        # persisted: the 1-row argmax feeds BOTH the corpus-wide fold and
+        # the step's trajectory row — without it the full pair-count
+        # shuffle would run twice per step
+        top = persist_tracked(
             big.groupBy(
                 F.col("p.a").alias("pair_a"), F.col("p.b").alias("pair_b")
             )
@@ -1383,8 +1401,11 @@ def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col("pair_count").desc(), "pair_a", "pair_b")
             .limit(1)
         )
+        # LEFT join on TRUE, not crossJoin: with an EMPTY argmax (no
+        # adjacent pairs anywhere — ADVICE r13) the corpus must pass
+        # through unchanged, not become empty
         merged = persist_tracked(
-            cur.crossJoin(F.broadcast(top)).withColumn(
+            cur.join(F.broadcast(top), F.lit(True), "left").withColumn(
                 "merged",
                 F.expr(
                     "aggregate(toks, CAST(array() AS array<string>),"
@@ -1396,14 +1417,15 @@ def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         )
+        stats = merged.agg(
+            F.sum(F.size("toks")).cast("long").alias("tokens_before"),
+            F.sum(F.size("merged")).cast("long").alias("tokens_after"),
+        )
+        # the row frame derives from the ARGMAX frame (0 rows → 0 rows,
+        # the oracle's FROM top{i} semantics), never from the always-
+        # 1-row aggregate
         step_rows.append(
-            merged.agg(
-                F.min("pair_a").alias("pair_a"),
-                F.min("pair_b").alias("pair_b"),
-                F.min("pair_count").cast("long").alias("pair_count"),
-                F.sum(F.size("toks")).cast("long").alias("tokens_before"),
-                F.sum(F.size("merged")).cast("long").alias("tokens_after"),
-            ).select(
+            top.crossJoin(stats).select(
                 F.lit(step).cast("int").alias("step"),
                 "pair_a",
                 "pair_b",
@@ -1413,6 +1435,9 @@ def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("tokens_before") - F.col("tokens_after"))
                 .cast("long")
                 .alias("n_merges"),
+                (F.col("pair_count") >= F.lit(_BPE_PAIR_FLOOR)).alias(
+                    "would_continue"
+                ),
             )
         )
         cur = merged.select("doc_id", F.col("merged").alias("toks"))
@@ -3064,7 +3089,8 @@ def _bpe_train_oracle() -> str:
            (SELECT CAST(COUNT(*) AS BIGINT) FROM t{p}) AS tokens_before,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM t{i}) AS tokens_after,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM t{p})
-             - (SELECT CAST(COUNT(*) AS BIGINT) FROM t{i}) AS n_merges
+             - (SELECT CAST(COUNT(*) AS BIGINT) FROM t{i}) AS n_merges,
+           top{i}.pair_count >= {_BPE_PAIR_FLOOR} AS would_continue
     FROM top{i}""")
     return (
         "\n    WITH "

@@ -362,3 +362,24 @@ def test_r13_endpoints_delegate_to_declared_operators(api, spark):
         got = sorted(map(tuple, got_df.collect()))
         want = sorted(map(tuple, qs[key](spark, api.sf_dir).collect()))
         assert got == want and len(got) > 0, key
+
+
+def test_r14_endpoints_delegate_to_declared_operators(api, spark):
+    import __spark_entry__ as spec
+
+    qs = spec.queries()
+    pairs = [
+        (api.semantic_recall_report(), "q_dedup_semantic_recall"),
+        (api.ingest_dedup_backfill(), "q_stream_dedup_availablenow"),
+        (api.forget_corpus(), "q_gov_forget_corpus"),
+    ]
+
+    def nsafe(t):  # the recall ROLLUP total row carries a NULL sim_bin
+        return tuple((v is None, v) for v in t)
+
+    for got_df, key in pairs:
+        got = sorted(map(tuple, got_df.collect()), key=nsafe)
+        want = sorted(
+            map(tuple, qs[key](spark, api.sf_dir).collect()), key=nsafe
+        )
+        assert got == want and len(got) > 0, key

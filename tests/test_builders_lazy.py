@@ -35,6 +35,7 @@ ITERATIVE_BY_DESIGN = {
     "q_stream_tumbling_availablenow",
     "q_stream_sessionize_availablenow",
     "q_stream_sliding_availablenow",
+    "q_stream_dedup_availablenow",
 }
 
 
