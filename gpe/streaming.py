@@ -224,6 +224,31 @@ def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def erasure_sieve_stream(stream: DataFrame, erased: DataFrame) -> DataFrame:
+    """Stream-static erasure sieve — tombstone propagation at INGEST
+    (§2.10 capability; the forward-looking complement of the batch
+    purge audits q_gov_forget_audit / q_gov_forget_corpus, which
+    retrofit the lake): events of erased identities are dropped before
+    they ever reach a downstream sink, via a stream-static LEFT join on
+    the erased-key table + null filter (the anti-join decomposition the
+    stream-static support matrix guarantees; stateless — no watermark,
+    no state store). The static side is re-planned per micro-batch
+    against its CURRENT snapshot, so a Delta-backed erasure list grows
+    without restarting the query — new tombstones apply to all future
+    batches, which is exactly the GDPR ingest contract.
+
+    Scale notes (100 TB): per-batch cost is one hash join against the
+    erasure list (bounded — the set of forgotten identities); with the
+    list small it broadcasts, and the sieve is a map-side filter at
+    ingest rate."""
+    marked = erased.select(F.col("k")).withColumn("_tomb", F.lit(1))
+    return (
+        stream.join(marked, stream["user_id"] == marked["k"], "left")
+        .filter(F.col("_tomb").isNull())
+        .drop("k", "_tomb")
+    )
+
+
 def quality_scores_stream(stream: DataFrame) -> DataFrame:
     """Streaming twin of q_text_quality: stateless per-doc scoring, so the
     same expression tree runs unmodified on the stream (zero state, scales

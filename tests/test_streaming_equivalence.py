@@ -859,6 +859,34 @@ def test_streaming_dup_paragraphs_equals_batch(spark):
         q.stop()
 
 
+def test_streaming_erasure_sieve_equals_batch_anti_join(spark, stream):
+    """Stream-static tombstone sieve: the streamed survivor set must
+    equal the batch anti-join of events against the same erasure batch
+    (c_custkey % 97 == 0 — the forget-audit batch), and every erased
+    identity must be absent from the sink."""
+    erased = (
+        spark.read.parquet(f"{SF}/customer.parquet")
+        .filter(F.expr("c_custkey % 97 = 0"))
+        .select(F.col("c_custkey").alias("k"))
+    )
+    q = streaming.run_to_memory(
+        streaming.erasure_sieve_stream(stream, erased), "t_erasure", "append"
+    )
+    try:
+        got = _rows(spark.table("t_erasure"), ["event_id", "user_id"])
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        want = _rows(
+            ev.join(erased, ev.user_id == erased.k, "left_anti"),
+            ["event_id", "user_id"],
+        )
+        assert got == want and len(got) > 0
+        erased_ids = {r.k for r in erased.collect()}
+        assert not ({u for _, u in got} & erased_ids)
+        assert len(got) < ev.count()  # the sieve really dropped rows
+    finally:
+        q.stop()
+
+
 def test_streaming_anomaly_seasonal_equals_batch(spark, stream):
     """Streamed daily cells (shared with the changepoint twin) + the
     sink-side decompose/anomaly chain must reproduce
