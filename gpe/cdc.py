@@ -614,9 +614,13 @@ def q_gov_forget_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # full shingle+MinHash banding pipeline (the key's dominant cost)
     # executed TWICE (before-plan: 2 complete gram/minhash subtrees,
     # 4 documents scans)
+    from gpe.io import load_table_spread
+
     sig_index = persist_tracked(
         _ngram_minhash_bands(
-            _doc_gram_sets(load_table(spark, sf_dir, "documents"))
+            # r14 input spread: the shingle+MinHash pipeline is map-side
+            # behind the scan — single-task without it
+            _doc_gram_sets(load_table_spread(spark, sf_dir, "documents"))
         ).select("doc_id")
     )
     posting = emb.select("vec_id", "label")

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from gpe.common import persist_tracked
 from gpe.io import load_table
+from gpe.io import load_table_spread as _lts
 
 # 16 bands × 2 rows: P(miss | J>0.9) ≤ (1-0.9²)^16 ≈ 3e-12 per pair — the
 # LSH output provably equals brute force on any fixture this gate can see
@@ -892,7 +893,7 @@ def q_dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctness is unconditional either way."""
     from pyspark.sql import Window
 
-    d = load_table(spark, sf_dir, "documents")
+    d = _lts(spark, sf_dir, "documents")  # r14 input spread (io.load_table_spread)
     toks = _doc_tokens_distinct(d)
     arrs = toks.groupBy("doc_id").agg(
         F.sort_array(F.collect_list("token")).alias("_toks")
@@ -1649,7 +1650,7 @@ def q_dedup_ngram_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed-vocab token-set LSH above); the verify join ships only
     candidate ids back through the gram-set table. No all-pairs step
     anywhere (asserted in tests/test_explain.py)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _lts(spark, sf_dir, "documents")  # r14 input spread (io.load_table_spread)
     # persist: feeds the banding pipeline AND both sides of the verify
     # join; per-branch pruning defeats ReuseExchange (same rationale as
     # the inverted-index path above).
@@ -1790,7 +1791,7 @@ def q_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ships gram arrays for candidate ids only; everything after is
     batch-sized and broadcast. Intra-batch dups compose by running
     q_dedup_ngram_lsh over the batch alone first."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _lts(spark, sf_dir, "documents")  # r14 input spread (io.load_table_spread)
     is_new = F.pmod(F.col("doc_id"), F.lit(_DELTA_MOD)) == F.lit(_DELTA_SLOT)
     # persist: gram sets feed the banding (both legs) and the verify join
     gram_sets = persist_tracked(
@@ -1874,7 +1875,10 @@ def _semantic_cell_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     before-plans paid the fold 2× and 3× respectively."""
     from gpe.vectors import _kmeans_assignments
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # r14 input spread: the n×k decimal fold inside _kmeans_assignments
+    # runs in the scan stage (broadcast codebook, no exchange below it) —
+    # single-task over the 1-row-group embeddings file without the spread
+    emb = _lts(spark, sf_dir, "embeddings")
     asg = _kmeans_assignments(emb).select(
         "vec_id", F.col("cluster").cast("int").alias("cluster")
     )
@@ -2168,7 +2172,7 @@ def q_dedup_semantic_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # was the plan's single largest duplicated subtree. The two legs are
     # disambiguated by renaming, not by fresh scans.
     asg = persist_tracked(
-        _kmeans_assignments(load_table(spark, sf_dir, "embeddings")).select(
+        _kmeans_assignments(_lts(spark, sf_dir, "embeddings")).select(
             "vec_id", F.col("cluster").cast("int").alias("cell")
         )
     )

@@ -32,6 +32,70 @@ TABLES = (
 BROADCAST_DIMS = frozenset({"region", "nation"})
 
 
+# Input-spread floor: below this the table is a broadcast-dim-scale frame
+# whose decode is trivial either way — adding an exchange is pure overhead.
+# There is deliberately NO byte cap: the spread is OPT-IN per call site
+# (load_table_spread), and a site opts in exactly because its map-side work
+# (shingling, 64 minhash transforms, 64-dim decimal folds) dominates any
+# one-time round-robin shuffle of the rows. A blanket spread in load_table
+# was measured and REJECTED: for wide fact tables the map-side partial
+# aggregate already contracts rows inside the scan stage, so shuffling them
+# costs more than it buys (lineitem count-agg 0.3 s unspread vs 0.7-0.9 s
+# spread at sf0.1).
+_SPREAD_MIN_BYTES = 32 * 1024
+
+
+def _spread_input(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Parallelize single-row-group file scans (r14; guide §2.5 "input
+    skew: one huge unsplittable file").
+
+    Every fixture table is written as ONE parquet row group, and a row
+    group is parquet's split unit — so every scan stage ran as ONE task
+    regardless of `maxPartitionBytes`, and everything map-side behind it
+    (tokenizing, the 64 minhash transforms, 64-dim decimal folds)
+    inherited the single-threaded stage. A round-robin repartition to
+    the session parallelism right after the read spreads the decode
+    output once and restores the parallelism a real lake layout gives
+    for free — for the tables where that map work dominates (see the
+    byte-window comment above: spreading a wide fact table costs more
+    in shuffle than it buys, because partial aggregation already
+    contracts it inside the scan stage).
+
+    SCALE-ADAPTIVE, not a local[32] constant: the gate reads the file's
+    actual row-group count (memoized beside the schema, driver-side, no
+    Spark job) and adds the exchange ONLY when the layout under-splits
+    the session (row_groups·2 < parallelism) and the file is above the
+    trivial-size floor. At 100 TB — thousands of files × many row
+    groups — the gate is permanently off and no shuffle is added;
+    values are partitioning-independent by the engine's cross-engine
+    hash discipline (every aggregate exact-decimal / total-ordered),
+    which full-registry oracle parity re-verifies."""
+    import os as _os
+
+    if _os.environ.get("SPARK_GRAFT_SCAN_SPREAD", "auto") == "off":
+        return df  # A/B escape hatch; default is the layout-derived gate
+    try:
+        st = _os.stat(path)
+    except OSError:
+        return df  # non-local URI: splittability is the lake's problem
+    if st.st_size < _SPREAD_MIN_BYTES:
+        return df
+    key = ("rowgroups", path, st.st_mtime_ns, st.st_size)
+    rg = _SCHEMA_CACHE.get(key)
+    if rg is None:
+        try:
+            import pyarrow.parquet as pq
+
+            rg = pq.ParquetFile(path).metadata.num_row_groups
+        except Exception:  # noqa: BLE001
+            rg = 1 << 30  # unreadable footer → assume splittable, add nothing
+        _SCHEMA_CACHE[key] = rg
+    par = spark.sparkContext.defaultParallelism
+    if rg * 2 >= par:
+        return df
+    return df.repartition(par)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan of one table. Filters/projections applied by the
     caller push down into this scan (verified in tests/test_explain.py).
@@ -61,6 +125,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             )
         return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return _read_cached_schema(spark, sf_dir, name)
+
+
+def load_table_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """load_table + the single-row-group input spread — OPT-IN for builders
+    whose first map stage is compute-dense (shingling, the 64 minhash
+    transforms, n×k decimal assignment folds). Measured per consumer at
+    sf0.1 before opting each in (OPTIMIZATION_r14.md): a blanket spread in
+    load_table regressed light consumers by the cost of the added exchange
+    (e.g. q_text_tfidf_topterms 0.7 → 1.4 s), while the minhash/fold-dense
+    consumers gain 25-45%."""
+    return _spread_input(
+        spark, load_table(spark, sf_dir, name), f"{sf_dir}/{name}.parquet"
+    )
 
 
 # Schema memo: Spark runs one footer-read JOB per schema-less

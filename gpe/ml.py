@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from gpe.common import EPS
 from gpe.io import load_table
+from gpe.io import load_table_spread as _lts
 
 # Exploded embeddings + per-class component SUM table (NOT the mean:
 # AUC/calibration rank by the score, and ranking is invariant under the
@@ -100,7 +101,7 @@ def q_ml_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions by cls (k-way parallel) over that aggregate output — never
     a raw-table global sort. At 10⁹ vectors the distinct-score frame is
     the only window input, and the final answer is k rows."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _lts(spark, sf_dir, "embeddings")
     sc = _class_scores(emb)
     ps = sc.groupBy("cls", "score").agg(
         F.sum(F.when(F.col("label") == F.col("cls"), 1).otherwise(0)).alias(
@@ -187,7 +188,7 @@ def q_ml_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     invariant per tests/test_two_pass_invariance.py."""
     from gpe.common import two_pass_ntile
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _lts(spark, sf_dir, "embeddings")
     sc = _class_scores(emb).filter(F.col("cls") == 0)
     # cast: Spark ntile is INT, DuckDB NTILE is BIGINT — the driver's
     # schema gate compares dtypes (tests/test_io_sources.py dtype parity)
@@ -411,7 +412,7 @@ def q_ml_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     the k-scored aggregate frame (maximal parallelism, k rows per
     partition group); the matrix is a ≤k² rollup with the row marginal
     as a window over it."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _lts(spark, sf_dir, "embeddings")
     sc = _class_scores(emb)
     w = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("cls"))
     pred = (
@@ -464,7 +465,7 @@ def q_ml_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale notes (100 TB): one vec_id-partial aggregate over the scored
     frame (own via a conditional max, best-other likewise — single
     pass, no self-join), then a k-row rollup."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _lts(spark, sf_dir, "embeddings")
     sc = _class_scores(emb)
     per_vec = sc.groupBy("vec_id", "label").agg(
         F.max(F.when(F.col("cls") == F.col("label"), F.col("score"))).alias(
@@ -582,7 +583,7 @@ def q_ml_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_vec_pairs_threshold's cogrouped BLAS grid exists for."""
     from gpe.vectors import _dot_dbl, _dot_dec
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _lts(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < _KNN_EVAL_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("true_label"),
@@ -755,7 +756,7 @@ def q_ml_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gpe.common import persist_tracked
     from gpe.vectors import _dot_dec
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _lts(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < _NDCG_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("qlabel"),
@@ -841,7 +842,7 @@ def q_ml_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-agg shuffle of 2 struct rows per query."""
     from gpe.vectors import _dot_dec
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _lts(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < _NDCG_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("qlabel"),

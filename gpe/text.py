@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from gpe.common import EPS, persist_tracked
 from gpe.io import load_table
+from gpe.io import load_table_spread as _lts
 
 _STOPWORDS = ("the", "a")
 _VOCAB_SIZE = 31  # closed vocabulary of the documents table (FIXTURES.md)
@@ -1049,7 +1050,7 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by parquet scan speed alone. The n-gram arrays are
     per-document (≤ doc length), never corpus-wide.
     """
-    return repetition_frame(load_table(spark, sf_dir, "documents"))
+    return repetition_frame(_lts(spark, sf_dir, "documents"))
 
 
 def repetition_frame(d: DataFrame) -> DataFrame:
@@ -1124,7 +1125,7 @@ def q_text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     no second shuffle. A full trainer loops this; each step stays this
     exact shape with the merged pair appended to a broadcast merge
     table."""
-    d = load_table(spark, sf_dir, "documents").withColumn(
+    d = _lts(spark, sf_dir, "documents").withColumn(
         "toks", F.split("text", " ")
     )
     big = d.select(
@@ -1207,7 +1208,7 @@ def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the encode is per-row scalar array work inside codegen — NO
     shuffle touches the documents scan. A longer table (32k merges)
     broadcasts the same way; the fold cost is linear in doc length."""
-    d = load_table(spark, sf_dir, "documents").withColumn(
+    d = _lts(spark, sf_dir, "documents").withColumn(
         "toks", F.split("text", " ")
     )
     prs = d.select(
@@ -1372,7 +1373,9 @@ def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     executors."""
     from gpe.common import persist_tracked
 
-    d = load_table(spark, sf_dir, "documents").withColumn(
+    # r14 input spread (io.load_table_spread): every per-step pair count
+    # and greedy fold otherwise runs single-task over the 1-row-group file
+    d = _lts(spark, sf_dir, "documents").withColumn(
         "toks", F.split("text", " ")
     )
     cur = d.select("doc_id", "toks")

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from gpe.common import EPS
 from gpe.io import load_table
+from gpe.io import load_table_spread as _lts
 
 _N_QUERIES = 10  # q_vec_* query set: vec_id < 10
 _TOP_K = 5
@@ -138,7 +139,7 @@ def q_vec_knn_brute(
     excluding self; ties broken by neighbor id. Brute force is the baseline
     the ANN variants (q_vec_ann_ivf/lsh/pq) are judged against."""
     if dots is None:
-        dots = _query_corpus_dots(load_table(spark, sf_dir, "embeddings"))
+        dots = _query_corpus_dots(_lts(spark, sf_dir, "embeddings"))
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(
@@ -174,7 +175,7 @@ def q_vec_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the corpus side partitions by IVF cell exactly like
     q_vec_ann_ivf — the scan stays full here because ε-recall must be
     100% (an ANN shortlist would silently drop qualifying vectors)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _lts(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -388,7 +389,7 @@ def _ivf_cand(
     """IVF candidate shortlist (query_id, neighbor_id) — the probe step
     of q_vec_ann_ivf, exposed so q_vec_ann_recall can rerank all
     variants' shortlists in ONE pass."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _lts(spark, sf_dir, "embeddings")
     if cdims is None:
         cdims = _centroid_dims(emb)
     cdims = cdims.select("label", "pos", "cdim")
@@ -440,7 +441,7 @@ def q_vec_ann_ivf(
     probed cells. Every step is exact-decimal → fully oracle-checkable (a
     rare property for ANN). Recall vs q_vec_knn_brute is asserted in
     tests/test_llm_ops.py."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _lts(spark, sf_dir, "embeddings")
     return _rerank_top5(_ivf_cand(spark, sf_dir, cdims), emb, dots)
 
 
@@ -476,7 +477,7 @@ def q_vec_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ivf_cand/_rerank_top5 with the predicate threaded through."""
     from pyspark.sql import Window
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _lts(spark, sf_dir, "embeddings")
     allowed = F.expr(_KNN_FILTER_PRED)
     # cell predicate: filter the CELL LIST before ranking probe cells
     cdims = _centroid_dims(emb).select("label", "pos", "cdim").filter(allowed)
@@ -545,7 +546,7 @@ _DIM = 64
 def _lsh_cand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH candidate shortlist (query_id, neighbor_id) — the banded
     bucket probe of q_vec_ann_lsh, exposed for the shared audit rerank."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _lts(spark, sf_dir, "embeddings")
     # per-dim sign VECTOR (array of the 16 plane signs, ordered by plane)
     # instead of a (plane, pos) pair table: the projection pass then stays
     # at one row per (vec, pos) with 16 codegen'd sum aggregates — round 1
@@ -642,7 +643,7 @@ def q_vec_ann_lsh(
     the band join is an equi-join on (band, value) — shuffle-partitioned,
     no cross join ever materializes; recall tunes by adding planes/bands.
     Recall vs q_vec_knn_brute is asserted in tests/test_llm_ops.py."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _lts(spark, sf_dir, "embeddings")
     return _rerank_top5(_lsh_cand(spark, sf_dir), emb, dots)
 
 
@@ -662,7 +663,7 @@ def _pq_cand(
     """PQ ADC candidate shortlist (query_id, neighbor_id) — the encode +
     LUT + ADC + top-C stages of q_vec_ann_pq, exposed for the shared
     audit rerank. See q_vec_ann_pq for the full design notes."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _lts(spark, sf_dir, "embeddings")
     if cdims is None:
         cdims = _centroid_dims(emb)
     cdims = cdims.select(F.col("label").alias("code"), "pos", "cdim")
@@ -694,7 +695,7 @@ def q_vec_ann_pq(
     ties all break by id), so the whole pipeline — a rarity for PQ — is
     SQL-oracle-checkable. Recall vs q_vec_knn_brute is asserted in
     tests/test_llm_ops.py."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _lts(spark, sf_dir, "embeddings")
     return _rerank_top5(_pq_cand(spark, sf_dir, cdims), emb, dots)
 
 
@@ -813,7 +814,7 @@ def q_vec_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from gpe.common import persist_tracked
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _lts(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -897,7 +898,7 @@ def q_vec_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact query×corpus score frame `dots` feeds brute AND every
     # variant's rerank — unshared, the audit compiled and evaluated the
     # same decimal dot-product fold four times.
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _lts(spark, sf_dir, "embeddings")
     cdims = persist_tracked(_centroid_dims(emb))
     dots = persist_tracked(_query_corpus_dots(emb))
     # The audit's residual cost at this scale is PER-STAGE SCHEDULING,
@@ -988,7 +989,7 @@ def q_vec_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers. Scale notes (100 TB): one map-side fold per vector, ONE
     (pos)-keyed partial-agg shuffle (64 groups), two 1-row broadcasts —
     the same shape as the centroid builder."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _lts(spark, sf_dir, "embeddings")
     proj = F.aggregate(
         F.transform(
             "embedding",
@@ -1046,7 +1047,7 @@ def q_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinalities legitimately diverge at sf0.1), with per-(lang, label)
     corpus stats."""
     d = load_table(spark, sf_dir, "documents")
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _lts(spark, sf_dir, "embeddings")
     joined = d.join(e, d.doc_id == e.vec_id)
     return (
         joined.groupBy("lang", "label")
@@ -1108,7 +1109,7 @@ def q_rag_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gpe.common import persist_tracked
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = _lts(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     corpus = persist_tracked(
         d.join(e, d.doc_id == e.vec_id).select("doc_id", "text", "embedding")
     )
@@ -1236,7 +1237,7 @@ def q_vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: per-vector scale/mse are ε-rounded to 12 decimals, then
     averaged via exact-decimal sums so partial-agg merge order can't
     produce ulp drift."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _lts(spark, sf_dir, "embeddings")
     xs = F.transform("embedding", lambda x: x.cast("double"))
     # greatest(·, 1e-30): an all-zero vector would give scale = 0 and a
     # 0/0 NaN inside the quantize expression, where the two engines'
@@ -1299,7 +1300,7 @@ def q_vec_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax is an aggregate (max-of-struct), not a window sort. Further
     iterations = re-running with the emitted assignment as the label
     column (driver loop, one job per step, like star_components)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _lts(spark, sf_dir, "embeddings")
     a = _kmeans_assignments(emb)
     return a.groupBy(
         F.col("label").alias("old_label"),
@@ -1382,7 +1383,7 @@ def q_sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors — so no single task ever sees a whole cluster, the same
     shape as the knn-eval shortlist. Output is quota-bounded (k × 40
     rows) regardless of input scale, hence always driver-safe."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _lts(spark, sf_dir, "embeddings")
     a = _kmeans_assignments(emb)
     h32 = F.conv(
         F.substring(
