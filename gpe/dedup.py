@@ -2168,7 +2168,7 @@ def q_dedup_semantic_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     all joins are pair-set-sized equi-joins left to AQE — nothing here
     broadcast-assumes the embedding table. Cites: Abbas et al. 2023
     (SemDeDup, arXiv 2303.09540) §4 recall discussion."""
-    from gpe.vectors import _kmeans_assignments, _pairs_threshold_verified
+    from gpe.vectors import _PAIR_TAU, _kmeans_assignments, _pairs_threshold_verified
 
     # r14 optimization (guide §2.4, plans/r14/q_dedup_semantic_recall_*.txt):
     # the verified τ=0.30 pair frame already CARRIES the exact decimal dot —
@@ -2176,6 +2176,14 @@ def q_dedup_semantic_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # embedding sides and recomputing the 64-term decimal fold over every
     # pair (the before-plan evaluated the whole grid+verify pipeline and
     # then two more broadcast joins + a second fold; 10 embeddings scans).
+    # Correctness of the re-threshold REQUIRES _SEM_TAU >= _PAIR_TAU: the
+    # verified frame only contains pairs with dot >= _PAIR_TAU, so a lower
+    # _SEM_TAU would silently drop qualifying pairs (ADVICE r14 #2).
+    assert _SEM_TAU >= _PAIR_TAU, (
+        f"_SEM_TAU ({_SEM_TAU}) must be >= vectors._PAIR_TAU ({_PAIR_TAU}):"
+        " q_dedup_semantic_recall derives its exact pair set by"
+        " re-thresholding the tau=_PAIR_TAU verified pair frame"
+    )
     exact = (
         _pairs_threshold_verified(spark, sf_dir)
         .filter(F.col("dot") >= F.lit(_SEM_TAU).cast("decimal(12,10)"))

@@ -72,8 +72,17 @@ def _spread_input(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
     which full-registry oracle parity re-verifies."""
     import os as _os
 
-    if _os.environ.get("SPARK_GRAFT_SCAN_SPREAD", "auto") == "off":
-        return df  # A/B escape hatch; default is the layout-derived gate
+    # A/B escape hatch; default is the layout-derived gate. Unknown values
+    # raise instead of silently behaving as "auto" (ADVICE r14 #4: a typo'd
+    # SPARK_GRAFT_SCAN_SPREAD=of during an A/B run must fail loudly, not
+    # quietly measure the wrong arm).
+    mode = _os.environ.get("SPARK_GRAFT_SCAN_SPREAD", "auto")
+    if mode == "off":
+        return df
+    if mode != "auto":
+        raise ValueError(
+            f"SPARK_GRAFT_SCAN_SPREAD={mode!r}: expected 'auto' or 'off'"
+        )
     try:
         st = _os.stat(path)
     except OSError:
@@ -87,8 +96,17 @@ def _spread_input(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
             import pyarrow.parquet as pq
 
             rg = pq.ParquetFile(path).metadata.num_row_groups
-        except Exception:  # noqa: BLE001
+        except Exception as e:  # noqa: BLE001
             rg = 1 << 30  # unreadable footer → assume splittable, add nothing
+            # log ONCE per file version (the memo key dedups): the A/B
+            # escape behavior must be observable, not silent (ADVICE r14 #4)
+            import sys as _sys
+
+            print(
+                f"gpe.io: row-group footer read failed for {path}"
+                f" ({e!r}); assuming splittable (no spread)",
+                file=_sys.stderr,
+            )
         _SCHEMA_CACHE[key] = rg
     par = spark.sparkContext.defaultParallelism
     if rg * 2 >= par:

@@ -1050,7 +1050,7 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by parquet scan speed alone. The n-gram arrays are
     per-document (≤ doc length), never corpus-wide.
     """
-    return repetition_frame(_lts(spark, sf_dir, "documents"))
+    return repetition_frame(load_table(spark, sf_dir, "documents"))
 
 
 def repetition_frame(d: DataFrame) -> DataFrame:

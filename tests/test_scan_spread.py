@@ -57,3 +57,13 @@ def test_spread_env_off_is_identity(spark, monkeypatch):
     plain = load_table(spark, SF_T2, "documents")
     spread = load_table_spread(spark, SF_T2, "documents")
     assert spread.rdd.getNumPartitions() == plain.rdd.getNumPartitions()
+
+
+def test_spread_env_unknown_value_raises(spark, monkeypatch):
+    # ADVICE r14 #4: a typo'd A/B env value must fail loudly, not silently
+    # behave as "auto" and measure the wrong arm
+    import pytest
+
+    monkeypatch.setenv("SPARK_GRAFT_SCAN_SPREAD", "on")
+    with pytest.raises(ValueError, match="SPARK_GRAFT_SCAN_SPREAD"):
+        load_table_spread(spark, SF_T2, "documents")

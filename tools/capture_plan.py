@@ -23,7 +23,11 @@ def main() -> None:
     spark = get_spark("gpe-plan-capture")
     spark.sparkContext.setLogLevel("ERROR")
     qs = spec.queries()
-    outdir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14")
+    outdir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("PLANS_SUBDIR", "r15"),
+    )
     os.makedirs(outdir, exist_ok=True)
     for k in keys:
         df = qs[k](spark, sf_dir)
