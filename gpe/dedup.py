@@ -56,35 +56,6 @@ def _doc_tokens_distinct(d: DataFrame) -> DataFrame:
     )
 
 
-def _vocab(toks: DataFrame) -> DataFrame:
-    """(token, tid) with tid = rank in sorted vocab, GUARDED: any token id
-    at or beyond _MAX_VOCAB raises at scan time rather than silently
-    wrapping the mask / dropping LSH pairs (ADVICE r2)."""
-    return (
-        toks.select("token")
-        .distinct()
-        .select(
-            "token",
-            (F.row_number().over(WindowSpec_token()) - 1).alias("tid"),
-        )
-        .select(
-            "token",
-            F.when(F.col("tid") < F.lit(_MAX_VOCAB), F.col("tid"))
-            .otherwise(
-                F.raise_error(
-                    F.lit(
-                        "gpe.dedup: vocabulary exceeded _MAX_VOCAB="
-                        f"{_MAX_VOCAB}; the bitmask/LSH-gap bounds no longer"
-                        " hold — raise _MAX_VOCAB (< 63) or route through"
-                        " shingle MinHash (SCALE.md §Dedup)"
-                    )
-                )
-            )
-            .alias("tid"),
-        )
-    )
-
-
 def _mask_groups(d: DataFrame) -> DataFrame:
     """Docs grouped by their token-set BITMASK.
 
@@ -114,20 +85,64 @@ def mask_groups_from(doc_masks: DataFrame) -> DataFrame:
     )
 
 
-def _doc_masks(d: DataFrame) -> DataFrame:
-    """(doc_id, mask): token-set bitmask per doc (tid = sorted-vocab rank)."""
-    toks = _doc_tokens_distinct(d)
+def _vocab_array(toks: DataFrame) -> DataFrame:
+    """ONE-ROW (varr) frame: the sorted distinct vocabulary as an array,
+    raise_error-GUARDED at _MAX_VOCAB exactly like _vocab (the guard fires
+    when the 1-row frame materializes, before any mask is built). tid =
+    array_position(varr, token) - 1 == _vocab's row_number rank (both are
+    binary-collation sort order). r15, guide §2.3/§2.4: broadcasting the
+    vocabulary as an ARRAY lets the per-doc mask fold run MAP-SIDE inside
+    the scan stage — the former explode → vocab join → groupBy(doc_id)
+    shuffled one row per (doc, token) and re-aggregated per doc; now zero
+    corpus-sized shuffles remain in the mask build."""
     return (
-        toks.join(F.broadcast(_vocab(toks)), "token")
-        .groupBy("doc_id")
-        .agg(F.expr("sum(shiftleft(CAST(1 AS BIGINT), tid))").alias("mask"))
+        toks.agg(F.sort_array(F.collect_set("token")).alias("_varr"))
+        .select(
+            F.when(F.size("_varr") <= F.lit(_MAX_VOCAB), F.col("_varr"))
+            .otherwise(
+                F.raise_error(
+                    F.lit(
+                        "gpe.dedup: vocabulary exceeded _MAX_VOCAB="
+                        f"{_MAX_VOCAB}; the bitmask/LSH-gap bounds no longer"
+                        " hold — raise _MAX_VOCAB (< 63) or route through"
+                        " shingle MinHash (SCALE.md §Dedup)"
+                    )
+                )
+            )
+            .alias("varr")
+        )
     )
 
 
-def WindowSpec_token():
-    from pyspark.sql import Window
+def _doc_masks(d: DataFrame, varr: DataFrame | None = None) -> DataFrame:
+    """(doc_id, mask): token-set bitmask per doc (tid = sorted-vocab rank).
 
-    return Window.orderBy("token")
+    Map-side fold over the broadcast vocab array (r15): mask =
+    OR over the doc's distinct tokens of 1 << (array_position(varr, t)-1)
+    — identical bits to the former explode→join→groupBy path, with the
+    corpus-sized (doc, token) shuffle removed outright (guide §2.4).
+    ``varr``: optional pre-built (possibly persisted) _vocab_array frame
+    so callers that also need the vocab for signatures share one pass."""
+    if varr is None:
+        varr = _vocab_array(_doc_tokens_distinct(d))
+    toksed = d.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("_toks")
+    )
+    return toksed.crossJoin(F.broadcast(varr)).select(
+        "doc_id",
+        F.aggregate(
+            "_toks",
+            F.lit(0).cast("bigint"),
+            # sum == OR here: _toks is distinct, so each tid contributes
+            # exactly one power of two (the former path used the same sum)
+            lambda acc, t: acc
+            + F.call_function(
+                "shiftleft",
+                F.lit(1).cast("bigint"),
+                (F.array_position("varr", t) - 1).cast("int"),
+            ),
+        ).alias("mask"),
+    )
 
 
 def _exact_jaccard_pairs(d: DataFrame) -> DataFrame:
@@ -224,33 +239,51 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_dedup_components; 3 fixed rounds keep the oracle expressible."""
     d = load_table(spark, sf_dir, "documents")
     pairs = _exact_jaccard_pairs(d).select("id_a", "id_b")
+    # mirror with explode, not union-of-selects (r15, guide §2.4: the union
+    # evaluated the whole pair pipeline TWICE inside the edges
+    # materialization — measured 2.4 s → 1.4 s for the edges persist)
     edges = persist_tracked(
         pairs.select(
-            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-        ).unionByName(
-            pairs.select(
-                F.col("id_b").alias("src"), F.col("id_a").alias("dst")
-            )
-        )
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+                    ),
+                )
+            ).alias("e")
+        ).select("e.src", "e.dst")
     )
-    deg = persist_tracked(
+    # deg carries the 1-row node count N as a column (r15): the teleport
+    # term needs N in EVERY iteration, and a per-iteration
+    # crossJoin(broadcast(n)) added one broadcast exchange + build per
+    # round (3 total). Folded here, N rides the node-sized deg frame and
+    # the per-iteration plan is one join + one aggregation, nothing else.
+    deg0 = persist_tracked(
         edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     )
-    n = deg.select(F.count(F.lit(1)).alias("n"))
+    n = deg0.select(F.count(F.lit(1)).alias("n"))
+    deg = deg0.crossJoin(F.broadcast(n))
     # r0 = FLOOR(1e12 / N): every node starts at the uniform rank
-    ranks = deg.crossJoin(F.broadcast(n)).select(
+    ranks = deg.select(
         F.col("src").alias("node"),
         F.expr("1000000000000 DIV n").alias("r"),
     )
-    ed = edges.join(deg, "src")
+    # persisted ONCE (r15): the iterations re-joined edges⋈deg per round —
+    # 3 broadcast builds of deg and 3 re-scans of the join; now each round
+    # scans one cached (src, dst, deg, n) frame. At 100 TB this is the
+    # "materialize the decision frame once, iterate over it" shape — the
+    # per-round join key (src) and the aggregation key (dst) are unchanged.
+    ed = persist_tracked(edges.join(deg, "src"))
     for _ in range(3):
         contrib = ed.join(
             ranks, ed.src == ranks.node
-        ).select("dst", F.expr("r DIV deg").alias("c"))
+        ).select("dst", F.expr("r DIV deg").alias("c"), "n")
         ranks = (
             contrib.groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("c").alias("s"))
-            .crossJoin(F.broadcast(n))
+            .agg(F.sum("c").alias("s"), F.max("n").alias("n"))
             .select(
                 "node",
                 (
@@ -259,7 +292,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("r"),
             )
         )
-    return ranks.join(deg, ranks.node == deg.src).select(
+    return ranks.join(deg0, ranks.node == deg0.src).select(
         F.col("node").alias("doc_id"),
         "deg",
         F.col("r").alias("rank_e12"),
@@ -953,14 +986,22 @@ def q_dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # "narrower types") — the exact intersect runs once per RAW candidate
     # (15.3M rows at sf0.1), and ArrayIntersect hashes every element, so
     # int arrays beat string arrays ~1.5-2× (measured: verify+distinct
-    # 6.0 → 3.9 s warm). tid↔token is a bijection (row_number over the
+    # 6.0 → 3.9 s warm). tid↔token is a bijection (global rank over the
     # distinct vocab), so inter/min_size are unchanged value-for-value.
-    # The tid window is vocab-bounded (the documented bounded-window
-    # class, SCALE.md); at open-vocab scale swap in the two-pass global
-    # rank — the ids only need to be distinct, not dense.
-    ids = sdf.select(
-        "token", F.row_number().over(Window.orderBy("token")).alias("tid")
-    )
+    # r15 (VERDICT r14 #8): the rank is the DISTRIBUTED two-pass recipe
+    # (range repartition → local rank → pid offset table) instead of a
+    # single-task global row_number window — this key exists precisely
+    # for the open-vocab corpus where the vocab is unbounded, so its own
+    # interning must not funnel the vocabulary through one task.
+    from gpe.common import two_pass_running_sum
+
+    ids = two_pass_running_sum(
+        spark,
+        sdf.select("token", F.lit(1).alias("_one")),
+        ["token"],
+        "_one",
+        "tid",
+    ).select("token", F.col("tid").cast("int").alias("tid"))
     isets = (
         stoks.join(F.broadcast(ids), "token")
         .groupBy("sid")
@@ -1026,54 +1067,65 @@ def _mask_sig_supernodes(d: DataFrame) -> DataFrame:
     hashing the first seam version re-added to the components family
     (sf0.1: components 11.7 s → see BENCH.md). With an open vocabulary
     (where the mask path is guarded off anyway) signatures revert to
-    per-shingle hashing — that cost is inherent there."""
+    per-shingle hashing — that cost is inherent there.
+
+    r15 (guide §2.4): the per-tid hash table is carried as 32 tid-indexed
+    ARRAYS on the broadcast 1-row vocab frame, so each mask's signature is
+    32 array_min-over-set-bits lookups computed in the SAME projection —
+    the former set-bit explode → vhash join → second groupBy(mask) (one
+    full exchange of the supernode frame plus a broadcast build) is gone,
+    and _doc_masks' corpus-sized (doc, token) shuffle is gone with it
+    (see _vocab_array). Exchange count for the whole supernode build:
+    4 → 2 (the 1-row vocab agg and the groupBy(mask))."""
     toks = _doc_tokens_distinct(d)
-    # persist: vocab (a scan + distinct + 31-row window) feeds BOTH the
-    # hash table and the doc-mask join; the super-node subtree must
-    # evaluate each exactly once or the corpus scan multiplies (the first
-    # seam version re-evaluated it 5×; 13 s at sf0.1)
-    vocab = persist_tracked(_vocab(toks))
 
-    def _mh(j: int):
+    def _mh_arr(j: int):
         g, r = divmod(j, 4)
-        h = F.md5(F.concat(F.lit(f"{g}|"), F.col("token")).cast("binary"))
-        return F.substring(h, 1 + 8 * r, 8).alias(f"mh{j}")
+        return F.transform(
+            "varr",
+            lambda t: F.substring(
+                F.md5(F.concat(F.lit(f"{g}|"), t).cast("binary")),
+                1 + 8 * r,
+                8,
+            ),
+        ).alias(f"_mha{j}")
 
-    vhash = vocab.select("tid", *[_mh(j) for j in range(_N_MINHASH)])
-    doc_masks = (
-        toks.join(F.broadcast(vocab), "token")
-        .groupBy("doc_id")
-        .agg(F.expr("sum(shiftleft(CAST(1 AS BIGINT), tid))").alias("mask"))
+    # persist the 1-row vocab frame: it feeds BOTH the doc-mask fold and
+    # the signature arrays — unpersisted, each broadcast build would rerun
+    # the corpus-wide distinct-token aggregate
+    vlits = persist_tracked(
+        _vocab_array(toks).select(
+            "varr", *[_mh_arr(j) for j in range(_N_MINHASH)]
+        )
     )
-    g0 = doc_masks.groupBy("mask").agg(
+    g0 = _doc_masks(d, varr=vlits.select("varr")).groupBy("mask").agg(
         F.sort_array(F.collect_list("doc_id")).alias("ids"),
         F.count(F.lit(1)).alias("n"),
         F.bit_count("mask").alias("sz"),
     )
-    # ids/n/sz ride THROUGH the set-bit explode (first() per mask restores
-    # them) so g0 has exactly one consumer — a second branch would
-    # re-evaluate the whole doc aggregation (pruning defeats ReuseExchange)
-    bits = g0.select(
+    # set-bit positions materialized ONCE in a projection: a lambda-inlined
+    # subexpression would re-evaluate per transform (no CSE inside
+    # higher-order functions — the _doc_gram_sets lesson)
+    bits = g0.crossJoin(F.broadcast(vlits)).withColumn(
+        "_bits",
+        F.expr(
+            f"filter(sequence(0, {_MAX_VOCAB - 1}),"
+            " b -> (shiftright(mask, b) & 1) = 1)"
+        ),
+    )
+    return bits.select(
         "mask",
         "ids",
         "n",
         "sz",
-        F.explode(
-            F.expr(
-                f"filter(sequence(0, {_MAX_VOCAB - 1}),"
-                " b -> (shiftright(mask, b) & 1) = 1)"
-            )
-        ).alias("tid"),
-    )
-    return (
-        bits.join(F.broadcast(vhash), "tid")
-        .groupBy("mask")
-        .agg(
-            F.first("ids").alias("ids"),
-            F.first("n").alias("n"),
-            F.first("sz").alias("sz"),
-            *[F.min(f"mh{j}").alias(f"mh{j}") for j in range(_N_MINHASH)],
-        )
+        *[
+            F.array_min(
+                F.transform(
+                    "_bits", lambda b: F.element_at(f"_mha{j}", b.cast("int") + 1)
+                )
+            ).alias(f"mh{j}")
+            for j in range(_N_MINHASH)
+        ],
     )
 
 
@@ -1269,7 +1321,11 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vocabulary / unbounded #masks (VERDICT r2 #3)
     mp = _band_candidate_pairs(g).select("mx", "my")
     # mirror with explode, not union-of-selects (union evaluates the
-    # whole candidate pipeline twice)
+    # whole candidate pipeline twice). SELF-LOOPS appended (r15, guide
+    # §2.4): with every mask linked to itself, each propagation step's
+    # least(own, min-over-neighbors) collapses into the single min
+    # aggregate — the per-step left join (one broadcast build + join per
+    # step, 4 per batch) disappears and the step is join + groupBy only.
     edges = (
         mp.select(
             F.explode(
@@ -1280,6 +1336,9 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("e")
         )
         .select("e.mx", "e.my")
+        .unionByName(
+            g.select(F.col("mask").alias("mx"), F.col("mask").alias("my"))
+        )
         .coalesce(8)
         .localCheckpoint(eager=True)
     )
@@ -1305,20 +1364,14 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         start = labels
         cur = labels
         for _s in range(_PROP_BATCH):
-            neighbor_min = (
+            # one join + one min per step: the self-loop edge carries each
+            # mask's own comp into the aggregate, so least(own, nbr) needs
+            # no second (left) join — value-identical by construction
+            cur = (
                 edges.alias("e")
                 .join(cur.alias("l"), F.col("e.my") == F.col("l.mask"))
                 .groupBy(F.col("e.mx").alias("mask"))
-                .agg(F.min("l.comp").alias("nbr_comp"))
-            )
-            cur = (
-                cur.join(neighbor_min, "mask", "left")
-                .select(
-                    "mask",
-                    F.least(
-                        F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
-                    ).alias("comp"),
-                )
+                .agg(F.min("l.comp").alias("comp"))
             )
         # change flag rides along into the checkpoint so convergence
         # detection is a cheap count on materialized data, not a third join

@@ -52,20 +52,11 @@ _ENUM_ENTROPY_COLS = (
     "lang",
     "source",
 )
-_CLOSED_VOCAB_DISTINCT_KEYS = (
-    # all funnel through gpe/dedup._vocab: row_number over
-    # distinct(token), raise_error-GUARDED at _MAX_VOCAB=31 — the
-    # cardinality bound is enforced in-plan, not assumed
-    "q_dedup_containment",
-    "q_dedup_graph_degree",
-    "q_dedup_minhash_lsh",
-    "q_dedup_sketch_calibration",
-    "q_dedup_near_pairs",
-    "q_graph_bfs_layers",
-    "q_graph_pagerank",
-    "q_graph_triangles",
-    "q_text_jaccard_topk",
-)
+# r15: the _CLOSED_VOCAB_DISTINCT_KEYS block (nine keys funneling through
+# gpe/dedup._vocab's row_number-over-distinct(token) window) is GONE — the
+# vocabulary is now a broadcast 1-row sorted array (_vocab_array, still
+# raise_error-guarded at _MAX_VOCAB) and the per-doc mask is a map-side
+# fold, so no unpartitioned vocab window exists to allowlist.
 ALLOWLIST: dict[tuple, str] = {
     **{
         ("q_catalog_column_entropy", "agg", (f"cast({c} as string)",)): (
@@ -73,13 +64,6 @@ ALLOWLIST: dict[tuple, str] = {
             "histogram bounded by the enum domain"
         )
         for c in _ENUM_ENTROPY_COLS
-    },
-    **{
-        (k, "distinct", ("token",)): (
-            "gpe/dedup._vocab: closed <=31-token vocabulary, "
-            "raise_error-guarded in-plan (ADVICE r2)"
-        )
-        for k in _CLOSED_VOCAB_DISTINCT_KEYS
     },
     (
         "q_ts_mom_growth",
